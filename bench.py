@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count collapse); a warmup
+run of the flagship amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sentinela_py_spark.plans import QUERIES  # noqa: E402
+from sentinela_py_spark.plans.registry import _ensure_loaded  # noqa: E402
+from sentinela_py_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_revenue_per_nation",
+    "q_top1_order_per_customer",
+    "q_period_scan",
+    "q_topk_orders",
+    "q_customers_without_orders",
+    "q_user_sessions",
+    "q_hourly_event_buckets",
+    "q_dedup_exact",
+    "q_ngram_jaccard_pairs",
+    "q_text_quality",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    spark = build_session(app_name="sentinela-bench")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    QUERIES["q_pricing_summary"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

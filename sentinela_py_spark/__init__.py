@@ -1,0 +1,22 @@
+"""sentinela_py_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first implementation of the query and data-processing
+capabilities of the reference system DevSolto/sentinela-py (a configuration
+driven news-monitoring pipeline; see SURVEY.md). Every operator the
+reference implements as row-at-a-time Python over MongoDB is re-expressed
+here as declarative DataFrame/SQL plans optimized by Catalyst, plus the
+large-scale training-data operators (dedup, similarity search, text
+analysis, multimodal plumbing) a 100 TB pipeline needs.
+
+Layout:
+    session      — SparkSession builder tuned for local[N] and cluster use
+    schemas      — fixed StructType schemas for the domain tables
+    tables       — loaders for the driver's synthetic parquet tables
+    functions/   — scalar/text/geo/hash function library (JVM-side first)
+    operators/   — composed dataflow operators (dedup, matching, scoring...)
+    sources/     — ingestion adapters and the city-catalog dimension
+    plans/       — the declared query surface (Spark plan + DuckDB oracle)
+    streaming/   — Structured Streaming pipelines (micro-batch enrichment)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,3 @@
+"""Scalar/column function library — JVM-side first, pandas UDF only where
+built-ins can't express the semantics (offset-preserving normalization,
+canonical-JSON hashing)."""

@@ -1,0 +1,69 @@
+"""Text-analysis column builders for the training-data pipeline surface.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path): token counting, quality scoring, stopword-based language ID,
+document fingerprinting. Reference analog: the text normalization layer at
+sentinela/extraction/normalization.py (M1-M4 in SURVEY.md §2.8) — here
+generalized to corpus-scale document analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword sets per language for the n-gram/stopword language heuristic.
+# Deliberately small + deterministic; real deployments swap in fasttext-style
+# models behind the same column contract.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "des", "du", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "mit"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = tokens(text)
+    quoted = ", ".join(f"'{s}'" for s in stopwords)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length = (chars - separators) / tokens, integer-exact."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    total_chars = F.length(c) - (n_tok - F.lit(1))  # chars minus the spaces
+    return total_chars.cast("double") / n_tok.cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs and a
+    healthy stopword ratio — the shape of C4/Gopher-style quality rules."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    sw_ratio = stopword_count(c).cast("double") / n_tok
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw_ok = F.when((sw_ratio >= 0.05) & (sw_ratio <= 0.6), F.lit(0.5)).otherwise(F.lit(0.0))
+    return len_ok + sw_ok
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set. Identical token bags → identical fingerprint, robust to
+    word order shuffling (a cheap near-dup signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " ")))))

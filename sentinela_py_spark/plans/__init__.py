@@ -1,0 +1,19 @@
+"""The declared query surface of the engine.
+
+Each query is a pair: an idiomatic Spark DataFrame plan and (where
+ANSI-SQL-expressible) an equivalent DuckDB oracle SQL string the driver
+cross-checks at sf0.01. Query names map 1:1 to SURVEY.md §2 operator rows
+(the mapping is in each query's docstring).
+"""
+
+from sentinela_py_spark.plans.registry import (
+    QUERIES,
+    Query,
+    _ensure_loaded,
+    oracle_sql_map,
+    queries_map,
+)
+
+_ensure_loaded()
+
+__all__ = ["QUERIES", "Query", "queries_map", "oracle_sql_map"]

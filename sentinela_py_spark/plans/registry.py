@@ -1,0 +1,65 @@
+"""Query registry: name → (Spark plan, DuckDB oracle SQL).
+
+The driver contract (``__spark_entry__.py``) exposes ``queries()`` and
+``oracle_sql()``; both are assembled from this registry. Column names are
+aliased identically on both sides — the driver sorts columns by name and
+hashes values, so any naming drift is a correctness failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared query: Spark plan + optional DuckDB oracle."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    survey_ref: str = ""  # SURVEY.md §2 operator ids this covers
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ref: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, survey_ref=survey_ref, tags=tags)
+        return fn
+
+    return deco
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: q.spark for name, q in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import query modules for their registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports deferred to avoid import cycles at package import time.
+    from sentinela_py_spark.plans import relational, textops, simops  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,685 @@
+"""Relational query surface over the driver's TPC-H-ish tables.
+
+Each query re-expresses one or more operators from SURVEY.md §2 (reference
+file:line cited per query) as an idiomatic Catalyst-optimized DataFrame
+plan, with a DuckDB oracle for the driver's correctness gate.
+
+Numeric discipline: double sums are not associative, so any aggregate the
+oracle hash-compares is computed in DECIMAL (exact, order-insensitive) and
+cast back to DOUBLE at the end — both engines then produce bit-identical
+values regardless of partitioning / shuffle order. This is also the right
+call at 100 TB: decimal sums cost little and make results reproducible
+across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A3,A7 (aggregator.py:92-170 scoring aggregation shape); TPC-H Q1",
+    tags=("agg", "flagship"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: grouped multi-aggregate pricing summary (map-side partial
+    agg + single shuffle on the group keys; decimal-exact sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS returned_revenue,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS high_discount_amount,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS bulk_lines,
+           COUNT(*) AS total_lines
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    survey_ref="M10,M13 (aggregator.py:66-89 context adjust; conditional column algebra)",
+    tags=("agg",),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise column algebra inside aggregates — the Spark form of
+    the reference's per-match conditional score adjustments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_extendedprice")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("returned_revenue"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, _dec("l_extendedprice") * _dec("l_discount")).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("high_discount_amount"),
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("bulk_lines"),
+            F.count("*").alias("total_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_rollup_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    survey_ref="§2.4 superset (engine exposes rollup/cube as first-class)",
+    tags=("agg",),
+)
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — subtotal rows come free from the
+    partial-aggregation pipeline, no extra shuffle per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q_distinct_count",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ref="A9 (normalization.py:146-168 distinct-state set semantics)",
+    tags=("agg",),
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expands to a two-phase agg plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / scans / sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_period_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderdate, o_orderkey
+    """,
+    survey_ref="S5,F1,O1 (mongo_article_repository.py:44-75 period scan)",
+    tags=("scan", "filter"),
+)
+def q_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + period scan, ordered — the reference's `list_by_period`.
+    Both predicates push down to the parquet scan (PushedFilters)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    survey_ref="O2,O5 (infrastructure/extraction.py:69-73 sort+limit; top-k)",
+    tags=("sort", "limit"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — executes as per-partition TakeOrdered + merge on the
+    driver, no full sort shuffle. Unique key breaks ties deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_alias_coalesce_projection",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           COALESCE(NULLIF(TRIM(c_name), ''), 'unknown') AS display_name,
+           COALESCE(c_acctbal, 0.0) AS balance,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'regular' ELSE 'premium' END AS tier
+    FROM customer
+    ORDER BY customer_id
+    """,
+    survey_ref="F8,F10 (infrastructure/extraction.py:115-147 alias coalescing projection)",
+    tags=("projection",),
+)
+def q_alias_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's alias-tolerant reader, done once as a projection:
+    coalesce across candidate fields + when/otherwise routing."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.coalesce(F.nullif(F.trim("c_name"), F.lit("")), F.lit("unknown")).alias("display_name"),
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("balance"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("tier"),
+    ).orderBy("customer_id")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, nation
+    """,
+    survey_ref="J3 (aggregator.py:34-49 catalog enrichment join) + A3",
+    tags=("join", "agg", "flagship"),
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: big fact × small dims. nation/region (and customer at low
+    SF) go broadcast — no shuffle for the dimension sides; lineitem⋈orders
+    is the only shuffle exchange, and AQE handles skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@register(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ref="J6 (ingestion_router.py:36-42 duplicate anti-join)",
+    tags=("join", "anti"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the scalable form of the reference's per-row
+    `exists()` probe (one join instead of N point lookups)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    survey_ref="J6 twin (semi-join form of the existence probe)",
+    tags=("join", "semi"),
+)
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(li, c.c_custkey == li.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_region_head_nation",
+    oracle="""
+    WITH heads AS (
+      SELECT n_regionkey, MIN(n_nationkey) AS head_key
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n.n_name AS nation, r.r_name AS region, h2.n_name AS region_head
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN heads h  ON n.n_regionkey = h.n_regionkey
+    JOIN nation h2 ON h.head_key = h2.n_nationkey
+    ORDER BY nation
+    """,
+    survey_ref="J5 (catalog.py:208-251 state-capital self-join on uf)",
+    tags=("join", "self"),
+)
+def q_region_head_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join attaching each group's designated head row — the
+    reference's state-capital enrichment (every city gets its UF capital)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    heads = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("head_key"))
+    head_names = n.select(F.col("n_nationkey").alias("head_key"), F.col("n_name").alias("region_head"))
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(heads), "n_regionkey")
+        .join(F.broadcast(head_names), "head_key")
+        .select(F.col("n_name").alias("nation"), F.col("r_name").alias("region"), "region_head")
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top1_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    survey_ref="A4,W1,O5 (aggregator.py:193-276 primary-city top-1 with multi-key tie-break)",
+    tags=("window",),
+)
+def q_top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary-city selection: deterministic argmax via a
+    multi-key ordered window + row_number()==1."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q_supplier_rank_in_nation",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name AS nation, s_acctbal,
+           DENSE_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS bal_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY nation, bal_rank, s_suppkey
+    """,
+    survey_ref="W1 superset (ranking family exposed first-class)",
+    tags=("window",),
+)
+def q_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.col("s_acctbal").desc())
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "s_acctbal")
+        .withColumn("bal_rank", F.dense_rank().over(W.partitionBy("nation").orderBy(F.col("s_acctbal").desc())))
+        .orderBy("nation", "bal_rank", "s_suppkey")
+    )
+
+
+@register(
+    "q_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    survey_ref="§2.5 superset (frame-spec aggregation exposed first-class)",
+    tags=("window",),
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_churned_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+    survey_ref="§2.7 (set ops exposed natively; reference has only implicit unions)",
+    tags=("setop",),
+)
+def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y94 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiset surplus rows)
+    return y94.subtract(y95).orderBy("o_custkey")
+
+
+@register(
+    "q_union_dedup",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    ORDER BY o_custkey
+    """,
+    survey_ref="§2.7, A8 (servico_coleta_noticias.py:143-166 in-run union+dedup)",
+    tags=("setop", "dedup"),
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping batches then first-wins dedup — the reference's
+    in-run URL dedup across daily scans."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.unionAll(b).distinct().orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Explode / nested data (the report sink shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exploded_word_report",
+    oracle="""
+    SELECT word, COUNT(*) AS n_parts, MIN(p_partkey) AS first_part
+    FROM (SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY n_parts DESC, word
+    """,
+    survey_ref="K5 (cli.py:459-542 report sink: explode cities → one row per article×city)",
+    tags=("explode",),
+)
+def q_exploded_word_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode → flat report rows, the Spark form of the reference's
+    CSV report (one row per article × city mention)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("first_part"))
+        .orderBy(F.col("n_parts").desc(), F.col("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string / date / math / json)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_normalize",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(TRIM(p_type)) AS type_norm,
+           regexp_replace(LOWER(p_name), ' +', '_', 'g') AS name_slug,
+           LENGTH(p_name) AS name_len,
+           UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_prefix,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    ORDER BY p_partkey
+    """,
+    survey_ref="M1,M2,M15 (normalization.py:77-129 text normalization scalar family)",
+    tags=("scalar", "string"),
+)
+def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim("p_type")).alias("type_norm"),
+        F.regexp_replace(F.lower("p_name"), " +", "_").alias("name_slug"),
+        F.length("p_name").alias("name_len"),
+        F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order_iso,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr, mo
+    """,
+    survey_ref="M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization)",
+    tags=("scalar", "date"),
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_order_iso"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("month_revenue"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "q_events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ref="§1.2 nested maps/structs (raw payload JSON access)",
+    tags=("scalar", "json"),
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the raw payload column — the reference's
+    `raw` audit subtree access, JVM-side via get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("k_sum"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_hourly_event_buckets",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_bucket, event_type
+    """,
+    survey_ref="T6 (tumbling-window agg — batch form of the streaming superset)",
+    tags=("agg", "time"),
+)
+def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time buckets over the event stream table — identical logic
+    runs under Structured Streaming with a watermark (streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("value_sum"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@register(
+    "q_user_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey_ref="T1-T3 analog (sessionization over the event stream)",
+    tags=("window", "time"),
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + threshold + sum — the batch twin of
+    streaming session windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )

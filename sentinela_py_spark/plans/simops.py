@@ -1,0 +1,122 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Brute-force cosine top-k as the exact baseline; the LSH-bucketed variant
+(scale path) builds on the same column expressions. All vector math is
+pure Column algebra (zip_with/aggregate → whole-stage codegen), computed
+as a deterministic left-to-right double fold so Spark and the DuckDB
+oracle produce bit-identical sums.
+
+Scale notes: the query side is broadcast (k query vectors × N candidates,
+no shuffle on the big side); at 100 TB the LSH/IVF bucket join replaces
+the cross product with an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+N_QUERY_VECTORS = 3  # vec_id 0..2 act as the query set
+TOP_K = 5
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision fold of sum(a[i]*b[i])."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+# DuckDB twin of the fold above: an ordered list_sum over an index-driven
+# transform reproduces the exact left-to-right double accumulation.
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORMSQ_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "q_embedding_norms",
+    oracle=f"""
+    WITH norms AS (
+      SELECT label, SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
+    FROM norms GROUP BY label ORDER BY label
+    """,
+    survey_ref="similarity: vector norm profile per label (order-insensitive aggs only)",
+    tags=("similarity",),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("norm").alias("min_norm"), F.max("norm").alias("max_norm"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERY_VECTORS}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT_SQL.format(a='qv', b='cv')}
+               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})) AS cos_sim
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos_sim, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim_r, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    survey_ref="similarity: brute-force cosine top-k ANN baseline",
+    tags=("similarity", "topk"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the k query vectors across all
+    candidate partitions (no shuffle of the big side), then a per-query
+    top-k window. Ties broken on rounded score + neighbor id so ranking is
+    deterministic across engines and partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim_r", "rank")
+        .orderBy("query_id", "rank")
+    )

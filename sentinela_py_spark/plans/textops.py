@@ -1,0 +1,247 @@
+"""Training-data text operators over the `documents` table.
+
+Deduplication (exact + n-gram Jaccard), token counting, quality scoring,
+stopword language ID, and document fingerprinting — all as declarative
+column plans (no Python UDFs in the hot path), each with a DuckDB oracle.
+
+Scale notes: exact dedup is a single hash shuffle on the digest; Jaccard
+near-dup uses shingle-bucket joins (each shingle is a join key, so work is
+proportional to shared shingles, not n² over documents) — the same shape
+MinHash-LSH banding uses at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.text_stats import (
+    LANG_STOPWORDS,
+    avg_token_len,
+    doc_fingerprint,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY keep_doc_id
+    """,
+    survey_ref="J6/A8 analog → exact corpus dedup (hash-groupBy, first-wins)",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest → groupBy → keep min id. One shuffle on a
+    uniformly-distributed 128-bit key; no skew by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_measured,
+           CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="text analysis: token counting (whitespace tokenizer)",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        avg_token_len("text").alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+                / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="text analysis: quality scoring (length/stopword heuristics)",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_count("text").alias("n_stopwords"),
+        (stopword_count("text").cast("double") / token_count("text")).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_label,
+             {_lang_hits_sql('en')} AS hits_en,
+             {_lang_hits_sql('es')} AS hits_es,
+             {_lang_hits_sql('fr')} AS hits_fr,
+             {_lang_hits_sql('de')} AS hits_de,
+             {_lang_hits_sql('pt')} AS hits_pt
+      FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_pt)
+             WHEN 0 THEN 'und'
+             WHEN hits_en THEN 'en'
+             WHEN hits_es THEN 'es'
+             WHEN hits_fr THEN 'fr'
+             WHEN hits_de THEN 'de'
+             ELSE 'pt' END AS lang_guess
+    FROM hits
+    ORDER BY doc_id
+    """,
+    survey_ref="text analysis: language ID (stopword-hit heuristic)",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; argmax with a fixed priority order on
+    ties (en > es > fr > de > pt) so both engines break ties identically."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lang: stopword_count("text", LANG_STOPWORDS[lang]) for lang in ("en", "es", "fr", "de", "pt")}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .when(hits["de"] == best, "de")
+        .otherwise("pt")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"), guess.alias("lang_guess")).orderBy("doc_id")
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY first_doc
+    """,
+    survey_ref="text analysis: document fingerprinting (bag-of-words digest)",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-dup fingerprint: docs with identical token
+    sets collide even when word order differs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(doc_fingerprint("text").alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("first_doc")
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                 i -> concat_ws(' ', string_split(text,' ')[i],
+                                     string_split(text,' ')[i+1],
+                                     string_split(text,' ')[i+2]))) AS shingle
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="dedup: n-gram Jaccard near-duplicate detection",
+    tags=("dedup",),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs. The shingle equi-join makes
+    candidate generation proportional to shared shingles (inverted-index
+    join), not |docs|² — the exact-threshold complement of MinHash-LSH.
+    Jaccard is a ratio of integers → bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingle_list = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"
+    )
+    shingles = (
+        d.select("doc_id", F.explode(shingle_list).alias("shingle")).distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )

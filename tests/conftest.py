@@ -1,0 +1,23 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sentinela_py_spark.session import build_session  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # Small core count + few shuffle partitions keeps test latency low while
+    # still exercising multi-partition shuffles.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = build_session(app_name="sentinela-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
