@@ -1,0 +1,21 @@
+"""Geo column functions — haversine distance as pure Column algebra
+(whole-stage codegen; no UDF). Reference semantics:
+sentinela/services/publications/city_matching/geoutils.py:32-60."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km; null if any coordinate is null."""
+    phi1 = F.radians(lat1)
+    phi2 = F.radians(lat2)
+    dphi_half = F.radians(lat2 - lat1) / 2.0
+    dlmb_half = F.radians(lon2 - lon1) / 2.0
+    a = F.pow(F.sin(dphi_half), 2) + F.cos(phi1) * F.cos(phi2) * F.pow(F.sin(dlmb_half), 2)
+    c = 2.0 * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
+    return F.lit(EARTH_RADIUS_KM) * c

@@ -1,0 +1,169 @@
+"""Pure-Python text-normalization kernel.
+
+These functions execute inside Arrow-batched pandas UDFs (the engine's
+slow path) — they are deliberately plain Python because their semantics
+(per-character offset maps, locale title-casing, Portuguese state
+gazetteers) are not expressible with JVM built-ins.
+
+Semantics reproduce the reference's normalization layer
+(sentinela/extraction/normalization.py:10-210 in /root/reference) —
+behavior only; the implementation is new.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+BOILERPLATE_PREFIXES: tuple[str, ...] = (
+    "leia também",
+    "leia ainda",
+    "crédito:",
+    "reportagem:",
+    "foto:",
+)
+
+HYPHEN_CHARS = frozenset("-‐‑‒–—―")
+SOFT_HYPHEN = "­"
+NAME_CONNECTORS = frozenset({"da", "de", "do", "dos", "das", "e"})
+
+# Brazilian state names → UF abbreviations (reference normalization.py:31-59).
+STATE_BY_NAME: dict[str, str] = {
+    "acre": "AC",
+    "alagoas": "AL",
+    "amapá": "AP",
+    "amazonas": "AM",
+    "bahia": "BA",
+    "ceará": "CE",
+    "distrito federal": "DF",
+    "espírito santo": "ES",
+    "goiás": "GO",
+    "maranhão": "MA",
+    "mato grosso": "MT",
+    "mato grosso do sul": "MS",
+    "minas gerais": "MG",
+    "pará": "PA",
+    "paraíba": "PB",
+    "paraná": "PR",
+    "pernambuco": "PE",
+    "piauí": "PI",
+    "rio de janeiro": "RJ",
+    "rio grande do norte": "RN",
+    "rio grande do sul": "RS",
+    "rondônia": "RO",
+    "roraima": "RR",
+    "santa catarina": "SC",
+    "são paulo": "SP",
+    "sergipe": "SE",
+    "tocantins": "TO",
+}
+
+UF_CODES = frozenset(STATE_BY_NAME.values())
+
+
+def strip_accents(value: str) -> str:
+    """Remove combining marks after NFKD decomposition."""
+    decomposed = unicodedata.normalize("NFKD", value)
+    return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+
+
+_ASCII_STATE_BY_NAME = {strip_accents(name): uf for name, uf in STATE_BY_NAME.items()}
+
+_UF_WORD_PATTERNS = {uf: re.compile(rf"\b{uf}\b", re.IGNORECASE) for uf in UF_CODES}
+
+_ESTADO_DE_RE = re.compile(
+    r"estado\s+d[aeo]s?\s+(?:do|da|dos|das)?\s*(?P<uf>[A-Z]{2})\b", re.IGNORECASE
+)
+
+_SENTENCE_RE = re.compile(r"[^.!?\n]+[.!?]?")
+
+_HONORIFICS_RE = re.compile(
+    r"\bdr\.?\b|\bdra\.?\b|\bdep\.?\b|\bdeputad[ao]a?\b|\bministr[ao]a?\b"
+    r"|\bpresidente\b|\bgovernador[ae]?\b|\bprefeit[ao]a?\b|\bvereador[ae]?\b"
+    r"|\bsenador[ae]?\b",
+    re.IGNORECASE,
+)
+
+
+def normalize_article_text(text: str) -> str:
+    """Drop boilerplate-prefixed lines, collapse whitespace
+    (reference normalization.py:77-90)."""
+    kept = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line and not line.lower().startswith(BOILERPLATE_PREFIXES):
+            kept.append(line)
+    return re.sub(r"\s+", " ", "\n".join(kept)).strip()
+
+
+def _shape_name_token(token: str) -> str:
+    if not token:
+        return token
+    if token.isupper() and len(token) <= 3 and token.lower() not in NAME_CONNECTORS:
+        return token
+    # str.capitalize() lowercases the remainder — matches the reference for
+    # both connector and regular hyphen parts.
+    return "-".join(part.capitalize() for part in token.split("-"))
+
+
+def normalize_person_name(surface: str) -> tuple[str, frozenset[str]]:
+    """Canonical person name + aliases (reference normalization.py:93-129)."""
+    original = surface.strip()
+    cleaned = _HONORIFICS_RE.sub("", original)
+    cleaned = re.sub(r"(?i)^ex[\s-]+", "", cleaned)
+    cleaned = re.sub(r"^[^\wÀ-ÿ]+", "", cleaned)
+    cleaned = re.sub(r"\s+", " ", cleaned).strip()
+    canonical = " ".join(_shape_name_token(tok) for tok in cleaned.split(" ") if tok)
+    aliases = frozenset({original}) if canonical and canonical != original else frozenset()
+    return canonical, aliases
+
+
+def find_sentence_containing(text: str, start: int, end: int | None = None) -> str:
+    """Sentence (regex `[^.!?\\n]+[.!?]?`) whose span covers ``start``
+    (reference normalization.py:132-138)."""
+    for m in _SENTENCE_RE.finditer(text):
+        if m.start() <= start < m.end():
+            return m.group().strip()
+    return text.strip()
+
+
+def extract_state_mentions(text: str) -> set[str]:
+    """UF set mentioned via full names, ASCII-folded names, \\bUF\\b tokens,
+    and the "estado de XX" pattern (reference normalization.py:146-168)."""
+    found: set[str] = set()
+    lowered = text.lower()
+    ascii_lowered = strip_accents(lowered)
+    for name, uf in STATE_BY_NAME.items():
+        if name in lowered:
+            found.add(uf)
+    for ascii_name, uf in _ASCII_STATE_BY_NAME.items():
+        if ascii_name and ascii_name in ascii_lowered:
+            found.add(uf)
+    for uf, pattern in _UF_WORD_PATTERNS.items():
+        if pattern.search(text):
+            found.add(uf)
+    for m in _ESTADO_DE_RE.finditer(text):
+        found.add(m.group("uf").upper())
+    return found
+
+
+def normalize_for_match(text: str) -> tuple[str, list[int]]:
+    """Lowercase + accent-fold + hyphens→space + soft-hyphen delete, with a
+    per-character map back to original offsets (reference
+    normalization.py:171-210). The offset map is what lets dictionary
+    matches over the folded text report spans into the original string."""
+    chars: list[str] = []
+    offsets: list[int] = []
+    for idx, ch in enumerate(text):
+        if ch in HYPHEN_CHARS:
+            chars.append(" ")
+            offsets.append(idx)
+            continue
+        if ch == SOFT_HYPHEN:
+            continue
+        for piece in unicodedata.normalize("NFKD", ch):
+            if unicodedata.category(piece) == "Mn":
+                continue
+            chars.append(piece.lower())
+            offsets.append(idx)
+    return "".join(chars), offsets

@@ -1,0 +1,3 @@
+"""Composed dataflow operators: dictionary matching, signal enrichment,
+scoring aggregation, primary-city selection, gazetteer disambiguation,
+dedup, similarity — each exposed as DataFrame→DataFrame transforms."""

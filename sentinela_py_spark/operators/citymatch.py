@@ -1,0 +1,241 @@
+"""City dictionary matching: Aho-Corasick automaton + contextual signals.
+
+The reference implements this as a FlashText-style automaton scanned over
+accent-folded text, with offsets mapped back to the original string
+(sentinela/services/publications/city_matching/matcher.py:45-162), then
+enriches each match with title/admin/context-UF signals
+(city_matching/signals.py:22-110) per article field
+(city_matching/extractor.py:30-93).
+
+Spark architecture: the automaton is built once from the (broadcast-sized,
+~5.6k-row) city catalog and shipped to executors inside an Arrow-batched
+pandas UDF — semantically a theta-join ``text CONTAINS name`` that no
+built-in join expresses. Everything downstream of the matches array
+(context adjustment, scoring, primary selection) is plain DataFrame
+algebra in cityagg.py.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from collections import deque
+from collections.abc import Iterable, Iterator, Mapping
+from typing import Any
+
+from sentinela_py_spark.functions.textnorm import (
+    extract_state_mentions,
+    find_sentence_containing,
+    normalize_for_match,
+)
+
+TITLE_BOOST_WEIGHT = 0.4  # reference signals.py:22
+ADMIN_MARKER_WEIGHT = 0.6  # reference signals.py:23
+ADMIN_CONTEXT_RADIUS = 48  # chars around the match, reference signals.py:65-69
+
+ADMIN_TERMS: frozenset[str] = frozenset(
+    {
+        "prefeito",
+        "prefeita",
+        "governador",
+        "governadora",
+        "vereador",
+        "vereadora",
+        "secretario",
+        "secretaria",
+    }
+)
+
+_WORD_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+class KeywordAutomaton:
+    """Aho-Corasick matcher over flat state arrays.
+
+    States are integers; transitions live in one list of dicts, failure
+    links and outputs in parallel lists. Linear-time multi-keyword scan
+    without binary dependencies; picklable, so it broadcasts cleanly into
+    pandas-UDF workers.
+    """
+
+    def __init__(self) -> None:
+        self._next: list[dict[str, int]] = [{}]
+        self._fail: list[int] = [0]
+        self._out: list[list[tuple[int, Any]]] = [[]]  # (keyword_len, payload)
+        self._compiled = False
+
+    def add(self, keyword: str, payload: Any) -> None:
+        state = 0
+        for ch in keyword:
+            nxt = self._next[state].get(ch)
+            if nxt is None:
+                nxt = len(self._next)
+                self._next.append({})
+                self._fail.append(0)
+                self._out.append([])
+                self._next[state][ch] = nxt
+            state = nxt
+        self._out[state].append((len(keyword), payload))
+
+    def compile(self) -> None:
+        queue: deque[int] = deque()
+        for child in self._next[0].values():
+            self._fail[child] = 0
+            queue.append(child)
+        while queue:
+            state = queue.popleft()
+            for ch, child in self._next[state].items():
+                queue.append(child)
+                f = self._fail[state]
+                while f and ch not in self._next[f]:
+                    f = self._fail[f]
+                target = self._next[f].get(ch, 0)
+                if target == child:
+                    target = 0
+                self._fail[child] = target
+                self._out[child] = self._out[child] + self._out[target]
+        self._compiled = True
+
+    def scan(self, text: str) -> Iterator[tuple[int, int, Any]]:
+        """Yield (start, end, payload) for every keyword occurrence."""
+        state = 0
+        for idx, ch in enumerate(text):
+            while state and ch not in self._next[state]:
+                state = self._fail[state]
+            state = self._next[state].get(ch, 0)
+            for length, payload in self._out[state]:
+                start = idx - length + 1
+                if start >= 0:
+                    yield start, idx + 1, payload
+
+
+def build_city_automaton(
+    catalog: Iterable[Mapping[str, Any]] | Mapping[str, Any]
+) -> KeywordAutomaton:
+    """Index every catalog name + alt_names variant under its folded form
+    (reference matcher.py:54-87). Entries without ibge_id/name are skipped."""
+    entries = catalog.get("data", []) if isinstance(catalog, Mapping) else catalog
+    auto = KeywordAutomaton()
+    for entry in entries:
+        ibge_id = entry.get("ibge_id")
+        name = entry.get("name")
+        if not ibge_id or not name:
+            continue
+        alt = entry.get("alt_names")
+        variants = {name}
+        if isinstance(alt, Iterable) and not isinstance(alt, (str, bytes)):
+            variants.update(map(str, alt))
+        payload_uf = entry.get("uf") or None
+        for variant in variants:
+            key = normalize_for_match(variant)[0].strip()
+            if key:
+                auto.add(key, (str(ibge_id), name, payload_uf))
+    auto.compile()
+    return auto
+
+
+def _on_word_boundary(text: str, start: int, end: int) -> bool:
+    before = text[start - 1] if start > 0 else ""
+    after = text[end] if end < len(text) else ""
+    return (not before or before not in _WORD_CHARS) and (not after or after not in _WORD_CHARS)
+
+
+def find_city_matches(
+    auto: KeywordAutomaton,
+    text: str,
+    _folded: tuple[str, list[int]] | None = None,
+) -> list[dict[str, Any]]:
+    """Scan folded text, keep boundary-clean hits, report original-text
+    offsets/surfaces (reference matcher.py:123-162)."""
+    folded, offsets = _folded if _folded is not None else normalize_for_match(text)
+    hits: list[dict[str, Any]] = []
+    for start, end, (city_id, name, uf) in auto.scan(folded):
+        if not _on_word_boundary(folded, start, end):
+            continue
+        orig_start = offsets[start]
+        orig_end = offsets[end - 1] + 1
+        hits.append(
+            {
+                "city_id": city_id,
+                "name": name,
+                "uf": uf,
+                "surface": text[orig_start:orig_end],
+                "start": orig_start,
+                "end": orig_end,
+                "method": "automaton",
+                "score": 1.0,
+            }
+        )
+    hits.sort(key=lambda h: (h["start"], h["end"]))
+    return hits
+
+
+def _folded_span(offsets: list[int], start: int, end: int) -> tuple[int, int]:
+    """Original-text span → folded-text span (reference signals.py:53-62)."""
+    if not offsets:
+        return 0, 0
+    return bisect_left(offsets, max(start, 0)), bisect_right(offsets, max(end - 1, 0))
+
+
+def _signals_for(
+    field_name: str,
+    text: str,
+    folded: str,
+    offsets: list[int],
+    start: int,
+    end: int,
+    base_score: float,
+) -> tuple[float, bool, str | None, float]:
+    """(title_boost, admin_marker, context_uf, confidence) — reference
+    signals.py:83-110."""
+    title_boost = TITLE_BOOST_WEIGHT if field_name == "title" else 0.0
+    ns, ne = _folded_span(offsets, start, end)
+    lo = max(0, ns - ADMIN_CONTEXT_RADIUS)
+    hi = min(len(folded), ne + ADMIN_CONTEXT_RADIUS)
+    window = folded[lo:hi]
+    admin = any(term in window for term in ADMIN_TERMS)
+    sentence = find_sentence_containing(text, start, end)
+    states = extract_state_mentions(sentence)
+    context_uf = sorted(states)[0] if states else None
+    confidence = max(base_score + title_boost + (ADMIN_MARKER_WEIGHT if admin else 0.0), 0.0)
+    return title_boost, admin, context_uf, confidence
+
+
+def extract_article_matches(
+    article: Mapping[str, Any], auto: KeywordAutomaton
+) -> list[dict[str, Any]]:
+    """Match + signal-enrich the title and body (content fallback) of one
+    article; ordered by (field, start, end) (reference extractor.py:30-93).
+
+    Unlike the reference this emits no wall-clock metadata — determinism is
+    an engine invariant (SURVEY.md §7.3)."""
+    title = article.get("title")
+    body = article.get("body")
+    content = article.get("content") if body is None else None
+
+    fields: list[tuple[str, str]] = []
+    if title:
+        fields.append(("title", str(title)))
+    if body:
+        fields.append(("body", str(body)))
+    elif content:
+        fields.append(("content", str(content)))
+
+    out: list[dict[str, Any]] = []
+    for field_name, text in fields:
+        folded, offsets = normalize_for_match(text)
+        for hit in find_city_matches(auto, text, (folded, offsets)):
+            boost, admin, ctx_uf, conf = _signals_for(
+                field_name, text, folded, offsets, hit["start"], hit["end"], hit["score"]
+            )
+            out.append(
+                {
+                    "field": field_name,
+                    **hit,
+                    "title_boost": boost,
+                    "admin_marker": admin,
+                    "context_uf": ctx_uf,
+                    "confidence": conf,
+                }
+            )
+    out.sort(key=lambda m: (m["field"], m["start"], m["end"]))
+    return out

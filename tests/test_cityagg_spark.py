@@ -1,0 +1,192 @@
+"""Aggregation + primary-selection cascade goldens (reference
+tests/services/publications/city_matching/test_aggregator.py C1-C6),
+run through the Spark DataFrame operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sentinela_py_spark.operators.cityagg import (
+    adjust_context,
+    aggregate_city_mentions,
+    collect_unresolved,
+    enrich_primary_with_distance,
+    select_primary_city,
+    with_state_capital,
+)
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("city_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uf", T.StringType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("title_boost", T.DoubleType()),
+        T.StructField("admin_marker", T.BooleanType()),
+        T.StructField("context_uf", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+COORDS = T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
+BBOX = T.StructType(
+    [
+        T.StructField("south", T.DoubleType()),
+        T.StructField("west", T.DoubleType()),
+        T.StructField("north", T.DoubleType()),
+        T.StructField("east", T.DoubleType()),
+    ]
+)
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("ibge_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uf", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("coords", COORDS),
+        T.StructField("bbox", BBOX),
+        T.StructField("capital", T.BooleanType()),
+    ]
+)
+
+CATALOG_ROWS = [
+    ("1", "Cidade A", "AA", "Região Norte", (-10.0, -45.0), (-10.2, -45.2, -9.8, -44.8), False),
+    ("2", "Cidade B", "AA", "Região Norte", (-15.0, -47.0), (-15.2, -47.2, -14.8, -46.8), True),
+    ("3", "Cidade C", "CC", "Região Sul", (-25.0, -49.0), (-25.2, -49.2, -24.8, -48.8), True),
+]
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    return spark.createDataFrame(CATALOG_ROWS, schema=CATALOG_SCHEMA)
+
+
+def _match(city_id, confidence, *, admin=False, boost=0.0, ctx=None, score=None):
+    return (
+        "u1",
+        "body",
+        city_id,
+        f"match-{city_id or 'unknown'}",
+        None,
+        f"match-{city_id or 'unknown'}",
+        0,
+        5,
+        "automaton",
+        score if score is not None else confidence,
+        boost,
+        admin,
+        ctx,
+        confidence,
+    )
+
+
+def _run(spark, catalog, rows):
+    df = spark.createDataFrame(rows, schema=MATCH_SCHEMA)
+    adjusted = adjust_context(df, catalog)
+    agg = aggregate_city_mentions(adjusted)
+    return select_primary_city(agg).collect(), adjusted
+
+
+def _primary(rows):
+    return next(r for r in rows if r["rank"] == 1)
+
+
+def _rule(rows, city_id):
+    row = next(r for r in rows if r["city_id"] == city_id)
+    return row["suppression"]["rule"] if row["suppression"] else None
+
+
+def test_c1_admin_marker_priority(spark, catalog):
+    rows, _ = _run(spark, catalog, [_match("1", 1.0, admin=True), _match("2", 1.0)])
+    assert _primary(rows)["city_id"] == "1"
+    assert _rule(rows, "2") == "admin_marker"
+
+
+def test_c2_title_boost_breaks_tie(spark, catalog):
+    rows, _ = _run(
+        spark, catalog, [_match("1", 1.0), _match("2", 1.0, boost=0.4, score=0.6)]
+    )
+    assert _primary(rows)["city_id"] == "2"
+    assert _rule(rows, "1") == "title_boost"
+
+
+def test_c3_context_mismatch_penalises(spark, catalog):
+    rows, _ = _run(
+        spark, catalog, [_match("1", 1.0, ctx="AA"), _match("2", 2.0, ctx="ZZ")]
+    )
+    assert _primary(rows)["city_id"] == "1"
+    assert _rule(rows, "2") == "context_uf"
+
+
+def test_c4_occurrences_break_tie(spark, catalog):
+    rows, _ = _run(
+        spark, catalog, [_match("1", 1.0), _match("1", 1.0), _match("2", 2.0)]
+    )
+    assert _primary(rows)["city_id"] == "1"
+    assert _rule(rows, "2") == "occurrences"
+
+
+def test_c5_city_id_breaks_final_tie(spark, catalog):
+    rows, _ = _run(spark, catalog, [_match("1", 1.0), _match("2", 1.0)])
+    assert _primary(rows)["city_id"] == "1"
+    assert _rule(rows, "2") == "city_id"
+
+
+def test_c6_unresolved_candidates(spark, catalog):
+    df = spark.createDataFrame(
+        [_match(None, 0.7), _match("2", 1.0)], schema=MATCH_SCHEMA
+    )
+    adjusted = adjust_context(df, catalog)
+    unresolved = collect_unresolved(adjusted).collect()
+    assert len(unresolved) == 1
+    assert unresolved[0]["reason"] == "missing_candidate"
+    assert unresolved[0]["score"] == pytest.approx(0.7)
+    primary = _primary(select_primary_city(aggregate_city_mentions(adjusted)).collect())
+    assert primary["city_id"] == "2"
+
+
+def test_lower_score_suppression_reason(spark, catalog):
+    rows, _ = _run(spark, catalog, [_match("1", 2.0), _match("2", 1.0)])
+    assert _primary(rows)["city_id"] == "1"
+    row2 = next(r for r in rows if r["city_id"] == "2")
+    assert row2["suppression"]["reason"] == "lower_score"
+    assert row2["suppression"]["rule"] == "score"
+
+
+def test_score_aggregation_with_context_adjustments(spark, catalog):
+    # city 1: 1.0 + 0.3 (context match AA) = 1.3 ; city 2: max(0, 2.0-0.7) = 1.3
+    rows, adjusted = _run(
+        spark, catalog, [_match("1", 1.0, ctx="AA"), _match("2", 2.0, ctx="ZZ")]
+    )
+    by_id = {r["city_id"]: r for r in rows}
+    assert by_id["1"]["score"] == pytest.approx(1.3)
+    assert by_id["2"]["score"] == pytest.approx(1.3)
+    assert by_id["1"]["context_matches"] == 1
+    assert by_id["2"]["context_mismatches"] == 1
+
+
+def test_enrich_primary_with_distance(spark, catalog):
+    full = with_state_capital(catalog)
+    enriched = enrich_primary_with_distance(
+        spark.createDataFrame([("u1", "1")], "url string, city_id string"), full
+    ).collect()[0]
+    # golden: haversine((-10,-45) → capital (-15,-47)) per reference geoutils
+    expected = 2 * 6371.0 * math.asin(
+        math.sqrt(
+            math.sin(math.radians(-5.0) / 2) ** 2
+            + math.cos(math.radians(-10.0))
+            * math.cos(math.radians(-15.0))
+            * math.sin(math.radians(-2.0) / 2) ** 2
+        )
+    )
+    assert enriched["distance_from_state_capital_km"] == pytest.approx(expected, rel=1e-9)
+    assert enriched["region"] == "Região Norte"
+    assert enriched["state_capital"]["ibge_id"] == "2"

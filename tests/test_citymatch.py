@@ -1,0 +1,128 @@
+"""Golden tests for the Aho-Corasick city matcher + signal enrichment —
+expectations from the reference tests (tests/test_city_matcher.py,
+tests/services/.../test_aggregator.py::test_signal_generation_from_extractor)."""
+
+import pytest
+
+from sentinela_py_spark.operators.citymatch import (
+    build_city_automaton,
+    extract_article_matches,
+    find_city_matches,
+)
+
+
+def _auto(entries):
+    return build_city_automaton(entries)
+
+
+def test_detects_catalog_cities_with_correct_offsets():
+    auto = _auto(
+        [
+            {"ibge_id": "2504009", "name": "Campina Grande", "uf": "PB"},
+            {"ibge_id": "3304557", "name": "Rio de Janeiro", "uf": "RJ"},
+        ]
+    )
+    text = "Campina Grande firmou acordo com o Rio de Janeiro hoje."
+    matches = find_city_matches(auto, text)
+    assert len(matches) == 2
+    first, second = matches
+    assert (first["city_id"], first["surface"], first["start"], first["end"]) == (
+        "2504009",
+        "Campina Grande",
+        0,
+        14,
+    )
+    assert first["method"] == "automaton" and first["score"] == 1.0
+    assert (second["city_id"], second["surface"], second["start"], second["end"]) == (
+        "3304557",
+        "Rio de Janeiro",
+        35,
+        49,
+    )
+
+
+def test_ignores_names_outside_catalog():
+    auto = _auto([])
+    assert find_city_matches(auto, "O evento ocorreu em Vila Imaginária na semana passada.") == []
+
+
+def test_accented_and_unaccented_variants():
+    auto = _auto(
+        [{"ibge_id": "2111300", "name": "São Luís", "uf": "MA", "alt_names": ["Sao Luis", "São Luiz"]}]
+    )
+    for surface in ("São Luís", "Sao Luis"):
+        text = f"Delegação visita {surface} para assinatura de convênio."
+        matches = find_city_matches(auto, text)
+        assert matches
+        m = next(x for x in matches if x["city_id"] == "2111300")
+        assert m["name"] == "São Luís"
+        assert text[m["start"] : m["end"]] == surface
+
+
+def test_variant_via_folding_single_entry():
+    auto = _auto([{"ibge_id": "2111300", "name": "São Luís", "uf": "MA"}])
+    matches = find_city_matches(auto, "Prefeitura de Sao Luis amplia vacinação.")
+    assert len(matches) == 1
+    assert matches[0]["surface"] == "Sao Luis"
+
+
+def test_discards_entries_without_ibge_id():
+    auto = _auto(
+        [
+            {"name": "Cidade Imaginária", "uf": "ZZ"},
+            {"ibge_id": "3550308", "name": "São Paulo", "uf": "SP"},
+        ]
+    )
+    matches = find_city_matches(
+        auto, "Reunião em Cidade Imaginária ocorre junto com agenda em São Paulo."
+    )
+    assert {m["city_id"] for m in matches} == {"3550308"}
+
+
+def test_case_and_accent_variations():
+    auto = _auto([{"ibge_id": "3550308", "name": "São Paulo", "uf": "SP"}])
+    matches = find_city_matches(auto, "VISITA SAO PAULO CONFIRMADA PARA HOJE.")
+    assert len(matches) == 1
+    assert matches[0]["surface"] == "SAO PAULO"
+
+
+def test_word_boundary_rejected_inside_words():
+    auto = _auto([{"ibge_id": "1", "name": "Natal", "uf": "RN"}])
+    assert find_city_matches(auto, "prenatal care") == []
+    assert len(find_city_matches(auto, "em Natal hoje")) == 1
+
+
+def test_signal_generation_from_extractor():
+    auto = _auto(
+        [
+            {"ibge_id": "1", "name": "Natal", "uf": "RN"},
+            {"ibge_id": "2", "name": "São Paulo", "uf": "SP"},
+        ]
+    )
+    article = {
+        "title": "Prefeito de Natal visita São Paulo",
+        "body": "O prefeito de Natal (RN) discutiu acordos com representantes paulistas.",
+    }
+    matches = extract_article_matches(article, auto)
+
+    natal_title = next(m for m in matches if m["city_id"] == "1" and m["field"] == "title")
+    natal_body = next(m for m in matches if m["city_id"] == "1" and m["field"] != "title")
+    sao_paulo = next(m for m in matches if m["city_id"] == "2" and m["field"] == "title")
+
+    assert natal_title["confidence"] == pytest.approx(1.0 + 0.4 + 0.6)
+    assert natal_title["admin_marker"] is True
+    assert natal_title["title_boost"] == pytest.approx(0.4)
+    assert natal_title["context_uf"] == "SP"
+
+    assert natal_body["confidence"] == pytest.approx(1.0 + 0.6)
+    assert natal_body["context_uf"] == "RN"
+
+    assert sao_paulo["confidence"] == pytest.approx(1.0 + 0.4 + 0.6)
+    assert sao_paulo["admin_marker"] is True
+    assert sao_paulo["context_uf"] == "SP"
+
+
+def test_content_fallback_when_body_missing():
+    auto = _auto([{"ibge_id": "1", "name": "Natal", "uf": "RN"}])
+    matches = extract_article_matches({"title": None, "content": "Obras em Natal."}, auto)
+    assert [m["field"] for m in matches] == ["content"]

@@ -1,0 +1,73 @@
+"""Gazetteer disambiguation goldens (reference
+tests/test_extraction_disambiguation.py + test_extraction_gazetteer.py)
+run through the Spark join-based resolver."""
+
+import pytest
+
+from sentinela_py_spark.operators.gazetteer import build_name_index, resolve_mentions
+
+CATALOG = [
+    {"ibge_id": "2408102", "name": "Natal", "uf": "RN"},
+    {"ibge_id": "1721000", "name": "Palmas", "uf": "TO"},
+    {"ibge_id": "4117602", "name": "Palmas", "uf": "PR"},
+    {"ibge_id": "2504009", "name": "Campina Grande", "uf": "PB", "alt_names": ["Campina"]},
+]
+
+MENTIONS_SCHEMA = (
+    "mention_id long, surface string, uf_surface string, context_states array<string>"
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return build_name_index(spark, CATALOG)
+
+
+def _resolve(spark, index, rows):
+    df = spark.createDataFrame(rows, MENTIONS_SCHEMA)
+    out = resolve_mentions(df, index).collect()
+    return {r["mention_id"]: r for r in out}
+
+
+def test_disambiguation_statuses(spark, index):
+    rows = [
+        (1, "Natal", None, []),          # whitelist, no context → unknown_uf
+        (2, "Natal", None, ["RN"]),      # context resolves
+        (3, "Palmas", None, []),         # two candidates → ambiguous
+        (4, "Palmas", None, ["TO"]),     # context narrows → resolved
+        (5, "Palmas", "TO", []),         # explicit UF surface → resolved
+        (6, "Vila Imaginária", None, []),  # not in catalog → foreign
+        (7, "Campina", None, []),        # alt_name, unambiguous, not whitelisted
+        (8, "Palmas", "SP", []),         # UF with no candidate → unknown_uf
+    ]
+    r = _resolve(spark, index, rows)
+
+    assert r[1]["status"] == "unknown_uf" and r[1]["resolved_city_id"] is None
+    assert r[1]["confidence"] == pytest.approx(0.4)
+
+    assert r[2]["status"] == "resolved" and r[2]["resolved_city_id"] == "2408102"
+    assert r[2]["confidence"] == pytest.approx(0.95)
+
+    assert r[3]["status"] == "ambiguous" and r[3]["resolved_city_id"] is None
+    assert r[3]["confidence"] == pytest.approx(0.5)
+    assert len(r[3]["candidates"]) == 2
+    assert all(c["score"] == pytest.approx(0.5) for c in r[3]["candidates"])
+
+    assert r[4]["status"] == "resolved" and r[4]["resolved_city_id"] == "1721000"
+    assert r[5]["status"] == "resolved" and r[5]["resolved_city_id"] == "1721000"
+
+    assert r[6]["status"] == "foreign"
+    assert r[6]["confidence"] == pytest.approx(0.2)
+    assert r[6]["candidates"] == []
+
+    assert r[7]["status"] == "resolved" and r[7]["resolved_city_id"] == "2504009"
+
+    assert r[8]["status"] == "unknown_uf"
+    # the unfiltered candidate list is reported when the UF filter empties it
+    assert len(r[8]["candidates"]) == 2
+
+
+def test_case_insensitive_surface_lookup(spark, index):
+    r = _resolve(spark, index, [(1, "  natal  ", None, ["RN"])])
+    assert r[1]["status"] == "resolved"
+    assert r[1]["resolved_city_id"] == "2408102"

@@ -1,0 +1,81 @@
+"""End-to-end city extraction pipeline on Spark: article DataFrame →
+pandas-UDF automaton matching → explode → context adjust → aggregate →
+primary selection. Mirrors the reference's geo-enrichment dataflow
+(SURVEY.md §3.3) on a mini corpus."""
+
+import pytest
+
+from sentinela_py_spark.operators.cityagg import (
+    adjust_context,
+    aggregate_city_mentions,
+    select_primary_city,
+)
+from sentinela_py_spark.operators.matching import explode_matches, match_articles
+
+CATALOG = [
+    {"ibge_id": "2408102", "name": "Natal", "uf": "RN"},
+    {"ibge_id": "3550308", "name": "São Paulo", "uf": "SP"},
+    {"ibge_id": "2504009", "name": "Campina Grande", "uf": "PB"},
+]
+
+
+@pytest.fixture(scope="module")
+def articles(spark):
+    rows = [
+        (
+            "https://portal/a1",
+            "Prefeito de Natal visita São Paulo",
+            "O prefeito de Natal (RN) discutiu acordos com representantes paulistas.",
+            None,
+        ),
+        (
+            "https://portal/a2",
+            "Festival em Campina Grande",
+            None,
+            "A prefeitura de Campina Grande anunciou o evento na Paraíba.",
+        ),
+        ("https://portal/a3", "Sem cidades aqui", "Nada a reportar.", None),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, title string, body string, content string"
+    )
+
+
+def test_match_articles_schema_and_counts(spark, articles):
+    matched = match_articles(articles, CATALOG)
+    rows = {r["url"]: r["matches"] for r in matched.collect()}
+    assert len(rows["https://portal/a1"]) == 3  # natal title+body, sp title
+    assert len(rows["https://portal/a2"]) == 2  # campina title + content
+    assert rows["https://portal/a3"] == []
+    # matches are ordered by (field, start, end) — 'body' sorts before 'title'
+    m = rows["https://portal/a1"][0]
+    assert m["field"] == "body" and m["method"] == "automaton"
+
+
+def test_full_pipeline_primary_city(spark, articles):
+    cat_df = spark.createDataFrame(
+        [(c["ibge_id"], c["name"], c["uf"]) for c in CATALOG],
+        "ibge_id string, name string, uf string",
+    )
+    exploded = explode_matches(match_articles(articles, CATALOG))
+    adjusted = adjust_context(exploded, cat_df)
+    ranked = select_primary_city(aggregate_city_mentions(adjusted))
+    primaries = {r["url"]: r for r in ranked.collect() if r["rank"] == 1}
+
+    # a1: Natal (2 occurrences, admin marker + title boost + context RN match
+    # in body) outranks São Paulo
+    assert primaries["https://portal/a1"]["city_id"] == "2408102"
+    # a2: only Campina Grande; context PB matches its UF in the content field
+    a2 = primaries["https://portal/a2"]
+    assert a2["city_id"] == "2504009"
+    assert a2["occurrences"] == 2
+    # a3 has no matches at all
+    assert "https://portal/a3" not in primaries
+
+
+def test_content_fallback_field_label(spark, articles):
+    exploded = explode_matches(match_articles(articles, CATALOG))
+    fields = {
+        (r["url"], r["field"]) for r in exploded.collect() if r["url"].endswith("a2")
+    }
+    assert fields == {("https://portal/a2", "title"), ("https://portal/a2", "content")}

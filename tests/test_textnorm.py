@@ -1,0 +1,43 @@
+"""Golden tests for the text-normalization kernel — expectations lifted
+from the reference's tests (tests/test_extraction_normalization.py,
+tests/test_city_matcher.py), which pin exact offsets and outputs."""
+
+from sentinela_py_spark.functions.textnorm import (
+    extract_state_mentions,
+    find_sentence_containing,
+    normalize_article_text,
+    normalize_for_match,
+    normalize_person_name,
+)
+
+
+def test_normalize_for_match_accents_and_hyphen():
+    norm, offsets = normalize_for_match("São-Paulo")
+    assert norm == "sao paulo"
+    assert offsets == list(range(9))
+
+
+def test_normalize_article_text_removes_boilerplate():
+    text = "Leia também: algo\nCorpo da matéria\nCrédito: foto"
+    assert normalize_article_text(text) == "Corpo da matéria"
+
+
+def test_normalize_person_name_removes_titles_and_titlecases():
+    canonical, aliases = normalize_person_name("Dr. JOÃO DA SILVA")
+    assert canonical == "João Da Silva"
+    assert "Dr. JOÃO DA SILVA" in aliases
+
+
+def test_find_sentence_containing_returns_expected_sentence():
+    text = "Primeira frase. Segunda frase com João. Terceira frase."
+    sentence = find_sentence_containing(text, text.index("João"), text.index("João") + 4)
+    assert sentence == "Segunda frase com João."
+
+
+def test_extract_state_mentions_names_and_abbreviations():
+    assert extract_state_mentions("O governador de Pernambuco visitou Recife - PE.") == {"PE"}
+
+
+def test_extract_state_mentions_estado_de_pattern():
+    text = "O Estado de sao paulo anunciou medidas junto ao Estado do Rio Grande do Norte."
+    assert extract_state_mentions(text) == {"SP", "RN"}
