@@ -1,0 +1,187 @@
+"""Fixed StructType schemas for the engine's domain tables.
+
+The reference stores row-oriented Mongo documents with a dynamic,
+alias-tolerant shape (SURVEY.md §1.3); the engine fixes the schema once
+here and handles every legacy alias at the ingestion boundary
+(sources/articles.py) so all downstream plans are strictly typed.
+
+Shapes derive from the reference entities:
+  Article       sentinela/domain/entities/article.py:127-150
+  CityMention   article.py:9-124
+  Portal        sentinela/domain/entities/portal.py:11-38
+  NewsDocument  sentinela/extraction/models.py:11-25
+  CityRecord    city_matching/catalog.py:208-251, build_cache.py:103-159
+  EntitySpan    extraction/models.py:28-37
+  Occurrences   extraction/models.py:48-85
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+CITY_MENTION = T.StructType(
+    [
+        T.StructField("identifier", T.StringType()),
+        T.StructField("city_id", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("uf", T.StringType()),
+        T.StructField("occurrences", T.IntegerType()),
+        T.StructField("sources", T.ArrayType(T.StringType())),
+    ]
+)
+
+CITIES_EXTRACTION = T.StructType(
+    [
+        T.StructField("version", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("hash", T.StringType()),
+        T.StructField("matches_count", T.IntegerType()),
+    ]
+)
+
+ARTICLE = T.StructType(
+    [
+        T.StructField("portal_name", T.StringType(), False),
+        T.StructField("title", T.StringType()),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("content", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("classification", T.StringType()),
+        T.StructField("published_at", T.TimestampType()),
+        T.StructField("cities", T.ArrayType(CITY_MENTION)),
+        T.StructField("cities_extraction", CITIES_EXTRACTION),
+        T.StructField("geo_enriched", T.BooleanType()),
+        T.StructField("raw", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+SELECTOR = T.StructType(
+    [T.StructField("query", T.StringType()), T.StructField("attribute", T.StringType())]
+)
+
+PORTAL = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("base_url", T.StringType()),
+        T.StructField("listing_path_template", T.StringType()),
+        T.StructField("date_format", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "selectors",
+            T.StructType(
+                [
+                    T.StructField("listing_article", SELECTOR),
+                    T.StructField("listing_title", SELECTOR),
+                    T.StructField("listing_url", SELECTOR),
+                    T.StructField("article_content", SELECTOR),
+                    T.StructField("article_date", SELECTOR),
+                    T.StructField("listing_summary", SELECTOR),
+                ]
+            ),
+        ),
+    ]
+)
+
+NEWS_DOCUMENT = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("published_at", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("enqueue_seq", T.LongType()),
+    ]
+)
+
+COORDS = T.StructType(
+    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+)
+
+BBOX = T.StructType(
+    [
+        T.StructField("south", T.DoubleType()),
+        T.StructField("west", T.DoubleType()),
+        T.StructField("north", T.DoubleType()),
+        T.StructField("east", T.DoubleType()),
+    ]
+)
+
+STATE_CAPITAL = T.StructType(
+    [
+        T.StructField("ibge_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uf", T.StringType()),
+        T.StructField("coords", COORDS),
+        T.StructField("bbox", BBOX),
+    ]
+)
+
+CITY_CATALOG = T.StructType(
+    [
+        T.StructField("ibge_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("uf", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("mesoregion", T.StringType()),
+        T.StructField("microregion", T.StringType()),
+        T.StructField("intermediate_region", T.StringType()),
+        T.StructField("immediate_region", T.StringType()),
+        T.StructField("alt_names", T.ArrayType(T.StringType())),
+        T.StructField("coords", COORDS),
+        T.StructField("bbox", BBOX),
+        T.StructField("capital", T.BooleanType()),
+        T.StructField("state_capital", STATE_CAPITAL),
+    ]
+)
+
+ENTITY_SPAN = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("method", T.StringType()),
+    ]
+)
+
+CITY_CANDIDATE = T.StructType(
+    [
+        T.StructField("city_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uf", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+PERSON_OCCURRENCE = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("person_id", T.StringType()),
+        T.StructField("canonical_name", T.StringType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("sentence", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+CITY_OCCURRENCE = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("city_id", T.StringType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("sentence", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("uf_surface", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("candidates", T.ArrayType(CITY_CANDIDATE)),
+    ]
+)

@@ -1,0 +1,2 @@
+"""Ingestion adapters: alias normalization at the boundary, the city
+catalog dimension, and (driver-side) fetch utilities."""

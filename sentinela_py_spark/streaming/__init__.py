@@ -1,0 +1,2 @@
+"""Structured Streaming pipelines: the micro-batch enrichment worker and
+the event-time windowed aggregations the reference lacks (T1-T6)."""

@@ -1,0 +1,120 @@
+"""Streaming enrichment pipeline (SURVEY.md §2.9).
+
+The reference runs an in-memory FIFO of pending news with at-least-once
+ack/retry semantics and a 60 s polling worker
+(services/extraction/adapters/pending_news_queue.py:26-73,
+services/extraction/app.py:454-486). The Spark rendering:
+
+  file/Kafka source → streaming DataFrame (NEWS_DOCUMENT schema)
+  → per-batch URL dedup (the queue's in-flight dedup)
+  → foreachBatch: city-extraction pipeline + idempotent upsert sink
+  → checkpointing gives at-least-once; the upsert makes replays no-ops.
+
+The reference is processing-time only; the engine also exposes the
+idiomatic event-time superset (watermark + tumbling/sliding/session
+windows) because the streaming query surface is first-class (T6).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.schemas import NEWS_DOCUMENT
+
+
+def read_news_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source of NewsDocument JSON lines (the Kafka
+    topic stand-in; swap `.format("kafka")` + from_json in production)."""
+    return spark.readStream.schema(NEWS_DOCUMENT).json(path)
+
+
+def enrich_batch(
+    batch: DataFrame,
+    catalog_entries: Iterable[Mapping[str, Any]],
+) -> DataFrame:
+    """One micro-batch of the extraction worker: dedup in-flight URLs,
+    run the city-match pipeline, aggregate mentions per document
+    (reference extraction/service.py:59-188 condensed to the city branch)."""
+    from sentinela_py_spark.operators.cityagg import (
+        adjust_context,
+        aggregate_city_mentions,
+        select_primary_city,
+    )
+    from sentinela_py_spark.operators.matching import explode_matches, match_articles
+
+    spark = batch.sparkSession
+    catalog_entries = list(catalog_entries)
+    cat_df = spark.createDataFrame(
+        [
+            (str(e.get("ibge_id")), e.get("name"), e.get("uf"))
+            for e in catalog_entries
+            if e.get("ibge_id") and e.get("name")
+        ],
+        "ibge_id string, name string, uf string",
+    )
+    deduped = batch.dropDuplicates(["url"])  # queue in-flight dedup (T3)
+    matched = match_articles(deduped, catalog_entries, body_col="body")
+    exploded = explode_matches(matched)
+    return select_primary_city(aggregate_city_mentions(adjust_context(exploded, cat_df)))
+
+
+def run_enrichment_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    catalog_entries: Iterable[Mapping[str, Any]],
+    sink: Callable[[DataFrame, int], None],
+    trigger_seconds: int | None = None,
+):
+    """Wire source → enrich → foreachBatch(sink) with checkpointing.
+
+    ``trigger_seconds=None`` uses availableNow (drain-and-stop, the
+    reference's `interval <= 0` single-pass mode — app.py:482-484);
+    otherwise a processing-time trigger mirrors the polling worker."""
+    catalog_entries = list(catalog_entries)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sink(enrich_batch(batch, catalog_entries), epoch_id)
+
+    writer = (
+        read_news_stream(spark, source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "enrich"))
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with a watermark for
+    late data (T6 superset; works on both batch and streaming frames)."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return df.groupBy(win.alias("w"), F.col(key_col)).agg(
+        F.count("*").alias("n"), F.sum("value").alias("value_sum")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts", key_col: str = "user_id"
+) -> DataFrame:
+    """Session windows keyed by user with an inactivity gap (T6 superset)."""
+    df = events.withWatermark(ts_col, gap) if events.isStreaming else events
+    return df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col)).agg(
+        F.count("*").alias("n_events")
+    )

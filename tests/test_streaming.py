@@ -1,0 +1,113 @@
+"""Streaming pipeline: availableNow drain of a JSON-lines news source
+through the enrichment foreachBatch, idempotent replay, and the windowed
+event-time superset."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.streaming.pipeline import (
+    enrich_batch,
+    run_enrichment_stream,
+    session_windows,
+    windowed_event_counts,
+)
+
+CATALOG = [
+    {"ibge_id": "2408102", "name": "Natal", "uf": "RN"},
+    {"ibge_id": "3550308", "name": "São Paulo", "uf": "SP"},
+]
+
+DOCS = [
+    {
+        "url": "https://n/1",
+        "title": "Prefeito de Natal anuncia obras",
+        "body": "Natal (RN) recebe investimentos.",
+        "published_at": "2024-05-02T10:00:00.000Z",
+        "source": "portal-x",
+        "enqueue_seq": 1,
+    },
+    {
+        "url": "https://n/2",
+        "title": "Evento em São Paulo",
+        "body": "São Paulo sedia conferência.",
+        "published_at": "2024-05-02T11:00:00.000Z",
+        "source": "portal-x",
+        "enqueue_seq": 2,
+    },
+    # duplicate URL in the same batch — must be dropped (in-flight dedup)
+    {
+        "url": "https://n/1",
+        "title": "Prefeito de Natal anuncia obras",
+        "body": "Natal (RN) recebe investimentos.",
+        "published_at": "2024-05-02T10:00:00.000Z",
+        "source": "portal-x",
+        "enqueue_seq": 3,
+    },
+]
+
+
+@pytest.fixture()
+def source_dir(tmp_path):
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    (src / "batch1.json").write_text("\n".join(json.dumps(d) for d in DOCS))
+    return src
+
+
+def test_stream_drain_and_idempotent_replay(spark, source_dir, tmp_path):
+    results: dict[str, dict] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            results[(r["url"], r["city_id"])] = r.asDict()
+
+    q = run_enrichment_stream(
+        spark, str(source_dir), str(tmp_path / "ckpt"), CATALOG, sink
+    )
+    q.awaitTermination(120)
+
+    assert ("https://n/1", "2408102") in results
+    assert ("https://n/2", "3550308") in results
+    n1 = results[("https://n/1", "2408102")]
+    assert n1["rank"] == 1
+    # dup URL was dropped: occurrences reflect a single document's fields
+    assert n1["occurrences"] == 2  # title + body mention
+
+    # replay with same checkpoint: no new batches → no sink invocations
+    results.clear()
+    q2 = run_enrichment_stream(
+        spark, str(source_dir), str(tmp_path / "ckpt"), CATALOG, sink
+    )
+    q2.awaitTermination(120)
+    assert results == {}
+
+
+def test_enrich_batch_is_pure_batch_logic(spark):
+    batch = spark.createDataFrame(
+        [("https://n/9", "Natal cresce", "Obras em Natal (RN).", dt.datetime(2024, 5, 2), "p", 1)],
+        "url string, title string, body string, published_at timestamp, source string, enqueue_seq long",
+    )
+    out = enrich_batch(batch, CATALOG).collect()
+    assert len(out) == 1 and out[0]["city_id"] == "2408102"
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 1), 10, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 3), 10, "click", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 7), 11, "view", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = windowed_event_counts(events, window="5 minutes").orderBy("w").collect()
+    assert [(r["event_type"], r["n"], r["value_sum"]) for r in rows] == [
+        ("click", 2, 3.0),
+        ("view", 1, 3.0),
+    ]
+
+    sessions = session_windows(events, gap="10 minutes").collect()
+    assert {(r["user_id"], r["n_events"]) for r in sessions} == {(10, 2), (11, 1)}
