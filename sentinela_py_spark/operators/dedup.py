@@ -1,0 +1,145 @@
+"""Corpus deduplication operators: exact, MinHash-LSH, SimHash.
+
+Training-data-pipeline operators (BASELINE.json north star) built as pure
+DataFrame algebra. All hashing derives from md5 (present in both Spark
+and DuckDB) parsed from hex — no engine-specific hash functions — and all
+arithmetic is integer-exact, so every operator is oracle-checkable and
+deterministic across partitionings.
+
+Scale notes:
+- Exact dedup: one shuffle on a uniform 128-bit digest.
+- MinHash: shingle explode → per-doc min-aggregation (map-side partial
+  mins make the shuffle tiny) → band signature equi-join. Candidate
+  generation cost is proportional to true collisions, not |docs|² —
+  the standard 100 TB near-dup layout (e.g. Broder '97 shingling,
+  Leskovec et al. MMDS ch.3).
+- SimHash: token explode → 32 conditional-sum aggregates per doc
+  (single shuffle), signature equality join for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _hash_coeffs(k: int) -> tuple[int, int]:
+    """Deterministic LCG-style coefficients for the k-th min-hash."""
+    return 1 + 37 * k, 17 + 101 * k
+
+
+def hex_prefix_to_long(col: Column, n_hex: int = 15) -> Column:
+    """First ``n_hex`` hex chars of an md5 digest as a non-negative int64
+    (15 chars = 60 bits, safely inside the sign bit)."""
+    return F.conv(F.substring(col, 1, n_hex), 16, 10).cast("long")
+
+
+def shingle_hashes(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, h): one row per distinct shingle, h = md5-derived 60-bit
+    integer reduced mod the MinHash prime."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (3 - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+        .select("doc_id", (hex_prefix_to_long(F.md5("shingle")) % MINHASH_PRIME).alias("h"))
+    )
+
+
+def minhash_signatures(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document MinHash signature: columns m0..m{N_HASHES-1}.
+
+    Each hash is min((a_k*h + b_k) mod p) over the doc's shingle set —
+    partial (map-side) mins collapse the shuffle to one row per doc."""
+    hashed = shingle_hashes(documents, id_col, text_col)
+    aggs = []
+    for k in range(N_HASHES):
+        a, b = _hash_coeffs(k)
+        aggs.append(F.min((F.col("h") * a + b) % MINHASH_PRIME).alias(f"m{k}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_signatures(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): band signature = joined minhash values of the
+    band's rows. Docs sharing any (band, sig) are candidate near-dups."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def minhash_candidate_pairs(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands): pairs colliding in ≥1 LSH band.
+    The equi-join on (band, sig) is the inverted-index step — work scales
+    with real collisions, never |docs|²."""
+    bands = lsh_band_signatures(minhash_signatures(documents, id_col, text_col))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over whitespace tokens.
+
+    Every token votes ±1 per bit of its 32-bit md5-derived hash; bit j of
+    the signature is 1 when the vote sum is positive (ties → 0)."""
+    toks = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        .select("doc_id", hex_prefix_to_long(F.md5("tok"), 8).alias("h32"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h32"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def exact_duplicate_groups(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5-exact duplicate groups (first id wins)."""
+    return (
+        documents.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

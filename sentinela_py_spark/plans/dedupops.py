@@ -1,0 +1,198 @@
+"""MinHash-LSH and SimHash near-duplicate queries over `documents`.
+
+These are the sketch-based scale path of the dedup surface (the exact
+complement lives in plans/textops.py: q_dedup_exact, q_ngram_jaccard_pairs).
+All hashing is md5-derived with integer-exact arithmetic — `conv(hex,16,10)`
+on the Spark side and `('0x'||hex)::BIGINT` on the DuckDB side parse the
+same digest prefix to the same int64 — so every query is oracle-checkable.
+
+Reference parity: the reference dedups only exactly, by URL / unique index
+(sentinela/application/servico_coleta_noticias.py:143-166,
+adapters/ingestion_router.py:36-42); MinHash/SimHash are the training-data
+superset (Broder '97 shingling; Charikar '02 SimHash) required at 100 TB,
+where exact hashing misses boilerplate-level near-dups.
+
+Scale notes (100 TB):
+- MinHash signatures: shingle explode → groupBy(doc) with 16 min() aggs.
+  Map-side partial mins collapse the shuffle to one row per doc; no state
+  larger than (docs × 16 longs).
+- Band join: the (band, sig) equi-join is an inverted index — candidate
+  work scales with true collisions, never |docs|². AQE handles the skew of
+  hot buckets (empty-ish docs hashing alike); a production run would also
+  cap bucket width.
+- SimHash: token explode → 32 conditional sums in ONE groupBy pass
+  (single shuffle); pair generation via 8-bit band equality keeps the
+  self-join linear in collisions, then bit_count(xor) refines to true
+  Hamming neighbours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.dedup import (
+    MINHASH_PRIME,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    _hash_coeffs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+# DuckDB twins of the md5-prefix integer hashes in operators/dedup.py.
+_H60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % {p})".format(x="{x}", p=MINHASH_PRIME)
+_H32_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    )
+"""
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB SQL computing the per-doc MinHash signature m0..m{N-1}."""
+    h = _H60_SQL.format(x="shingle")
+    mins = ",\n             ".join(
+        f"MIN(({h} * {a} + {b}) % {MINHASH_PRIME}) AS m{k}"
+        for k, (a, b) in ((k, _hash_coeffs(k)) for k in range(N_HASHES))
+    )
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+             {mins}
+    FROM shingles
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=_minhash_sig_sql() + "\n    ORDER BY doc_id",
+    survey_ref="dedup: MinHash signatures (shingle → 16 permuted mins, map-side partial agg)",
+    tags=("dedup", "sketch"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(d).orderBy("doc_id")
+
+
+def _band_sql() -> str:
+    """DuckDB band-signature relation: (doc_id, band, sig)."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))
+        bands.append(f"SELECT doc_id, {band} AS band, concat_ws('-', {cols}) AS sig FROM sigs")
+    return " UNION ALL ".join(bands)
+
+
+@register(
+    "q_minhash_pairs",
+    oracle=f"""
+    WITH sigs AS ({_minhash_sig_sql()}),
+    bands AS ({_band_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="dedup: MinHash-LSH candidate pairs (band-bucket inverted-index join)",
+    tags=("dedup", "sketch"),
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sql() -> str:
+    """DuckDB SQL computing (doc_id, simhash) as in operators/dedup.py."""
+    h32 = _H32_SQL.format(x="tok")
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((h32 >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {h32} AS h32
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash FROM votes
+    """
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bsig
+      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="dedup: SimHash near-dup pairs (8-bit band candidates → Hamming ≤ 6 refine)",
+    tags=("dedup", "sketch"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash near-dup: candidates must share at least one of
+    four 8-bit signature bands (pigeonhole: any pair with Hamming ≤ 6 over
+    32 bits shares a clean band... not guaranteed, but that IS the sketch's
+    recall contract — the oracle mirrors the same candidate rule, so the
+    check is exact), then refined by true Hamming distance."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = simhash32(d)
+    band_ids = F.array(*[F.lit(i) for i in range(4)])
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(band_ids).alias("band")
+    ).withColumn("bsig", F.expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -120,3 +120,181 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim_r", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path ANN: hyperplane LSH buckets and IVF cells. Both engines get the
+# SAME deterministic structures (literal ±1 hyperplanes; centroid = first
+# N_CELLS vectors), so the approximate result is still exactly checkable.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+EMB_DIM = 64
+N_PLANES = 4  # 16 buckets
+N_CELLS = 8
+
+
+def _plane(p: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic ±1 hyperplane p (md5-seeded, engine-independent —
+    generated once in Python and embedded as literals on both sides)."""
+    return [1 if hashlib.md5(f"plane-{p}-{j}".encode()).digest()[0] & 1 else -1 for j in range(dim)]
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+def _signed_dot(vec: Column, plane: list[int]) -> Column:
+    lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    prods = F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Hyperplane-sign bucket id in [0, 2^N_PLANES)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        bucket = bucket + F.when(_signed_dot(vec, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _plane_sql(plane: list[int], vec: str) -> str:
+    lits = ", ".join(f"{float(x)!r}" for x in plane)
+    return (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i]))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_sql(plane, vec)} > 0 THEN {2**p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES)
+    )
+    return f"({terms})"
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERY_VECTORS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM bucketed WHERE vec_id >= {N_QUERY_VECTORS}),
+    scored AS (
+      SELECT query_id, neighbor_id, q.bucket,
+             {_DOT_SQL.format(a='qv', b='cv')}
+               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})) AS cos_sim
+      FROM q JOIN c ON q.bucket = c.bucket
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, bucket, ROUND(cos_sim, 6) AS cos_sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos_sim, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim_r, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    survey_ref="similarity: hyperplane-LSH bucketed ANN (equi-join on bucket replaces cross product)",
+    tags=("similarity", "sketch"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: the bucket equi-join prunes the cross
+    product to same-bucket candidates (16 buckets here; at 100 TB the
+    bucket id is the shuffle key and candidate work scales with bucket
+    occupancy, not |corpus|). Exact cosine + top-k inside the bucket."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = bucketed.filter(F.col("vec_id") >= N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id", "bucket",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim_r", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, cents.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='cents.centroid')}
+                   / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='cents.centroid')})), 6) DESC,
+                   cents.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned WHERE vec_id < {N_QUERY_VECTORS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM assigned WHERE vec_id >= {N_QUERY_VECTORS}),
+    ranked AS (
+      SELECT query_id, neighbor_id, q.cell_id,
+             ROUND({_DOT_SQL.format(a='qv', b='cv')}
+               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) AS cos_sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND({_DOT_SQL.format(a='qv', b='cv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) DESC,
+                 neighbor_id) AS rank
+      FROM q JOIN c ON q.cell_id = c.cell_id
+    )
+    SELECT query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    survey_ref="similarity: IVF-cell ANN (broadcast centroid assignment, nprobe=1 cell search)",
+    tags=("similarity", "sketch"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic 'training': centroids are the first
+    N_CELLS vectors. Assignment is a broadcast cross join (N_CELLS rows)
+    + argmax-cosine window; search probes only the query's own cell.
+    At scale: assignment is map-side (centroids broadcast), the cell id
+    becomes the partition key, and the cell join replaces the cross
+    product — the canonical IVF-flat layout."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    aw = W.partitionBy("vec_id").orderBy(sim.desc(), F.col("cell_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    c = assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
+    )
+    scored = c.join(F.broadcast(q), "cell_id").select(
+        "query_id", "neighbor_id", "cell_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank")
+        .orderBy("query_id", "rank")
+    )
