@@ -1,0 +1,110 @@
+"""Multimodal queries: binary payload columns + typed metadata.
+
+Spark side operates on real `binary` columns (UTF-8 payload bytes derived
+from `documents.text`); the DuckDB oracle operates on the varchar twin —
+the payloads are pure ASCII (asserted by the n_bytes == length checks), so
+byte-level and char-level computations coincide exactly and every query
+remains hash-checkable.
+
+q_media_metadata exercises the JVM-side path (metadata queries must never
+touch payload bytes); q_media_features and q_media_frames exercise the
+Arrow `mapInPandas` path (the decode/feature-extract shape of SURVEY
+§2.10 U1, with the codec stubbed per operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.multimodal import (
+    FRAME_LEN,
+    FRAME_STRIDE,
+    documents_to_media,
+    media_features,
+    sample_frames,
+)
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+
+@register(
+    "q_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           16 * (CAST(doc_id % 64 AS INT) + 1) AS width,
+           9 * (CAST(doc_id % 64 AS INT) + 1) AS height,
+           CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="multimodal: typed-metadata scan over binary payload column (payload untouched)",
+    tags=("multimodal",),
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata + checksum scan: all JVM-side (encode/octet_length/md5 are
+    codegen'd built-ins). At scale this plan prunes to the scanned columns
+    only — the binary payload is read for md5 but no Python is involved."""
+    d = load_table(spark, sf_dir, "documents")
+    m = documents_to_media(d)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_media_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           list_sum(list_transform(generate_series(1, length(text)), i -> ascii(text[i]))) AS sum_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="multimodal: Arrow mapInPandas feature extraction over binary payloads (decode stubbed)",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the real multimodal hot path: binary
+    payloads → Arrow record batches → vectorized pandas → features.
+    Integer-exact outputs (len / md5 / byte sum) keep it oracle-checkable
+    where a real embedding would be float-approximate."""
+    d = load_table(spark, sf_dir, "documents")
+    return media_features(documents_to_media(d)).orderBy("doc_id")
+
+
+@register(
+    "q_media_frames",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, CAST(CEIL(length(text) / {FRAME_LEN}.0) AS INT) - 1)) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * {FRAME_LEN} + 1, {FRAME_LEN})) AS BIGINT) AS frame_bytes,
+           md5(substring(text, frame_idx * {FRAME_LEN} + 1, {FRAME_LEN})) AS frame_md5
+    FROM frames
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    survey_ref="multimodal: frame sampling (fixed-size payload slices, every k-th kept)",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling: payload → fixed 64-byte frames → keep
+    every 2nd. Emitted per Arrow batch; output row count is bounded by
+    payload_bytes/(frame_len*stride) regardless of partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_to_media(d)).orderBy("doc_id", "frame_idx")

@@ -683,3 +683,122 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — exposed natively: the reference only has
+# implicit union/dedup, e.g. servico_coleta_noticias.py:143-166 first-wins
+# union and build_cache.py:176-181 source union)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_customer_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    ORDER BY custkey
+    """,
+    survey_ref="§2.7 set ops: INTERSECT (customers active both before and after the cutoff)",
+    tags=("setop",),
+)
+def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two filtered projections. Catalyst plans this as an
+    aggregate-free left-semi after dedup; one shuffle on custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
+    early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
+    return late.intersect(early).orderBy("custkey")
+
+
+@register(
+    "q_customer_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    ORDER BY custkey
+    """,
+    survey_ref="§2.7 set ops: EXCEPT (customers who churned at the cutoff)",
+    tags=("setop",),
+)
+def q_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — planned as left-anti join after dedup."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
+    late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
+    return early.exceptAll(late.distinct()).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Geo distance (SURVEY §2.8 M5 / §2.3 J7 — haversine_distance_km,
+# geoutils.py:12-60; coords synthesized deterministically from keys since
+# the driver tables carry no geography)
+# ---------------------------------------------------------------------------
+
+_LAT_SQL = "(CAST(({k} * 13) % 17000 AS DOUBLE) / 100.0 - 85.0)"
+_LON_SQL = "(CAST(({k} * 31) % 35000 AS DOUBLE) / 100.0 - 175.0)"
+
+
+@register(
+    "q_haversine_supplier_nation",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey, s_nationkey,
+             {_LAT_SQL.format(k='s_suppkey')} AS slat, {_LON_SQL.format(k='s_suppkey')} AS slon
+      FROM supplier
+    ),
+    n AS (
+      SELECT n_nationkey, n_name,
+             {_LAT_SQL.format(k='n_nationkey')} AS nlat, {_LON_SQL.format(k='n_nationkey')} AS nlon
+      FROM nation
+    )
+    SELECT s_suppkey, n_name,
+           ROUND(6371.0 * 2.0 * ATAN2(
+             SQRT(POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
+                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
+                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)),
+             SQRT(1.0 - (POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
+                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
+                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)))), 4) AS dist_km
+    FROM s JOIN n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s_suppkey
+    """,
+    survey_ref="M5 haversine (geoutils.py:12-60) + J7 distance join (aggregator.py:369-376)",
+    tags=("geo", "join"),
+)
+def q_haversine_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance join: supplier point -> its nation centroid
+    (coords derived deterministically from keys). Pure column algebra —
+    whole-stage codegen, broadcast of the 25-row nation dim; rounded to
+    4 dp so libm last-ulp differences between JVM and DuckDB vanish."""
+    from sentinela_py_spark.functions.geo import haversine_km
+
+    def lat(k: F.Column) -> F.Column:
+        return ((k * 13) % 17000).cast("double") / 100.0 - 85.0
+
+    def lon(k: F.Column) -> F.Column:
+        return ((k * 31) % 35000).cast("double") / 100.0 - 175.0
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        lat(F.col("s_suppkey")).alias("slat"), lon(F.col("s_suppkey")).alias("slon"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        lat(F.col("n_nationkey")).alias("nlat"), lon(F.col("n_nationkey")).alias("nlon"),
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.round(
+                haversine_km(F.col("slat"), F.col("slon"), F.col("nlat"), F.col("nlon")), 4
+            ).alias("dist_km"),
+        )
+        .orderBy("s_suppkey")
+    )

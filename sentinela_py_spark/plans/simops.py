@@ -174,6 +174,43 @@ def _bucket_sql(vec: str) -> str:
     return f"({terms})"
 
 
+NEARDUP_COS = 0.4
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (SQRT({_NORMSQ_SQL.format(a='a.embedding')}) * SQRT({_NORMSQ_SQL.format(a='b.embedding')})), 6) AS cos_sim_r
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim_r
+    FROM pairs WHERE cos_sim_r >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    survey_ref="dedup: embedding-cosine near-duplicate pairs (exact; LSH bucket join is the 100 TB path)",
+    tags=("dedup", "similarity"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+
+    Exact O(n^2/2) self-join — the correctness baseline. At 100 TB the
+    candidate set comes from the hyperplane-LSH bucket equi-join below
+    (q_ann_lsh_topk's `lsh_bucket`), multi-probed to recover recall at
+    low thresholds; the scoring expression is shared either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim_r"))
+        .filter(F.col("cos_sim_r") >= NEARDUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "q_ann_lsh_topk",
     oracle=f"""

@@ -1,0 +1,96 @@
+"""Multimodal plumbing: binary payload schema, Arrow batch path, frame
+sampling layout, and the stubbed decode contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from sentinela_py_spark.operators.multimodal import (
+    FRAME_LEN,
+    FRAME_STRIDE,
+    MEDIA_SCHEMA,
+    decode_media,
+    documents_to_media,
+    media_features,
+    resize_image,
+    sample_frames,
+)
+
+DOCS = [
+    (0, "a" * 10),
+    (1, "hello world " * 20),  # 240 chars -> 4 frames, keep 0 and 2
+    (2, "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return documents_to_media(docs)
+
+
+def test_media_schema_and_metadata(media):
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "audio"
+    assert rows[2]["media_type"] == "video"
+    assert bytes(rows[1]["payload"]) == ("hello world " * 20).encode()
+    assert rows[1]["meta"]["n_bytes"] == 240
+    assert rows[1]["meta"]["n_frames"] == 4
+    assert rows[0]["meta"]["width"] == 16 and rows[0]["meta"]["height"] == 9
+
+
+def test_media_features_arrow_path(media):
+    feats = {r["doc_id"]: r for r in media_features(media).collect()}
+    text = "hello world " * 20
+    assert feats[1]["n_bytes"] == 240
+    assert feats[1]["checksum"] == hashlib.md5(text.encode()).hexdigest()
+    assert feats[1]["sum_bytes"] == sum(text.encode())
+    assert feats[2]["n_bytes"] == 1 and feats[2]["sum_bytes"] == ord("x")
+
+
+def test_frame_sampling_layout(media):
+    frames = sample_frames(media).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 240 bytes -> frames 0..3, stride 2 keeps 0 and 2, both full
+    kept = sorted(r["frame_idx"] for r in by_doc[1])
+    assert kept == [0, 2]
+    raw = ("hello world " * 20).encode()
+    for r in by_doc[1]:
+        frame = raw[r["frame_idx"] * FRAME_LEN : (r["frame_idx"] + 1) * FRAME_LEN]
+        assert r["frame_bytes"] == len(frame) == FRAME_LEN
+        assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+    # doc 0: 10 bytes -> single short frame
+    assert [(r["frame_idx"], r["frame_bytes"]) for r in by_doc[0]] == [(0, 10)]
+    assert FRAME_STRIDE == 2
+
+
+def test_frame_sampling_partition_invariant(media):
+    one = sample_frames(media.coalesce(1)).orderBy("doc_id", "frame_idx").collect()
+    many = sample_frames(media.repartition(8)).orderBy("doc_id", "frame_idx").collect()
+    assert one == many
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_image(b"\x89PNG", 10, 10)
+
+
+def test_metadata_query_prunes_payload(media):
+    """A metadata-only projection must not carry the payload column
+    through the plan (column pruning is what makes metadata queries cheap
+    at 100 TB)."""
+    plan = media.select("doc_id", "media_type", "meta").explain
+    meta_only = media.select("doc_id", "media_type", F.col("meta.n_bytes"))
+    explained = meta_only._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in explained
