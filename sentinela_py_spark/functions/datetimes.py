@@ -1,0 +1,62 @@
+"""Datetime parsing cascade — the Spark rendering of the reference's
+multi-format datetime tolerance.
+
+Reference semantics: the scraper parses ISO-8601 (incl. trailing Z),
+BR `dd/mm/yyyy [hh:mm[:ss]]`, and Portuguese month-name literals
+(sentinela/infrastructure/scraper.py:556-718); the repositories fall back
+across 3 formats and default to epoch-0 on failure
+(sentinela/infrastructure/extraction.py:134-147,
+publications_api_repository.py:91-106).
+
+Everything is built-in column algebra: `try_to_timestamp` per format +
+`coalesce` (M7), with Portuguese month names rewritten to numeric months
+by a replace chain (M6) — no UDFs, so the cascade stays inside
+whole-stage codegen and pushes through at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PT_MONTHS = (
+    "janeiro",
+    "fevereiro",
+    "março",
+    "abril",
+    "maio",
+    "junho",
+    "julho",
+    "agosto",
+    "setembro",
+    "outubro",
+    "novembro",
+    "dezembro",
+)
+
+EPOCH0 = "1970-01-01 00:00:00"
+
+
+def pt_month_to_numeric(col: Column) -> Column:
+    """Rewrite `dd de <mês> de yyyy` to `dd/MM/yyyy` (lowercased input)."""
+    out = F.lower(col)
+    for i, name in enumerate(PT_MONTHS, start=1):
+        out = F.replace(out, F.lit(f" de {name} de "), F.lit(f"/{i:02d}/"))
+    return out
+
+
+def parse_datetime_cascade(col: Column) -> Column:
+    """ISO-8601 → BR `dd/MM/yyyy HH:mm` → PT month-name date → epoch-0.
+
+    Each step is a `try_to_timestamp` (null on mismatch); `coalesce` picks
+    the first format that parses, mirroring the reference's sequential
+    `strptime` fallbacks with an epoch-0 default."""
+    return F.coalesce(
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        # trailing Z = UTC; session TZ is pinned to UTC so the literal-Z
+        # parse lands on the same instant (scraper.py:644-654 Z handling)
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(col, F.lit("dd/MM/yyyy HH:mm")),
+        F.try_to_timestamp(pt_month_to_numeric(col), F.lit("dd/MM/yyyy")),
+        F.lit(EPOCH0).cast("timestamp"),
+    )

@@ -802,3 +802,108 @@ def q_haversine_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Datetime parsing cascade (SURVEY §2.8 M6/M7 — scraper.py:556-718 multi-
+# format parse incl. PT month names; extraction.py:134-147 epoch-0 default)
+# and last-writer-wins dedup (§2.4 A6 — extraction_result_store.py:151-184)
+# ---------------------------------------------------------------------------
+
+
+def _pt_rewrite_sql(expr: str) -> str:
+    from sentinela_py_spark.functions.datetimes import PT_MONTHS
+
+    out = f"lower({expr})"
+    for i, name in enumerate(PT_MONTHS, start=1):
+        out = f"replace({out}, ' de {name} de ', '/{i:02d}/')"
+    return out
+
+
+@register(
+    "q_datetime_parse_cascade",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M')
+               WHEN 2 THEN strftime(o_orderdate, '%d') || ' de ' ||
+                           (['janeiro','fevereiro','março','abril','maio','junho','julho',
+                             'agosto','setembro','outubro','novembro','dezembro'])[CAST(month(o_orderdate) AS INT)]
+                           || ' de ' || strftime(o_orderdate, '%Y')
+               ELSE 'sem data'
+             END AS raw_ts
+      FROM orders
+    )
+    SELECT o_orderkey, raw_ts,
+           COALESCE(
+             try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
+             try_strptime(raw_ts, '%d/%m/%Y %H:%M'),
+             try_strptime({_pt_rewrite_sql('raw_ts')}, '%d/%m/%Y'),
+             TIMESTAMP '1970-01-01 00:00:00') AS parsed_ts
+    FROM raw
+    ORDER BY o_orderkey
+    """,
+    survey_ref="M6/M7 datetime cascade (ISO | BR | PT month names | epoch-0 default)",
+    tags=("scalar", "datetime"),
+)
+def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: format each order date into one of 4 shapes (ISO / BR /
+    PT month-name / unparseable), then recover it through the built-in
+    try_to_timestamp cascade. All codegen — the M6/M7 semantics without a
+    single UDF."""
+    from sentinela_py_spark.functions.datetimes import PT_MONTHS, parse_datetime_cascade
+
+    o = load_table(spark, sf_dir, "orders")
+    pt_month = F.element_at(
+        F.array(*[F.lit(m) for m in PT_MONTHS]), F.month("o_orderdate")
+    )
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"))
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(
+                F.date_format("o_orderdate", "dd"),
+                F.lit(" de "),
+                pt_month,
+                F.lit(" de "),
+                F.date_format("o_orderdate", "yyyy"),
+            ),
+        )
+        .otherwise(F.lit("sem data"))
+    )
+    return (
+        o.select("o_orderkey", raw.alias("raw_ts"))
+        .withColumn("parsed_ts", parse_datetime_cascade(F.col("raw_ts")))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_event_last_state",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    survey_ref="A6 span dedup last-writer-wins (extraction_result_store.py:151-184) / K7 versioned store",
+    tags=("window", "dedup"),
+)
+def q_event_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per (user, event_type): the replace-on-append
+    store semantics as a ranking window; one shuffle on the state key."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,30 @@
+"""Datetime cascade golden tests — format tolerance mirrored from the
+reference's parametrized suite (tests/test_scraper_datetime.py:8-63)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.datetimes import parse_datetime_cascade
+
+CASES = [
+    ("2024-05-17T08:30:00", dt.datetime(2024, 5, 17, 8, 30, 0)),
+    ("2024-05-17T08:30:00Z", dt.datetime(2024, 5, 17, 8, 30, 0)),
+    ("17/05/2024 08:30", dt.datetime(2024, 5, 17, 8, 30, 0)),
+    ("17 de maio de 2024", dt.datetime(2024, 5, 17, 0, 0, 0)),
+    ("01 de março de 2023", dt.datetime(2023, 3, 1, 0, 0, 0)),
+    ("31 de dezembro de 1999", dt.datetime(1999, 12, 31, 0, 0, 0)),
+    ("garbage", dt.datetime(1970, 1, 1, 0, 0, 0)),  # epoch-0 default (M7)
+    ("", dt.datetime(1970, 1, 1, 0, 0, 0)),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_parse_datetime_cascade(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], ["raw"]).select(
+        parse_datetime_cascade(F.col("raw")).alias("ts")
+    )
+    assert df.first()["ts"] == expected
