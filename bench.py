@@ -22,18 +22,31 @@ from sentinela_py_spark.plans.registry import _ensure_loaded  # noqa: E402
 from sentinela_py_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "q_pricing_summary",
     "q_revenue_per_nation",
     "q_top1_order_per_customer",
     "q_period_scan",
     "q_topk_orders",
     "q_customers_without_orders",
+    "q_customer_intersect",
+    "q_datetime_parse_cascade",
+    # event-time / state
     "q_user_sessions",
     "q_hourly_event_buckets",
+    "q_event_last_state",
+    # training-data pipeline: dedup / text / similarity / multimodal
     "q_dedup_exact",
     "q_ngram_jaccard_pairs",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
     "q_text_quality",
+    "q_lang_id",
     "q_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_media_features",
+    "q_media_frames",
+    "q_haversine_supplier_nation",
 ]
 
 
@@ -50,7 +63,7 @@ def main() -> None:
         q = QUERIES[name]
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
-        df.collect()
+        df.toPandas()  # full materialization to the driver via Arrow
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -74,21 +74,23 @@ def minhash_signatures(documents: DataFrame, id_col: str = "doc_id", text_col: s
 
 def lsh_band_signatures(signatures: DataFrame) -> DataFrame:
     """(doc_id, band, sig): band signature = joined minhash values of the
-    band's rows. Docs sharing any (band, sig) are candidate near-dups."""
-    bands = []
+    band's rows. Docs sharing any (band, sig) are candidate near-dups.
+
+    Built as ONE explode over an inline (band, sig) array — a union of
+    per-band projections would make Catalyst recompute the entire
+    signature aggregation once per band."""
+    band_structs = []
     for band in range(N_BANDS):
         cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            signatures.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
             )
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionAll(b)
-    return out
+    return signatures.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def minhash_candidate_pairs(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

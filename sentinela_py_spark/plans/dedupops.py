@@ -156,18 +156,21 @@ def _simhash_sql() -> str:
     )
     SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    WHERE bit_count(xor(sig_a, sig_b)) <= 1
     ORDER BY doc_a, doc_b
     """,
-    survey_ref="dedup: SimHash near-dup pairs (8-bit band candidates → Hamming ≤ 6 refine)",
+    survey_ref="dedup: SimHash near-dup pairs (8-bit band candidates → Hamming ≤ 1 refine)",
     tags=("dedup", "sketch"),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash near-dup: candidates must share at least one of
-    four 8-bit signature bands (pigeonhole: any pair with Hamming ≤ 6 over
-    32 bits shares a clean band... not guaranteed, but that IS the sketch's
-    recall contract — the oracle mirrors the same candidate rule, so the
-    check is exact), then refined by true Hamming distance."""
+    four 8-bit signature bands (pigeonhole: any pair with Hamming ≤ 1 over
+    32 bits must leave at least three bands untouched, so it always shares a
+    clean band — full recall at this threshold; the oracle mirrors the same
+    candidate rule, so the check is exact), then refined by true Hamming
+    distance. Same-language corpora correlate SimHash bits heavily (shared
+    vocabulary), so the tight threshold is what separates near-dups from
+    topical similarity."""
     d = load_table(spark, sf_dir, "documents")
     sh = simhash32(d)
     band_ids = F.array(*[F.lit(i) for i in range(4)])
@@ -193,6 +196,6 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
     )

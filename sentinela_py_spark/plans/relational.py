@@ -290,7 +290,8 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
     survey_ref="J6 (ingestion_router.py:36-42 duplicate anti-join)",
@@ -298,9 +299,12 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the scalable form of the reference's per-row
-    `exists()` probe (one join instead of N point lookups)."""
+    `exists()` probe (one join instead of N point lookups). The probe side
+    is pre-filtered (urgent orders only) so the predicate pushes into the
+    scan before the join; every customer has *some* order in the driver
+    data, so the unfiltered anti-join would be vacuous."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -462,10 +466,10 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_churned_buyers",
     oracle="""
     SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     EXCEPT
     SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     ORDER BY o_custkey
     """,
     survey_ref="§2.7 (set ops exposed natively; reference has only implicit unions)",
@@ -474,12 +478,12 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y94 = o.filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
-    ).select("o_custkey")
-    y95 = o.filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     ).select("o_custkey")
     # subtract = EXCEPT DISTINCT (exceptAll would keep multiset surplus rows)
     return y94.subtract(y95).orderBy("o_custkey")
@@ -695,9 +699,9 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_customer_intersect",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
     INTERSECT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
     ORDER BY custkey
     """,
     survey_ref="§2.7 set ops: INTERSECT (customers active both before and after the cutoff)",
@@ -707,7 +711,7 @@ def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT of two filtered projections. Catalyst plans this as an
     aggregate-free left-semi after dedup; one shuffle on custkey."""
     o = load_table(spark, sf_dir, "orders")
-    cut = F.lit("1995-01-01").cast("timestamp")
+    cut = F.lit("1998-07-01").cast("timestamp")
     late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
     early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
     return late.intersect(early).orderBy("custkey")
@@ -716,21 +720,23 @@ def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_customer_except",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
     ORDER BY custkey
     """,
     survey_ref="§2.7 set ops: EXCEPT (customers who churned at the cutoff)",
     tags=("setop",),
 )
 def q_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — planned as left-anti join after dedup."""
+    """EXCEPT DISTINCT (`subtract`) — planned as left-anti join after
+    dedup; an `exceptAll().distinct()` would wrongly keep keys whose
+    multiplicity merely exceeds the right side's."""
     o = load_table(spark, sf_dir, "orders")
-    cut = F.lit("1995-01-01").cast("timestamp")
+    cut = F.lit("1998-07-01").cast("timestamp")
     early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
     late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
-    return early.exceptAll(late.distinct()).distinct().orderBy("custkey")
+    return early.subtract(late).orderBy("custkey")
 
 
 # ---------------------------------------------------------------------------

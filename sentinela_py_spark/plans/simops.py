@@ -199,13 +199,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact O(n^2/2) self-join — the correctness baseline. At 100 TB the
     candidate set comes from the hyperplane-LSH bucket equi-join below
     (q_ann_lsh_topk's `lsh_bucket`), multi-probed to recover recall at
-    low thresholds; the scoring expression is shared either way."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    low thresholds; the scoring expression is shared either way.
+
+    Norms are hoisted out of the pair loop: each side carries its
+    precomputed sqrt(|v|²), so the per-pair work is ONE array fold (the
+    dot product) instead of three — ~3× on the O(n²) hot path, and the
+    resulting doubles are bit-identical to the inline formula (the oracle
+    is unchanged)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim_r"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
         .filter(F.col("cos_sim_r") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")
     )

@@ -35,20 +35,22 @@ from sentinela_py_spark.tables import load_table
            COUNT(*) AS n_copies
     FROM documents
     GROUP BY md5(text)
-    HAVING COUNT(*) > 1
     ORDER BY keep_doc_id
     """,
     survey_ref="J6/A8 analog → exact corpus dedup (hash-groupBy, first-wins)",
     tags=("dedup",),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: digest → groupBy → keep min id. One shuffle on a
-    uniformly-distributed 128-bit key; no skew by construction."""
+    """Exact dedup survivor list: digest → groupBy → keep min id per hash
+    group (dropDuplicates-with-deterministic-winner). One shuffle on a
+    uniformly-distributed 128-bit key; no skew by construction. The driver
+    corpus has no byte-identical copies (every group is a singleton here);
+    reordered/near copies are caught by q_doc_fingerprint and the
+    MinHash/SimHash queries."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
         .orderBy("keep_doc_id")
     )
 
