@@ -1,0 +1,117 @@
+"""NER adapter (U1), person branch (J8/M2/M3), metrics (K9/A7), URL
+utilities (M15)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.metrics import observe_counts, observe_ingest
+from sentinela_py_spark.functions.urls import resolve_url, strip_pagination
+from sentinela_py_spark.operators.ner import (
+    analyze_articles,
+    heuristic_person_engine,
+    load_engine,
+    noop_engine,
+    person_dimension,
+    person_occurrences,
+)
+
+ARTICLES = [
+    (
+        "https://ex.com/a1",
+        "O prefeito Carlos Alberto de Souza visitou a escola. Maria Silva aprovou.",
+    ),
+    ("https://ex.com/a2", "Nada para extrair aqui."),
+    ("https://ex.com/a3", None),
+]
+
+
+@pytest.fixture(scope="module")
+def articles(spark):
+    return spark.createDataFrame(ARTICLES, ["url", "body"])
+
+
+def test_noop_engine_default(monkeypatch, articles):
+    monkeypatch.delenv("EXTRACTION_NER_FACTORY", raising=False)
+    assert load_engine() is noop_engine
+    spans = analyze_articles(articles, noop_engine).select(F.size("spans")).collect()
+    assert all(r[0] == 0 for r in spans)
+
+
+def test_factory_loading(monkeypatch):
+    monkeypatch.setenv(
+        "EXTRACTION_NER_FACTORY", "sentinela_py_spark.operators.ner:heuristic_person_engine"
+    )
+    assert load_engine() is heuristic_person_engine
+
+
+def test_analyze_articles_spans(articles):
+    rows = {
+        r["url"]: r["spans"]
+        for r in analyze_articles(articles, heuristic_person_engine).collect()
+    }
+    texts = [s["text"] for s in rows["https://ex.com/a1"]]
+    assert "Carlos Alberto de Souza" in texts
+    assert "Maria Silva" in texts
+    assert rows["https://ex.com/a2"] == []
+    assert rows["https://ex.com/a3"] == []
+
+
+def test_person_occurrences_branch(articles):
+    occ = person_occurrences(articles, heuristic_person_engine).collect()
+    by_name = {r["canonical_name"]: r for r in occ}
+    # reference normalization capitalizes connectors too ("de" -> "De"),
+    # normalization.py:101-115
+    carlos = by_name["Carlos Alberto De Souza"]
+    # deterministic J8 identity: sha2 of the canonical name
+    assert carlos["person_id"] == hashlib.sha256(b"Carlos Alberto De Souza").hexdigest()
+    # M3: containing sentence
+    assert carlos["sentence"] == "O prefeito Carlos Alberto de Souza visitou a escola."
+    assert by_name["Maria Silva"]["sentence"] == "Maria Silva aprovou."
+    assert carlos["confidence"] == 0.9
+
+
+def test_person_dimension(articles):
+    dim = person_dimension(person_occurrences(articles, heuristic_person_engine)).collect()
+    names = {r["canonical_name"]: r["n_occurrences"] for r in dim}
+    assert names == {"Carlos Alberto De Souza": 1, "Maria Silva": 1}
+
+
+def test_observe_metrics(spark):
+    df = spark.createDataFrame(
+        [("p1", "t", "u1"), ("p1", "", "u2"), ("p2", None, "u3")],
+        ["portal_name", "title", "url"],
+    )
+    observed, metrics = observe_ingest(df)
+    observed.count()
+    s = metrics.summary()
+    assert s["seen"] == 3 and s["empty_title"] == 2
+    assert "elapsed_ms_total" in s
+
+    observed2, m2 = observe_counts(df.filter(F.col("title") == "t"))
+    observed2.count()
+    assert m2.summary()["rows"] == 1
+
+
+def test_url_utils(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/news?page=3", "https://ex.com/x/y/", "z.html"),
+            ("https://ex.com/news/pagina/2/", "https://ex.com/x/y/", "/root.html"),
+            ("https://ex.com/news-2", "https://ex.com/x/y/", "https://other.com/a"),
+        ],
+        ["listing", "base", "href"],
+    )
+    out = df.select(
+        strip_pagination(F.col("listing")).alias("stripped"),
+        resolve_url(F.col("base"), F.col("href")).alias("resolved"),
+    ).collect()
+    assert out[0]["stripped"] == "https://ex.com/news"
+    assert out[1]["stripped"] == "https://ex.com/news/pagina"
+    assert out[2]["stripped"] == "https://ex.com/news"
+    assert out[0]["resolved"] == "https://ex.com/x/y/z.html"
+    assert out[1]["resolved"] == "https://ex.com/root.html"
+    assert out[2]["resolved"] == "https://other.com/a"
