@@ -118,3 +118,49 @@ def session_windows(
     return df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col)).agg(
         F.count("*").alias("n_events")
     )
+
+
+def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+    """Cross-batch first-wins URL dedup — the queue's in-flight set
+    (pending_news_queue.py:26-32) as a custom stateful operator.
+
+    `dropDuplicates` inside a batch can't suppress a URL re-enqueued in a
+    LATER micro-batch; this keeps per-URL state via
+    ``applyInPandasWithState`` with a processing-time TTL (the reference's
+    inflight entry is cleared on ack; here state expires after
+    ``ttl_minutes``, bounding state size the way a 100 TB stream must).
+    Emits each URL's first-seen row (min enqueue_seq within the batch);
+    subsequent batches emit nothing for known URLs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = (
+                pdf.sort_values("enqueue_seq").head(1)
+                if "enqueue_seq" in pdf.columns
+                else pdf.head(1)
+            )
+            first = cand if first is None else first
+        if state.exists:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            return  # URL already in flight → suppress
+        state.update((True,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    return stream.groupBy("url").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -111,3 +111,49 @@ def test_windowed_event_counts_batch_parity(spark):
 
     sessions = session_windows(events, gap="10 minutes").collect()
     assert {(r["user_id"], r["n_events"]) for r in sessions} == {(10, 2), (11, 1)}
+
+
+def test_stateful_url_dedup_across_batches(spark, tmp_path):
+    """A URL re-enqueued in a LATER micro-batch must be suppressed by the
+    keyed state (the queue's in-flight set), not just by per-batch
+    dropDuplicates."""
+    from sentinela_py_spark.schemas import NEWS_DOCUMENT
+    from sentinela_py_spark.streaming.pipeline import stateful_url_dedup
+
+    src = tmp_path / "stateful-src"
+    src.mkdir()
+    b1 = [
+        {"url": "https://n/1", "title": "t1", "body": "b", "published_at": "2024-05-02T10:00:00.000Z", "source": "p", "enqueue_seq": 2},
+        {"url": "https://n/1", "title": "t1-dup-in-batch", "body": "b", "published_at": "2024-05-02T10:00:00.000Z", "source": "p", "enqueue_seq": 5},
+        {"url": "https://n/2", "title": "t2", "body": "b", "published_at": "2024-05-02T10:00:00.000Z", "source": "p", "enqueue_seq": 3},
+    ]
+    b2 = [
+        {"url": "https://n/1", "title": "t1-replay", "body": "b", "published_at": "2024-05-02T10:30:00.000Z", "source": "p", "enqueue_seq": 9},
+        {"url": "https://n/3", "title": "t3", "body": "b", "published_at": "2024-05-02T10:30:00.000Z", "source": "p", "enqueue_seq": 10},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in b2))
+
+    stream = (
+        spark.readStream.schema(NEWS_DOCUMENT)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(str(src))
+    )
+    seen: list[tuple] = []
+
+    q = (
+        stateful_url_dedup(stream)
+        .writeStream.foreachBatch(
+            lambda df, _eid: seen.extend((r["url"], r["title"]) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt-state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    urls = sorted(u for u, _ in seen)
+    assert urls == ["https://n/1", "https://n/2", "https://n/3"]
+    # first-wins within the batch: min enqueue_seq row survives
+    assert ("https://n/1", "t1") in seen
+    assert all(t not in ("t1-dup-in-batch", "t1-replay") for _, t in seen)
