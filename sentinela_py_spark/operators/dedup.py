@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.tables import ensure_min_partitions
+
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
 N_HASHES = 16
 N_BANDS = 4
@@ -53,7 +55,8 @@ def shingle_hashes(documents: DataFrame, id_col: str = "doc_id", text_col: str =
         ),
     )
     return (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        ensure_min_partitions(documents)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
         .select("doc_id", (hex_prefix_to_long(F.md5("shingle")) % MINHASH_PRIME).alias("h"))
     )
@@ -121,7 +124,8 @@ def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     Every token votes ±1 per bit of its 32-bit md5-derived hash; bit j of
     the signature is 1 when the vote sum is positive (ties → 0)."""
     toks = (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        ensure_min_partitions(documents)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
         .select("doc_id", hex_prefix_to_long(F.md5("tok"), 8).alias("h32"))
     )
     votes = [

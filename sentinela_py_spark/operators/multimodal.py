@@ -135,7 +135,9 @@ def media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(compute, FEATURES_SCHEMA)
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(media.select("doc_id", "payload")).mapInPandas(compute, FEATURES_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -171,7 +173,9 @@ def sample_frames(
                     out["frame_md5"].append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(cut, FRAME_SCHEMA)
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(media.select("doc_id", "payload")).mapInPandas(cut, FRAME_SCHEMA)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:

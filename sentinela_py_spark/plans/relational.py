@@ -861,7 +861,9 @@ def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     single UDF."""
     from sentinela_py_spark.functions.datetimes import PT_MONTHS, parse_datetime_cascade
 
-    o = load_table(spark, sf_dir, "orders")
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    o = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
     pt_month = F.element_at(
         F.array(*[F.lit(m) for m in PT_MONTHS]), F.month("o_orderdate")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.plans.registry import register
-from sentinela_py_spark.tables import load_table
+from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 N_QUERY_VECTORS = 3  # vec_id 0..2 act as the query set
 TOP_K = 5
@@ -101,7 +101,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate partitions (no shuffle of the big side), then a per-query
     top-k window. Ties broken on rounded score + neighbor id so ranking is
     deterministic across engines and partitionings."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -206,7 +206,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product) instead of three — ~3× on the O(n²) hot path, and the
     resulting doubles are bit-identical to the inline formula (the oracle
     is unchanged)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm")
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("norm").alias("na"))
@@ -252,7 +252,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     product to same-bucket candidates (16 buckets here; at 100 TB the
     bucket id is the shuffle key and candidate work scales with bucket
     occupancy, not |corpus|). Exact cosine + top-k inside the bucket."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     q = bucketed.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
@@ -315,7 +315,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: assignment is map-side (centroids broadcast), the cell id
     becomes the partition key, and the cell join replaces the cross
     product — the canonical IVF-flat layout."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )

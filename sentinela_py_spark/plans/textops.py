@@ -24,7 +24,7 @@ from sentinela_py_spark.functions.text_stats import (
     token_count,
 )
 from sentinela_py_spark.plans.registry import register
-from sentinela_py_spark.tables import load_table
+from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
 @register(
@@ -227,7 +227,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"
     )
     shingles = (
-        d.select("doc_id", F.explode(shingle_list).alias("shingle")).distinct()
+        ensure_min_partitions(d).select("doc_id", F.explode(shingle_list).alias("shingle")).distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")

@@ -45,6 +45,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_min_partitions(df: DataFrame, minimum: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than
+    requested (default: the cluster's defaultParallelism).
+
+    The driver's testdata parquet is written as ONE row group per table,
+    so file scans are unsplittable and every downstream stage until the
+    first shuffle runs on ≤3 tasks regardless of cores. Compute-heavy
+    operators (explodes, pandas UDFs, non-equi joins) call this to unlock
+    full parallelism; the guard means a well-partitioned production table
+    (100 TB lakes have thousands of row groups) passes through untouched,
+    with no extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    minimum = minimum if minimum is not None else sc.defaultParallelism
+    if df.rdd.getNumPartitions() < minimum:
+        return df.repartition(minimum)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table and register it as a temp view; returns the dict."""
     out: dict[str, DataFrame] = {}
