@@ -1,0 +1,80 @@
+"""Scale-out strategies: bucketed joins plan without shuffles; salted
+joins spread hot keys without changing results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.scale import salted_join, write_bucketed
+from sentinela_py_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based joins so the bucketing effect is observable."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+
+    # un-bucketed baseline: the join must shuffle both sides
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    assert "Exchange hashpartitioning" in _executed_plan(plain)
+
+    try:
+        write_bucketed(orders, "b_orders", "o_custkey", 8, sort_cols=["o_custkey"])
+        write_bucketed(customer, "b_customer", "c_custkey", 8, sort_cols=["c_custkey"])
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        bucketed = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = _executed_plan(bucketed)
+        assert "Exchange hashpartitioning" not in plan, plan
+
+        # identical results either way
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_unsalted(spark):
+    # skewed big side: 90% of rows share one key
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame([(i, f"dim-{i}") for i in range(50)], ["k", "label"])
+
+    plain = big.join(small, "k").select("row_id", "label")
+    salted = salted_join(big, small, "k", n_salts=8, distinct_cols=["row_id"]).select(
+        "row_id", "label"
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_salt_spreads_hot_key(spark):
+    from sentinela_py_spark.operators.scale import salt_column
+
+    df = spark.range(0, 1000).select(F.lit(7).alias("k"), F.col("id").alias("row_id"))
+    n = (
+        df.withColumn("salt", salt_column(8, "row_id"))
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8  # the hot key now hits 8 reducers, not 1
