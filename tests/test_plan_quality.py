@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must be visible in the executed plan, not assumed —
+predicate pushdown into the parquet scan, column pruning, broadcast of
+dimension tables, and whole-stage codegen over the hot expressions."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentinela_py_spark.plans import QUERIES
+from sentinela_py_spark.plans.registry import _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+_ensure_loaded()
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    df = QUERIES[name].spark(spark, SF)
+    if execute:
+        # AQE only materializes THIS df's final plan (with codegen stage
+        # markers) after an action on the same DataFrame
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_period_scan_pushes_predicates(spark):
+    plan = _plan(spark, "q_period_scan")
+    assert "PushedFilters" in plan
+    # both the equality and range predicates reach the scan
+    assert "o_orderpriority" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _plan(spark, "q_pricing_summary")
+    scan = plan.split("FileScan")[1]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 7 needed columns are read, not the full lineitem schema
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_revenue_query_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q_revenue_per_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    for name in ("q_pricing_summary", "q_haversine_supplier_nation", "q_text_quality"):
+        # "*(N)" prefixes mark whole-stage-codegen stages in the final
+        # adaptive plan
+        assert "*(" in _plan(spark, name, execute=True), name
+
+
+def test_anti_join_not_row_probe(spark):
+    plan = _plan(spark, "q_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_minhash_single_aggregation_pass(spark):
+    # the band explode must not duplicate the signature aggregation
+    plan = _plan(spark, "q_minhash_signatures")
+    assert plan.count("HashAggregate") <= 4  # partial+final for agg (+distinct pair)
