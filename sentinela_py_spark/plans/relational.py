@@ -915,3 +915,57 @@ def q_event_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q_cube_summary",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey_ref="§2.4 superset (cube alongside rollup as first-class grouping sets)",
+    tags=("agg",),
+)
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys — all 4 grouping sets from one partial-agg
+    pipeline, no extra scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "q_docs_mentioning_model",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'model')
+      AND len(list_filter(string_split(text, ' '), t -> t = 'data')) >= 1
+    ORDER BY doc_id
+    """,
+    survey_ref="F2 array membership predicate (mongo_article_repository.py:58-72 cities $or clause shape)",
+    tags=("filter", "array"),
+)
+def q_docs_mentioning_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-membership predicates over a derived token array — the Spark
+    rendering of the reference's `cities.identifier == c` clause
+    (array_contains + exists on the nested collection)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.filter(
+            F.array_contains(toks, "model")
+            & (F.exists(toks, lambda t: t == "data"))
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) for the scalar text/url functions —
+the randomized layer the reference's suite lacks (SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from sentinela_py_spark.functions.textnorm import (
+    find_sentence_containing,
+    normalize_person_name,
+    strip_accents,
+)
+
+NAME_CHARS = st.sampled_from("abcdefgABCDEFG áéíóúç ÀÂÃ-. ")
+names = st.text(NAME_CHARS, min_size=1, max_size=40)
+
+
+@settings(max_examples=100, deadline=None)
+@given(names)
+def test_normalize_person_name_idempotent(surface):
+    canonical, _ = normalize_person_name(surface)
+    again, _ = normalize_person_name(canonical)
+    assert again == canonical
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80))
+def test_strip_accents_ascii_fixpoint(s):
+    folded = strip_accents(s)
+    assert strip_accents(folded) == folded
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(st.sampled_from("ab .!?\n"), min_size=1, max_size=120))
+def test_sentence_contains_offset(text):
+    for start in range(0, len(text), 7):
+        sentence = find_sentence_containing(text, start)
+        # the returned sentence is always a substring of the source
+        assert sentence == "" or sentence in text
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1970, 1, 2),
+        max_value=dt.datetime(2100, 1, 1),
+    )
+)
+def test_pt_month_rewrite_roundtrip(ts):
+    """The PT month-name rewrite chain maps every month correctly (pure
+    string check mirroring functions/datetimes.py's replace chain)."""
+    from sentinela_py_spark.functions.datetimes import PT_MONTHS
+
+    raw = f"{ts.day:02d} de {PT_MONTHS[ts.month - 1]} de {ts.year}"
+    out = raw.lower()
+    for i, name in enumerate(PT_MONTHS, start=1):
+        out = out.replace(f" de {name} de ", f"/{i:02d}/")
+    assert out == f"{ts.day:02d}/{ts.month:02d}/{ts.year}"

@@ -157,3 +157,66 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
     # first-wins within the batch: min enqueue_seq row survives
     assert ("https://n/1", "t1") in seen
     assert all(t not in ("t1-dup-in-batch", "t1-replay") for _, t in seen)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 10-minute watermark: an
+    event arriving after its window passed the watermark must NOT change
+    the already-emitted window result (T6 late-data policy)."""
+    from sentinela_py_spark.streaming.pipeline import windowed_event_counts
+
+    import os
+    import time
+
+    src = tmp_path / "wm-src"
+    src.mkdir()
+    files = {
+        # batch 0: two in-window clicks + the watermark-advancing event
+        "b1.json": [
+            {"event_id": 1, "ts": "2024-01-01T10:00:30.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T10:03:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T10:16:00.000Z", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+        # batch 1: watermark (from batch 0) reaches 10:06 -> the
+        # 10:00-10:05 window closes and is emitted here
+        "b2.json": [
+            {"event_id": 4, "ts": "2024-01-01T10:17:00.000Z", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+        # batch 2: LATE event for the already-closed window -> dropped
+        "b3.json": [
+            {"event_id": 5, "ts": "2024-01-01T10:01:00.000Z", "user_id": 3, "event_type": "click", "value": 9.0, "props": "{}"},
+            {"event_id": 6, "ts": "2024-01-01T10:31:00.000Z", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+    }
+    now = time.time()
+    for i, (name, rows) in enumerate(files.items()):
+        p = src / name
+        p.write_text("\n".join(json.dumps(d) for d in rows))
+        # deterministic mtimes fix the file (= micro-batch) ordering
+        os.utime(p, (now - 300 + i * 10, now - 300 + i * 10))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt-wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql(
+        "SELECT w.start AS ws, event_type, n, value_sum FROM wm_counts"
+    ).collect()
+    closed = [r for r in rows if r["ws"] == dt.datetime(2024, 1, 1, 10, 0)]
+    assert len(closed) == 1
+    # late event 5 (value 9.0) did not leak into the closed window
+    assert closed[0]["n"] == 2 and closed[0]["value_sum"] == 2.0
