@@ -12,7 +12,7 @@ MinHash-LSH banding uses at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.functions.text_stats import (
@@ -221,29 +221,34 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), not |docs|² — the exact-threshold complement of MinHash-LSH.
     Jaccard is a ratio of integers → bit-identical across engines."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
     shingle_list = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
         " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"
     )
+    # per-doc shingle-set size rides along via a window over the same
+    # relation, so each self-join side already carries its size — two
+    # size-lookup joins (and two recomputations of the explode) removed
+    sizes_w = W.partitionBy("doc_id")
     shingles = (
-        ensure_min_partitions(d).select("doc_id", F.explode(shingle_list).alias("shingle")).distinct()
+        ensure_min_partitions(d)
+        .select("doc_id", F.explode(shingle_list).alias("shingle"))
+        .distinct()
+        .withColumn("n_shingles", F.count("*").over(sizes_w))
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a.n_shingles").alias("na"),
+            F.first("b.n_shingles").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
