@@ -969,3 +969,64 @@ def q_docs_mentioning_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_asof_last_view",
+    oracle="""
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           last_view_id, last_view_ts
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      FROM events
+    )
+    WHERE event_type = 'click'
+    ORDER BY user_id, click_id
+    """,
+    survey_ref="custom operator (no reference analog): as-of join as a window composition",
+    tags=("window", "asof", "join"),
+)
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent strictly-prior
+    view. Spark has no ASOF JOIN primitive; the idiomatic rendering is an
+    ignore-nulls last() over a rows-preceding frame — ONE shuffle on the
+    partition key versus the O(n²) theta-join a naive `b.ts <= a.ts` would
+    plan. The same shape serves trades-vs-quotes style enrichment at any
+    scale (frame state is O(1) per row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_id = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    view_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            view_id.alias("last_view_id"),
+            view_ts.alias("last_view_ts"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "last_view_id",
+            "last_view_ts",
+        )
+        .orderBy("user_id", "click_id")
+    )
