@@ -1,0 +1,82 @@
+"""S8 catalog source: alias coalescing, bbox shape tolerance (M18),
+completeness gate, dedupe-by-id (A8), and partition pruning for a
+partitioned article store (§4.1 pushdown table)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sentinela_py_spark.sources.catalog import (
+    IncompleteCatalogError,
+    load_city_catalog,
+)
+
+ROWS = [
+    # canonical keys + bbox mapping
+    {"ibge_id": "2408102", "name": "Natal", "uf": "RN", "region": "Nordeste",
+     "latitude": -5.79, "longitude": -35.21,
+     "bbox": {"south": -6.0, "west": -35.4, "north": -5.6, "east": -35.0},
+     "capital": True},
+    # alias keys (id/nome) + bbox as [w, s, e, n] sequence
+    {"id": 3550308, "nome": "São Paulo", "uf": "SP", "regiao": "Sudeste",
+     "lat": -23.55, "lng": -46.63,
+     "bbox": [-46.8, -23.8, -46.4, -23.3]},
+    # duplicate ibge_id — first wins
+    {"ibge_id": "2408102", "name": "Natal-dup", "uf": "RN"},
+    # unusable row (no id) — dropped
+    {"name": "Sem Id", "uf": "XX"},
+]
+
+
+@pytest.fixture(scope="module")
+def catalog_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cat") / "municipios_v1.json"
+    p.write_text(json.dumps(ROWS))
+    return str(p)
+
+
+def test_alias_and_bbox_normalization(spark, catalog_path):
+    cat = load_city_catalog(spark, catalog_path)
+    rows = {r["ibge_id"]: r for r in cat.collect()}
+    assert set(rows) == {"2408102", "3550308"}
+    natal = rows["2408102"]
+    assert natal["name"] == "Natal"  # dup dropped, first wins
+    assert natal["coords"]["lat"] == -5.79 and natal["capital"] is True
+    assert natal["bbox"]["south"] == -6.0 and natal["bbox"]["east"] == -35.0
+    sp = rows["3550308"]
+    assert sp["name"] == "São Paulo" and sp["region"] == "Sudeste"
+    # [w, s, e, n] sequence mapped onto the named struct
+    assert sp["bbox"]["west"] == -46.8 and sp["bbox"]["south"] == -23.8
+    assert sp["bbox"]["east"] == -46.4 and sp["bbox"]["north"] == -23.3
+    assert sp["capital"] is False
+
+
+def test_completeness_gate(spark, catalog_path):
+    with pytest.raises(IncompleteCatalogError, match="2 records < required 5000"):
+        load_city_catalog(spark, catalog_path, ensure_complete=True)
+    # explicit lower bound passes
+    cat = load_city_catalog(
+        spark, catalog_path, ensure_complete=True, minimum_record_count=2
+    )
+    assert cat.count() == 2
+
+
+def test_partitioned_store_prunes(spark, tmp_path):
+    """The articles store partitioned by portal (SURVEY §4.1's replacement
+    for Mongo secondary indexes): a portal predicate must prune partitions
+    at planning time, not filter rows after a full scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("p"), (F.col("id") % 4).cast("string")).alias("portal_name"),
+        F.col("id").alias("article_id"),
+    )
+    path = str(tmp_path / "articles_part")
+    df.write.partitionBy("portal_name").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("portal_name") == "p1")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(portal_name" in plan
+    assert q.count() == 250
