@@ -252,3 +252,81 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_canonical_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256('{"doc_id": ' || doc_id || ', "text": "' || text || '"}') AS payload_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="M14 canonical-JSON SHA-256 (city_extraction_job.py:254-271) / F6 idempotency key",
+    tags=("scalar", "hash"),
+)
+def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash idempotency key: sha256 over the canonical JSON of the
+    payload, computed through the engine's Arrow pandas UDF (the UDF
+    mirrors ``json.dumps(sort_keys=True, ensure_ascii=False)`` byte for
+    byte — SURVEY §7.3.3). The oracle rebuilds the identical canonical
+    string in SQL (the corpus needs no JSON escaping, asserted by the
+    parity check itself: any divergence would hash-mismatch)."""
+    from sentinela_py_spark.functions.hashing import canonical_sha256_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.struct(F.col("doc_id"), F.col("text"))
+    return (
+        d.select("doc_id", canonical_sha256_udf(payload).alias("payload_hash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_top_token_per_lang",
+    oracle="""
+    SELECT lang, tok AS top_token, n
+    FROM (
+      SELECT lang, tok, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, tok) AS rn
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    )
+    WHERE rn = 1
+    ORDER BY lang
+    """,
+    survey_ref="U1-family grouped-map: applyInPandas per-group computation (text analysis)",
+    tags=("text", "pandas-udf"),
+)
+def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token per language via grouped-map ``applyInPandas``:
+    each language's documents arrive as ONE pandas DataFrame (Arrow), the
+    modal token is found vectorized, ties broken lexicographically so the
+    result is deterministic and hash-matches the SQL window oracle.
+
+    Scale note: groupBy(lang).applyInPandas shuffles each group to a
+    single task — right when per-group state must be whole (mode, model
+    fit); for merely-associative stats the built-in agg (the oracle's
+    shape) stays preferable. Both shapes are exposed; this query proves
+    the grouped-map path end-to-end."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def top_token(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        toks = pdf["text"].str.split(" ").explode()
+        counts = toks.groupby(toks).size()
+        # deterministic winner: max count, then lexicographically smallest
+        best_n = counts.max()
+        best_tok = counts[counts == best_n].index.min()
+        return pd.DataFrame(
+            {"lang": [pdf["lang"].iloc[0]], "top_token": [best_tok], "n": [int(best_n)]}
+        )
+
+    return (
+        d.select("lang", "text")
+        .groupBy("lang")
+        .applyInPandas(top_token, "lang string, top_token string, n long")
+        .orderBy("lang")
+    )
