@@ -1,0 +1,112 @@
+"""Scrape-source pure logic: selector repair (M16) and first-page
+fallback URL candidates (S3).
+
+These are the deterministic, HTTP-free parts of the reference's scraping
+layer (sentinela/infrastructure/scraper.py:375-469 fallback candidates;
+scraper.py:522-554 malformed-selector normalization). The fetch itself
+stays a driver-side source adapter (SURVEY §7.1.8); this module is what
+makes that adapter's behavior testable without a network.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit, urlunsplit
+
+PAGINATION_PARAMS = frozenset({"page", "paged", "pagina", "pag", "p"})
+_PAGE_SUFFIXES = ("/1", "-1", "_1")
+_PAGE_SEGMENTS = ("/page", "/pagina", "/pag", "/p")
+
+
+def normalize_selector_query(query: str) -> str:
+    """Repair a CSS selector with unbalanced brackets or quotes.
+
+    Rules (mirroring the reference's tolerance): an unclosed quote is
+    closed at the next ``]`` (or at end of string); unclosed ``[`` get
+    their ``]`` appended at the end. Balanced selectors pass through
+    unchanged."""
+    out: list[str] = []
+    open_quote: str | None = None
+    depth = 0
+    for ch in query:
+        if ch in "'\"":
+            if open_quote is None:
+                open_quote = ch
+            elif open_quote == ch:
+                open_quote = None
+        if ch == "[" and open_quote is None:
+            depth += 1
+        elif ch == "]":
+            if open_quote is not None:
+                out.append(open_quote)
+                open_quote = None
+            if depth > 0:
+                depth -= 1
+        out.append(ch)
+    if open_quote is not None:
+        out.append(open_quote)
+    out.extend("]" * depth)
+    return "".join(out)
+
+
+def simplify_first_child(query: str) -> str:
+    """The ``:first-child`` fallback: retry the parent selector when the
+    exact child match fails (reference scraper.py:503-507)."""
+    return query.replace(" > *:first-child", "").replace(":first-child", "")
+
+
+def first_page_fallback_urls(base_url: str, original_url: str) -> list[str]:
+    """Candidate URLs for page 1 when the paginated listing comes back
+    empty: pagination query params removed, ``/1``/``-1``/``_1`` suffixes
+    (and then a trailing /page|/pagina|/pag|/p segment) stripped, finally
+    the portal base URL. Deduplicated (trailing-slash-insensitive) and
+    never echoing the original URL."""
+    parts = urlsplit(original_url)
+    candidates: list[str] = []
+
+    if parts.query:
+        kept = [
+            item
+            for item in parts.query.split("&")
+            if item.split("=", 1)[0] not in PAGINATION_PARAMS
+        ]
+        if len(kept) != len(parts.query.split("&")):
+            new_query = "&".join(p for p in kept if p)
+            candidates.append(
+                urlunsplit((parts.scheme, parts.netloc, parts.path, new_query, parts.fragment))
+            )
+
+    for suffix in _PAGE_SUFFIXES:
+        if parts.path.endswith(suffix):
+            trimmed = parts.path[: -len(suffix)]
+            candidates.append(
+                urlunsplit(
+                    (parts.scheme, parts.netloc, trimmed or "/", parts.query, parts.fragment)
+                )
+            )
+            for seg in _PAGE_SEGMENTS:
+                if trimmed.endswith(seg):
+                    candidates.append(
+                        urlunsplit(
+                            (
+                                parts.scheme,
+                                parts.netloc,
+                                trimmed[: -len(seg)] or "/",
+                                parts.query,
+                                parts.fragment,
+                            )
+                        )
+                    )
+
+    candidates.append(base_url)
+
+    original_norm = original_url.rstrip("/")
+    seen: set[str] = set()
+    unique: list[str] = []
+    for cand in candidates:
+        cand = cand or base_url
+        norm = cand.rstrip("/")
+        if not norm or norm == original_norm or norm in seen:
+            continue
+        seen.add(norm)
+        unique.append(cand)
+    return unique

@@ -1,0 +1,66 @@
+"""Selector repair (M16) and first-page fallback candidates (S3) —
+goldens mirroring the reference's scraper tests
+(tests/test_scraper_selector_normalization.py,
+tests/test_scraper_listing_fallback.py)."""
+
+from __future__ import annotations
+
+from sentinela_py_spark.sources.scrape_utils import (
+    first_page_fallback_urls,
+    normalize_selector_query,
+    simplify_first_child,
+)
+
+
+def test_selector_balanced_passthrough():
+    assert normalize_selector_query("div.article > a[href]") == "div.article > a[href]"
+
+
+def test_selector_missing_bracket_appended():
+    assert normalize_selector_query("a[href='x'") == "a[href='x']"
+    assert normalize_selector_query("div[data-id") == "div[data-id]"
+
+
+def test_selector_unclosed_quote_closed_before_bracket():
+    assert normalize_selector_query("a[href='x]") == "a[href='x']"
+    assert normalize_selector_query('a[title="t]') == 'a[title="t"]'
+
+
+def test_selector_unclosed_quote_at_end():
+    assert normalize_selector_query("a[href='x") == "a[href='x']"
+
+
+def test_first_child_simplification():
+    assert simplify_first_child("div.list > *:first-child") == "div.list"
+    assert simplify_first_child("h2:first-child") == "h2"
+
+
+BASE = "https://ex.com"
+
+
+def test_fallback_strips_pagination_params():
+    urls = first_page_fallback_urls(BASE, "https://ex.com/news?page=2&cat=x")
+    assert urls[0] == "https://ex.com/news?cat=x"
+    assert urls[-1] == BASE
+
+
+def test_fallback_param_only_query():
+    urls = first_page_fallback_urls(BASE, "https://ex.com/news?page=2")
+    assert "https://ex.com/news" in urls
+
+
+def test_fallback_suffixes_and_segments():
+    urls = first_page_fallback_urls(BASE, "https://ex.com/news/page/1")
+    assert "https://ex.com/news/page" in urls
+    assert "https://ex.com/news" in urls  # /page segment also stripped
+    urls2 = first_page_fallback_urls(BASE, "https://ex.com/news/pagina-1")
+    assert "https://ex.com/news/pagina" in urls2
+    assert "https://ex.com/news" in urls2
+
+
+def test_fallback_excludes_original_and_dedupes():
+    urls = first_page_fallback_urls(BASE, "https://ex.com/news")
+    assert "https://ex.com/news" not in urls
+    assert urls == [BASE]
+    # base itself as original → nothing to suggest
+    assert first_page_fallback_urls(BASE, BASE + "/") == []
