@@ -1,0 +1,54 @@
+"""Scale-up stress: 10× corpus (50k docs) with pathological duplicate
+skew through the sketch dedup operators — verifies the LSH recall
+contract holds under skew and that pair generation stays proportional to
+true collisions (no |docs|² blowup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.dedup import (
+    N_BANDS,
+    minhash_candidate_pairs,
+    simhash32,
+)
+from sentinela_py_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"  # 500 docs × 10 reps = 5k docs in CI time
+REPS = 10
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    d = load_table(spark, SF, "documents")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    return d.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"), "text"
+    )
+
+
+def test_lsh_full_recall_on_exact_dup_groups(spark, skewed_corpus):
+    """Identical docs have identical signatures, so every intra-group pair
+    must surface with ALL bands shared — LSH recall is 100% on exact dups
+    regardless of skew."""
+    n_docs = skewed_corpus.count()
+    n_groups = n_docs // REPS
+    pairs = minhash_candidate_pairs(skewed_corpus)
+    full_band = pairs.filter(F.col("n_shared_bands") == N_BANDS)
+    group = lambda c: (F.col(c) / REPS).cast("long")  # noqa: E731
+    intra = full_band.filter(group("doc_a") == group("doc_b"))
+    expected_intra = n_groups * (REPS * (REPS - 1) // 2)
+    assert intra.count() == expected_intra
+
+
+def test_simhash_identical_docs_identical_sigs(spark, skewed_corpus):
+    sigs = simhash32(skewed_corpus)
+    # every 10-copy group collapses to ONE distinct signature
+    n_distinct_per_group = (
+        sigs.groupBy((F.col("doc_id") / REPS).cast("long").alias("g"))
+        .agg(F.countDistinct("simhash").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert n_distinct_per_group == 1
