@@ -1030,3 +1030,36 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_id")
     )
+
+
+@register(
+    "q_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ref="§2.4 superset: exact percentiles (data-quality profiling agg)",
+    tags=("agg", "percentile"),
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`; 4dp rounding absorbs interpolation ulps).
+    At 100 TB the approx_percentile sketch replaces this when a bounded
+    error is acceptable — exact percentiles need the full sorted group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
