@@ -1063,3 +1063,38 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total,
+           NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+    FROM spend
+    ORDER BY quartile, o_custkey
+    """,
+    survey_ref="§2.5 superset: NTILE bucketing (first-class ranking family)",
+    tags=("window",),
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend quartiles via NTILE over a deterministic (total, key) order —
+    ties broken by key so bucket assignment is engine-independent.
+
+    Scale note: an unpartitioned window funnels all rows through one
+    task; the input here is already one-row-per-customer (post-agg), so
+    it's |customers|, not |orders|. For quartiles over a truly huge key
+    space, switch to percentile thresholds + a map-side bucket join."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total")
+    )
+    w = W.orderBy(F.col("total").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .select("o_custkey", "total", "quartile")
+        .orderBy("quartile", "o_custkey")
+    )

@@ -330,3 +330,98 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(top_token, "lang string, top_token string, n long")
         .orderBy("lang")
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    survey_ref="text analysis: TF-IDF top terms per document (training-data feature extraction)",
+    tags=("text",),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Integer tf/df aggregates, one
+    shuffle each; the document-frequency table joins on term (broadcast
+    when vocab is small, AQE decides); ln ratio rounded to 6dp so both
+    engines rank identically. At 100 TB the df table IS the vocabulary —
+    small relative to the corpus, the canonical broadcast side."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one job, embedded as a literal
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS n_t
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    sizes AS (SELECT doc_id, SUM(n_t) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+             (CAST(n_t AS DOUBLE)/n) * LN(CAST(n_t AS DOUBLE)/n)
+             AS DECIMAL(28,15))) AS DOUBLE) * -1, 6) AS entropy,
+           COUNT(*) AS n_distinct_terms
+    FROM tf JOIN sizes USING (doc_id)
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+    survey_ref="text analysis: token-distribution entropy (quality/diversity score)",
+    tags=("text",),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    lexical-diversity quality signal. Per-term contributions are cast to
+    DECIMAL(28,15) before summing so the aggregate is order-insensitive
+    (double sums are not associative; a shuffle-order change would
+    otherwise flip low bits and break the oracle hash)."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_t"))
+    sizes = tf.groupBy("doc_id").agg(F.sum("n_t").alias("n"))
+    p = F.col("n_t").cast("double") / F.col("n")
+    contrib = (p * F.log(p)).cast("decimal(28,15)")
+    return (
+        tf.join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib).cast("double") * -1, 6).alias("entropy"),
+            F.count("*").alias("n_distinct_terms"),
+        )
+        .orderBy("doc_id")
+    )
