@@ -47,6 +47,11 @@ HEADLINE = [
     "q_media_features",
     "q_media_frames",
     "q_haversine_supplier_nation",
+    # second-wave surface
+    "q_asof_last_view",
+    "q_price_percentiles",
+    "q_tfidf_top_terms",
+    "q_token_entropy",
 ]
 
 

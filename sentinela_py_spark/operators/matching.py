@@ -6,10 +6,10 @@ automaton per partition (reference dataflow: extractor.py feeding the
 city-extraction/geo jobs). ``explode_matches`` flattens it to one row per
 match for the downstream DataFrame algebra in cityagg.py.
 
-Scale: the automaton is built once on the driver from the ~5.6k-row
-catalog and serialized into the UDF closure (a broadcast variable in
-spirit); the scan is linear in text length per row, embarrassingly
-parallel, no shuffle.
+Scale: the catalog ships as a real SparkContext.broadcast (once per
+executor, not once per task closure); the automaton is rebuilt lazily
+once per worker process; the scan is linear in text length per row,
+embarrassingly parallel, no shuffle.
 """
 
 from __future__ import annotations
@@ -50,16 +50,18 @@ MATCH_STRUCT = T.StructType(
 MATCHES_TYPE = T.ArrayType(MATCH_STRUCT)
 
 
-def _match_udf(catalog_entries: tuple[Mapping[str, Any], ...]):
-    # The automaton is rebuilt lazily once per worker process (closure
-    # captures only the plain-dict catalog; _cache survives across batches).
+def _match_udf(catalog_bcast):
+    # The UDF closure captures only the Broadcast HANDLE — the catalog
+    # payload ships once per executor via the torrent broadcast, not once
+    # per task closure. The automaton itself is rebuilt lazily once per
+    # worker process (cache survives across Arrow batches).
     cache: dict[str, KeywordAutomaton] = {}
 
     @F.pandas_udf(MATCHES_TYPE)
     def run(title: pd.Series, body: pd.Series, content: pd.Series) -> pd.Series:
         auto = cache.get("auto")
         if auto is None:
-            auto = build_city_automaton(list(catalog_entries))
+            auto = build_city_automaton(list(catalog_bcast.value))
             cache["auto"] = auto
         out = []
         for t, b, c in zip(title, body, content):
@@ -88,7 +90,8 @@ def match_articles(
     content = (
         F.col(content_col) if content_col and content_col in cols else F.lit(None).cast("string")
     )
-    udf = _match_udf(tuple(dict(e) for e in catalog))
+    sc = articles.sparkSession.sparkContext
+    udf = _match_udf(sc.broadcast(tuple(dict(e) for e in catalog)))
     return articles.withColumn("matches", udf(title, body, content))
 
 
