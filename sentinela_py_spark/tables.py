@@ -70,7 +70,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        # load_table handles the events TIMESTAMP(NANOS) quirk; a raw
+        # spark.read.parquet on events.parquet throws PARQUET_TYPE_ILLEGAL
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
