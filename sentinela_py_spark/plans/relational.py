@@ -1098,3 +1098,38 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "total", "quartile")
         .orderBy("quartile", "o_custkey")
     )
+
+
+@register(
+    "q_sliding_event_buckets",
+    oracle="""
+    SELECT ws, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM (
+      SELECT event_type, value,
+             to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o * 300 AS BIGINT)) AS ws
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
+    )
+    GROUP BY ws, event_type
+    ORDER BY ws, event_type
+    """,
+    survey_ref="T6 sliding windows (batch twin of the streaming sliding-window agg)",
+    tags=("window", "time"),
+)
+def q_sliding_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5: each event lands in exactly two
+    overlapping windows (window/slide = 2 replicas — the replication
+    factor IS width/slide, which is why wide-and-fine sliding windows are
+    expensive at scale and tumbling + rollup is often the better shape).
+    The oracle derives the same window starts arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
+        .orderBy("ws", "event_type")
+    )
