@@ -93,6 +93,51 @@ def run_enrichment_stream(
     return writer.start()
 
 
+def run_extraction_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    catalog_entries: Iterable[Mapping[str, Any]],
+    sink: Callable[[Mapping[str, DataFrame], int], None],
+    engine=None,
+    ner_version: str = "v1",
+    gazetteer_version: str = "v1",
+    trigger_seconds: int | None = None,
+):
+    """The full extraction worker (§3.3) as a stream: every micro-batch
+    runs `extraction_batch` (NER + pattern mentions → gazetteer →
+    aggregation → person branch → version markers) and hands the three
+    output frames to the sink. Checkpointing makes replays no-ops when
+    the sink upserts by (url) — the reference's ack semantics."""
+    from sentinela_py_spark.operators.extraction_job import extraction_batch
+
+    catalog_entries = list(catalog_entries)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        deduped = batch.dropDuplicates(["url"])  # in-flight dedup (T3)
+        sink(
+            extraction_batch(
+                deduped,
+                catalog_entries,
+                engine=engine,
+                ner_version=ner_version,
+                gazetteer_version=gazetteer_version,
+            ),
+            epoch_id,
+        )
+
+    writer = (
+        read_news_stream(spark, source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "extract"))
+    )
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -220,3 +220,51 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(closed) == 1
     # late event 5 (value 9.0) did not leak into the closed window
     assert closed[0]["n"] == 2 and closed[0]["value_sum"] == 2.0
+
+
+def test_extraction_stream_end_to_end(spark, tmp_path):
+    """§3.3 worker as a stream: one availableNow drain produces city
+    mentions, person occurrences, and version markers via foreachBatch."""
+    from sentinela_py_spark.operators.ner import heuristic_person_engine
+    from sentinela_py_spark.streaming.pipeline import run_extraction_stream
+
+    src = tmp_path / "extract-src"
+    src.mkdir()
+    docs = [
+        {
+            "url": "https://n/x1",
+            "title": "Prefeito de Cruzeta anuncia obras",
+            "body": "Maria Silva confirmou a visita a Natal-RN.",
+            "published_at": "2024-05-02T10:00:00.000Z",
+            "source": "p",
+            "enqueue_seq": 1,
+        }
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+
+    outputs: dict[str, list] = {"cities": [], "people": [], "processed": []}
+
+    def sink(frames, epoch_id):
+        for k in outputs:
+            outputs[k].extend(frames[k].collect())
+
+    q = run_extraction_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt-extract"),
+        [
+            {"ibge_id": "2408102", "name": "Natal", "uf": "RN"},
+            {"ibge_id": "2403251", "name": "Cruzeta", "uf": "RN"},
+        ],
+        sink,
+        engine=heuristic_person_engine,
+        ner_version="n1",
+        gazetteer_version="g1",
+    )
+    q.awaitTermination(180)
+
+    city_keys = {r["mention_key"] for r in outputs["cities"]}
+    assert {"2403251", "2408102"} <= city_keys
+    assert "Maria Silva" in {r["canonical_name"] for r in outputs["people"]}
+    marker = outputs["processed"][0]
+    assert marker["ner_version"] == "n1" and marker["gazetteer_version"] == "g1"
