@@ -52,6 +52,9 @@ HEADLINE = [
     "q_price_percentiles",
     "q_tfidf_top_terms",
     "q_token_entropy",
+    # curation: pairs → groups, stratified selection
+    "q_dedup_groups",
+    "q_curated_corpus",
 ]
 
 

@@ -149,3 +149,50 @@ def exact_duplicate_groups(documents: DataFrame, id_col: str = "doc_id", text_co
         .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, group_id): connected components by iterative min-label
+    propagation — the grouping step that turns near-dup PAIRS into dedup
+    GROUPS (pick one survivor per group). ``edges`` needs columns
+    (doc_a, doc_b); vertices absent from any edge stay singletons.
+
+    Each sweep sends every vertex's current label to its neighbours and
+    keeps the min; convergence takes O(diameter) sweeps, and near-dup
+    clusters are shallow (dozens of docs, diameter ≤ a few), so this
+    terminates in 2-3 sweeps in practice. ``localCheckpoint`` truncates
+    the growing lineage so the plan stays O(1) per sweep at 100 TB
+    (the GraphX/GraphFrames large-star alternative only pays off on
+    graphs with deep chains, which dedup clusters are not).
+    """
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = vertices.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("group_id"))
+    for _ in range(max_iterations):
+        prop = (
+            labels.join(sym, labels.doc_id == sym.src)
+            .select(F.col("dst").alias("doc_id"), F.col("group_id"))
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("group_id").alias("group_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,208 @@
+"""Training-data curation queries: dedup groups, deterministic sampling,
+shard assignment, and stratified quality selection over `documents`.
+
+These close the loop from DETECTION (the pair/sketch queries in
+dedupops/textops) to ACTION: which rows survive, which split they land in,
+and which make the curated training corpus. All randomness is md5-derived
+so every query is deterministic and DuckDB-oracle-checkable: Spark's
+``conv(substr(md5(x),..),16,10)`` and DuckDB's ``('0x'||substr(md5(x),..))
+::BIGINT`` parse the same digest prefix to the same int64.
+
+Reference parity: the reference's only "sampling" is batch-size paging
+(sentinela/services/publications/jobs/city_extraction_job.py:119-131);
+hash-split sampling / sharding / curation are the training-data superset
+required at 100 TB, where a coin-flip ``rand()`` sample is neither
+reproducible nor resumable and an ORDER BY shuffle of the corpus is a
+full sort. Hash-based assignment is stateless, idempotent, and prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.text_stats import (
+    LANG_STOPWORDS,
+    quality_score,
+    stopword_count,
+)
+from sentinela_py_spark.operators.dedup import (
+    connected_components,
+    minhash_candidate_pairs,
+)
+from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
+from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.tables import load_table
+
+
+@register(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE sigs AS ({_minhash_sig_sql()}),
+    bands AS ({_band_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS group_id
+    FROM reach
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ref="dedup groups: MinHash-LSH pairs → connected components (min-label propagation)",
+    tags=("dedup", "iterative"),
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP ids: every document labelled with the min doc_id of
+    its LSH-candidate connected component (singletons label themselves).
+    group_id is the canonical survivor — `GROUP BY group_id` + keep-min is
+    the actual dedup delete list. The oracle computes the identical
+    fixpoint as a recursive-CTE transitive closure."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(d).select("doc_a", "doc_b")
+    return connected_components(d, edges).orderBy("doc_id")
+
+
+@register(
+    "q_train_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    ORDER BY doc_id
+    """,
+    survey_ref="curation: deterministic ~10% Bernoulli sample by content-key hash",
+    tags=("curation", "sampling"),
+)
+def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible held-out split: keep a row iff the first md5 byte of
+    its key falls under the threshold (0x1a/0x100 ≈ 10.2%). Unlike
+    ``df.sample()`` this is stable across runs, engines, partitionings and
+    cluster sizes, and membership is decidable per-row with no state —
+    at 100 TB this is a map-only scan with no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.filter(bucket < "1a").select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "q_training_shards",
+    oracle="""
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+    survey_ref="curation: hash-mod shard assignment (16-way) + per-shard balance stats",
+    tags=("curation", "sampling"),
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment for training-data writes, with
+    the balance check (docs and bytes per shard) that tells you whether the
+    key hashes uniformly before you commit to a layout. The same expression
+    is a valid ``repartitionByRange``/partitionBy key, so the verified
+    assignment IS the physical layout at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 16
+    )
+    return (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+_QUALITY_SQL = """
+    (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+         / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END)
+"""
+
+
+@register(
+    "q_curated_corpus",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_lang_hits_sql('en')} AS hits_en,
+             {_lang_hits_sql('es')} AS hits_es,
+             {_lang_hits_sql('fr')} AS hits_fr,
+             {_lang_hits_sql('de')} AS hits_de,
+             {_lang_hits_sql('pt')} AS hits_pt,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_pt)
+               WHEN 0 THEN 'und'
+               WHEN hits_en THEN 'en'
+               WHEN hits_es THEN 'es'
+               WHEN hits_fr THEN 'fr'
+               WHEN hits_de THEN 'de'
+               ELSE 'pt' END AS lang_guess,
+             quality
+      FROM hits
+    )
+    SELECT doc_id, lang_guess, quality, rnk
+    FROM (
+      SELECT doc_id, lang_guess, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang_guess
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 25
+    ORDER BY lang_guess, rnk
+    """,
+    survey_ref="curation: stratified top-k per detected language by quality (lang_id × quality × W1 window)",
+    tags=("curation", "window"),
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified curation: detect language (stopword vote), score quality,
+    keep the top 25 per language — the composition that turns the analysis
+    queries into an actual training corpus. One scan, one window shuffle on
+    lang_guess (5-ish partitions; at 100 TB pre-aggregate with a per-
+    partition top-k before the window to bound skew)."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lang: stopword_count("text", LANG_STOPWORDS[lang]) for lang in ("en", "es", "fr", "de", "pt")}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .when(hits["de"] == best, "de")
+        .otherwise("pt")
+    )
+    scored = d.select("doc_id", guess.alias("lang_guess"), quality_score("text").alias("quality"))
+    w = W.partitionBy("lang_guess").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .orderBy("lang_guess", "rnk")
+    )

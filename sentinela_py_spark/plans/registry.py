@@ -60,6 +60,6 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports deferred to avoid import cycles at package import time.
-    from sentinela_py_spark.plans import dedupops, mmops, relational, simops, textops  # noqa: F401
+    from sentinela_py_spark.plans import curation, dedupops, mmops, relational, simops, textops  # noqa: F401
 
     _LOADED = True

@@ -227,11 +227,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-doc shingle-set size rides along via a window over the same
     # relation, so each self-join side already carries its size — two
-    # size-lookup joins (and two recomputations of the explode) removed
+    # size-lookup joins (and two recomputations of the explode) removed.
+    # Shingles are folded to 64-bit xxhash as soon as they are exploded, so
+    # the distinct AND the self-join shuffle fixed-width longs instead of
+    # ~3-word strings (at 100 TB the shingle strings dominate shuffle bytes;
+    # a 64-bit key makes both exchanges ~5x narrower, and a same-doc
+    # collision needs ~2^32 shingles per doc to become likely).
     sizes_w = W.partitionBy("doc_id")
     shingles = (
         ensure_min_partitions(d)
-        .select("doc_id", F.explode(shingle_list).alias("shingle"))
+        .select("doc_id", F.explode(F.transform(shingle_list, lambda s: F.xxhash64(s))).alias("shingle"))
         .distinct()
         .withColumn("n_shingles", F.count("*").over(sizes_w))
     )

@@ -78,3 +78,17 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n == 8  # the hot key now hits 8 reducers, not 1
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from sentinela_py_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 → needs >1 propagation sweep),
+    # triangle 10-11-12, and singleton 99
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 99)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.group_id for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
