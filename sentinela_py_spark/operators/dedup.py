@@ -170,10 +170,20 @@ def connected_components(
     (the GraphX/GraphFrames large-star alternative only pays off on
     graphs with deep chains, which dedup clusters are not).
     """
-    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Materialize the symmetric edge list once — every sweep reuses it, and
+    # without this the whole upstream pipeline (e.g. the MinHash band join)
+    # would be recomputed per sweep.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("group_id"))
+    labels = vertices.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("group_id")).persist()
+    # Min-propagation only ever lowers labels, so Σ(group_id) is strictly
+    # decreasing until the fixpoint — an O(1)-row reduction doubles as both
+    # the materialization action for the persisted sweep and the
+    # convergence test (no compare-join needed).
+    prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
     for _ in range(max_iterations):
         prop = (
             labels.join(sym, labels.doc_id == sym.src)
@@ -183,16 +193,12 @@ def connected_components(
             labels.union(prop)
             .groupBy("doc_id")
             .agg(F.min("group_id").alias("group_id"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("group_id")).collect()[0][0]
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

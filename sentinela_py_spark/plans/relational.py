@@ -1133,3 +1133,52 @@ def q_sliding_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
         .orderBy("ws", "event_type")
     )
+
+
+@register(
+    "q_price_band_parts",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
+             ('high', 950.0, 975.0), ('premium', 975.0, 1000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(10,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+    survey_ref="range join (non-equi): fact × interval dimension, broadcast nested-loop",
+    tags=("join", "range"),
+)
+def q_price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: each part lands in the price band whose
+    [lo, hi) interval contains it. The band dim is tiny and explicitly
+    broadcast, so the non-equi condition executes as a BroadcastNestedLoop
+    join — each partition scans its parts once against 4 in-memory rows;
+    no shuffle, and the pattern holds at 100 TB because cost is
+    |fact| × |bands|, never |fact|². The mean rides on an exact decimal
+    sum so both engines divide identical numerators."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 925.0), ("mid", 925.0, 950.0),
+         ("high", 950.0, 975.0), ("premium", 975.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(10,2)")).cast("double")
+                / F.count("*")
+            ).cast("double").alias("avg_price"),
+        )
+        .orderBy("band")
+    )

@@ -430,3 +430,38 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1), 6) AS chars_per_token,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS fertility
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="text analysis: BPE-ish regex token counting (subword-run lexer; whitespace twin = q_token_stats)",
+    tags=("text",),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token stats: a GPT-2-ish lexer regex (letter runs /
+    digit runs / single punctuation) counts tokens the way a BPE
+    pre-tokenizer would see them, plus the fertility ratio (BPE tokens per
+    whitespace word) used to budget training compute. Pure
+    ``regexp_extract_all`` column algebra — JVM-side, codegen'd, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    n_toks = F.size(toks)
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.length("text").cast("double") / F.greatest(n_toks, F.lit(1)), 6).alias("chars_per_token"),
+        F.round(n_toks.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias("fertility"),
+    ).orderBy("doc_id")

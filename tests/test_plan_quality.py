@@ -63,3 +63,11 @@ def test_minhash_single_aggregation_pass(spark):
     # the band explode must not duplicate the signature aggregation
     plan = _plan(spark, "q_minhash_signatures")
     assert plan.count("HashAggregate") <= 4  # partial+final for agg (+distinct pair)
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    # non-equi interval join must be a broadcast nested-loop over the tiny
+    # band dim — a shuffled cartesian here would not survive a scale-up
+    plan = _plan(spark, "q_price_band_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
