@@ -52,3 +52,22 @@ def test_simhash_identical_docs_identical_sigs(spark, skewed_corpus):
         .first()[0]
     )
     assert n_distinct_per_group == 1
+
+
+def test_connected_components_collapse_dup_groups(spark, skewed_corpus):
+    """Pairs → groups at 10×: every 10-copy group must land in ONE
+    component (identical docs share all bands, so the pair edges always
+    connect them; LSH false-positive edges may merge groups but can never
+    split one). Also bounds the sweep count implicitly — the operator's
+    20-sweep cap would throw off the label sums if propagation stalled."""
+    from sentinela_py_spark.operators.dedup import connected_components
+
+    edges = minhash_candidate_pairs(skewed_corpus).select("doc_a", "doc_b")
+    comp = connected_components(skewed_corpus, edges)
+    max_labels_per_group = (
+        comp.groupBy((F.col("doc_id") / REPS).cast("long").alias("g"))
+        .agg(F.countDistinct("group_id").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max_labels_per_group == 1
