@@ -191,11 +191,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
     )
+    # Hamming refine BEFORE the dedup shuffle: filter commutes with
+    # distinct, and near-dups are a tiny fraction of band collisions, so
+    # the distinct exchanges survivors only (matters when a hot band
+    # bucket explodes the candidate count at scale).
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 1)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
