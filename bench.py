@@ -35,6 +35,7 @@ HEADLINE = [
     "q_user_sessions",
     "q_hourly_event_buckets",
     "q_event_last_state",
+    "q_view_click_attribution",
     # training-data pipeline: dedup / text / similarity / multimodal
     "q_dedup_exact",
     "q_ngram_jaccard_pairs",

@@ -1182,3 +1182,41 @@ def q_price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q_view_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           COUNT(*) AS n_prior_views, MAX(v.ts) AS last_view_ts
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
+    GROUP BY c.event_id, c.user_id
+    ORDER BY click_id
+    """,
+    survey_ref="event-time interval join (streaming twin: streaming/pipeline.py::view_click_attribution_stream)",
+    tags=("join", "range", "events"),
+)
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: for every click, the views by the same
+    user in the preceding hour. The equi-key (user_id) makes this a hash
+    join with the time range as a post-join predicate — one shuffle on
+    user_id, state per user bounded by the hour window; the identical
+    plan runs unbounded as a watermarked stream-stream join (see the
+    streaming twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    return (
+        c.join(
+            v,
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("v.ts") < F.col("c.ts")),
+        )
+        .groupBy(F.col("c.event_id").alias("click_id"), F.col("c.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_prior_views"), F.max("v.ts").alias("last_view_ts"))
+        .orderBy("click_id")
+    )

@@ -209,3 +209,36 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def view_click_attribution_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every (view, click) pair
+    by the same user where the view precedes the click by less than
+    ``window_minutes`` — the unbounded twin of q_view_click_attribution.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    view-ts from BOTH directions relative to click-ts, so Spark can expire
+    buffered rows once the watermark passes the interval — state stays
+    O(users × window), never O(stream). Works on batch frames too (the
+    watermark is a no-op there)."""
+    v = (views.withWatermark("ts", watermark) if views.isStreaming else views).alias("v")
+    c = (clicks.withWatermark("ts", watermark) if clicks.isStreaming else clicks).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""v.user_id = c.user_id
+            AND v.ts >= c.ts - INTERVAL {int(window_minutes)} MINUTES
+            AND v.ts < c.ts"""
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

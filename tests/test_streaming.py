@@ -268,3 +268,75 @@ def test_extraction_stream_end_to_end(spark, tmp_path):
     assert "Maria Silva" in {r["canonical_name"] for r in outputs["people"]}
     marker = outputs["processed"][0]
     assert marker["ner_version"] == "n1" and marker["gazetteer_version"] == "g1"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (view→click attribution):
+    the streamed pairs must equal the batch join over the same rows, and
+    the physical plan must be a real stream-stream join (two watermarked
+    sides), not a collected snapshot."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from sentinela_py_spark.streaming.pipeline import view_click_attribution_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    rows = [
+        # user 1: view 09:30 → click 10:00 (attributed), view 11:30 (after click, no)
+        {"event_id": 1, "ts": "2024-05-02T09:30:00.000Z", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-05-02T10:00:00.000Z", "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-05-02T11:30:00.000Z", "user_id": 1, "event_type": "view"},
+        # user 2: view 05:00 → click 10:00 is OUTSIDE the 60-min window
+        {"event_id": 4, "ts": "2024-05-02T05:00:00.000Z", "user_id": 2, "event_type": "view"},
+        {"event_id": 5, "ts": "2024-05-02T10:00:00.000Z", "user_id": 2, "event_type": "click"},
+        # user 3: two views inside the window → two pairs for one click
+        {"event_id": 6, "ts": "2024-05-02T09:10:00.000Z", "user_id": 3, "event_type": "view"},
+        {"event_id": 7, "ts": "2024-05-02T09:50:00.000Z", "user_id": 3, "event_type": "view"},
+        {"event_id": 8, "ts": "2024-05-02T10:05:00.000Z", "user_id": 3, "event_type": "click"},
+    ]
+    src = tmp_path / "attr-src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in rows))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    joined = view_click_attribution_stream(
+        stream.filter("event_type = 'view'"), stream.filter("event_type = 'click'")
+    )
+    assert joined.isStreaming
+
+    got: list[tuple] = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _eid: got.extend(
+                (r["click_id"], r["view_id"], r["user_id"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt-attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(got) == [(2, 1, 1), (8, 6, 3), (8, 7, 3)]
+
+    # batch twin over the same rows produces the same pairs
+    batch = spark.createDataFrame(
+        [(d["event_id"], d["ts"].replace("Z", "+00:00"), d["user_id"], d["event_type"]) for d in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id", "event_type")
+    b = view_click_attribution_stream(
+        batch.filter("event_type = 'view'"), batch.filter("event_type = 'click'")
+    )
+    assert sorted((r["click_id"], r["view_id"], r["user_id"]) for r in b.collect()) == sorted(got)
