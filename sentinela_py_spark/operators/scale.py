@@ -65,3 +65,29 @@ def salted_join(
     )
     out = b.join(s, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
+) -> None:
+    """Persist with hive-style directory partitioning — the physical
+    layout SURVEY §4.1 maps the reference's secondary indexes onto:
+    `articles` partitioned by (portal_name, published_date) makes the
+    period/portal scans (F1/S5) partition-PRUNED reads instead of index
+    lookups, and MERGE-style rewrites touch only the affected partitions.
+
+    ``target_file_rows`` optionally repartitions by the partition columns
+    first so each partition directory gets few, right-sized files — the
+    small-files antidote at 100 TB (a naive write from N tasks creates up
+    to N files per partition directory)."""
+    partition_cols = partition_cols or ["portal_name", "published_date"]
+    out = df
+    if target_file_rows:
+        import math
+
+        n_files = max(1, math.ceil(df.count() / target_file_rows))
+        out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
