@@ -1220,3 +1220,43 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_prior_views"), F.max("v.ts").alias("last_view_ts"))
         .orderBy("click_id")
     )
+
+
+@register(
+    "q_trailing_7d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    survey_ref="window RANGE frame (time-interval): W1 family superset",
+    tags=("window", "range-frame"),
+)
+def q_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame: each order's trailing-7-day spend for
+    its customer. ``rangeBetween`` over epoch seconds is the Spark
+    rendering of SQL's RANGE INTERVAL frame — peers with equal order
+    timestamps aggregate together on both engines, so the decimal-exact
+    sum is order-insensitive and hash-stable. One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
