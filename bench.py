@@ -56,6 +56,7 @@ HEADLINE = [
     # curation: pairs → groups, stratified selection
     "q_dedup_groups",
     "q_curated_corpus",
+    "q_trailing_7d_spend",
 ]
 
 

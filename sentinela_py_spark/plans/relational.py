@@ -1260,3 +1260,45 @@ def q_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "q_unattributed_clicks",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id
+          AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
+      )
+    ORDER BY click_id
+    """,
+    survey_ref="interval anti-join (NOT EXISTS with range predicate) — J6 family over event time",
+    tags=("join", "anti", "events"),
+)
+def q_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks with NO view by the same user in the preceding hour — the
+    anti complement of q_view_click_attribution. Spark executes the
+    left_anti with the equi key (user_id) hashed and the time range as a
+    residual, so the anti probe stays a hash lookup per click (never a
+    per-row subquery as the reference's exists() probes were)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    return (
+        c.join(
+            v,
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("v.ts") < F.col("c.ts")),
+            "left_anti",
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("click_ts"),
+        )
+        .orderBy("click_id")
+    )
