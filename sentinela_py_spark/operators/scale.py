@@ -79,15 +79,16 @@ def write_partitioned(
     period/portal scans (F1/S5) partition-PRUNED reads instead of index
     lookups, and MERGE-style rewrites touch only the affected partitions.
 
-    ``target_file_rows`` optionally repartitions by the partition columns
-    first so each partition directory gets few, right-sized files — the
-    small-files antidote at 100 TB (a naive write from N tasks creates up
-    to N files per partition directory)."""
-    partition_cols = partition_cols or ["portal_name", "published_date"]
+    ``target_file_rows`` bounds rows per output file: rows are clustered
+    per partition value (one write task per directory, no small-files
+    spray from N tasks) and the writer splits any hot partition's task
+    output every ``target_file_rows`` rows via ``maxRecordsPerFile`` —
+    right-sized files with no extra pass over the input."""
+    if partition_cols is None:
+        partition_cols = ["portal_name", "published_date"]
     out = df
+    writer_opts: dict[str, str] = {}
     if target_file_rows:
-        import math
-
-        n_files = max(1, math.ceil(df.count() / target_file_rows))
-        out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
-    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        writer_opts["maxRecordsPerFile"] = str(int(target_file_rows))
+    out.write.options(**writer_opts).mode("overwrite").partitionBy(*partition_cols).parquet(path)

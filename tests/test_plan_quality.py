@@ -71,3 +71,11 @@ def test_range_join_broadcasts_band_dim(spark):
     plan = _plan(spark, "q_price_band_parts")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_hash_on_equi_key(spark):
+    # the attribution interval join must hash on user_id with the time
+    # range as a residual — a nested-loop/cartesian here is O(clicks×views)
+    plan = _plan(spark, "q_view_click_attribution")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

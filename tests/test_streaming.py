@@ -315,6 +315,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         stream.filter("event_type = 'view'"), stream.filter("event_type = 'click'")
     )
     assert joined.isStreaming
+    # a real stream-stream join: BOTH sides carry event-time watermarks
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2, analyzed
 
     got: list[tuple] = []
     q = (
@@ -327,7 +330,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
 
     assert sorted(got) == [(2, 1, 1), (8, 6, 3), (8, 7, 3)]
 
