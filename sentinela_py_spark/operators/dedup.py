@@ -45,8 +45,15 @@ def shingle_hashes(documents: DataFrame, id_col: str = "doc_id", text_col: str =
     """(doc_id, h): one row per distinct shingle, h = md5-derived 60-bit
     integer reduced mod the MinHash prime."""
     words = F.split(F.col(text_col), " ")
+    # Docs with <3 tokens have no 3-shingles. sequence(1, 0) in Spark is the
+    # DESCENDING array [1, 0], and under ANSI mode element_at(words, 0) throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — so short docs must get an explicit
+    # empty index array (which also matches DuckDB generate_series(1, 0) = []).
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - (3 - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (3 - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(
             " ",
             F.element_at(words, i),

@@ -101,7 +101,7 @@ def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     GROUP BY 1
@@ -137,10 +137,10 @@ def _lang_hits_sql(lang: str) -> str:
 
 
 _QUALITY_SQL = """
-    (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+    CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
     + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
          t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-         / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END)
+         / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE)
 """
 
 

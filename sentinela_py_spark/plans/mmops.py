@@ -67,7 +67,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS checksum,
-           list_sum(list_transform(generate_series(1, length(text)), i -> ascii(text[i]))) AS sum_bytes
+           CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(text[i]))) AS BIGINT) AS sum_bytes
     FROM documents
     ORDER BY doc_id
     """,

@@ -80,7 +80,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS returned_revenue,
            CAST(SUM(CASE WHEN l_discount > 0.05
                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS high_discount_amount,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS bulk_lines,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines,
            COUNT(*) AS total_lines
     FROM lineitem
     GROUP BY l_linestatus
@@ -664,7 +664,7 @@ def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM gaps
     GROUP BY user_id
     ORDER BY user_id
@@ -1107,7 +1107,7 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM (
       SELECT event_type, value,
-             to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o * 300 AS BIGINT)) AS ws
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o * 300 AS BIGINT)) AS TIMESTAMP) AS ws
       FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
     )
     GROUP BY ws, event_type

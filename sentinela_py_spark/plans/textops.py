@@ -88,10 +88,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(string_split(text, ' '),
                t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
                / len(string_split(text, ' ')) AS stopword_ratio,
-           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+           CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
            + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                 t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-                / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS quality
+                / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE) AS quality
     FROM documents
     ORDER BY doc_id
     """,
@@ -221,8 +221,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), not |docs|² — the exact-threshold complement of MinHash-LSH.
     Jaccard is a ratio of integers → bit-identical across engines."""
     d = load_table(spark, sf_dir, "documents")
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, and ANSI mode throws on
+    # the out-of-range subscripts it produces for <3-token docs — guard with an
+    # explicit empty array (matches DuckDB generate_series(1, 0) = []).
     shingle_list = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "transform("
+        " CASE WHEN size(split(text, ' ')) >= 3"
+        "      THEN sequence(1, size(split(text, ' ')) - 2)"
+        "      ELSE CAST(array() AS array<int>) END,"
         " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"
     )
     # per-doc shingle-set size rides along via a window over the same

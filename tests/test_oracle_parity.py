@@ -36,12 +36,33 @@ def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
 def _canon(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Driver-strict: the driver hashes raw values, so type drift the local
+    suite used to coerce away (DuckDB DECIMAL/HUGEINT widening, tz-aware
+    timestamps) is a REAL failure there. Refuse to coerce — fail loudly so
+    the oracle SQL gets an explicit CAST instead.
+    """
     if isinstance(v, Decimal):
-        return float(v)
+        raise AssertionError(
+            f"oracle produced Decimal {v!r} — add CAST(... AS DOUBLE/BIGINT) in the oracle SQL"
+        )
+    if isinstance(v, bool):  # bool before int: bool is an int subclass
+        return v
+    if isinstance(v, int) and not (_I64_MIN <= v <= _I64_MAX):
+        raise AssertionError(
+            f"value {v!r} outside int64 — DuckDB HUGEINT widening; add CAST(... AS BIGINT)"
+        )
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v.tzinfo is not None:
+            raise AssertionError(
+                f"tz-aware timestamp {v!r} — oracle TIMESTAMPTZ; add CAST(... AS TIMESTAMP)"
+            )
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, float) and math.isnan(v):

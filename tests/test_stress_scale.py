@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from sentinela_py_spark.operators.dedup import (
     N_BANDS,
     minhash_candidate_pairs,
+    minhash_signatures,
     simhash32,
 )
 from sentinela_py_spark.tables import load_table
@@ -40,6 +41,36 @@ def test_lsh_full_recall_on_exact_dup_groups(spark, skewed_corpus):
     intra = full_band.filter(group("doc_a") == group("doc_b"))
     expected_intra = n_groups * (REPS * (REPS - 1) // 2)
     assert intra.count() == expected_intra
+
+
+def test_short_docs_survive_shingling(spark, tmp_path):
+    """Docs with 0/1/2 whitespace tokens have no 3-shingles. A naive
+    sequence(1, size-2) yields the DESCENDING [1, 0] for them, and under
+    ANSI mode element_at(words, 0) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    — regression for the guarded empty-index path (minhash + n-gram
+    Jaccard both shingle)."""
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two tokens"),
+        (4, "three token doc"),
+        (5, "a b c d e"),
+        (6, "a b c d e"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(d)
+    assert sigs.count() == 3  # only the >=3-token docs have shingles
+    pairs = minhash_candidate_pairs(d)
+    assert pairs.filter((F.col("doc_a") == 5) & (F.col("doc_b") == 6)).count() == 1
+
+    # the registered n-gram Jaccard query shares the guard; run it over a
+    # parquet twin of the same corpus
+    from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    d.withColumn("n_chars", F.length("text")).write.parquet(str(tmp_path / "documents.parquet"))
+    jac = QUERIES["q_ngram_jaccard_pairs"].spark(spark, str(tmp_path))
+    assert jac.filter((F.col("doc_a") == 5) & (F.col("doc_b") == 6)).count() == 1
 
 
 def test_simhash_identical_docs_identical_sigs(spark, skewed_corpus):
