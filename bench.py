@@ -21,31 +21,38 @@ from sentinela_py_spark.plans import QUERIES  # noqa: E402
 from sentinela_py_spark.plans.registry import _ensure_loaded  # noqa: E402
 from sentinela_py_spark.session import build_session  # noqa: E402
 
+# Fold map vs BENCH_r01 names (registry consolidated in round 2 so every
+# registered query fits the driver's 50-entry correctness window):
+#   q_topk_orders            -> q_period_scan (top-k merged into the scan)
+#   q_customer_intersect     -> q_customer_setops
+#   q_view_click_attribution -> q_click_attribution (outer form, + anti arm)
+#   q_dedup_exact            -> q_dedup_digests (+ fingerprint arm)
+#   q_text_quality, q_lang_id -> q_text_profile (single-pass composite)
+#   q_media_features         -> q_media_decode (REAL binary-PPM decode)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
     "q_revenue_per_nation",
     "q_top1_order_per_customer",
     "q_period_scan",
-    "q_topk_orders",
     "q_customers_without_orders",
-    "q_customer_intersect",
+    "q_customer_setops",
     "q_datetime_parse_cascade",
     # event-time / state
     "q_user_sessions",
     "q_hourly_event_buckets",
     "q_event_last_state",
-    "q_view_click_attribution",
+    "q_click_attribution",
     # training-data pipeline: dedup / text / similarity / multimodal
-    "q_dedup_exact",
+    "q_dedup_digests",
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
     "q_simhash_pairs",
-    "q_text_quality",
-    "q_lang_id",
+    "q_text_profile",
+    "q_embedding_neardup",
     "q_cosine_topk",
     "q_ann_lsh_topk",
-    "q_media_features",
+    "q_media_decode",
     "q_media_frames",
     "q_haversine_supplier_nation",
     # second-wave surface
@@ -56,6 +63,7 @@ HEADLINE = [
     # curation: pairs → groups, stratified selection
     "q_dedup_groups",
     "q_curated_corpus",
+    "q_train_split",
     "q_trailing_7d_spend",
 ]
 

@@ -3,10 +3,12 @@
 The engine treats image/audio/video as `binary` columns carried next to a
 typed metadata struct, exactly as a 100 TB training-data lake would store
 them (payload in parquet binary, metadata queryable without decode). The
-decode step itself is STUBBED — the container ships no image/audio codecs
-— but everything Spark-side is real and tested: schemas, Arrow-batched
-`mapInPandas` signatures, per-batch shapes, frame-sampling layout, and
-partition behavior.
+image decode path is REAL: payloads are valid binary PPM (P6) built
+JVM-side (`documents_to_images`), parsed back by a pure-Python decoder
+(`decode_ppm`) inside the Arrow `mapInPandas` hot path
+(`media_pixel_features`), with `resize_image` as a real nearest-neighbor
+transform on the decoded pixels. Container codec libs (PIL/libav) would
+slot into the same UDF signatures for JPEG/MP4; none are needed here.
 
 Reference parity: the reference has no binary/multimodal columns at all
 (SURVEY §1.2 — "No decimals, no intervals, no binary columns"); this is
@@ -92,15 +94,80 @@ def documents_to_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str) -> object:
-    """True codec decode (PIL/libav/etc.) — NOT available in this
-    container. The Spark plumbing around it (`media_features`,
-    `sample_frames`) runs on deterministic byte-level features instead;
-    swap this in when codec libs exist on the executors."""
-    raise NotImplementedError(
-        f"no {media_type} codec in this environment; use the deterministic "
-        "byte-level feature path (media_features/sample_frames)"
+# ---------------------------------------------------------------------------
+# Real decode: binary PPM (P6) images, pure Python — no codec libs needed.
+# The image table (`documents_to_images`) synthesizes VALID P6 payloads
+# JVM-side, and the feature path parses them back with a real decoder.
+# ---------------------------------------------------------------------------
+
+IMG_W_MOD, IMG_H_MOD = 8, 6  # w in [2,9], h in [2,7] — small, oracle-cheap
+
+
+def documents_to_images(documents: DataFrame) -> DataFrame:
+    """Deterministic VALID binary-PPM (P6) image table from `documents`:
+    header ``P6\\n{w} {h}\\n255\\n`` + w*h*3 pixel bytes cycled from the
+    document's (ASCII) text. Built entirely JVM-side (format_string +
+    rpad + encode — codegen'd, no UDF at ingest), the write-time shape a
+    real lake lands: payload bytes opaque, dimensions derivable."""
+    w = (F.col("doc_id") % IMG_W_MOD + 2).cast("int")
+    h = (F.col("doc_id") % IMG_H_MOD + 2).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    # rpad cycles the text to exactly w*h*3 chars (text is ASCII, so chars
+    # == bytes); expression form because the target length is a column.
+    pixels = F.expr(
+        f"rpad(text, CAST((doc_id % {IMG_W_MOD} + 2) * (doc_id % {IMG_H_MOD} + 2) * 3 AS INT), text)"
     )
+    return documents.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+        w.alias("width"),
+        h.alias("height"),
+    )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python binary-PPM (P6) decoder: returns (width, height,
+    maxval, pixel_bytes). Raises ValueError on malformed input — a real
+    parser, not a stub: it validates magic, dimensions, maxval, and that
+    the pixel plane is complete."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # Header = magic, width, height, maxval separated by whitespace, then
+    # exactly one whitespace byte before the pixel plane.
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = (int(f) for f in fields)
+    if width <= 0 or height <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"invalid PPM dimensions {width}x{height} maxval={maxval}")
+    n_pix = width * height * 3 * (2 if maxval > 255 else 1)
+    pixels = payload[i : i + n_pix]
+    if len(pixels) != n_pix:
+        raise ValueError(f"PPM pixel plane truncated: {len(pixels)} != {n_pix}")
+    return width, height, maxval, pixels
+
+
+def decode_media(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]:
+    """Decode a media payload to raw samples. Images are binary PPM
+    (`decode_ppm`); audio payloads are interpreted as raw unsigned 8-bit
+    PCM mono (returns (n_samples, 1, 255, samples)); video is a
+    concatenation of fixed-size frames (see `sample_frames`)."""
+    if media_type == "image":
+        return decode_ppm(payload)
+    if media_type == "audio":
+        return len(payload), 1, 255, payload
+    raise ValueError(f"unknown media_type {media_type!r}")
 
 
 FEATURES_SCHEMA = StructType(
@@ -111,6 +178,62 @@ FEATURES_SCHEMA = StructType(
         StructField("sum_bytes", LongType()),
     ]
 )
+
+PIXEL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("maxval", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("min_pixel", IntegerType()),
+        StructField("max_pixel", IntegerType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def media_pixel_features(images: DataFrame) -> DataFrame:
+    """REAL decode path: Arrow batches of binary PPM payloads → pure-Python
+    `decode_ppm` → vectorized numpy pixel statistics. Integer-exact outputs
+    (dims, byte sums, extrema) plus a 6-dp mean keep the result
+    oracle-checkable; per-task memory is bounded by the Arrow batch size,
+    exactly as a PIL/libav decode would be wired on real executors."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in PIXEL_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                width, height, maxval, pix = decode_ppm(raw)
+                arr = np.frombuffer(pix, dtype=np.uint8)
+                total = int(arr.sum(dtype=np.int64))
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["maxval"].append(maxval)
+                out["n_bytes"].append(len(raw))
+                out["n_pixel_bytes"].append(len(pix))
+                out["sum_pixels"].append(total)
+                out["min_pixel"].append(int(arr.min()))
+                out["max_pixel"].append(int(arr.max()))
+                out["checksum"].append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(out)
+
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    decoded = ensure_min_partitions(images.select("doc_id", "payload")).mapInPandas(
+        compute, PIXEL_FEATURES_SCHEMA
+    )
+    # Mean is derived JVM-side from the exact integer outputs: Spark/DuckDB
+    # ROUND agree (half-up) where Python's round() is banker's.
+    return decoded.withColumn(
+        "mean_pixel",
+        F.round(F.col("sum_pixels").cast("double") / F.col("n_pixel_bytes"), 6),
+    )
 
 
 def media_features(media: DataFrame) -> DataFrame:
@@ -179,5 +302,21 @@ def sample_frames(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize — requires a codec (see `decode_media`)."""
-    raise NotImplementedError("no image codec in this environment")
+    """Nearest-neighbor resize of a binary-PPM (P6) image, pure Python:
+    decode, index-map each target pixel to its source pixel, re-encode.
+    Deterministic (no filtering kernels), so resized payloads are
+    hash-stable across engines and runs."""
+    src_w, src_h, maxval, pix = decode_ppm(payload)
+    if maxval > 255:
+        raise ValueError("16-bit PPM resize not supported")
+    rows = []
+    for y in range(height):
+        sy = y * src_h // height
+        row = bytearray()
+        for x in range(width):
+            sx = x * src_w // width
+            off = (sy * src_w + sx) * 3
+            row += pix[off : off + 3]
+        rows.append(bytes(row))
+    header = f"P6\n{width} {height}\n{maxval}\n".encode()
+    return header + b"".join(rows)

@@ -75,57 +75,47 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_train_sample",
-    oracle="""
-    SELECT doc_id, lang, source
-    FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-    ORDER BY doc_id
-    """,
-    survey_ref="curation: deterministic ~10% Bernoulli sample by content-key hash",
-    tags=("curation", "sampling"),
-)
-def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible held-out split: keep a row iff the first md5 byte of
-    its key falls under the threshold (0x1a/0x100 ≈ 10.2%). Unlike
-    ``df.sample()`` this is stable across runs, engines, partitionings and
-    cluster sizes, and membership is decidable per-row with no state —
-    at 100 TB this is a map-only scan with no shuffle at all."""
-    d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return d.filter(bucket < "1a").select("doc_id", "lang", "source").orderBy("doc_id")
-
-
-@register(
-    "q_training_shards",
+    "q_train_split",
     oracle="""
     SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           MIN(doc_id) AS first_doc
+           MIN(doc_id) AS first_doc,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           MIN(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN doc_id END) AS first_sampled_doc
     FROM documents
     GROUP BY 1
     ORDER BY shard
     """,
-    survey_ref="curation: hash-mod shard assignment (16-way) + per-shard balance stats",
+    survey_ref=(
+        "curation: hash-mod shard assignment (16-way) + per-shard balance stats + "
+        "deterministic ~10% Bernoulli sample by content-key hash (per-shard membership stats)"
+    ),
     tags=("curation", "sampling"),
 )
-def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 16-way shard assignment for training-data writes, with
-    the balance check (docs and bytes per shard) that tells you whether the
-    key hashes uniformly before you commit to a layout. The same expression
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment + held-out sampling in one
+    aggregation. The shard is an md5-derived hash-mod — the same expression
     is a valid ``repartitionByRange``/partitionBy key, so the verified
-    assignment IS the physical layout at 100 TB."""
+    assignment IS the physical layout at 100 TB. Sample membership (first
+    md5 byte of the key under 0x1a ≈ 10.2%) is decided per-row with no
+    state — unlike ``df.sample()`` it is stable across runs, engines,
+    partitionings and cluster sizes; the per-shard sampled counts and first
+    sampled id verify the predicate on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 16
-    )
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % 16
+    sampled = F.substring(digest, 1, 2) < "1a"
     return (
         d.groupBy(shard.alias("shard"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.min("doc_id").alias("first_doc"),
+            F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.min(F.when(sampled, F.col("doc_id"))).alias("first_sampled_doc"),
         )
         .orderBy("shard")
     )

@@ -1,7 +1,7 @@
 """MinHash-LSH and SimHash near-duplicate queries over `documents`.
 
 These are the sketch-based scale path of the dedup surface (the exact
-complement lives in plans/textops.py: q_dedup_exact, q_ngram_jaccard_pairs).
+complement lives in plans/textops.py: q_dedup_digests, q_ngram_jaccard_pairs).
 All hashing is md5-derived with integer-exact arithmetic — `conv(hex,16,10)`
 on the Spark side and `('0x'||hex)::BIGINT` on the DuckDB side parse the
 same digest prefix to the same int64 — so every query is oracle-checkable.

@@ -7,9 +7,11 @@ byte-level and char-level computations coincide exactly and every query
 remains hash-checkable.
 
 q_media_metadata exercises the JVM-side path (metadata queries must never
-touch payload bytes); q_media_features and q_media_frames exercise the
-Arrow `mapInPandas` path (the decode/feature-extract shape of SURVEY
-§2.10 U1, with the codec stubbed per operators/multimodal.py).
+touch payload bytes); q_media_decode and q_media_frames exercise the
+Arrow `mapInPandas` path — q_media_decode through a REAL pure-Python
+binary-PPM decoder over JVM-built valid image payloads
+(operators/multimodal.py::decode_ppm), q_media_frames through the
+keyframe-sampling slicer.
 """
 
 from __future__ import annotations
@@ -20,8 +22,9 @@ from pyspark.sql import functions as F
 from sentinela_py_spark.operators.multimodal import (
     FRAME_LEN,
     FRAME_STRIDE,
+    documents_to_images,
     documents_to_media,
-    media_features,
+    media_pixel_features,
     sample_frames,
 )
 from sentinela_py_spark.plans.registry import register
@@ -61,26 +64,49 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_PIX_SQL = "list_transform(generate_series(1, length(pix)), i -> ascii(pix[i]))"
+
+
 @register(
-    "q_media_features",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS checksum,
-           CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(text[i]))) AS BIGINT) AS sum_bytes
-    FROM documents
+    "q_media_decode",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 + 2 AS INT) AS width,
+             CAST(doc_id % 6 + 2 AS INT) AS height,
+             'P6' || chr(10) || (doc_id % 8 + 2) || ' ' || (doc_id % 6 + 2) || chr(10) || '255' || chr(10) AS hdr,
+             rpad(text, CAST((doc_id % 8 + 2) * (doc_id % 6 + 2) * 3 AS INT), text) AS pix
+      FROM documents
+    )
+    SELECT doc_id, width, height, CAST(255 AS INT) AS maxval,
+           CAST(length(hdr || pix) AS BIGINT) AS n_bytes,
+           CAST(length(pix) AS BIGINT) AS n_pixel_bytes,
+           CAST(list_sum({_PIX_SQL}) AS BIGINT) AS sum_pixels,
+           CAST(list_min({_PIX_SQL}) AS INT) AS min_pixel,
+           CAST(list_max({_PIX_SQL}) AS INT) AS max_pixel,
+           md5(hdr || pix) AS checksum,
+           ROUND(CAST(list_sum({_PIX_SQL}) AS DOUBLE) / length(pix), 6) AS mean_pixel
+    FROM img
     ORDER BY doc_id
     """,
-    survey_ref="multimodal: Arrow mapInPandas feature extraction over binary payloads (decode stubbed)",
+    survey_ref=(
+        "multimodal: REAL image decode — JVM-built binary PPM payloads parsed by the "
+        "pure-Python decoder inside Arrow mapInPandas (operators/multimodal.py::decode_ppm), "
+        "integer-exact pixel statistics"
+    ),
     tags=("multimodal", "pandas-udf"),
 )
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction through the real multimodal hot path: binary
-    payloads → Arrow record batches → vectorized pandas → features.
-    Integer-exact outputs (len / md5 / byte sum) keep it oracle-checkable
-    where a real embedding would be float-approximate."""
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real decode hot path end-to-end: valid binary-PPM payloads are
+    built JVM-side (format_string/rpad/encode — no UDF at ingest), then a
+    pure-Python PPM parser decodes every payload inside Arrow
+    ``mapInPandas`` and numpy computes pixel statistics. The oracle
+    rebuilds the identical image arithmetically in SQL, so decoded
+    dimensions, byte counts, pixel sums/extrema and the payload md5 are
+    all hash-checked. Swap PIL/libav into the same UDF for JPEG/MP4 on
+    real executors — schema, batching, and partition behavior unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    return media_features(documents_to_media(d)).orderBy("doc_id")
+    return media_pixel_features(documents_to_images(d)).orderBy("doc_id")
 
 
 @register(

@@ -112,49 +112,54 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_rollup_summary",
+    "q_grouping_totals",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    SELECT 'rollup' AS gset, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS agg_val,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    survey_ref="§2.4 superset (engine exposes rollup/cube as first-class)",
-    tags=("agg",),
-)
-def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals via ROLLUP — subtotal rows come free from the
-    partial-aggregation pipeline, no extra shuffle per level."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"), F.count("*").alias("n"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
-    )
-
-
-@register(
-    "q_distinct_count",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
+    UNION ALL
+    SELECT 'cube' AS gset, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_val,
+           COUNT(*) AS n
     FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gset, k1 NULLS FIRST, k2 NULLS FIRST
     """,
-    survey_ref="A9 (normalization.py:146-168 distinct-state set semantics)",
+    survey_ref="§2.4 superset (rollup AND cube grouping sets as first-class)",
     tags=("agg",),
 )
-def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct count per group (expands to a two-phase agg plan)."""
+def q_grouping_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (hierarchical subtotals, lineitem) and CUBE (all grouping
+    sets, orders) in one result — each arm's subtotal rows come free from
+    its partial-aggregation pipeline, no extra shuffle per level."""
+    li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("agg_val"), F.count("*").alias("n"))
+        .select(
+            F.lit("rollup").alias("gset"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "agg_val",
+            "n",
+        )
+    )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("agg_val"), F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("gset"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "agg_val",
+            "n",
+        )
+    )
+    return rollup.unionByName(cube).orderBy(
+        "gset", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
     )
 
 
@@ -171,14 +176,21 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
       AND o_orderpriority = '1-URGENT'
-    ORDER BY o_orderdate, o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
     """,
-    survey_ref="S5,F1,O1 (mongo_article_repository.py:44-75 period scan)",
-    tags=("scan", "filter"),
+    survey_ref=(
+        "S5,F1,O1 (mongo_article_repository.py:44-75 period scan); "
+        "O2,O5 (infrastructure/extraction.py:69-73 sort+limit; global top-k)"
+    ),
+    tags=("scan", "filter", "sort", "limit"),
 )
 def q_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate + period scan, ordered — the reference's `list_by_period`.
-    Both predicates push down to the parquet scan (PushedFilters)."""
+    """Predicate + period scan with a global top-k — the reference's
+    `list_by_period` composed with its sort+limit. Both predicates push
+    down to the parquet scan (PushedFilters); the limit executes as
+    per-partition TakeOrdered + driver merge, no full sort shuffle. Unique
+    key breaks ties deterministically."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.filter(
@@ -187,27 +199,6 @@ def q_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderpriority") == "1-URGENT")
         )
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-        .orderBy("o_orderdate", "o_orderkey")
-    )
-
-
-@register(
-    "q_topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
-    """,
-    survey_ref="O2,O5 (infrastructure/extraction.py:69-73 sort+limit; top-k)",
-    tags=("sort", "limit"),
-)
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k — executes as per-partition TakeOrdered + merge on the
-    driver, no full sort shuffle. Unique key breaks ties deterministically."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -463,33 +454,6 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_churned_buyers",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    ORDER BY o_custkey
-    """,
-    survey_ref="§2.7 (set ops exposed natively; reference has only implicit unions)",
-    tags=("setop",),
-)
-def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    y94 = o.filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
-    ).select("o_custkey")
-    y95 = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    ).select("o_custkey")
-    # subtract = EXCEPT DISTINCT (exceptAll would keep multiset surplus rows)
-    return y94.subtract(y95).orderBy("o_custkey")
-
-
-@register(
     "q_union_dedup",
     oracle="""
     SELECT DISTINCT o_custkey FROM (
@@ -578,15 +542,19 @@ def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
            strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order_iso,
            COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
     FROM orders
     GROUP BY 1, 2
     ORDER BY yr, mo
     """,
-    survey_ref="M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization)",
-    tags=("scalar", "date"),
+    survey_ref="M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization); A9 distinct-set count (normalization.py:146-168)",
+    tags=("scalar", "date", "agg"),
 )
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part grouping + ISO serialization, with an exact per-group
+    COUNT(DISTINCT) riding the same shuffle (expands to Spark's two-phase
+    distinct-aggregate plan — the A9 distinct-state-set semantics)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -596,6 +564,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_order_iso"),
             F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
             F.sum(_dec("o_totalprice")).cast("double").alias("month_revenue"),
         )
         .orderBy("yr", "mo")
@@ -697,46 +666,70 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_customer_intersect",
+    "q_customer_setops",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
-    INTERSECT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
-    ORDER BY custkey
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+    )
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+    )
+    UNION ALL
+    SELECT 'churned' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    ORDER BY op, custkey
     """,
-    survey_ref="§2.7 set ops: INTERSECT (customers active both before and after the cutoff)",
+    survey_ref=(
+        "§2.7 set ops: INTERSECT (active both sides of cutoff), EXCEPT (churned at "
+        "cutoff), year-over-year EXCEPT (churned buyers) — reference has only implicit unions"
+    ),
     tags=("setop",),
 )
-def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two filtered projections. Catalyst plans this as an
-    aggregate-free left-semi after dedup; one shuffle on custkey."""
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native set-op family in one result, each arm tagged:
+
+    - ``intersect``: customers active both before and after the cutoff —
+      Catalyst plans an aggregate-free left-semi after dedup, one shuffle
+      on custkey.
+    - ``except``: EXCEPT DISTINCT via ``subtract`` (left-anti after
+      dedup; ``exceptAll().distinct()`` would wrongly keep keys whose
+      multiplicity merely exceeds the right side's).
+    - ``churned``: the same subtract over two year windows."""
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1998-07-01").cast("timestamp")
-    late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
-    early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
-    return late.intersect(early).orderBy("custkey")
 
+    def keys(pred):
+        return o.filter(pred).select(F.col("o_custkey").alias("custkey"))
 
-@register(
-    "q_customer_except",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
-    ORDER BY custkey
-    """,
-    survey_ref="§2.7 set ops: EXCEPT (customers who churned at the cutoff)",
-    tags=("setop",),
-)
-def q_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT DISTINCT (`subtract`) — planned as left-anti join after
-    dedup; an `exceptAll().distinct()` would wrongly keep keys whose
-    multiplicity merely exceeds the right side's."""
-    o = load_table(spark, sf_dir, "orders")
-    cut = F.lit("1998-07-01").cast("timestamp")
-    early = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
-    late = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
-    return early.subtract(late).orderBy("custkey")
+    late = keys(F.col("o_orderdate") >= cut)
+    early = keys(F.col("o_orderdate") < cut)
+    y95 = keys(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    y96 = keys(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    arms = [
+        late.intersect(early).select(F.lit("intersect").alias("op"), "custkey"),
+        early.subtract(late).select(F.lit("except").alias("op"), "custkey"),
+        y95.subtract(y96).select(F.lit("churned").alias("op"), "custkey"),
+    ]
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("op", "custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -914,60 +907,6 @@ def q_event_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
         .orderBy("user_id", "event_type")
-    )
-
-
-@register(
-    "q_cube_summary",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-           COUNT(*) AS n
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    survey_ref="§2.4 superset (cube alongside rollup as first-class grouping sets)",
-    tags=("agg",),
-)
-def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two keys — all 4 grouping sets from one partial-agg
-    pipeline, no extra scans."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total"), F.count("*").alias("n"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
-        )
-    )
-
-
-@register(
-    "q_docs_mentioning_model",
-    oracle="""
-    SELECT doc_id, lang
-    FROM documents
-    WHERE list_contains(string_split(text, ' '), 'model')
-      AND len(list_filter(string_split(text, ' '), t -> t = 'data')) >= 1
-    ORDER BY doc_id
-    """,
-    survey_ref="F2 array membership predicate (mongo_article_repository.py:58-72 cities $or clause shape)",
-    tags=("filter", "array"),
-)
-def q_docs_mentioning_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-membership predicates over a derived token array — the Spark
-    rendering of the reference's `cities.identifier == c` clause
-    (array_contains + exists on the nested collection)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return (
-        d.filter(
-            F.array_contains(toks, "model")
-            & (F.exists(toks, lambda t: t == "data"))
-        )
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -1185,27 +1124,37 @@ def q_price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_view_click_attribution",
+    "q_click_attribution",
     oracle="""
-    SELECT c.event_id AS click_id, c.user_id AS user_id,
-           COUNT(*) AS n_prior_views, MAX(v.ts) AS last_view_ts
-    FROM events c JOIN events v
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           COUNT(v.event_id) AS n_prior_views,
+           MAX(v.ts) AS last_view_ts,
+           (COUNT(v.event_id) > 0) AS attributed
+    FROM events c LEFT JOIN events v
       ON v.user_id = c.user_id
-     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.event_type = 'view'
      AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
-    GROUP BY c.event_id, c.user_id
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id, c.ts
     ORDER BY click_id
     """,
-    survey_ref="event-time interval join (streaming twin: streaming/pipeline.py::view_click_attribution_stream)",
-    tags=("join", "range", "events"),
+    survey_ref=(
+        "event-time interval join + interval anti complement (attributed=false rows are "
+        "the NOT EXISTS set) — J6 family over event time; streaming twin: "
+        "streaming/pipeline.py::view_click_attribution_stream"
+    ),
+    tags=("join", "range", "anti", "events"),
 )
-def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribution interval join: for every click, the views by the same
-    user in the preceding hour. The equi-key (user_id) makes this a hash
-    join with the time range as a post-join predicate — one shuffle on
-    user_id, state per user bounded by the hour window; the identical
-    plan runs unbounded as a watermarked stream-stream join (see the
-    streaming twin)."""
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join, outer form: every click, with the views
+    by the same user in the preceding hour when they exist. The equi-key
+    (user_id) makes this a hash join with the time range as a post-join
+    residual — one shuffle on user_id, per-user state bounded by the hour
+    window; the identical plan runs unbounded as a watermarked
+    stream-stream join (see the streaming twin). Rows with
+    ``attributed = false`` ARE the interval anti-join (clicks with no
+    qualifying prior view) — the outer join covers both directions without
+    a second probe of the events table."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").alias("c")
     v = ev.filter(F.col("event_type") == "view").alias("v")
@@ -1215,9 +1164,15 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v.user_id") == F.col("c.user_id"))
             & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 60 MINUTES"))
             & (F.col("v.ts") < F.col("c.ts")),
+            "left_outer",
         )
-        .groupBy(F.col("c.event_id").alias("click_id"), F.col("c.user_id").alias("user_id"))
-        .agg(F.count("*").alias("n_prior_views"), F.max("v.ts").alias("last_view_ts"))
+        .groupBy(
+            F.col("c.event_id").alias("click_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("click_ts"),
+        )
+        .agg(F.count("v.event_id").alias("n_prior_views"), F.max("v.ts").alias("last_view_ts"))
+        .withColumn("attributed", F.col("n_prior_views") > 0)
         .orderBy("click_id")
     )
 
@@ -1262,43 +1217,3 @@ def q_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_unattributed_clicks",
-    oracle="""
-    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts
-    FROM events c
-    WHERE c.event_type = 'click'
-      AND NOT EXISTS (
-        SELECT 1 FROM events v
-        WHERE v.event_type = 'view' AND v.user_id = c.user_id
-          AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
-      )
-    ORDER BY click_id
-    """,
-    survey_ref="interval anti-join (NOT EXISTS with range predicate) — J6 family over event time",
-    tags=("join", "anti", "events"),
-)
-def q_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clicks with NO view by the same user in the preceding hour — the
-    anti complement of q_view_click_attribution. Spark executes the
-    left_anti with the equi key (user_id) hashed and the time range as a
-    residual, so the anti probe stays a hash lookup per click (never a
-    per-row subquery as the reference's exists() probes were)."""
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.filter(F.col("event_type") == "click").alias("c")
-    v = ev.filter(F.col("event_type") == "view").alias("v")
-    return (
-        c.join(
-            v,
-            (F.col("v.user_id") == F.col("c.user_id"))
-            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 60 MINUTES"))
-            & (F.col("v.ts") < F.col("c.ts")),
-            "left_anti",
-        )
-        .select(
-            F.col("c.event_id").alias("click_id"),
-            F.col("c.user_id").alias("user_id"),
-            F.col("c.ts").alias("click_ts"),
-        )
-        .orderBy("click_id")
-    )

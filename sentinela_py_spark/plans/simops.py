@@ -50,29 +50,6 @@ _NORMSQ_SQL = (
 
 
 @register(
-    "q_embedding_norms",
-    oracle=f"""
-    WITH norms AS (
-      SELECT label, SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
-      FROM embeddings
-    )
-    SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
-    FROM norms GROUP BY label ORDER BY label
-    """,
-    survey_ref="similarity: vector norm profile per label (order-insensitive aggs only)",
-    tags=("similarity",),
-)
-def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"))
-        .groupBy("label")
-        .agg(F.count("*").alias("n"), F.min("norm").alias("min_norm"), F.max("norm").alias("max_norm"))
-        .orderBy("label")
-    )
-
-
-@register(
     "q_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
@@ -175,45 +152,92 @@ def _bucket_sql(vec: str) -> str:
 
 
 NEARDUP_COS = 0.4
+# Multi-probe set: own bucket + every single-bit flip (Hamming distance <= 1
+# over the N_PLANES sign bits). For a fixed candidate the probe values are
+# distinct, so a pair can match on at most one probe — no dedup shuffle needed.
+PROBE_XORS = [0] + [2**p for p in range(N_PLANES)]
 
 
-@register(
-    "q_embedding_neardup",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-               / (SQRT({_NORMSQ_SQL.format(a='a.embedding')}) * SQRT({_NORMSQ_SQL.format(a='b.embedding')})), 6) AS cos_sim_r
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, cos_sim_r
-    FROM pairs WHERE cos_sim_r >= {NEARDUP_COS}
-    ORDER BY vec_a, vec_b
-    """,
-    survey_ref="dedup: embedding-cosine near-duplicate pairs (exact; LSH bucket join is the 100 TB path)",
-    tags=("dedup", "similarity"),
-)
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
-
-    Exact O(n^2/2) self-join — the correctness baseline. At 100 TB the
-    candidate set comes from the hyperplane-LSH bucket equi-join below
-    (q_ann_lsh_topk's `lsh_bucket`), multi-probed to recover recall at
-    low thresholds; the scoring expression is shared either way.
-
-    Norms are hoisted out of the pair loop: each side carries its
-    precomputed sqrt(|v|²), so the per-pair work is ONE array fold (the
-    dot product) instead of three — ~3× on the O(n²) hot path, and the
-    resulting doubles are bit-identical to the inline formula (the oracle
-    is unchanged)."""
-    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm")
-    )
+def exact_neardup_pairs(e: DataFrame) -> DataFrame:
+    """Exact O(n²/2) cosine near-dup pairs — the small-sf validation twin
+    the LSH recall test compares against (NOT registered: quadratic in the
+    corpus, it would not survive 100 TB). Norms are hoisted so per-pair
+    work is one array fold."""
+    e = e.select("vec_id", "embedding", F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("norm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
+        .filter(F.col("cos_sim_r") >= NEARDUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+             SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
+      FROM embeddings
+    ),
+    probed AS (
+      SELECT vec_id, embedding, norm, xor(bucket, probe_xor) AS probe
+      FROM bucketed CROSS JOIN (SELECT UNNEST([{", ".join(str(x) for x in PROBE_XORS)}]) AS probe_xor)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (a.norm * b.norm), 6) AS cos_sim_r
+      FROM bucketed a JOIN probed b
+        ON a.bucket = b.probe AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim_r
+    FROM pairs WHERE cos_sim_r >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    survey_ref=(
+        "dedup: embedding-cosine near-duplicate pairs via hyperplane-LSH bucket equi-join "
+        "(multi-probe Hamming<=1) — the 100 TB path; exact twin = exact_neardup_pairs (tests)"
+    ),
+    tags=("dedup", "similarity", "sketch"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed: candidates are pairs whose
+    hyperplane-sign buckets agree on all or all-but-one of the N_PLANES
+    bits (multi-probe: each candidate probes its own bucket plus every
+    single-bit flip). The join is a hash equi-join on the bucket id —
+    candidate work scales with bucket occupancy, never |corpus|², which is
+    the difference between this and the exact twin at 100 TB. True cosine
+    is computed on the surviving candidates only (precision 1.0 by
+    construction; recall is the LSH collision probability — see
+    tests/test_stress_scale.py for the recall-vs-exact assertion).
+
+    For a fixed candidate the probe values are distinct, so a pair can
+    match on at most one probe — candidate generation needs no
+    dedup shuffle. Norms are hoisted out of the pair scoring."""
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"), F.col("bucket").alias("bucket_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in PROBE_XORS])
+        ).alias("probe"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("bucket_a") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
         .filter(F.col("cos_sim_r") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")

@@ -28,84 +28,51 @@ from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
 @register(
-    "q_dedup_exact",
+    "q_dedup_digests",
     oracle="""
-    SELECT md5(text) AS text_hash,
-           MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS n_copies
+    SELECT 'exact' AS method, md5(text) AS digest,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
     FROM documents
-    GROUP BY md5(text)
-    ORDER BY keep_doc_id
+    GROUP BY 2
+    UNION ALL
+    SELECT 'fingerprint' AS method,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS digest,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 2
+    HAVING COUNT(*) > 1
+    ORDER BY method, first_doc
     """,
-    survey_ref="J6/A8 analog → exact corpus dedup (hash-groupBy, first-wins)",
-    tags=("dedup",),
+    survey_ref=(
+        "J6/A8 analog → exact corpus dedup (hash-groupBy, first-wins); "
+        "text analysis: bag-of-words fingerprint dedup (order-insensitive digest)"
+    ),
+    tags=("dedup", "text"),
 )
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup survivor list: digest → groupBy → keep min id per hash
-    group (dropDuplicates-with-deterministic-winner). One shuffle on a
-    uniformly-distributed 128-bit key; no skew by construction. The driver
-    corpus has no byte-identical copies (every group is a singleton here);
-    reordered/near copies are caught by q_doc_fingerprint and the
-    MinHash/SimHash queries."""
+def q_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-based dedup, two methods in one pass each:
+
+    - ``exact``: md5 of the raw text, full survivor list (min doc_id wins)
+      — one shuffle on a uniformly-distributed 128-bit key, no skew by
+      construction.
+    - ``fingerprint``: md5 of the sorted distinct-token bag, collision
+      groups only — catches reordered copies exact hashing misses.
+
+    Both are groupBy-on-digest aggregates; near (non-identical) copies are
+    the MinHash/SimHash/Jaccard queries' job."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .orderBy("keep_doc_id")
+    exact = (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .select(F.lit("exact").alias("method"), "digest", "n_docs", "first_doc")
     )
-
-
-@register(
-    "q_token_stats",
-    oracle="""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           LENGTH(text) AS n_chars_measured,
-           CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-               / len(string_split(text, ' ')) AS avg_token_len
-    FROM documents
-    ORDER BY doc_id
-    """,
-    survey_ref="text analysis: token counting (whitespace tokenizer)",
-    tags=("text",),
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
-        avg_token_len("text").alias("avg_token_len"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "q_text_quality",
-    oracle="""
-    SELECT doc_id,
-           len(list_filter(string_split(text, ' '),
-               t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_stopwords,
-           CAST(len(list_filter(string_split(text, ' '),
-               t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS stopword_ratio,
-           CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
-           + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
-                t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-                / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE) AS quality
-    FROM documents
-    ORDER BY doc_id
-    """,
-    survey_ref="text analysis: quality scoring (length/stopword heuristics)",
-    tags=("text",),
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        stopword_count("text").alias("n_stopwords"),
-        (stopword_count("text").cast("double") / token_count("text")).alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    fp = (
+        d.groupBy(doc_fingerprint("text").alias("digest"))
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.lit("fingerprint").alias("method"), "digest", "n_docs", "first_doc")
+    )
+    return exact.unionByName(fp).orderBy("method", "first_doc")
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -113,11 +80,15 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
 
 
+_EN_STOP_SQL = _lang_hits_sql("en")
+_BPE_TOKS_SQL = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
+
+
 @register(
-    "q_lang_id",
+    "q_text_profile",
     oracle=f"""
     WITH hits AS (
-      SELECT doc_id, lang AS lang_label,
+      SELECT doc_id, lang AS lang_label, text,
              {_lang_hits_sql('en')} AS hits_en,
              {_lang_hits_sql('es')} AS hits_es,
              {_lang_hits_sql('fr')} AS hits_fr,
@@ -132,16 +103,49 @@ def _lang_hits_sql(lang: str) -> str:
              WHEN hits_es THEN 'es'
              WHEN hits_fr THEN 'fr'
              WHEN hits_de THEN 'de'
-             ELSE 'pt' END AS lang_guess
+             ELSE 'pt' END AS lang_guess,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_measured,
+           CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+           len({_BPE_TOKS_SQL}) AS n_bpe_tokens,
+           len(list_distinct({_BPE_TOKS_SQL})) AS n_distinct_bpe_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+             / greatest(len({_BPE_TOKS_SQL}), 1), 6) AS chars_per_token,
+           ROUND(CAST(len({_BPE_TOKS_SQL}) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS fertility,
+           {_EN_STOP_SQL} AS n_stopwords,
+           CAST({_EN_STOP_SQL} AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN CAST({_EN_STOP_SQL} AS DOUBLE) / len(string_split(text, ' '))
+                  BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE) AS quality,
+           sha256('{{"doc_id": ' || doc_id || ', "text": "' || text || '"}}') AS payload_hash,
+           (list_contains(string_split(text, ' '), 'model')
+             AND len(list_filter(string_split(text, ' '), t -> t = 'data')) >= 1) AS mentions_model
     FROM hits
     ORDER BY doc_id
     """,
-    survey_ref="text analysis: language ID (stopword-hit heuristic)",
-    tags=("text",),
+    survey_ref=(
+        "text analysis composite: token counting (whitespace) + BPE-ish regex lexer stats + "
+        "quality scoring (length/stopword heuristics) + language ID (stopword-hit vote) + "
+        "M14 canonical-JSON SHA-256 (city_extraction_job.py:254-271) / F6 idempotency key + "
+        "F2 array membership predicate (mongo_article_repository.py:58-72 cities $or shape)"
+    ),
+    tags=("text", "scalar", "hash"),
 )
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID; argmax with a fixed priority order on
-    ties (en > es > fr > de > pt) so both engines break ties identically."""
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-document text profile — the signals a curation
+    pipeline computes on every document stacked into ONE scan: whitespace
+    and BPE-ish token stats, quality heuristic, stopword-vote language ID
+    (fixed tie order en > es > fr > de > pt so engines agree), canonical-
+    JSON sha256 idempotency key (Arrow pandas UDF mirroring
+    ``json.dumps(sort_keys=True)`` — SURVEY §7.3.3), and an
+    array-membership flag (the reference's ``cities.identifier == c``
+    clause shape). At 100 TB one wide map-only projection beats six scans
+    of the same corpus — everything here is codegen'd column algebra except
+    the sha256 UDF, which rides the same pass as an Arrow batch."""
+    from sentinela_py_spark.functions.hashing import canonical_sha256_udf
+
     d = load_table(spark, sf_dir, "documents")
     hits = {lang: stopword_count("text", LANG_STOPWORDS[lang]) for lang in ("en", "es", "fr", "de", "pt")}
     best = F.greatest(*hits.values())
@@ -153,33 +157,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["de"] == best, "de")
         .otherwise("pt")
     )
-    return d.select("doc_id", F.col("lang").alias("lang_label"), guess.alias("lang_guess")).orderBy("doc_id")
-
-
-@register(
-    "q_doc_fingerprint",
-    oracle="""
-    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
-           COUNT(*) AS n_docs,
-           MIN(doc_id) AS first_doc
-    FROM documents
-    GROUP BY 1
-    HAVING COUNT(*) > 1
-    ORDER BY first_doc
-    """,
-    survey_ref="text analysis: document fingerprinting (bag-of-words digest)",
-    tags=("text", "dedup"),
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive near-dup fingerprint: docs with identical token
-    sets collide even when word order differs."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(doc_fingerprint("text").alias("fingerprint"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("first_doc")
-    )
+    bpe_toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    n_bpe = F.size(bpe_toks)
+    n_words = token_count("text")
+    word_arr = F.split("text", " ")
+    payload = F.struct(F.col("doc_id"), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        guess.alias("lang_guess"),
+        n_words.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        avg_token_len("text").alias("avg_token_len"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe_toks)).alias("n_distinct_bpe_tokens"),
+        F.round(F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)), 6).alias("chars_per_token"),
+        F.round(n_bpe.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias("fertility"),
+        stopword_count("text").alias("n_stopwords"),
+        (stopword_count("text").cast("double") / token_count("text")).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+        canonical_sha256_udf(payload).alias("payload_hash"),
+        (
+            F.array_contains(word_arr, "model") & F.exists(word_arr, lambda t: t == "data")
+        ).alias("mentions_model"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -262,34 +263,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "q_canonical_hash",
-    oracle="""
-    SELECT doc_id,
-           sha256('{"doc_id": ' || doc_id || ', "text": "' || text || '"}') AS payload_hash
-    FROM documents
-    ORDER BY doc_id
-    """,
-    survey_ref="M14 canonical-JSON SHA-256 (city_extraction_job.py:254-271) / F6 idempotency key",
-    tags=("scalar", "hash"),
-)
-def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash idempotency key: sha256 over the canonical JSON of the
-    payload, computed through the engine's Arrow pandas UDF (the UDF
-    mirrors ``json.dumps(sort_keys=True, ensure_ascii=False)`` byte for
-    byte — SURVEY §7.3.3). The oracle rebuilds the identical canonical
-    string in SQL (the corpus needs no JSON escaping, asserted by the
-    parity check itself: any divergence would hash-mismatch)."""
-    from sentinela_py_spark.functions.hashing import canonical_sha256_udf
-
-    d = load_table(spark, sf_dir, "documents")
-    payload = F.struct(F.col("doc_id"), F.col("text"))
-    return (
-        d.select("doc_id", canonical_sha256_udf(payload).alias("payload_hash"))
-        .orderBy("doc_id")
     )
 
 
@@ -379,11 +352,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one job, embedded as a literal
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    # n_docs folds into the plan as a broadcast 1-row aggregate — no
+    # separate count() job, and the whole query stays one submission.
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -438,36 +417,68 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 @register(
-    "q_bpe_token_stats",
-    oracle=r"""
+    "q_css_extract",
+    oracle="""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
-           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_tokens,
-           ROUND(CAST(LENGTH(text) AS DOUBLE)
-             / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1), 6) AS chars_per_token,
-           ROUND(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1), 6) AS fertility
+           'Doc ' || doc_id AS title,
+           '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+                   || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:00:00' AS published_time,
+           '/articles/' || doc_id AS url,
+           trim(regexp_replace(substr(text, 1, 40), '[^a-zA-Z0-9 ]', '', 'g')) AS lead_text,
+           'read' AS link_text
     FROM documents
     ORDER BY doc_id
     """,
-    survey_ref="text analysis: BPE-ish regex token counting (subword-run lexer; whitespace twin = q_token_stats)",
-    tags=("text",),
+    survey_ref=(
+        "M16 CSS select_one extraction over stored HTML (scraper.py:475-554): tolerant "
+        "selector repair + :first-child fallback + attr/text extraction, Arrow mapInPandas"
+    ),
+    tags=("text", "pandas-udf", "scrape"),
 )
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subword-style token stats: a GPT-2-ish lexer regex (letter runs /
-    digit runs / single punctuation) counts tokens the way a BPE
-    pre-tokenizer would see them, plus the fertility ratio (BPE tokens per
-    whitespace word) used to budget training compute. Pure
-    ``regexp_extract_all`` column algebra — JVM-side, codegen'd, no UDF."""
+def q_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scrape-field extraction replayed over STORED HTML:
+    article pages are synthesized JVM-side (format_string — deterministic
+    from doc_id + a sanitized text snippet), then the pure-Python CSS
+    engine (sources/htmlselect.py) parses each page ONCE inside Arrow
+    ``mapInPandas`` and extracts every field from the same tree. The
+    selector set deliberately exercises the tolerance contract: a
+    malformed attribute selector (missing ']' — repaired via
+    normalize_selector_query) and a failing ``:first-child`` (parent
+    fallback). The oracle reconstructs each expected field arithmetically,
+    so the whole parse→select→extract path is value-hash-checked."""
+    from sentinela_py_spark.sources.htmlselect import extract_fields
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
-    n_toks = F.size(toks)
-    n_words = F.size(F.split("text", " "))
-    return d.select(
-        "doc_id",
-        n_toks.alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(F.length("text").cast("double") / F.greatest(n_toks, F.lit(1)), 6).alias("chars_per_token"),
-        F.round(n_toks.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias("fertility"),
+    snippet = F.trim(F.regexp_replace(F.substring("text", 1, 40), "[^a-zA-Z0-9 ]", ""))
+    html = F.format_string(
+        '<html><head><meta property="article:published_time" content="2024-%02d-%02dT12:00:00"/>'
+        "<title>Doc %d</title></head>"
+        '<body><article class="post" id="doc-%d"><h2>Doc %d</h2>'
+        '<a href="/articles/%d">read</a>'
+        '<div class="content"><p>%s</p></div></article></body></html>',
+        F.col("doc_id") % 12 + 1,
+        F.col("doc_id") % 28 + 1,
+        F.col("doc_id"),
+        F.col("doc_id"),
+        F.col("doc_id"),
+        F.col("doc_id"),
+        snippet,
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_fields(
+        pages,
+        "html",
+        {
+            "title": ("title", None),
+            # malformed on purpose: missing closing bracket -> repaired
+            "published_time": ("meta[property='article:published_time'", "content"),
+            "url": ("article a", "href"),
+            "lead_text": ("div.content > *:first-child", None),
+            # h2 is the first child, so :first-child fails for <a> and the
+            # parent-query fallback ("article > a") resolves it
+            "link_text": ("article > a:first-child", None),
+        },
     ).orderBy("doc_id")

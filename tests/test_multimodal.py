@@ -1,5 +1,5 @@
 """Multimodal plumbing: binary payload schema, Arrow batch path, frame
-sampling layout, and the stubbed decode contract."""
+sampling layout, and the REAL binary-PPM decode/resize path."""
 
 from __future__ import annotations
 
@@ -14,8 +14,11 @@ from sentinela_py_spark.operators.multimodal import (
     FRAME_STRIDE,
     MEDIA_SCHEMA,
     decode_media,
+    decode_ppm,
+    documents_to_images,
     documents_to_media,
     media_features,
+    media_pixel_features,
     resize_image,
     sample_frames,
 )
@@ -79,11 +82,68 @@ def test_frame_sampling_partition_invariant(media):
     assert one == many
 
 
-def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError, match="codec"):
+def _ppm(w: int, h: int, pix: bytes) -> bytes:
+    assert len(pix) == w * h * 3
+    return f"P6\n{w} {h}\n255\n".encode() + pix
+
+
+def test_decode_ppm_roundtrip():
+    pix = bytes(range(2 * 2 * 3))
+    w, h, maxval, decoded = decode_ppm(_ppm(2, 2, pix))
+    assert (w, h, maxval) == (2, 2, 255)
+    assert decoded == pix
+
+
+def test_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="not a binary PPM"):
         decode_media(b"\x89PNG", "image")
-    with pytest.raises(NotImplementedError, match="codec"):
-        resize_image(b"\x89PNG", 10, 10)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x00")  # pixel plane too short
+    with pytest.raises(ValueError, match="unknown media_type"):
+        decode_media(b"anything", "video")
+
+
+def test_decode_media_audio_is_raw_pcm():
+    n, ch, maxval, samples = decode_media(b"\x01\x02\x03", "audio")
+    assert (n, ch, maxval, samples) == (3, 1, 255, b"\x01\x02\x03")
+
+
+def test_resize_image_nearest_neighbor():
+    # 2x1 image: red pixel then blue pixel; upscale to 4x1 duplicates each
+    pix = b"\xff\x00\x00" + b"\x00\x00\xff"
+    out = resize_image(_ppm(2, 1, pix), 4, 1)
+    w, h, maxval, decoded = decode_ppm(out)
+    assert (w, h) == (4, 1)
+    assert decoded == b"\xff\x00\x00" * 2 + b"\x00\x00\xff" * 2
+    # downscale back: picks source pixels 0 and 2
+    back = decode_ppm(resize_image(out, 2, 1))[3]
+    assert back == pix
+
+
+def test_documents_to_images_are_valid_ppm(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in documents_to_images(docs).collect()}
+    for doc_id, text in DOCS:
+        w, h, maxval, pix = decode_ppm(bytes(rows[doc_id]["payload"]))
+        assert (w, h) == (rows[doc_id]["width"], rows[doc_id]["height"])
+        assert (w, h) == (doc_id % 8 + 2, doc_id % 6 + 2)
+        # pixel bytes cycle the ASCII text
+        expect = (text * (w * h * 3 // len(text) + 1))[: w * h * 3].encode()
+        assert pix == expect
+
+
+def test_media_pixel_features_real_decode(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    feats = {r["doc_id"]: r for r in media_pixel_features(documents_to_images(docs)).collect()}
+    for doc_id, text in DOCS:
+        w, h = doc_id % 8 + 2, doc_id % 6 + 2
+        pix = (text * (w * h * 3 // len(text) + 1))[: w * h * 3].encode()
+        r = feats[doc_id]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        assert r["n_pixel_bytes"] == len(pix)
+        assert r["sum_pixels"] == sum(pix)
+        assert r["min_pixel"] == min(pix) and r["max_pixel"] == max(pix)
+        assert r["mean_pixel"] == pytest.approx(sum(pix) / len(pix), abs=1e-6)
 
 
 def test_metadata_query_prunes_payload(media):

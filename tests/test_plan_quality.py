@@ -48,7 +48,7 @@ def test_revenue_query_broadcasts_dimensions(spark):
 
 
 def test_whole_stage_codegen_present(spark):
-    for name in ("q_pricing_summary", "q_haversine_supplier_nation", "q_text_quality"):
+    for name in ("q_pricing_summary", "q_haversine_supplier_nation", "q_text_profile"):
         # "*(N)" prefixes mark whole-stage-codegen stages in the final
         # adaptive plan
         assert "*(" in _plan(spark, name, execute=True), name
@@ -76,6 +76,15 @@ def test_range_join_broadcasts_band_dim(spark):
 def test_interval_join_is_hash_on_equi_key(spark):
     # the attribution interval join must hash on user_id with the time
     # range as a residual — a nested-loop/cartesian here is O(clicks×views)
-    plan = _plan(spark, "q_view_click_attribution")
+    plan = _plan(spark, "q_click_attribution")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_is_bucket_equi_join(spark):
+    # the registered near-dup must join on the LSH bucket equi-key — a
+    # bare vec_id < vec_id theta-join is the O(n²) shape that cannot
+    # survive a 100 TB corpus
+    plan = _plan(spark, "q_embedding_neardup")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -85,6 +85,54 @@ def test_simhash_identical_docs_identical_sigs(spark, skewed_corpus):
     assert n_distinct_per_group == 1
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """The registered LSH-bucketed near-dup vs the exact O(n²) twin at
+    sf0.01: every LSH pair must appear in the exact result with the same
+    score (precision 1.0 — candidates are scored with true cosine), exact
+    duplicates must ALWAYS collide (identical vectors share every bucket
+    bit → recall 1.0 on true dups), and overall recall on the near-dup set
+    must clear the multi-probe collision bound."""
+    from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+    from sentinela_py_spark.plans.simops import exact_neardup_pairs
+    from sentinela_py_spark.tables import load_table
+
+    _ensure_loaded()
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim_r
+        for r in QUERIES["q_embedding_neardup"].spark(spark, SF).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim_r
+        for r in exact_neardup_pairs(load_table(spark, SF, "embeddings")).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0
+    assert all(exact[k] == v for k, v in lsh.items())
+    assert len(lsh) >= 0.4 * len(exact)  # multi-probe Hamming<=1 @ cos>=0.4
+
+    # exact duplicates: identical vectors share every sign bit -> found always
+    e = load_table(spark, SF, "embeddings").limit(20)
+    dup = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    from sentinela_py_spark.plans.simops import PROBE_XORS, l2_norm_sq, lsh_bucket
+
+    both = e.unionByName(dup)
+    bucketed = both.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"), F.col("bucket").alias("bucket_a"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in PROBE_XORS])).alias("probe"),
+    )
+    cand = a.join(b, (F.col("bucket_a") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
+    found = cand.filter(F.col("vec_b") - F.col("vec_a") == 1_000_000).count()
+    assert found == 20  # all 20 planted exact dups collide
+
+
 def test_connected_components_collapse_dup_groups(spark, skewed_corpus):
     """Pairs → groups at 10×: every 10-copy group must land in ONE
     component (identical docs share all bands, so the pair edges always
