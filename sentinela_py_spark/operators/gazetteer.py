@@ -19,7 +19,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sentinela_py_spark.functions.textnorm import strip_accents
 
 CONFIDENCE_RESOLVED = 0.95  # reference disambiguation.py:41
 CONFIDENCE_AMBIGUOUS = 0.5  # disambiguation.py:42
@@ -72,9 +71,19 @@ def _norm_surface_col(surface: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(surface), r"\s+", " "))
 
 
-@F.udf(T.StringType())
-def _ascii_fold(s):  # tiny scalar UDF for the whitelist key only
-    return " ".join(strip_accents(s).lower().split()) if s is not None else None
+# Accent fold as pure column algebra (translate → lower → collapse): stays
+# inside whole-stage codegen instead of a per-row Python UDF. The char map
+# covers the Latin-1/Portuguese range the gazetteer's whitelist keys use —
+# the exact domain the Python strip_accents (NFKD) fold was applied to.
+_ACCENT_SRC = "áàâãäåéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+
+
+def _ascii_fold(surface: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(F.lower(F.translate(surface, _ACCENT_SRC, _ACCENT_DST)), r"\s+", " ")
+    )
 
 
 def resolve_mentions(

@@ -184,16 +184,22 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
         if state.hasTimedOut:
             state.remove()
             return
+        # A URL group can span multiple Arrow chunks; keep the candidate
+        # with the GLOBAL min enqueue_seq across chunks (keeping only the
+        # first chunk's candidate would make the emitted representative
+        # chunk-order-dependent, i.e. nondeterministic at scale).
         first = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            cand = (
-                pdf.sort_values("enqueue_seq").head(1)
-                if "enqueue_seq" in pdf.columns
-                else pdf.head(1)
-            )
-            first = cand if first is None else first
+            if "enqueue_seq" in pdf.columns:
+                cand = pdf.sort_values("enqueue_seq").head(1)
+                if first is None or (
+                    cand["enqueue_seq"].iloc[0] < first["enqueue_seq"].iloc[0]
+                ):
+                    first = cand
+            elif first is None:
+                first = pdf.head(1)
         if state.exists:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
             return  # URL already in flight → suppress
@@ -219,7 +225,7 @@ def view_click_attribution_stream(
 ) -> DataFrame:
     """Watermarked stream-stream interval join: every (view, click) pair
     by the same user where the view precedes the click by less than
-    ``window_minutes`` — the unbounded twin of q_view_click_attribution.
+    ``window_minutes`` — the unbounded twin of q_click_attribution.
 
     Both sides carry event-time watermarks and the join condition bounds
     view-ts from BOTH directions relative to click-ts, so Spark can expire
