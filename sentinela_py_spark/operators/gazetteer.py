@@ -147,7 +147,11 @@ def resolve_mentions(
         )
     df = df.withColumn("_wl", wl_states)
 
-    sole = F.element_at(after_ctx, 1)
+    # try_element_at: `sole` is only *referenced* under size-guarded CASE
+    # branches (lazy), but the try_ variant keeps it NULL-safe even if an
+    # optimizer rewrite ever evaluated it eagerly on an empty-candidate row
+    # (ANSI element_at throws on out-of-bounds).
+    sole = F.try_element_at(after_ctx, F.lit(1))
     reliable = (
         F.col("_wl").isNull()
         | (uf_surface.isNotNull() & F.array_contains(F.col("_wl"), uf_surface))

@@ -81,6 +81,16 @@ def test_interval_join_is_hash_on_equi_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_text_profile_prunes_columns(spark):
+    # the single-pass profile must only read the 3 columns it uses — a
+    # wide scan would defeat the point of folding six queries into one pass
+    plan = _plan(spark, "q_text_profile")
+    scan = plan.split("FileScan")[1]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema and "lang" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
 def test_embedding_neardup_is_bucket_equi_join(spark):
     # the registered near-dup must join on the LSH bucket equi-key — a
     # bare vec_id < vec_id theta-join is the O(n²) shape that cannot
