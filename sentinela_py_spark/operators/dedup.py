@@ -15,6 +15,14 @@ Scale notes:
   Leskovec et al. MMDS ch.3).
 - SimHash: token explode → 32 conditional-sum aggregates per doc
   (single shuffle), signature equality join for candidates.
+- Why explode+aggregate and NOT per-row array folds: a "zero-shuffle"
+  rewrite (array_distinct + 16 array_min(transform(...)) per row) was
+  measured 4-5× SLOWER at sf0.1 — higher-order-function lambdas are
+  interpreted (excluded from whole-stage codegen), the size()>0 filter
+  pushdown recomputes the array pipeline in the Filter node, and the
+  shuffle it "saves" was never material: map-side partial aggregation
+  already collapses the exploded rows to one row per doc before the
+  exchange, so only docs × 16 longs cross the wire at any scale.
 """
 
 from __future__ import annotations
