@@ -165,6 +165,25 @@ def session_windows(
     )
 
 
+def first_by_enqueue_seq(pdfs):
+    """First-wins representative of a keyed group that may span multiple
+    Arrow chunks: the row with the GLOBAL min enqueue_seq across chunks.
+    Keeping only the first chunk's candidate would make the emitted
+    representative chunk-order-dependent (nondeterministic at scale).
+    Falls back to the first row seen when there is no enqueue_seq column."""
+    first = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        if "enqueue_seq" in pdf.columns:
+            cand = pdf.sort_values("enqueue_seq").head(1)
+            if first is None or cand["enqueue_seq"].iloc[0] < first["enqueue_seq"].iloc[0]:
+                first = cand
+        elif first is None:
+            first = pdf.head(1)
+    return first
+
+
 def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     """Cross-batch first-wins URL dedup — the queue's in-flight set
     (pending_news_queue.py:26-32) as a custom stateful operator.
@@ -184,22 +203,7 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
         if state.hasTimedOut:
             state.remove()
             return
-        # A URL group can span multiple Arrow chunks; keep the candidate
-        # with the GLOBAL min enqueue_seq across chunks (keeping only the
-        # first chunk's candidate would make the emitted representative
-        # chunk-order-dependent, i.e. nondeterministic at scale).
-        first = None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            if "enqueue_seq" in pdf.columns:
-                cand = pdf.sort_values("enqueue_seq").head(1)
-                if first is None or (
-                    cand["enqueue_seq"].iloc[0] < first["enqueue_seq"].iloc[0]
-                ):
-                    first = cand
-            elif first is None:
-                first = pdf.head(1)
+        first = first_by_enqueue_seq(pdfs)
         if state.exists:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
             return  # URL already in flight → suppress

@@ -58,3 +58,55 @@ def test_pt_month_rewrite_roundtrip(ts):
     for i, name in enumerate(PT_MONTHS, start=1):
         out = out.replace(f" de {name} de ", f"/{i:02d}/")
     assert out == f"{ts.day:02d}/{ts.month:02d}/{ts.year}"
+
+
+# --- htmlselect (M16 extraction half): the parser/selector engine must be
+# total — arbitrary input may be malformed HTML or a broken selector, and
+# at 100 TB a single pathological row must never kill the scan. ---
+
+_HTML_CHARS = st.sampled_from("<>ab c/='\"-&;!")
+_SEL_CHARS = st.sampled_from("ab.#[]='\" >:-*0")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(_HTML_CHARS, max_size=120))
+def test_parse_html_total(html):
+    from sentinela_py_spark.sources.htmlselect import parse_html
+
+    root = parse_html(html)  # must never raise or hang
+    assert root.tag == "[document]"
+    root.get_text()  # text extraction total too
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(_SEL_CHARS, min_size=1, max_size=40))
+def test_selector_parse_total_and_repair_helps(query):
+    from sentinela_py_spark.sources.htmlselect import (
+        SelectorSyntaxError,
+        parse_selector,
+    )
+    from sentinela_py_spark.sources.scrape_utils import normalize_selector_query
+
+    try:
+        parse_selector(query)
+    except SelectorSyntaxError:
+        # the repair pass must itself be total, and the repaired form must
+        # parse or fail with the SAME typed error (stray closers like ']'
+        # are unrepairable in the reference too — they surface as the
+        # ValueError the extraction path maps to NULL)
+        repaired = normalize_selector_query(query)
+        try:
+            parse_selector(repaired)
+        except SelectorSyntaxError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(_HTML_CHARS, max_size=100), st.text(_SEL_CHARS, min_size=1, max_size=30))
+def test_extract_value_raises_only_valueerror(html, query):
+    from sentinela_py_spark.sources.htmlselect import extract_value, parse_html
+
+    try:
+        extract_value(parse_html(html), query)
+    except ValueError:
+        pass  # the one allowed failure mode (mapInPandas maps it to NULL)

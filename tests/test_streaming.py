@@ -159,6 +159,32 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
     assert all(t not in ("t1-dup-in-batch", "t1-replay") for _, t in seen)
 
 
+def test_first_by_enqueue_seq_min_across_arrow_chunks():
+    """A URL group spanning multiple Arrow chunks must yield the row with
+    the GLOBAL min enqueue_seq — keeping only the first chunk's candidate
+    (the old behavior) would emit a chunk-order-dependent representative.
+    Unit-level: this is exactly the chunk iterator shape
+    applyInPandasWithState hands to the state function."""
+    import pandas as pd
+
+    from sentinela_py_spark.streaming.pipeline import first_by_enqueue_seq
+
+    def chunk(*seqs):
+        return pd.DataFrame({"url": ["u"] * len(seqs), "title": [f"seq{s}" for s in seqs], "enqueue_seq": list(seqs)})
+
+    # min sits in a LATER chunk
+    first = first_by_enqueue_seq(iter([chunk(7), pd.DataFrame(columns=["url", "title", "enqueue_seq"]), chunk(5, 2)]))
+    assert first["title"].iloc[0] == "seq2"
+    # min in the first chunk stays
+    first = first_by_enqueue_seq(iter([chunk(1, 9), chunk(4)]))
+    assert first["title"].iloc[0] == "seq1"
+    # no enqueue_seq column -> first row seen
+    pdf = pd.DataFrame({"url": ["a", "b"], "title": ["t1", "t2"]})
+    assert first_by_enqueue_seq(iter([pdf]))["title"].iloc[0] == "t1"
+    # all-empty iterator -> None
+    assert first_by_enqueue_seq(iter([pd.DataFrame(columns=["url"])])) is None
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed aggregation with a 10-minute watermark: an
     event arriving after its window passed the watermark must NOT change
