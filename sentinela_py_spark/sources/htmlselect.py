@@ -219,7 +219,18 @@ def _parse_compound(tok: str, query: str) -> _Simple:
                 ident = name
             i = j
         elif ch == "[":
-            j = tok.index("]", i)  # balanced by tokenizer
+            # quote-aware scan to the matching ']' (a quoted ']' inside an
+            # attribute value must not terminate the block)
+            j = i + 1
+            q: str | None = None
+            while j < len(tok) and (q is not None or tok[j] != "]"):
+                if q is None and tok[j] in "'\"":
+                    q = tok[j]
+                elif tok[j] == q:
+                    q = None
+                j += 1
+            if j >= len(tok):
+                raise SelectorSyntaxError(f"unclosed '[' in {query!r}")
             inner = tok[i + 1 : j]
             if "=" in inner:
                 name, value = inner.split("=", 1)
@@ -244,21 +255,28 @@ def _parse_compound(tok: str, query: str) -> _Simple:
 
 
 def _chain_matches(node: Node, chain: list[tuple[str, _Simple]]) -> bool:
-    """Right-to-left ancestor verification of the combinator chain."""
-    current: Node | None = node
-    for idx in range(len(chain) - 1, 0, -1):
+    """Right-to-left ancestor verification of the combinator chain, WITH
+    backtracking: for a descendant combinator every matching ancestor is a
+    candidate, not just the nearest one (greedy nearest-match false-
+    negatives on chains like ``A > B C`` when the nearest matching B is
+    not a child of an A but a farther one is)."""
+
+    def up(idx: int, current: Node) -> bool:
+        if idx == 0:
+            return True
         combinator, _ = chain[idx]
         _, parent_sel = chain[idx - 1]
-        current = current.parent if current else None
         if combinator == ">":
-            if current is None or not parent_sel.matches(current):
-                return False
-        else:
-            while current is not None and not parent_sel.matches(current):
-                current = current.parent
-            if current is None:
-                return False
-    return True
+            p = current.parent
+            return p is not None and parent_sel.matches(p) and up(idx - 1, p)
+        p = current.parent
+        while p is not None:
+            if parent_sel.matches(p) and up(idx - 1, p):
+                return True
+            p = p.parent
+        return False
+
+    return up(len(chain) - 1, node)
 
 
 def select_one(root: Node, query: str) -> Node | None:

@@ -115,6 +115,23 @@ def test_parse_selector_subset():
         parse_selector("p:nth-child(2)")  # outside the supported subset
 
 
+def test_descendant_combinator_backtracks():
+    # A > B C where the NEAREST matching B is not a child of A — a greedy
+    # nearest-ancestor matcher false-negatives here; backtracking must try
+    # the farther B whose parent IS the A
+    html = """
+    <section class="a"><div class="b"><p><div class="b"><span>hit</span></div></p></div></section>
+    """
+    root = parse_html(html)
+    node = select_one(root, "section.a > div.b span")
+    assert node is not None and node.get_text() == "hit"
+
+
+def test_attr_value_containing_bracket():
+    root = parse_html('<meta name="x" content="a]b"/>')
+    assert select_one(root, 'meta[content="a]b"]').attrs["name"] == "x"
+
+
 def test_void_elements_do_not_swallow_siblings():
     root = parse_html("<div><img src='x.png'><span>after</span></div>")
     span = select_one(root, "div > span")
