@@ -207,11 +207,20 @@ def media_pixel_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in PIXEL_FEATURES_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                width, height, maxval, pix = decode_ppm(raw)
+                out["doc_id"].append(doc_id)
+                try:
+                    raw = bytes(payload)
+                    width, height, maxval, pix = decode_ppm(raw)
+                except (ValueError, TypeError):
+                    # Corrupt/NULL payloads surface as NULL features — a
+                    # 100 TB lake WILL contain undecodable media, and one
+                    # bad row must never kill the scan.
+                    for name in out:
+                        if name != "doc_id":
+                            out[name].append(None)
+                    continue
                 arr = np.frombuffer(pix, dtype=np.uint8)
                 total = int(arr.sum(dtype=np.int64))
-                out["doc_id"].append(doc_id)
                 out["width"].append(width)
                 out["height"].append(height)
                 out["maxval"].append(maxval)

@@ -348,6 +348,10 @@ def extract_fields(df, html_col: str, selectors: dict[str, tuple[str, str | None
             out = {c: pdf[c] for c in key_cols}
             extracted: dict[str, list[str | None]] = {n: [] for n in selectors}
             for html in pdf[html_col]:
+                if html is None:
+                    for name in selectors:
+                        extracted[name].append(None)
+                    continue
                 root = parse_html(html)
                 for name, (query, attribute) in selectors.items():
                     try:

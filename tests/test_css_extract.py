@@ -152,3 +152,13 @@ def test_extract_fields_parses_once_and_nulls_failures(spark):
     }
     assert out[1]["title"] == "T1"
     assert out[2]["title"] is None  # failure -> NULL, scan survives
+
+
+def test_extract_fields_null_html_survives(spark):
+    from sentinela_py_spark.sources.htmlselect import extract_fields
+
+    df = spark.createDataFrame(
+        [(1, "<h1>ok</h1>"), (2, None)], "doc_id long, html string"
+    )
+    out = {r["doc_id"]: r for r in extract_fields(df, "html", {"t": ("h1", None)}).collect()}
+    assert out[1]["t"] == "ok" and out[2]["t"] is None

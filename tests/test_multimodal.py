@@ -132,6 +132,20 @@ def test_documents_to_images_are_valid_ppm(spark):
         assert pix == expect
 
 
+def test_media_pixel_features_nulls_corrupt_payloads(spark):
+    """Undecodable payloads must surface as NULL features, not kill the
+    scan — a 100 TB lake WILL contain corrupt media."""
+    good = _ppm(2, 1, b"\x01\x02\x03\x04\x05\x06")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x89PNG not a ppm")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in media_pixel_features(df).collect()}
+    assert rows[1]["width"] == 2 and rows[1]["sum_pixels"] == 21
+    assert rows[2]["width"] is None and rows[2]["checksum"] is None
+    assert rows[3]["width"] is None and rows[3]["mean_pixel"] is None
+
+
 def test_media_pixel_features_real_decode(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     feats = {r["doc_id"]: r for r in media_pixel_features(documents_to_images(docs)).collect()}
