@@ -1,0 +1,47 @@
+"""Partition-invariance: the driver hash-compares collected values, so
+every query must produce IDENTICAL results under any shuffle layout.
+Double sums are the classic failure (floating-point addition is not
+associative; a different partition count reorders the combine) — the
+engine's decimal-exact discipline is what this file proves, on the
+queries whose outputs ride on aggregated doubles, rounded libm math, or
+iterative propagation."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentinela_py_spark.plans import QUERIES
+from sentinela_py_spark.plans.registry import _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+_ensure_loaded()
+
+# Queries whose values are most at risk from combine-order changes:
+# decimal-summed doubles, rounded cosine/log math, window sums over time
+# ranges, and the iterative connected-components fixpoint.
+SENSITIVE = [
+    "q_pricing_summary",
+    "q_conditional_agg",
+    "q_token_entropy",
+    "q_tfidf_top_terms",
+    "q_trailing_7d_spend",
+    "q_haversine_supplier_nation",
+    "q_embedding_neardup",
+    "q_cosine_topk",
+    "q_dedup_groups",
+    "q_curated_corpus",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_shuffle_layout(spark, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = [tuple(r) for r in QUERIES[name].spark(spark, SF).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = [tuple(r) for r in QUERIES[name].spark(spark, SF).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow, f"{name}: values depend on shuffle layout"
