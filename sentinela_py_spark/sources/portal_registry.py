@@ -1,0 +1,316 @@
+"""HTTP-shape ingest at the engine boundary: city-catalog fetch with
+source fallback (S9), portal-config lookup (S10), audit HTML dump (K8).
+
+Reference semantics:
+- S9  ``fetch_catalog(primary)`` — try sources in priority order
+  (primary first, then the rest), normalize each source's raw payload
+  shape, filter invalid rows, dedupe by ``ibge_id`` (first wins), sort by
+  numeric id; raise with every error joined when all sources fail
+  (city_matching/build_cache.py:184-204, normalizers 103-159, checksum
+  211-213).
+- S10 ``PortalServiceClient.get_portal`` — fetch the portal registry,
+  linear-search by name, rebuild the portal config from its payload
+  (services/news/clients/portal_service_client.py:50-66,75-107).
+- K8  ``_dump_first_page_html`` — mkdir-parents + write, ``False`` on
+  OSError; path convention ``audits/<portal>_pagina1_<ts>.html``
+  (infrastructure/scraper.py:363-373, cli.py:597-618).
+
+Spark architecture: the engine NEVER opens a socket — transports are
+injectable zero-arg callables (tests use in-memory fakes; production
+drivers pass ``lambda: requests.get(URL).json()``).  The normalized
+catalog is a ~5.6k-row dimension: ``city_catalog_df`` materializes it
+once via ``createDataFrame`` with an explicit schema so every downstream
+join can take the broadcast-hash path.  At 100 TB the fact tables scale;
+this dimension does not — driver-side normalization of 5.6k dicts is the
+right cost model, and keeping the schema fixed (superset of both source
+shapes) means the broadcast plan is identical whichever source won.
+"""
+
+from __future__ import annotations
+
+import json
+from hashlib import sha256
+from pathlib import Path
+from typing import Any, Callable, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.textnorm import STATE_BY_NAME
+
+__all__ = [
+    "CityCatalogError",
+    "fetch_catalog",
+    "normalize_records",
+    "catalog_checksum",
+    "city_catalog_df",
+    "CITY_DIM_SCHEMA",
+    "get_portal",
+    "portal_from_payload",
+    "audit_dump_path",
+    "dump_audit_html",
+]
+
+
+class CityCatalogError(RuntimeError):
+    """Download or normalization failure (reference build_cache.py:22)."""
+
+
+# UF -> (state name, macro-region); names shared with textnorm's
+# STATE_BY_NAME (public-geography constants the reference also embeds,
+# build_cache.py:45-73).
+_REGION_BY_UF = {
+    "AC": "Norte", "AP": "Norte", "AM": "Norte", "PA": "Norte",
+    "RO": "Norte", "RR": "Norte", "TO": "Norte",
+    "AL": "Nordeste", "BA": "Nordeste", "CE": "Nordeste", "MA": "Nordeste",
+    "PB": "Nordeste", "PE": "Nordeste", "PI": "Nordeste", "RN": "Nordeste",
+    "SE": "Nordeste",
+    "DF": "Centro-Oeste", "GO": "Centro-Oeste", "MT": "Centro-Oeste",
+    "MS": "Centro-Oeste",
+    "ES": "Sudeste", "MG": "Sudeste", "RJ": "Sudeste", "SP": "Sudeste",
+    "PR": "Sul", "RS": "Sul", "SC": "Sul",
+}
+_STATE_NAME_BY_UF = {uf: name.title() for name, uf in STATE_BY_NAME.items()}
+# title() mangles connectives ("Rio De Janeiro"); fix the few multiword ones
+_STATE_NAME_BY_UF.update(
+    {
+        "RJ": "Rio de Janeiro",
+        "RN": "Rio Grande do Norte",
+        "RS": "Rio Grande do Sul",
+        "MS": "Mato Grosso do Sul",
+    }
+)
+
+
+def _to_float(value: Any) -> float | None:
+    """Tolerant float coercion (reference build_cache.py:128-134)."""
+    if value in (None, ""):
+        return None
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return None
+
+
+def _normalize_ibge(records: Iterable[Mapping[str, Any]]) -> list[dict[str, Any]]:
+    """IBGE Localidades shape: UF/region nested under
+    microrregiao.mesorregiao (reference build_cache.py:103-126)."""
+    out: list[dict[str, Any]] = []
+    for item in records:
+        micro = item.get("microrregiao") or {}
+        meso = micro.get("mesorregiao") or {}
+        uf_info = meso.get("UF") or {}
+        region_info = uf_info.get("regiao") or {}
+        out.append(
+            {
+                "ibge_id": None if item.get("id") is None else str(item.get("id")),
+                "name": item.get("nome"),
+                "uf": uf_info.get("sigla"),
+                "state": uf_info.get("nome"),
+                "region": region_info.get("nome"),
+                "mesoregion": meso.get("nome"),
+                "microregion": micro.get("nome"),
+            }
+        )
+    return out
+
+
+def _normalize_brasilapi(records: Iterable[Mapping[str, Any]]) -> list[dict[str, Any]]:
+    """BrasilAPI flat shape, enriched from UF metadata
+    (reference build_cache.py:137-160)."""
+    out: list[dict[str, Any]] = []
+    for item in records:
+        uf = item.get("estado") or item.get("uf")
+        code = item.get("codigo_ibge") or item.get("codigo")
+        out.append(
+            {
+                "ibge_id": None if code is None else str(code),
+                "name": item.get("nome"),
+                "uf": uf,
+                "state": _STATE_NAME_BY_UF.get(uf or ""),
+                "region": _REGION_BY_UF.get(uf or "") or item.get("regiao"),
+                "latitude": _to_float(item.get("latitude")),
+                "longitude": _to_float(item.get("longitude")),
+                "capital": bool(item.get("capital", False)),
+                "siafi_id": item.get("siafi_id"),
+                "ddd": item.get("ddd"),
+                "timezone": item.get("fuso_horario") or item.get("timezone"),
+            }
+        )
+    return out
+
+
+_NORMALIZERS: dict[str, Callable[[Iterable[Mapping[str, Any]]], list[dict[str, Any]]]] = {
+    "ibge": _normalize_ibge,
+    "brasilapi": _normalize_brasilapi,
+}
+
+
+def _sort_key(record: Mapping[str, Any]) -> tuple:
+    rid = str(record["ibge_id"])
+    # numeric ids sort numerically, non-numeric lexically after them — a
+    # total order (the reference's bare int-or-str key is partial)
+    return (0, int(rid), "") if rid.isdigit() else (1, 0, rid)
+
+
+def normalize_records(
+    source: str, raw_records: Iterable[Mapping[str, Any]]
+) -> list[dict[str, Any]]:
+    """Normalize one source's payload: shape-map, drop rows missing
+    id/name, dedupe by ibge_id (first wins), numeric-id order
+    (reference build_cache.py:163-181)."""
+    normalizer = _NORMALIZERS.get(source)
+    if normalizer is None:
+        raise CityCatalogError(f"no normalizer registered for source {source!r}")
+    records = normalizer(raw_records)
+    filtered = [r for r in records if r.get("ibge_id") and r.get("name")]
+    if not filtered:
+        raise CityCatalogError(
+            f"source {source!r} produced no valid records after normalization"
+        )
+    dedup: dict[str, dict[str, Any]] = {}
+    for record in filtered:
+        dedup.setdefault(str(record["ibge_id"]), record)
+    return sorted(dedup.values(), key=_sort_key)
+
+
+def fetch_catalog(
+    fetchers: Mapping[str, Callable[[], Any]],
+    primary: str,
+) -> tuple[list[dict[str, Any]], str]:
+    """Try ``primary`` then every other registered source; first source
+    whose fetch+normalize succeeds wins.  All-fail raises with the
+    per-source errors joined (reference build_cache.py:184-204).
+
+    ``fetchers`` maps source name -> zero-arg callable returning the raw
+    payload (a list of dicts).  Any exception from the callable counts as
+    that source failing — the fallback chain continues.
+    """
+    if primary not in fetchers:
+        raise CityCatalogError(f"unknown primary source {primary!r}")
+    order = [primary, *[s for s in fetchers if s != primary]]
+    errors: list[str] = []
+    for source in order:
+        try:
+            payload = fetchers[source]()
+            if not isinstance(payload, list):
+                raise CityCatalogError(
+                    f"unexpected payload from source {source!r}: expected a list"
+                )
+            return normalize_records(source, payload), source
+        except Exception as exc:  # noqa: BLE001 — every failure falls through
+            errors.append(f"{source}: {exc}")
+    raise CityCatalogError(
+        "could not fetch the city catalog from any source (" + "; ".join(errors) + ")"
+    )
+
+
+def catalog_checksum(cities: list[dict[str, Any]]) -> str:
+    """sha256 over canonical JSON — sorted keys, no whitespace, unicode
+    kept (reference build_cache.py:211-213)."""
+    serialized = json.dumps(
+        cities, ensure_ascii=False, sort_keys=True, separators=(",", ":")
+    )
+    return sha256(serialized.encode("utf-8")).hexdigest()
+
+
+# One fixed superset schema regardless of which source won, so downstream
+# broadcast joins never re-plan on a source flip.
+CITY_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("ibge_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("uf", T.StringType(), True),
+        T.StructField("state", T.StringType(), True),
+        T.StructField("region", T.StringType(), True),
+        T.StructField("mesoregion", T.StringType(), True),
+        T.StructField("microregion", T.StringType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("capital", T.BooleanType(), True),
+        T.StructField("siafi_id", T.StringType(), True),
+        T.StructField("ddd", T.StringType(), True),
+        T.StructField("timezone", T.StringType(), True),
+    ]
+)
+
+
+def city_catalog_df(
+    spark: SparkSession,
+    fetchers: Mapping[str, Callable[[], Any]],
+    primary: str = "ibge",
+) -> tuple[DataFrame, str]:
+    """Fetch-with-fallback and materialize the city dimension with the
+    fixed superset schema.  ~5.6k rows — always broadcast-joinable."""
+    cities, source = fetch_catalog(fetchers, primary)
+    rows = [
+        tuple(
+            city.get(field.name)
+            if field.name not in ("siafi_id", "ddd")
+            or city.get(field.name) is None
+            else str(city.get(field.name))
+            for field in CITY_DIM_SCHEMA.fields
+        )
+        for city in cities
+    ]
+    return spark.createDataFrame(rows, CITY_DIM_SCHEMA), source
+
+
+def portal_from_payload(payload: Mapping[str, Any]) -> dict[str, Any]:
+    """Rebuild a portal config from its registry payload: required
+    name/base_url/template and five required selectors, optional
+    listing_summary / headers / date_format
+    (reference portal_service_client.py:80-107)."""
+
+    def selector(entry: Mapping[str, Any] | None) -> dict[str, Any] | None:
+        if not entry:
+            return None
+        return {"query": entry["query"], "attribute": entry.get("attribute")}
+
+    selectors = payload["selectors"]
+    return {
+        "name": payload["name"],
+        "base_url": payload["base_url"],
+        "listing_path_template": payload["listing_path_template"],
+        "selectors": {
+            "listing_article": selector(selectors["listing_article"]),
+            "listing_title": selector(selectors["listing_title"]),
+            "listing_url": selector(selectors["listing_url"]),
+            "article_content": selector(selectors["article_content"]),
+            "article_date": selector(selectors["article_date"]),
+            "listing_summary": selector(selectors.get("listing_summary")),
+        },
+        "headers": dict(payload.get("headers", {})),
+        "date_format": payload.get("date_format", "%Y-%m-%d"),
+    }
+
+
+def get_portal(
+    fetch_portals: Callable[[], Iterable[Mapping[str, Any]]],
+    name: str,
+) -> dict[str, Any] | None:
+    """Linear search of the registry payload by exact name; ``None`` when
+    absent (reference portal_service_client.py:50-66)."""
+    for payload in fetch_portals():
+        if payload.get("name") == name:
+            return portal_from_payload(payload)
+    return None
+
+
+def audit_dump_path(portal: str, timestamp: str, base: str = "audits") -> Path:
+    """``audits/<portal>_pagina1_<ts>.html`` (reference cli.py:604-606).
+    ``timestamp`` is the caller's ``%Y%m%d-%H%M%S`` string — the engine
+    takes it as data, not from the wall clock, so paths are replayable."""
+    return Path(base) / f"{portal}_pagina1_{timestamp}.html"
+
+
+def dump_audit_html(path: Path | str, html: str) -> bool:
+    """Write the audit HTML, creating parent dirs; ``False`` (not raise)
+    on OSError (reference scraper.py:363-373)."""
+    target = Path(path)
+    try:
+        target.parent.mkdir(parents=True, exist_ok=True)
+        target.write_text(html, encoding="utf-8")
+        return True
+    except OSError:
+        return False

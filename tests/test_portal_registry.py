@@ -1,0 +1,224 @@
+"""S9/S10/K8: catalog fetch-with-fallback, portal lookup, audit dump.
+
+Transport is injected as zero-arg callables, so every reference behavior
+(fallback order, error joining, shape normalization, dedup+order,
+checksum) is exercised hermetically — no sockets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sentinela_py_spark.sources.portal_registry import (
+    CITY_DIM_SCHEMA,
+    CityCatalogError,
+    audit_dump_path,
+    catalog_checksum,
+    city_catalog_df,
+    dump_audit_html,
+    fetch_catalog,
+    get_portal,
+    normalize_records,
+    portal_from_payload,
+)
+
+
+def ibge_record(city_id, nome, uf_sigla, uf_nome, regiao, meso="Meso", micro="Micro"):
+    return {
+        "id": city_id,
+        "nome": nome,
+        "microrregiao": {
+            "nome": micro,
+            "mesorregiao": {
+                "nome": meso,
+                "UF": {"sigla": uf_sigla, "nome": uf_nome, "regiao": {"nome": regiao}},
+            },
+        },
+    }
+
+
+IBGE_PAYLOAD = [
+    ibge_record(3550308, "São Paulo", "SP", "São Paulo", "Sudeste"),
+    ibge_record(1100205, "Porto Velho", "RO", "Rondônia", "Norte"),
+    ibge_record(3550308, "São Paulo DUP", "SP", "São Paulo", "Sudeste"),
+    {"id": None, "nome": "sem id"},  # dropped: no ibge_id
+]
+
+BRASILAPI_PAYLOAD = [
+    {
+        "codigo_ibge": 3550308,
+        "nome": "São Paulo",
+        "estado": "SP",
+        "latitude": "-23.55",
+        "longitude": -46.63,
+        "capital": True,
+        "siafi_id": 7107,
+        "ddd": 11,
+        "fuso_horario": "America/Sao_Paulo",
+    },
+    {"codigo": 1100205, "nome": "Porto Velho", "uf": "RO", "latitude": "bogus"},
+]
+
+
+class TestNormalize:
+    def test_ibge_nested_shape(self):
+        rows = normalize_records("ibge", IBGE_PAYLOAD)
+        assert [r["ibge_id"] for r in rows] == ["1100205", "3550308"]  # numeric order
+        sp = rows[1]
+        assert sp["name"] == "São Paulo"  # first wins over DUP
+        assert sp["uf"] == "SP"
+        assert sp["state"] == "São Paulo"
+        assert sp["region"] == "Sudeste"
+        assert sp["mesoregion"] == "Meso"
+        assert sp["microregion"] == "Micro"
+
+    def test_brasilapi_flat_shape_and_enrichment(self):
+        rows = normalize_records("brasilapi", BRASILAPI_PAYLOAD)
+        sp, pv = rows[1], rows[0]
+        assert sp["latitude"] == pytest.approx(-23.55)  # string coerced
+        assert sp["longitude"] == pytest.approx(-46.63)
+        assert sp["capital"] is True
+        assert sp["state"] == "São Paulo"  # enriched from UF metadata
+        assert sp["region"] == "Sudeste"
+        assert pv["latitude"] is None  # bogus float -> None
+        assert pv["state"] == "Rondônia"
+        assert pv["region"] == "Norte"
+        assert pv["capital"] is False
+
+    def test_all_invalid_raises(self):
+        with pytest.raises(CityCatalogError, match="no valid records"):
+            normalize_records("ibge", [{"id": None, "nome": None}])
+
+    def test_unknown_source(self):
+        with pytest.raises(CityCatalogError, match="no normalizer"):
+            normalize_records("nope", [])
+
+
+class TestFetchFallback:
+    def test_primary_wins(self):
+        cities, source = fetch_catalog(
+            {"ibge": lambda: IBGE_PAYLOAD, "brasilapi": lambda: BRASILAPI_PAYLOAD},
+            primary="ibge",
+        )
+        assert source == "ibge"
+        assert len(cities) == 2
+
+    def test_fallback_on_primary_failure(self):
+        def boom():
+            raise ConnectionError("refused")
+
+        cities, source = fetch_catalog(
+            {"ibge": boom, "brasilapi": lambda: BRASILAPI_PAYLOAD}, primary="ibge"
+        )
+        assert source == "brasilapi"
+        assert [c["ibge_id"] for c in cities] == ["1100205", "3550308"]
+
+    def test_non_list_payload_falls_through(self):
+        cities, source = fetch_catalog(
+            {"ibge": lambda: {"oops": 1}, "brasilapi": lambda: BRASILAPI_PAYLOAD},
+            primary="ibge",
+        )
+        assert source == "brasilapi"
+
+    def test_all_fail_joins_errors(self):
+        def boom():
+            raise ConnectionError("refused")
+
+        with pytest.raises(CityCatalogError) as err:
+            fetch_catalog({"ibge": boom, "brasilapi": lambda: []}, primary="ibge")
+        msg = str(err.value)
+        assert "ibge: refused" in msg and "brasilapi:" in msg
+
+    def test_unknown_primary(self):
+        with pytest.raises(CityCatalogError, match="unknown primary"):
+            fetch_catalog({"ibge": lambda: []}, primary="typo")
+
+
+class TestChecksum:
+    def test_stable_and_content_sensitive(self):
+        a = normalize_records("ibge", IBGE_PAYLOAD)
+        b = normalize_records("ibge", list(reversed(IBGE_PAYLOAD[:3])))
+        assert catalog_checksum(a) == catalog_checksum(a)
+        # reversed payload changes which duplicate wins -> different content
+        assert catalog_checksum(a) != catalog_checksum(b)
+
+
+class TestCatalogDF:
+    def test_fixed_schema_whichever_source(self, spark):
+        df_ibge, s1 = city_catalog_df(spark, {"ibge": lambda: IBGE_PAYLOAD})
+        df_bapi, s2 = city_catalog_df(
+            spark, {"brasilapi": lambda: BRASILAPI_PAYLOAD}, primary="brasilapi"
+        )
+        assert df_ibge.schema == CITY_DIM_SCHEMA == df_bapi.schema
+        assert (s1, s2) == ("ibge", "brasilapi")
+        rows = {r["ibge_id"]: r for r in df_bapi.collect()}
+        assert rows["3550308"]["siafi_id"] == "7107"  # int coerced to string
+        assert rows["3550308"]["ddd"] == "11"
+        assert rows["3550308"]["capital"] is True
+        ibge_rows = {r["ibge_id"]: r for r in df_ibge.collect()}
+        assert ibge_rows["3550308"]["latitude"] is None  # absent in ibge shape
+
+
+PORTAL_PAYLOAD = {
+    "name": "diario",
+    "base_url": "https://diario.example",
+    "listing_path_template": "/news?page={page}",
+    "selectors": {
+        "listing_article": {"query": "article.card"},
+        "listing_title": {"query": "h2 a"},
+        "listing_url": {"query": "h2 a", "attribute": "href"},
+        "article_content": {"query": "div.content"},
+        "article_date": {"query": "time", "attribute": "datetime"},
+    },
+    "headers": {"User-Agent": "sentinela"},
+}
+
+
+class TestPortalLookup:
+    def test_found_by_exact_name(self):
+        portal = get_portal(lambda: [PORTAL_PAYLOAD], "diario")
+        assert portal is not None
+        assert portal["base_url"] == "https://diario.example"
+        assert portal["selectors"]["listing_url"] == {
+            "query": "h2 a",
+            "attribute": "href",
+        }
+        assert portal["selectors"]["listing_summary"] is None
+        assert portal["date_format"] == "%Y-%m-%d"  # default applied
+        assert portal["headers"] == {"User-Agent": "sentinela"}
+
+    def test_missing_returns_none(self):
+        assert get_portal(lambda: [PORTAL_PAYLOAD], "outro") is None
+
+    def test_optional_summary_selector(self):
+        payload = {
+            **PORTAL_PAYLOAD,
+            "selectors": {
+                **PORTAL_PAYLOAD["selectors"],
+                "listing_summary": {"query": "p.summary"},
+            },
+            "date_format": "%d/%m/%Y",
+        }
+        portal = portal_from_payload(payload)
+        assert portal["selectors"]["listing_summary"] == {
+            "query": "p.summary",
+            "attribute": None,
+        }
+        assert portal["date_format"] == "%d/%m/%Y"
+
+
+class TestAuditDump:
+    def test_path_convention(self):
+        p = audit_dump_path("diario", "20260813-101500")
+        assert str(p) == "audits/diario_pagina1_20260813-101500.html"
+
+    def test_write_creates_parents(self, tmp_path):
+        target = tmp_path / "audits" / "diario_pagina1_x.html"
+        assert dump_audit_html(target, "<html>ok</html>") is True
+        assert target.read_text(encoding="utf-8") == "<html>ok</html>"
+
+    def test_oserror_returns_false(self, tmp_path):
+        blocker = tmp_path / "file"
+        blocker.write_text("x")
+        # parent "directory" is a regular file -> OSError path
+        assert dump_audit_html(blocker / "child.html", "<html/>") is False
