@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.functions.text_stats import word_shingles
 from sentinela_py_spark.tables import ensure_min_partitions
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
@@ -52,23 +53,10 @@ def hex_prefix_to_long(col: Column, n_hex: int = 15) -> Column:
 def shingle_hashes(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, h): one row per distinct shingle, h = md5-derived 60-bit
     integer reduced mod the MinHash prime."""
-    words = F.split(F.col(text_col), " ")
-    # Docs with <3 tokens have no 3-shingles. sequence(1, 0) in Spark is the
-    # DESCENDING array [1, 0], and under ANSI mode element_at(words, 0) throws
-    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — so short docs must get an explicit
-    # empty index array (which also matches DuckDB generate_series(1, 0) = []).
-    idx = F.when(
-        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - (3 - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
+    # slice+zip_with shingles: one slice per offset, no per-element
+    # subscripting, naturally empty for <3-token docs (ANSI-safe, matches
+    # DuckDB generate_series(1, 0) = []) — see functions/text_stats.py.
+    sh = word_shingles(F.col(text_col), k=3)
     return (
         ensure_min_partitions(documents)
         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))

