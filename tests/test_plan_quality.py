@@ -91,6 +91,26 @@ def test_text_profile_prunes_columns(spark):
     assert "source" not in read_schema and "n_chars" not in read_schema
 
 
+def test_jaccard_is_inverted_index_equi_join(spark):
+    # the shingle self-join must hash on the shingle key (inverted index);
+    # a nested-loop pair enumeration is the O(n²) all-pairs shape
+    plan = _plan(spark, "q_ngram_jaccard_pairs")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_arrow_paths_prune_before_python(spark):
+    # mapInPandas stages ship whole rows into Python — the scan feeding
+    # them must read only the columns the UDF consumes, or at 100 TB the
+    # Arrow transfer becomes the bottleneck before the decode does
+    for name in ("q_media_decode", "q_css_extract"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan, name
+        read_schema = plan.split("FileScan")[1].split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema, name
+        assert "source" not in read_schema and "lang" not in read_schema, name
+
+
 def test_embedding_neardup_is_bucket_equi_join(spark):
     # the registered near-dup must join on the LSH bucket equi-key — a
     # bare vec_id < vec_id theta-join is the O(n²) shape that cannot
