@@ -45,6 +45,7 @@ HEADLINE = [
     "q_click_attribution",
     # training-data pipeline: dedup / text / similarity / multimodal
     "q_dedup_digests",
+    "q_decontamination",
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
     "q_simhash_pairs",

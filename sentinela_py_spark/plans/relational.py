@@ -480,27 +480,10 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_exploded_word_report",
-    oracle="""
-    SELECT word, COUNT(*) AS n_parts, MIN(p_partkey) AS first_part
-    FROM (SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part)
-    GROUP BY word
-    ORDER BY n_parts DESC, word
-    """,
-    survey_ref="K5 (cli.py:459-542 report sink: explode cities → one row per article×city)",
-    tags=("explode",),
-)
-def q_exploded_word_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array explode → flat report rows, the Spark form of the reference's
-    CSV report (one row per article × city mention)."""
-    p = load_table(spark, sf_dir, "part")
-    return (
-        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("first_part"))
-        .orderBy(F.col("n_parts").desc(), F.col("word"))
-    )
+# (the former q_exploded_word_report demo was retired to keep the registry at
+# the driver's 50-entry window: K5's explode→report shape stays verified by
+# the golden-CSV pytest and the q_media_frames explode; its slot now holds
+# q_decontamination in plans/textops.py — a first-class LLM-pipeline op.)
 
 
 # ---------------------------------------------------------------------------

@@ -261,6 +261,75 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_decontamination",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_eval,
+             UNNEST(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
+      FROM documents
+    ),
+    dd AS (SELECT DISTINCT doc_id, is_eval, gram FROM grams)
+    SELECT t.doc_id AS doc_id,
+           COUNT(DISTINCT t.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+           COUNT(*) AS n_pairs
+    FROM dd t JOIN dd e ON t.gram = e.gram AND NOT t.is_eval AND e.is_eval
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+    survey_ref=(
+        "LLM-pipeline: train/eval decontamination — flag training docs sharing "
+        "word 5-grams with the held-out split (the q_train_split membership key)"
+    ),
+    tags=("dedup", "curation"),
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: which train docs leak eval content?
+
+    The eval split is the same deterministic md5-membership predicate
+    q_train_split verifies (first digest byte < 0x1a ~ 10.2%), so the
+    split is stable across engines, runs and partitionings. Each side
+    contributes its distinct word 5-grams (slice+zip_with shingles folded
+    to xxhash64 before the shuffle — fixed-width join keys); the
+    gram equi-join is an inverted index, so cost is proportional to
+    actually-shared grams, never |train| x |eval|.
+
+    At 100 TB the eval side of a real deployment is a few thousand docs —
+    its gram index broadcasts, making decontamination one map-side join
+    over the train corpus. Here the 10% split exercises the general
+    shuffle-join path instead; the oracle joins raw gram strings (DuckDB
+    has no xxhash64), which doubles as a hash-collision audit: a same-gram
+    collision would make the counts diverge."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    is_eval = F.substring(digest, 1, 2) < "1a"
+    grams = (
+        ensure_min_partitions(d)
+        .select(
+            "doc_id",
+            is_eval.alias("is_eval"),
+            F.explode(word_shingles(F.col("text"), k=5)).alias("g"),
+        )
+        .select("doc_id", "is_eval", F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    train = grams.filter(~F.col("is_eval")).select(F.col("doc_id").alias("t_doc"), "gram")
+    ev = grams.filter(F.col("is_eval")).select(F.col("doc_id").alias("e_doc"), "gram")
+    return (
+        train.join(ev, "gram")
+        .groupBy(F.col("t_doc").alias("doc_id"))
+        .agg(
+            F.count_distinct("gram").alias("n_shared_ngrams"),
+            F.count_distinct("e_doc").alias("n_eval_docs"),
+            F.count("*").alias("n_pairs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_top_token_per_lang",
     oracle="""
     SELECT lang, tok AS top_token, n
