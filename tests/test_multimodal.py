@@ -13,10 +13,13 @@ from sentinela_py_spark.operators.multimodal import (
     FRAME_LEN,
     FRAME_STRIDE,
     MEDIA_SCHEMA,
+    audio_features,
     decode_media,
     decode_ppm,
+    decode_wav,
     documents_to_images,
     documents_to_media,
+    documents_to_wavs,
     media_features,
     media_pixel_features,
     resize_image,
@@ -103,9 +106,113 @@ def test_decode_rejects_malformed():
         decode_media(b"anything", "video")
 
 
-def test_decode_media_audio_is_raw_pcm():
-    n, ch, maxval, samples = decode_media(b"\x01\x02\x03", "audio")
+def _wav_bytes(data: bytes, rate: int = 8000, channels: int = 1, bits: int = 8) -> bytes:
+    import struct
+
+    block = channels * (bits // 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_media_audio_walks_wav_container():
+    n, ch, maxval, samples = decode_media(_wav_bytes(b"\x01\x02\x03"), "audio")
     assert (n, ch, maxval, samples) == (3, 1, 255, b"\x01\x02\x03")
+
+
+class TestWavCodec:
+    def test_parser_agrees_with_stdlib_wave(self):
+        import io
+        import wave
+
+        payload = _wav_bytes(bytes(range(64)), rate=16000, channels=2, bits=16)
+        rate, channels, bits, data = decode_wav(payload)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert (rate, channels, bits) == (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getsampwidth() * 8,
+            )
+            assert data == w.readframes(w.getnframes())
+
+    def test_extra_chunks_and_word_alignment(self):
+        # a 3-byte LIST chunk before data must be skipped with its pad byte
+        import struct
+
+        data = b"\x10\x20\x30\x40"
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"LIST"
+            + struct.pack("<I", 3)
+            + b"abc\x00"  # odd-size chunk + pad
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav(payload)[3] == data
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: b"XIFF" + p[4:],  # bad magic
+            lambda p: p[:40],  # truncated data chunk
+            lambda p: p.replace(b"fmt ", b"fmx "),  # no fmt before data
+            lambda p: p[:20] + b"\x03\x00" + p[22:],  # non-PCM format code
+        ],
+    )
+    def test_malformed_rejected(self, mutate):
+        with pytest.raises(ValueError):
+            decode_wav(mutate(_wav_bytes(b"\x00\x01")))
+
+
+class TestAudioPath:
+    def test_documents_to_wavs_are_valid_containers(self, spark):
+        import io
+        import wave
+
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in documents_to_wavs(docs).collect()}
+        for doc_id, text in DOCS:
+            payload = bytes(rows[doc_id]["payload"])
+            # the JVM-built container must satisfy the stdlib parser
+            with wave.open(io.BytesIO(payload)) as w:
+                assert w.getnframes() == len(text)
+                assert w.getframerate() == (doc_id % 3 + 1) * 8000
+                assert w.readframes(w.getnframes()) == text.encode()
+            assert rows[doc_id]["n_samples"] == len(text)
+
+    def test_audio_features_exact_stats(self, spark):
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        feats = {r["doc_id"]: r for r in audio_features(documents_to_wavs(docs)).collect()}
+        for doc_id, text in DOCS:
+            row = feats[doc_id]
+            vals = text.encode()
+            assert row["n_samples"] == len(vals)
+            assert row["sum_samples"] == sum(vals)
+            assert row["sum_squares"] == sum(v * v for v in vals)
+            assert (row["min_sample"], row["max_sample"]) == (min(vals), max(vals))
+            assert row["mean_square"] == pytest.approx(
+                sum(v * v for v in vals) / len(vals), abs=1e-6
+            )
+            assert row["duration_ms"] == pytest.approx(
+                len(vals) * 1000 / row["sample_rate"], abs=1e-6
+            )
+
+    def test_corrupt_audio_yields_null_features(self, spark):
+        rows = [(0, _wav_bytes(b"\x05\x06")), (1, b"garbage"), (2, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        feats = {r["doc_id"]: r for r in audio_features(df).collect()}
+        assert feats[0]["n_samples"] == 2
+        assert feats[1]["n_samples"] is None and feats[1]["checksum"] is None
+        assert feats[2]["n_samples"] is None
 
 
 def test_resize_image_nearest_neighbor():
