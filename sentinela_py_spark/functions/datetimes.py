@@ -45,12 +45,13 @@ def pt_month_to_numeric(col: Column) -> Column:
     return out
 
 
-def parse_datetime_cascade(col: Column) -> Column:
-    """ISO-8601 → BR `dd/MM/yyyy HH:mm` → PT month-name date → epoch-0.
+def try_datetime_cascade(col: Column) -> Column:
+    """ISO-8601 → BR `dd/MM/yyyy HH:mm` → PT month-name date → NULL.
 
     Each step is a `try_to_timestamp` (null on mismatch); `coalesce` picks
     the first format that parses, mirroring the reference's sequential
-    `strptime` fallbacks with an epoch-0 default."""
+    `strptime` fallbacks. No default — callers choose their failure value
+    (scrape replay keeps NULL so failed parses stay queryable)."""
     return F.coalesce(
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
         # trailing Z = UTC; session TZ is pinned to UTC so the literal-Z
@@ -58,5 +59,10 @@ def parse_datetime_cascade(col: Column) -> Column:
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
         F.try_to_timestamp(col, F.lit("dd/MM/yyyy HH:mm")),
         F.try_to_timestamp(pt_month_to_numeric(col), F.lit("dd/MM/yyyy")),
-        F.lit(EPOCH0).cast("timestamp"),
     )
+
+
+def parse_datetime_cascade(col: Column) -> Column:
+    """`try_datetime_cascade` with the repositories' epoch-0 default
+    (extraction.py:134-147, publications_api_repository.py:91-106)."""
+    return F.coalesce(try_datetime_cascade(col), F.lit(EPOCH0).cast("timestamp"))

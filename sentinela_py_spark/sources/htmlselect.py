@@ -296,6 +296,24 @@ def select_one(root: Node, query: str) -> Node | None:
     return dfs(root)
 
 
+def select_all(root: Node, query: str) -> list[Node]:
+    """Every element in document order matching the selector (the
+    listing-iteration shape: ``soup.select(listing_article)`` at
+    reference scraper.py:87)."""
+    chain = parse_selector(query)
+    _, last = chain[-1]
+    found: list[Node] = []
+
+    def dfs(n: Node) -> None:
+        for child in n.element_children():
+            if last.matches(child) and _chain_matches(child, chain):
+                found.append(child)
+            dfs(child)
+
+    dfs(root)
+    return found
+
+
 def extract_value(root: Node, query: str, attribute: str | None = None) -> str:
     """The reference's `_extract_value` contract (scraper.py:475-521):
     repair-and-retry malformed selectors, `:first-child` parent fallback,
