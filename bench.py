@@ -29,18 +29,23 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #   q_dedup_exact            -> q_dedup_digests (+ fingerprint arm)
 #   q_text_quality, q_lang_id -> q_text_profile (single-pass composite)
 #   q_media_features         -> q_media_decode (REAL binary-PPM decode)
+# Round-2 folds (frees slots for q_pii_redaction + q_sequence_packing):
+#   q_customers_without_orders + q_customers_with_urgent_orders -> q_customer_existence
+#   q_hourly_event_buckets + q_sliding_event_buckets -> q_event_buckets
+#   q_token_entropy          -> q_quality_rules (+ Gopher repetition arms)
+#   q_media_decode           += RIFF/WAVE audio arm (decode_wav driver signal)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
     "q_revenue_per_nation",
     "q_top1_order_per_customer",
     "q_period_scan",
-    "q_customers_without_orders",
+    "q_customer_existence",
     "q_customer_setops",
     "q_datetime_parse_cascade",
     # event-time / state
     "q_user_sessions",
-    "q_hourly_event_buckets",
+    "q_event_buckets",
     "q_event_last_state",
     "q_click_attribution",
     # training-data pipeline: dedup / text / similarity / multimodal
@@ -50,6 +55,7 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_simhash_pairs",
     "q_text_profile",
+    "q_pii_redaction",
     "q_embedding_neardup",
     "q_cosine_topk",
     "q_ann_lsh_topk",
@@ -60,11 +66,12 @@ HEADLINE = [
     "q_asof_last_view",
     "q_price_percentiles",
     "q_tfidf_top_terms",
-    "q_token_entropy",
+    "q_quality_rules",
     # curation: pairs → groups, stratified selection
     "q_dedup_groups",
     "q_curated_corpus",
     "q_train_split",
+    "q_sequence_packing",
     "q_trailing_7d_spend",
 ]
 

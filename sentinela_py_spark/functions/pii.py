@@ -1,0 +1,53 @@
+"""PII detection and redaction over text columns.
+
+A large-scale training-data pipeline scrubs personally identifiable
+information before anything else touches the corpus. The engine's scrub
+is pure JVM column algebra — `regexp_count` to measure, a chained
+`regexp_replace` to redact — so the hot path stays inside whole-stage
+codegen with zero Python per row. The patterns are deliberately written
+in the common subset of Java regex (Spark) and RE2 (DuckDB/C++ engines):
+character classes, bounded quantifiers, and ASCII word boundaries only —
+no lookaround, no backreferences — so a DuckDB oracle can verify the
+scrub byte-for-byte and the same patterns port to any scan engine.
+
+Reference parity: none (the reference never handles PII); this is the
+training-data superset surface (BASELINE.json north star).
+
+Scale: map-only — no shuffle, no state; at 100 TB the scrub rides the
+ingest scan for free, and the per-document counts land next to the text
+as audit columns (the lake's evidence that redaction ran).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "pii_counts", "redact_pii"]
+
+# Pattern order IS redaction order: e-mail first (its local/domain parts
+# could otherwise be clipped by the broader patterns), then phone, then
+# IPv4. Each maps to the placeholder token that replaces every match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (``n_email``/``n_phone``/``n_ipv4``) —
+    non-overlapping leftmost matches, identical semantics in Java regex
+    and RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {f"n_{kind}": F.regexp_count(c, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token, in the fixed
+    pattern order above (chained ``regexp_replace`` — one codegen'd
+    projection, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -280,6 +280,7 @@ AUDIO_FEATURES_SCHEMA = StructType(
         StructField("min_sample", IntegerType()),
         StructField("max_sample", IntegerType()),
         StructField("checksum", StringType()),
+        StructField("data_md5", StringType()),
     ]
 )
 
@@ -325,6 +326,10 @@ def audio_features(wavs: DataFrame) -> DataFrame:
                 out["min_sample"].append(int(arr.min()) if len(arr) else None)
                 out["max_sample"].append(int(arr.max()) if len(arr) else None)
                 out["checksum"].append(hashlib.md5(raw).hexdigest())
+                # md5 of the DECODED sample plane (not the container):
+                # engine-portable — an oracle can rebuild the data bytes
+                # without reproducing binary LE header fields.
+                out["data_md5"].append(hashlib.md5(data).hexdigest())
             yield pd.DataFrame(out)
 
     from sentinela_py_spark.tables import ensure_min_partitions
@@ -365,6 +370,7 @@ PIXEL_FEATURES_SCHEMA = StructType(
         StructField("min_pixel", IntegerType()),
         StructField("max_pixel", IntegerType()),
         StructField("checksum", StringType()),
+        StructField("data_md5", StringType()),
     ]
 )
 
@@ -404,6 +410,9 @@ def media_pixel_features(images: DataFrame) -> DataFrame:
                 out["min_pixel"].append(int(arr.min()))
                 out["max_pixel"].append(int(arr.max()))
                 out["checksum"].append(hashlib.md5(raw).hexdigest())
+                # md5 of the decoded pixel plane (header excluded) — the
+                # engine-portable twin of `checksum` (see audio_features).
+                out["data_md5"].append(hashlib.md5(pix).hexdigest())
             yield pd.DataFrame(out)
 
     from sentinela_py_spark.tables import ensure_min_partitions

@@ -121,6 +121,83 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_TOKEN_BUDGET = 512
+
+
+@register(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT shard,
+           CAST(floor((cum - n_tokens) / {SEQ_TOKEN_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {SEQ_TOKEN_BUDGET}, 6) AS fill_ratio
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY shard, seq_id
+    """,
+    survey_ref=(
+        "curation: token-budget sequence packing — per-shard greedy cumulative "
+        "assignment of documents into ~fixed-token training sequences "
+        "(the pretraining batch-construction step)"
+    ),
+    tags=("curation", "window"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{budget}-token training sequences: within each
+    md5 shard, documents are laid out in doc_id order and a running token
+    cumsum assigns each document to the sequence where its segment starts
+    (greedy document-level packing; a doc straddling a boundary belongs to
+    the sequence it starts in — the overflow is what truncation trims).
+
+    Scale shape: the window partitions by SHARD, never globally — 16 (or
+    16k) independent cumsums, each a single-pass sorted scan of its shard.
+    A global ORDER BY cumsum would serialize the corpus through one
+    partition; per-shard packing is how real pipelines parallelize batch
+    construction, and the shard expr doubles as the physical layout key
+    (same expression as q_train_split). Per-sequence stats (doc count,
+    token sum, fill ratio) are the lake's packing-efficiency audit."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % 16
+    toks = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    seq_id = F.floor((F.col("cum") - F.col("n_tokens")) / SEQ_TOKEN_BUDGET).cast("long")
+    return (
+        packed.groupBy("shard", seq_id.alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(F.sum("n_tokens").cast("double") / SEQ_TOKEN_BUDGET, 6).alias("fill_ratio"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+q_sequence_packing.__doc__ = q_sequence_packing.__doc__.format(budget=SEQ_TOKEN_BUDGET)
+
+
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from sentinela_py_spark.operators.multimodal import (
     FRAME_LEN,
     FRAME_STRIDE,
+    audio_features,
     documents_to_images,
     documents_to_media,
+    documents_to_wavs,
     media_pixel_features,
     sample_frames,
 )
@@ -67,6 +69,9 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIX_SQL = "list_transform(generate_series(1, length(pix)), i -> ascii(pix[i]))"
 
 
+_TXT_SQL = "list_transform(generate_series(1, length(text)), i -> ascii(text[i]))"
+
+
 @register(
     "q_media_decode",
     oracle=f"""
@@ -78,35 +83,83 @@ _PIX_SQL = "list_transform(generate_series(1, length(pix)), i -> ascii(pix[i]))"
              rpad(text, CAST((doc_id % 8 + 2) * (doc_id % 6 + 2) * 3 AS INT), text) AS pix
       FROM documents
     )
-    SELECT doc_id, width, height, CAST(255 AS INT) AS maxval,
+    SELECT 'image' AS kind, doc_id, width, height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(length(pix) AS BIGINT) AS n_values,
            CAST(length(hdr || pix) AS BIGINT) AS n_bytes,
-           CAST(length(pix) AS BIGINT) AS n_pixel_bytes,
-           CAST(list_sum({_PIX_SQL}) AS BIGINT) AS sum_pixels,
-           CAST(list_min({_PIX_SQL}) AS INT) AS min_pixel,
-           CAST(list_max({_PIX_SQL}) AS INT) AS max_pixel,
-           md5(hdr || pix) AS checksum,
-           ROUND(CAST(list_sum({_PIX_SQL}) AS DOUBLE) / length(pix), 6) AS mean_pixel
+           CAST(list_sum({_PIX_SQL}) AS BIGINT) AS sum_values,
+           CAST(list_min({_PIX_SQL}) AS INT) AS min_value,
+           CAST(list_max({_PIX_SQL}) AS INT) AS max_value,
+           ROUND(CAST(list_sum({_PIX_SQL}) AS DOUBLE) / length(pix), 6) AS mean_value,
+           md5(pix) AS data_md5
     FROM img
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'audio' AS kind, doc_id,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+           CAST(length(text) AS BIGINT) AS n_values,
+           CAST(length(text) + 44 AS BIGINT) AS n_bytes,
+           CAST(list_sum({_TXT_SQL}) AS BIGINT) AS sum_values,
+           CAST(list_min({_TXT_SQL}) AS INT) AS min_value,
+           CAST(list_max({_TXT_SQL}) AS INT) AS max_value,
+           ROUND(CAST(list_sum({_TXT_SQL}) AS DOUBLE) / length(text), 6) AS mean_value,
+           md5(text) AS data_md5
+    FROM documents
+    ORDER BY kind, doc_id
     """,
     survey_ref=(
-        "multimodal: REAL image decode — JVM-built binary PPM payloads parsed by the "
-        "pure-Python decoder inside Arrow mapInPandas (operators/multimodal.py::decode_ppm), "
-        "integer-exact pixel statistics"
+        "multimodal: REAL decode, both codecs — JVM-built binary PPM images parsed by "
+        "operators/multimodal.py::decode_ppm AND JVM-built RIFF/WAVE containers walked by "
+        "decode_wav, each inside Arrow mapInPandas, integer-exact sample statistics"
     ),
     tags=("multimodal", "pandas-udf"),
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real decode hot path end-to-end: valid binary-PPM payloads are
-    built JVM-side (format_string/rpad/encode — no UDF at ingest), then a
-    pure-Python PPM parser decodes every payload inside Arrow
-    ``mapInPandas`` and numpy computes pixel statistics. The oracle
-    rebuilds the identical image arithmetically in SQL, so decoded
-    dimensions, byte counts, pixel sums/extrema and the payload md5 are
-    all hash-checked. Swap PIL/libav into the same UDF for JPEG/MP4 on
-    real executors — schema, batching, and partition behavior unchanged."""
+    """The real decode hot path end-to-end for BOTH codecs: valid
+    binary-PPM and RIFF/WAVE payloads are built JVM-side (format_string/
+    rpad/encode and codegen'd little-endian header fields — no UDF at
+    ingest), then the pure-Python PPM parser and WAVE chunk walker decode
+    every payload inside Arrow ``mapInPandas`` and numpy computes exact
+    sample statistics. The oracle rebuilds both payloads arithmetically in
+    SQL (the WAVE arm checksums the decoded PCM plane, not the container —
+    binary LE header bytes aren't reproducible in a varchar engine), so
+    decoded dimensions/rates, byte counts, sample sums/extrema and data
+    md5s are all hash-checked. Swap PIL/libav into the same UDFs for
+    JPEG/MP4 on real executors — schema, batching, partition behavior
+    unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    return media_pixel_features(documents_to_images(d)).orderBy("doc_id")
+    null_int = F.lit(None).cast("int")
+    img = media_pixel_features(documents_to_images(d)).select(
+        F.lit("image").alias("kind"),
+        "doc_id",
+        "width",
+        "height",
+        null_int.alias("sample_rate"),
+        F.col("n_pixel_bytes").alias("n_values"),
+        "n_bytes",
+        F.col("sum_pixels").alias("sum_values"),
+        F.col("min_pixel").alias("min_value"),
+        F.col("max_pixel").alias("max_value"),
+        F.col("mean_pixel").alias("mean_value"),
+        "data_md5",
+    )
+    wav = audio_features(documents_to_wavs(d)).select(
+        F.lit("audio").alias("kind"),
+        "doc_id",
+        null_int.alias("width"),
+        null_int.alias("height"),
+        "sample_rate",
+        F.col("n_samples").alias("n_values"),
+        (F.col("n_samples") + 44).alias("n_bytes"),
+        F.col("sum_samples").alias("sum_values"),
+        F.col("min_sample").alias("min_value"),
+        F.col("max_sample").alias("max_value"),
+        F.round(F.col("sum_samples").cast("double") / F.col("n_samples"), 6).alias(
+            "mean_value"
+        ),
+        "data_md5",
+    )
+    return img.unionByName(wav).orderBy("kind", "doc_id")
 
 
 @register(

@@ -277,52 +277,41 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_customers_without_orders",
+    "q_customer_existence",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'anti' AS probe, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-    ORDER BY c_custkey
-    """,
-    survey_ref="J6 (ingestion_router.py:36-42 duplicate anti-join)",
-    tags=("join", "anti"),
-)
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the scalable form of the reference's per-row
-    `exists()` probe (one join instead of N point lookups). The probe side
-    is pre-filtered (urgent orders only) so the predicate pushes into the
-    scan before the join; every customer has *some* order in the driver
-    data, so the unfiltered anti-join would be vacuous."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
-    "q_customers_with_urgent_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'semi' AS probe, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-    ORDER BY c_custkey
+    ORDER BY probe, c_custkey
     """,
-    survey_ref="J6 twin (semi-join form of the existence probe)",
-    tags=("join", "semi"),
+    survey_ref="J6 (ingestion_router.py:36-42 duplicate anti-join) + its semi-join twin",
+    tags=("join", "anti", "semi"),
 )
-def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+def q_customer_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both existence-probe forms in one result, each arm tagged — the
+    scalable replacement for the reference's per-row `exists()` probe (one
+    join instead of N point lookups). The probe side is pre-filtered
+    (urgent orders only) so the predicate pushes into the scan before the
+    join; every customer has *some* order in the driver data, so the
+    unfiltered anti-join would be vacuous. Catalyst reuses the same
+    build side for both the left-anti and left-semi arms."""
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.join(li, c.c_custkey == li.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("probe"), "c_custkey", "c_name")
     )
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("probe"), "c_custkey", "c_name")
+    )
+    return anti.unionByName(semi).orderBy("probe", "c_custkey")
 
 
 @register(
@@ -582,27 +571,60 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_hourly_event_buckets",
+    "q_event_buckets",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+    SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS ws, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events
-    GROUP BY 1, 2
-    ORDER BY hour_bucket, event_type
-    """,
-    survey_ref="T6 (tumbling-window agg — batch form of the streaming superset)",
-    tags=("agg", "time"),
-)
-def q_hourly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling time buckets over the event stream table — identical logic
-    runs under Structured Streaming with a watermark (streaming/)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("value_sum"))
-        .orderBy("hour_bucket", "event_type")
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, ws, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM (
+      SELECT event_type, value,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o * 300 AS BIGINT)) AS TIMESTAMP) AS ws
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
     )
+    GROUP BY ws, event_type
+    ORDER BY kind, ws, event_type
+    """,
+    survey_ref=(
+        "T6 (tumbling + sliding window aggs — batch twins of the streaming superset, "
+        "both arms over one scan)"
+    ),
+    tags=("agg", "window", "time"),
+)
+def q_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling and sliding time buckets over the event stream table in
+    one result, each arm tagged — identical logic runs under Structured
+    Streaming with a watermark (streaming/).
+
+    The sliding arm uses 10-minute windows sliding every 5: each event
+    lands in exactly two overlapping windows (window/slide = 2 replicas —
+    the replication factor IS width/slide, which is why wide-and-fine
+    sliding windows are expensive at scale and tumbling + rollup is often
+    the better shape). The oracle derives the same window starts
+    arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    tumbling = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("value_sum"))
+        .select(F.lit("tumbling").alias("kind"), "ws", "event_type", "n", "value_sum")
+    )
+    win = F.window("ts", "10 minutes", "5 minutes")
+    sliding = (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("value_sum"))
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return tumbling.unionByName(sliding).orderBy("kind", "ws", "event_type")
 
 
 @register(
@@ -1019,41 +1041,6 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.withColumn("quartile", F.ntile(4).over(w))
         .select("o_custkey", "total", "quartile")
         .orderBy("quartile", "o_custkey")
-    )
-
-
-@register(
-    "q_sliding_event_buckets",
-    oracle="""
-    SELECT ws, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-    FROM (
-      SELECT event_type, value,
-             CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o * 300 AS BIGINT)) AS TIMESTAMP) AS ws
-      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
-    )
-    GROUP BY ws, event_type
-    ORDER BY ws, event_type
-    """,
-    survey_ref="T6 sliding windows (batch twin of the streaming sliding-window agg)",
-    tags=("window", "time"),
-)
-def q_sliding_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute windows sliding every 5: each event lands in exactly two
-    overlapping windows (window/slide = 2 replicas — the replication
-    factor IS width/slide, which is why wide-and-fine sliding windows are
-    expensive at scale and tumbling + rollup is often the better shape).
-    The oracle derives the same window starts arithmetically."""
-    e = load_table(spark, sf_dir, "events")
-    win = F.window("ts", "10 minutes", "5 minutes")
-    return (
-        e.groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(_dec("value")).cast("double").alias("value_sum"),
-        )
-        .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
-        .orderBy("ws", "event_type")
     )
 
 

@@ -436,45 +436,207 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sentinela_py_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+_PII_EMAIL, _PII_PHONE, _PII_IPV4 = (p[1] for p in PII_PATTERNS)
+
+# The documents corpus carries no real PII, so the scrub is demonstrated
+# the same way the multimodal queries demonstrate decode: a deterministic
+# contact blob derived from each row (id-keyed e-mail, phone, IPv4) is
+# appended JVM-side / in SQL, then detected and redacted by the SHARED
+# patterns. Both engines build byte-identical inputs, so counts, the
+# extracted first e-mail, and the md5 of the redacted text all hash-match.
+_PII_CONTACT_SQL = """
+    ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com call +55-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.42.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+"""
+
+_PII_ORACLE = """
+    WITH tainted AS (
+      SELECT doc_id, text || {contact} AS full_text FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, full_text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(full_text, '{email}', '<EMAIL>', 'g'),
+                 '{phone}', '<PHONE>', 'g'),
+               '{ipv4}', '<IP>', 'g') AS redacted
+      FROM tainted
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(full_text, '{phone}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(full_text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+           regexp_extract(full_text, '{email}') AS first_email,
+           md5(redacted) AS redacted_md5,
+           CAST(length(full_text) - length(redacted) AS BIGINT) AS n_chars_removed
+    FROM scrubbed
+    ORDER BY doc_id
+""".format(
+    contact=_PII_CONTACT_SQL,
+    email=_PII_EMAIL,
+    phone=_PII_PHONE,
+    ipv4=_PII_IPV4,
+)
+
+
 @register(
-    "q_token_entropy",
+    "q_pii_redaction",
+    oracle=_PII_ORACLE,
+    survey_ref=(
+        "PII scrub (training-data superset): regex detection counts + chained "
+        "redaction + audit columns, patterns in the Java-regex/RE2 common subset "
+        "(functions/pii.py)"
+    ),
+    tags=("text", "pii"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over the corpus: detect e-mail / phone / IPv4
+    occurrences, redact them with placeholder tokens, and emit the audit
+    columns a lake keeps next to the cleaned text (per-kind counts, the
+    first extracted e-mail, redacted-text checksum, bytes removed).
+
+    Map-only: `regexp_count` + chained `regexp_replace` in one codegen'd
+    projection — no shuffle, no UDF; at 100 TB the scrub rides the ingest
+    scan. The deterministic contact blob (see module comment) makes every
+    count nonzero so the driver check exercises real matches, not the
+    vacuous zero case."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 7).cast("string"),
+        F.lit(".example.com call +55-"),
+        (did % 900 + 100).cast("string"),
+        F.lit("-"),
+        (did % 9000 + 1000).cast("string"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".42."),
+        (did * 7 % 256).cast("string"),
+    )
+    full = F.concat(F.col("text"), contact)
+    counts = pii_counts(full)
+    redacted = redact_pii(full)
+    return d.select(
+        "doc_id",
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_phone"].cast("long").alias("n_phone"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        F.regexp_extract(full, _PII_EMAIL, 0).alias("first_email"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length(full) - F.length(redacted)).cast("long").alias("n_chars_removed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_quality_rules",
     oracle="""
     WITH tf AS (
       SELECT doc_id, term, COUNT(*) AS n_t
       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
       GROUP BY doc_id, term
     ),
-    sizes AS (SELECT doc_id, SUM(n_t) AS n FROM tf GROUP BY doc_id)
-    SELECT tf.doc_id,
-           ROUND(CAST(SUM(CAST(
-             (CAST(n_t AS DOUBLE)/n) * LN(CAST(n_t AS DOUBLE)/n)
-             AS DECIMAL(28,15))) AS DOUBLE) * -1, 6) AS entropy,
-           COUNT(*) AS n_distinct_terms
-    FROM tf JOIN sizes USING (doc_id)
-    GROUP BY tf.doc_id
-    ORDER BY tf.doc_id
+    uni AS (
+      SELECT doc_id,
+             CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct_terms,
+             CAST(MAX(n_t) AS BIGINT) AS top_tf,
+             CAST(SUM(CAST(n_t * LN(n_t) AS DECIMAL(28,15))) AS DOUBLE) AS s_nlogn
+      FROM tf GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, bigram, COUNT(*) AS n_b
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               )) AS bigram
+        FROM documents
+      )
+      GROUP BY doc_id, bigram
+    ),
+    bi AS (
+      SELECT doc_id, CAST(MAX(n_b) AS BIGINT) AS top_bf, CAST(SUM(n_b) AS BIGINT) AS n_bigrams
+      FROM bg GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens, n_distinct_terms,
+           ROUND(CAST(n_distinct_terms AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           ROUND(LN(n_tokens) - s_nlogn / n_tokens, 6) AS entropy,
+           ROUND(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_term_fraction,
+           ROUND(CAST(COALESCE(top_bf, 0) AS DOUBLE) / GREATEST(COALESCE(n_bigrams, 0), 1), 6)
+               AS top_bigram_fraction,
+           (CAST(top_tf AS DOUBLE) / n_tokens > 0.30
+            OR CAST(COALESCE(top_bf, 0) AS DOUBLE) / GREATEST(COALESCE(n_bigrams, 0), 1) > 0.18)
+               AS repetitive
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    ORDER BY uni.doc_id
     """,
-    survey_ref="text analysis: token-distribution entropy (quality/diversity score)",
-    tags=("text",),
+    survey_ref=(
+        "text analysis: token-distribution entropy (quality/diversity score) + "
+        "Gopher-style repetition rules (top-term fraction, top-2-gram fraction, "
+        "distinct-token ratio) — the document-level repetition filters a "
+        "pretraining curation pipeline applies corpus-wide"
+    ),
+    tags=("text", "quality"),
 )
-def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon entropy of each document's token distribution — the
-    lexical-diversity quality signal. Per-term contributions are cast to
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals per document: Shannon entropy
+    of the token distribution, distinct-token ratio, top-term fraction and
+    top-2-gram fraction, plus the boolean `repetitive` verdict (Gopher-rule
+    thresholds: top term > 30% of tokens or top bigram > 18% of bigrams).
+
+    Entropy is computed in ONE aggregation via the identity
+    H = ln(n) - Σ(n_t·ln n_t)/n — no sizes-join. The Σ term is cast to
     DECIMAL(28,15) before summing so the aggregate is order-insensitive
     (double sums are not associative; a shuffle-order change would
-    otherwise flip low bits and break the oracle hash)."""
+    otherwise flip low bits and break the oracle hash). The bigram arm
+    reuses the shingle builder; both arms shuffle on doc_id once and the
+    final join is doc_id-aligned. At 100 TB this is the shape you want:
+    cost ∝ corpus tokens, no cross-document state."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_t"))
-    sizes = tf.groupBy("doc_id").agg(F.sum("n_t").alias("n"))
-    p = F.col("n_t").cast("double") / F.col("n")
-    contrib = (p * F.log(p)).cast("decimal(28,15)")
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("n_t").alias("n_tokens"),
+        F.count("*").alias("n_distinct_terms"),
+        F.max("n_t").alias("top_tf"),
+        F.sum((F.col("n_t") * F.log("n_t")).cast("decimal(28,15)"))
+        .cast("double")
+        .alias("s_nlogn"),
+    )
+    bigrams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
+    )
+    bg = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_b"))
+    bi = bg.groupBy("doc_id").agg(
+        F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
+    )
+    top_bf = F.coalesce(F.col("top_bf"), F.lit(0)).cast("double")
+    n_bg = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
+    top_term_frac = F.col("top_tf").cast("double") / F.col("n_tokens")
+    top_bigram_frac = top_bf / n_bg
     return (
-        tf.join(sizes, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(contrib).cast("double") * -1, 6).alias("entropy"),
-            F.count("*").alias("n_distinct_terms"),
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_terms",
+            F.round(F.col("n_distinct_terms").cast("double") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.log("n_tokens") - F.col("s_nlogn") / F.col("n_tokens"), 6).alias("entropy"),
+            F.round(top_term_frac, 6).alias("top_term_fraction"),
+            F.round(top_bigram_frac, 6).alias("top_bigram_fraction"),
+            ((top_term_frac > 0.30) | (top_bigram_frac > 0.18)).alias("repetitive"),
         )
         .orderBy("doc_id")
     )

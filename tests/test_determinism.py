@@ -23,7 +23,7 @@ _ensure_loaded()
 SENSITIVE = [
     "q_pricing_summary",
     "q_conditional_agg",
-    "q_token_entropy",
+    "q_quality_rules",
     "q_tfidf_top_terms",
     "q_trailing_7d_spend",
     "q_haversine_supplier_nation",

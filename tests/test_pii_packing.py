@@ -1,0 +1,123 @@
+"""PII scrub (functions/pii.py) and sequence-packing / quality-rules
+semantics: redaction order, pattern edge cases, short-document behavior
+(the 0/1/2-token regression class), and greedy per-shard packing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+
+def _scrub(spark, text: str) -> dict:
+    df = spark.createDataFrame([(text,)], ["t"])
+    out = df.select(
+        redact_pii("t").alias("red"), *[v.alias(k) for k, v in pii_counts("t").items()]
+    )
+    return out.collect()[0].asDict()
+
+
+class TestPiiScrub:
+    def test_all_kinds_redacted(self, spark):
+        r = _scrub(
+            spark,
+            "mail a.b+c%d@sub.host.org call +55-123-4567 from 192.168.0.1 done",
+        )
+        assert r["red"] == "mail <EMAIL> call <PHONE> from <IP> done"
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1)
+
+    def test_multiple_matches_counted(self, spark):
+        r = _scrub(spark, "x@y.io and z@w.dev plus +1-200-3000 and +12-345-6789")
+        assert r["n_email"] == 2 and r["n_phone"] == 2 and r["n_ipv4"] == 0
+        assert r["red"].count("<EMAIL>") == 2 and r["red"].count("<PHONE>") == 2
+
+    def test_ip_inside_word_not_matched(self, spark):
+        # \b guards: version strings glued to letters must not redact
+        r = _scrub(spark, "build v1.2.3.4x stays")
+        assert r["n_ipv4"] == 0 and "<IP>" not in r["red"]
+
+    def test_clean_text_untouched(self, spark):
+        r = _scrub(spark, "no personal data here at all")
+        assert r["red"] == "no personal data here at all"
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (0, 0, 0)
+
+    def test_pattern_order_email_first(self):
+        # the email pattern must run before phone/ip so its host part is
+        # never clipped by a later pattern
+        assert [k for k, _, _ in PII_PATTERNS] == ["email", "phone", "ipv4"]
+
+
+class TestQualityRulesShortDocs:
+    """0/1/2-token documents must not crash (ANSI element_at class) and
+    must produce sane signals: no bigrams -> top_bigram_fraction 0."""
+
+    def test_short_docs_survive(self, spark, tmp_path):
+        from sentinela_py_spark.plans import QUERIES
+
+        docs = spark.createDataFrame(
+            [
+                (1, "", "en", "s", 0),
+                (2, "one", "en", "s", 3),
+                (3, "two words", "en", "s", 9),
+                (4, "a a a a a a a b", "en", "s", 15),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in QUERIES["q_quality_rules"].spark(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}
+        # single-token docs: entropy 0, no bigrams
+        assert rows[2]["entropy"] == 0.0 and rows[2]["top_bigram_fraction"] == 0.0
+        assert rows[2]["top_term_fraction"] == 1.0 and rows[2]["repetitive"]
+        # 2 tokens -> 1 bigram; both tokens distinct
+        assert rows[3]["top_bigram_fraction"] == 1.0
+        assert rows[3]["distinct_ratio"] == 1.0
+        # 'a'x7 + 'b': top term 7/8, entropy = -(7/8 ln 7/8 + 1/8 ln 1/8)
+        want = -(7 / 8 * math.log(7 / 8) + 1 / 8 * math.log(1 / 8))
+        assert abs(rows[4]["entropy"] - round(want, 6)) < 1e-9
+        assert rows[4]["repetitive"]
+
+
+class TestSequencePacking:
+    def test_greedy_cumsum_assignment(self, spark, tmp_path):
+        from sentinela_py_spark.plans import QUERIES
+        from sentinela_py_spark.plans.curation import SEQ_TOKEN_BUDGET
+
+        # one shard's worth of docs: force known shard by checking output
+        # totals instead — semantics checked via global invariants.
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 100), "en", "s", 199) for i in range(40)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = QUERIES["q_sequence_packing"].spark(spark, str(tmp_path)).collect()
+        # every doc lands in exactly one sequence
+        assert sum(r["n_docs"] for r in rows) == 40
+        assert sum(r["seq_tokens"] for r in rows) == 4000
+        for r in rows:
+            # a sequence never *starts* beyond the budget boundary it owns:
+            # its docs' combined tokens stay under budget + one overflow doc
+            assert r["seq_tokens"] <= SEQ_TOKEN_BUDGET + 100
+            # 5e-7: Spark ROUND is half-up, Python round() is banker's
+            assert abs(r["fill_ratio"] - r["seq_tokens"] / SEQ_TOKEN_BUDGET) < 5e-7
+            assert r["first_doc"] <= r["last_doc"]
+
+    def test_seq_ids_contiguous_from_zero(self, spark, tmp_path):
+        from sentinela_py_spark.plans import QUERIES
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 50), "en", "s", 99) for i in range(64)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = QUERIES["q_sequence_packing"].spark(spark, str(tmp_path)).collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["seq_id"])
+        for shard, ids in by_shard.items():
+            assert sorted(ids) == list(range(len(ids))), (shard, ids)

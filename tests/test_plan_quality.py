@@ -55,7 +55,7 @@ def test_whole_stage_codegen_present(spark):
 
 
 def test_anti_join_not_row_probe(spark):
-    plan = _plan(spark, "q_customers_without_orders")
+    plan = _plan(spark, "q_customer_existence")
     assert "LeftAnti" in plan
 
 
