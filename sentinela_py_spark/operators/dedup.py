@@ -165,13 +165,21 @@ def connected_components(
     GROUPS (pick one survivor per group). ``edges`` needs columns
     (doc_a, doc_b); vertices absent from any edge stay singletons.
 
-    Each sweep sends every vertex's current label to its neighbours and
-    keeps the min; convergence takes O(diameter) sweeps, and near-dup
-    clusters are shallow (dozens of docs, diameter ≤ a few), so this
-    terminates in 2-3 sweeps in practice. ``localCheckpoint`` truncates
-    the growing lineage so the plan stays O(1) per sweep at 100 TB
-    (the GraphX/GraphFrames large-star alternative only pays off on
-    graphs with deep chains, which dedup clusters are not).
+    Each sweep sends a vertex's current label to its neighbours and keeps
+    the min; convergence takes O(diameter) sweeps, and near-dup clusters
+    are shallow (dozens of docs, diameter ≤ a few), so this terminates in
+    2-3 sweeps in practice. ``localCheckpoint`` truncates the growing
+    lineage so the plan stays O(1) per sweep at 100 TB (the
+    GraphX/GraphFrames large-star alternative only pays off on graphs
+    with deep chains, which dedup clusters are not).
+
+    The iteration runs over the EDGE SUBGRAPH only: a vertex not touching
+    any edge can never change its label, so the per-sweep join cost is
+    proportional to the near-dup subgraph (typically a small fraction of
+    the corpus), not |corpus|. Untouched vertices re-enter as singletons
+    via one left join at the end — at 100 TB that's the difference
+    between iterating over the whole corpus O(diameter) times and
+    touching it exactly once.
     """
     # Materialize the symmetric edge list once — every sweep reuses it, and
     # without this the whole upstream pipeline (e.g. the MinHash band join)
@@ -181,7 +189,12 @@ def connected_components(
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("group_id")).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+        .persist()
+    )
     # Min-propagation only ever lowers labels, so Σ(group_id) is strictly
     # decreasing until the fixpoint — an O(1)-row reduction doubles as both
     # the materialization action for the persisted sweep and the
@@ -204,4 +217,10 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+    # Singletons (no incident edge) label themselves — one map-side
+    # projection + left join against the (small) converged label set.
+    return vertices.select(F.col(id_col).alias("doc_id")).join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+    )
