@@ -221,6 +221,103 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     )
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    schema=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming near-dup REJECTION AT INGEST: every micro-batch of
+    documents is MinHash-banded and joined against the accumulated band
+    index of everything already accepted — the streaming twin of the
+    batch `minhash_candidate_pairs` path, and the shape a training-data
+    lake actually runs (dedup the firehose against the corpus, don't
+    re-pair the corpus nightly).
+
+    Per micro-batch:
+      1. band the batch (shingle → minhash → LSH bands, all engine ops);
+      2. WITHIN-batch near-dups: candidate pairs inside the batch reject
+         the higher id (min-id survivor, same rule as the batch path);
+      3. CROSS-corpus near-dups: batch bands equi-join the persistent
+         band store on (band, sig) — cost ∝ true collisions, the index
+         never rescans the corpus text;
+      4. survivors append their bands to the store and their rows to
+         ``accepted/``; rejects land in ``rejected/`` with the matched
+         corpus doc and reason.
+
+    Replay-safe: every write goes to an ``epoch=N`` subdirectory in
+    overwrite mode, so a checkpoint-replayed batch rewrites its own
+    epoch instead of duplicating state (the foreachBatch idempotency
+    pattern). State size is O(corpus × N_BANDS) fixed-width rows —
+    at 100 TB the band store is a small fraction of the text it indexes,
+    and the join prunes on the band column."""
+    import glob
+
+    from sentinela_py_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    bands_dir = os.path.join(state_dir, "bands")
+    accepted_dir = os.path.join(state_dir, "accepted")
+    rejected_dir = os.path.join(state_dir, "rejected")
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        bands = lsh_band_signatures(minhash_signatures(b, id_col, text_col))
+        # 2. within-batch: reject the higher id of every candidate pair
+        in_batch = (
+            minhash_candidate_pairs(b, id_col, text_col)
+            .groupBy(F.col("doc_b").alias(id_col))
+            .agg(F.min("doc_a").alias("matched_doc"))
+            .withColumn("reason", F.lit("within_batch"))
+        )
+        # 3. cross-corpus: any shared (band, sig) with the accepted index
+        if glob.glob(os.path.join(bands_dir, "epoch=*")):
+            store = spark.read.parquet(bands_dir).select(
+                F.col(id_col).alias("corpus_doc"), "band", "sig"
+            )
+            vs_corpus = (
+                bands.join(store, ["band", "sig"])
+                .groupBy(F.col(id_col))
+                .agg(F.min("corpus_doc").alias("matched_doc"))
+                .withColumn("reason", F.lit("vs_corpus"))
+            )
+            rejects = vs_corpus.unionByName(
+                in_batch.join(vs_corpus, id_col, "left_anti")
+            )
+        else:
+            rejects = in_batch
+        rejects = rejects.localCheckpoint(eager=True)
+        accepted = b.join(rejects, id_col, "left_anti").localCheckpoint(eager=True)
+        # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"epoch={epoch_id}")
+        )
+        b.join(rejects, id_col).write.mode("overwrite").parquet(
+            os.path.join(rejected_dir, f"epoch={epoch_id}")
+        )
+        bands.join(accepted.select(id_col), id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def view_click_attribution_stream(
     views: DataFrame,
     clicks: DataFrame,

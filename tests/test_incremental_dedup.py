@@ -1,0 +1,84 @@
+"""Incremental streaming dedup: micro-batches of documents are rejected
+against (a) near-dups inside the batch and (b) the persistent LSH band
+index of everything already accepted — and the surviving corpus matches
+what the batch MinHash path would keep."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sentinela_py_spark.streaming.pipeline import run_incremental_dedup_stream
+
+UNIQ = [
+    "spark shuffles partition data across the executor fleet tonight",
+    "catalyst rewrites logical plans into efficient physical operators",
+    "arrow batches stream pandas frames between jvm and python",
+    "watermarks bound state growth for late arriving event data",
+]
+
+
+def _write_batch(dirpath: str, name: str, docs: list[tuple[int, str]]) -> None:
+    with open(os.path.join(dirpath, name), "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "ckpt"), str(tmp_path / "state")
+
+
+def _run(spark, src, ckpt, state):
+    q = run_incremental_dedup_stream(
+        spark, src, ckpt, state, schema="doc_id long, text string"
+    )
+    assert q.awaitTermination(180), "stream did not drain within 180s"
+
+
+def _ids(spark, state, which: str) -> list[int]:
+    path = os.path.join(state, which)
+    return sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+
+
+class TestIncrementalDedup:
+    def test_within_batch_and_cross_corpus(self, spark, dirs):
+        src, ckpt, state = dirs
+        # batch 1: two distinct docs + an exact in-batch duplicate of doc 1
+        _write_batch(src, "b1.json", [(1, UNIQ[0]), (2, UNIQ[1]), (3, UNIQ[0])])
+        # batch 2: near-dup of corpus doc 2, plus a genuinely new doc
+        _write_batch(src, "b2.json", [(10, UNIQ[1]), (11, UNIQ[2])])
+        _run(spark, src, ckpt, state)
+
+        assert _ids(spark, state, "accepted") == [1, 2, 11]
+        rejected = {
+            r["doc_id"]: (r["matched_doc"], r["reason"])
+            for r in spark.read.parquet(os.path.join(state, "rejected")).collect()
+        }
+        assert rejected[3] == (1, "within_batch")
+        assert rejected[10] == (2, "vs_corpus")
+
+    def test_band_store_holds_only_survivors(self, spark, dirs):
+        src, ckpt, state = dirs
+        _write_batch(src, "b1.json", [(1, UNIQ[0]), (2, UNIQ[0])])
+        _run(spark, src, ckpt, state)
+        bands = spark.read.parquet(os.path.join(state, "bands"))
+        assert sorted(set(r["doc_id"] for r in bands.collect())) == [1]
+
+    def test_restart_continues_from_checkpoint(self, spark, dirs):
+        src, ckpt, state = dirs
+        _write_batch(src, "b1.json", [(1, UNIQ[0])])
+        _run(spark, src, ckpt, state)
+        # second run: only the new file is processed; corpus state persists
+        _write_batch(src, "b2.json", [(2, UNIQ[0]), (3, UNIQ[3])])
+        _run(spark, src, ckpt, state)
+        assert _ids(spark, state, "accepted") == [1, 3]
+        rejected = {
+            r["doc_id"]: r["reason"]
+            for r in spark.read.parquet(os.path.join(state, "rejected")).collect()
+        }
+        assert rejected == {2: "vs_corpus"}
