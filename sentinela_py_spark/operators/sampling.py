@@ -1,0 +1,75 @@
+"""Deterministic mixture sampling: temperature-weighted per-group rates.
+
+The data-mixing step of a pretraining pipeline: given a corpus spanning
+sources/languages of wildly different sizes, sample each group g with
+probability derived from (n_g)^alpha — alpha=1 keeps natural proportions,
+alpha=0 equalizes groups, values in between (0.3 is common for
+multilingual mixes) up-weight the tail without flooding the head.
+
+Membership is md5-threshold per ROW (the same content-keyed Bernoulli as
+plans/curation.py::q_train_split): stable across runs, engines,
+partitionings and cluster sizes — `df.sample()` is none of those. The
+rate table is one tiny aggregate, broadcast into a map-only filter, so
+the whole mix is a single corpus scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["temperature_rates", "mixture_sample"]
+
+_HEX8 = float(16**8)
+
+
+def temperature_rates(df: DataFrame, group_col: str, alpha: float, budget: int) -> DataFrame:
+    """(group, n, rate): per-group acceptance rates targeting ``budget``
+    total rows in expectation, with group shares ∝ n_g^alpha.
+
+    rate_g = min(1, budget · w_g / n_g) where w_g = n_g^alpha / Σ n^alpha.
+    Rates cap at 1 (a group can't yield more rows than it has), so the
+    realized expectation can undershoot the budget when small groups
+    saturate — the standard behavior of temperature mixing."""
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(F.count("*").alias("n"))
+    total_w = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias("total_w")
+    )
+    return counts.crossJoin(F.broadcast(total_w)).select(
+        "group",
+        "n",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget))
+            * F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+            / F.col("total_w")
+            / F.col("n"),
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Keep each row iff u(key) < rate(group), where u is the first 8 md5
+    hex chars of the row key scaled to [0, 1) — deterministic,
+    content-keyed, and resumable. ``rates`` is (group, rate) (e.g. from
+    `temperature_rates`); it broadcasts, so the sample is one map-only
+    pass over the corpus."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / _HEX8
+    )
+    return (
+        df.join(
+            F.broadcast(rates.select(F.col("group").alias(group_col), "rate")),
+            group_col,
+        )
+        .filter(u < F.col("rate"))
+        .drop("rate")
+    )

@@ -110,3 +110,38 @@ def test_extract_value_raises_only_valueerror(html, query):
         extract_value(parse_html(html), query)
     except ValueError:
         pass  # the one allowed failure mode (mapInPandas maps it to NULL)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub properties (functions/pii.py): the shared Java/RE2-subset
+# patterns are exercised here through Python `re` — same leftmost,
+# non-overlapping semantics for this subset — so the properties hold for
+# any engine running the same patterns.
+# ---------------------------------------------------------------------------
+
+import re
+
+from sentinela_py_spark.functions.pii import PII_PATTERNS
+
+PII_CHARS = st.sampled_from("abz09._%+-@ \n<>:/" + "é")
+
+
+def _scrub_py(text: str) -> str:
+    for _, pat, token in PII_PATTERNS:
+        text = re.sub(pat, token, text)
+    return text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(PII_CHARS, max_size=120))
+def test_redaction_leaves_no_matches(text):
+    scrubbed = _scrub_py(text)
+    for _, pat, _ in PII_PATTERNS:
+        assert re.search(pat, scrubbed) is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(PII_CHARS, max_size=120))
+def test_redaction_idempotent(text):
+    once = _scrub_py(text)
+    assert _scrub_py(once) == once

@@ -1,0 +1,64 @@
+"""Temperature-mixture sampling: rate algebra, determinism, and parity
+with a Python-side simulation of the same md5-threshold predicate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sentinela_py_spark.operators.sampling import mixture_sample, temperature_rates
+
+
+def _u(key) -> float:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 16**8
+
+
+@pytest.fixture()
+def corpus(spark):
+    # skewed groups: en 60, pt 30, de 10
+    rows = [(i, "en" if i < 60 else "pt" if i < 90 else "de") for i in range(100)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+class TestTemperatureRates:
+    def test_alpha_one_is_proportional(self, spark, corpus):
+        rates = {r["group"]: r["rate"] for r in temperature_rates(corpus, "lang", 1.0, 50).collect()}
+        # alpha=1: every group gets the same rate budget/N
+        assert rates == {"en": 0.5, "pt": 0.5, "de": 0.5}
+
+    def test_alpha_zero_equalizes_groups(self, spark, corpus):
+        rates = {r["group"]: r["rate"] for r in temperature_rates(corpus, "lang", 0.0, 30).collect()}
+        # alpha=0: each group targets budget/n_groups = 10 rows
+        assert rates["en"] == pytest.approx(10 / 60)
+        assert rates["pt"] == pytest.approx(10 / 30)
+        assert rates["de"] == pytest.approx(1.0)  # capped: 10 wanted of 10
+
+    def test_rate_caps_at_one(self, spark, corpus):
+        rates = {r["group"]: r["rate"] for r in temperature_rates(corpus, "lang", 0.0, 600).collect()}
+        assert all(v == 1.0 for v in rates.values())
+
+
+class TestMixtureSample:
+    def test_matches_python_simulation(self, spark, corpus):
+        rates = temperature_rates(corpus, "lang", 0.3, 40)
+        got = sorted(
+            r["doc_id"] for r in mixture_sample(corpus, rates, "lang", "doc_id").collect()
+        )
+        rate_by_group = {r["group"]: r["rate"] for r in rates.collect()}
+        lang = lambda i: "en" if i < 60 else "pt" if i < 90 else "de"  # noqa: E731
+        want = sorted(i for i in range(100) if _u(i) < rate_by_group[lang(i)])
+        assert got == want and len(got) > 0
+
+    def test_deterministic_across_runs(self, spark, corpus):
+        rates = temperature_rates(corpus, "lang", 0.5, 30)
+        a = sorted(r["doc_id"] for r in mixture_sample(corpus, rates, "lang", "doc_id").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in mixture_sample(corpus.repartition(7), rates, "lang", "doc_id").collect()
+        )
+        assert a == b
+
+    def test_rate_one_keeps_all(self, spark, corpus):
+        rates = temperature_rates(corpus, "lang", 0.0, 10_000)
+        assert mixture_sample(corpus, rates, "lang", "doc_id").count() == 100
