@@ -118,3 +118,22 @@ def test_embedding_neardup_is_bucket_equi_join(spark):
     plan = _plan(spark, "q_embedding_neardup")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    # the scrub ships with the ingest scan: no shuffle, no UDF stage —
+    # regexp_count + chained regexp_replace must stay one codegen'd
+    # projection (the orderBy's final sort is presentation, not a
+    # repartitioning of the scrub itself)
+    plan = _plan(spark, "q_pii_redaction")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # exactly the top-level result sort may exchange; the scrub adds none
+    assert plan.count("Exchange") <= 1
+
+
+def test_sequence_packing_partitions_by_shard(spark):
+    # the packing cumsum must window on the shard hash, never a global
+    # ORDER BY (single-partition sort = the corpus through one task)
+    plan = _plan(spark, "q_sequence_packing")
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
