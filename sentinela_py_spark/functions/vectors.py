@@ -1,0 +1,104 @@
+"""Vector storage/compression helpers: per-vector int8 quantization.
+
+At 100 TB an embedding lake stores float32 vectors at 4 bytes/dim;
+min/max int8 quantization cuts that 4× (1 byte/dim + two scalars per
+vector) with a bounded per-element error of scale/2 — the standard
+coarse-search representation (the IVF/PQ family's simplest member).
+Everything here is pure Column algebra over `array` columns
+(`array_min/array_max/transform`), so quantization is a map-only
+projection that rides the ingest scan, and dequantized math stays inside
+whole-stage codegen.
+
+The intended search shape at scale: coarse top-C on DEQUANTIZED codes
+(4× less I/O on the big side), then exact refine of the C survivors
+against the float column — `coarse_refine_topk` below. Recall loss is
+bounded by the quantization error; tests assert recall==1.0 at C=3k on
+the driver corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vec", "dequantize_vec", "quantize_embeddings", "coarse_refine_topk"]
+
+_LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
+
+
+def quantize_vec(vec: Column) -> Column:
+    """struct(codes: array<tinyint>, vmin: double, scale: double) — each
+    element mapped to round((v - vmin)/scale) - 128. A constant vector
+    (max == min) gets scale 1 and all-zero codes (exactly recoverable)."""
+    vmin = F.array_min(vec).cast("double")
+    vmax = F.array_max(vec).cast("double")
+    scale = F.when(vmax > vmin, (vmax - vmin) / F.lit(float(_LEVELS))).otherwise(F.lit(1.0))
+    codes = F.transform(
+        vec,
+        lambda v: (F.round((v.cast("double") - vmin) / scale, 0) - 128).cast("tinyint"),
+    )
+    return F.struct(codes.alias("codes"), vmin.alias("vmin"), scale.alias("scale"))
+
+
+def dequantize_vec(q: Column) -> Column:
+    """array<double>: codes → (code + 128) * scale + vmin. Per-element
+    absolute error ≤ scale/2 by construction."""
+    return F.transform(
+        q["codes"],
+        lambda c: (c.cast("double") + 128) * q["scale"] + q["vmin"],
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add a `q` struct column (codes/vmin/scale) next to the float
+    vector — the write-time projection of the compressed lake layout
+    (codes in their own parquet column; float column optional cold
+    storage)."""
+    return embeddings.withColumn("q", quantize_vec(F.col(vec_col)))
+
+
+def coarse_refine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: rank candidates per query by cosine on DEQUANTIZED
+    int8 codes (the 4×-smaller representation — at scale, the only pass
+    that touches every row), keep ``coarse_k`` survivors, then re-rank
+    those exactly on the float vectors and keep ``k``.
+
+    Queries broadcast (small side); the coarse window partitions by
+    query id, so per-query state is coarse_k rows. Output:
+    (query_id, vec_id, cosine, rnk) — exact scores on the final ranking."""
+    from pyspark.sql import Window as W
+
+    from sentinela_py_spark.plans.simops import cosine
+
+    qz = quantize_embeddings(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col), dequantize_vec(F.col("q")).alias("deq")
+    )
+    qs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    coarse_w = W.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col(id_col)
+    )
+    coarse = (
+        qz.crossJoin(qs)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("coarse_cos", cosine(F.col("deq"), F.col("qvec")))
+        .withColumn("crnk", F.row_number().over(coarse_w))
+        .filter(F.col("crnk") <= coarse_k)
+    )
+    exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        coarse.withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("qvec")), 6))
+        .withColumn("rnk", F.row_number().over(exact_w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col), "cosine", "rnk")
+    )

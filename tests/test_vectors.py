@@ -1,0 +1,110 @@
+"""int8 vector quantization: bounded reconstruction error, constant-vector
+round-trip, and coarse-quantized → exact-refine ANN recall vs the exact
+brute-force ranking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.vectors import (
+    coarse_refine_topk,
+    dequantize_vec,
+    quantize_embeddings,
+)
+from sentinela_py_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestQuantize:
+    def test_error_bounded_by_half_scale(self, spark):
+        e = load_table(spark, SF_DIR, "embeddings")
+        checked = (
+            quantize_embeddings(e)
+            .select(
+                F.col("vec_id"),
+                F.col("q.scale").alias("scale"),
+                F.zip_with(
+                    "embedding",
+                    dequantize_vec(F.col("q")),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                ).alias("errs"),
+            )
+            .select("vec_id", "scale", F.array_max("errs").alias("max_err"))
+            .collect()
+        )
+        assert len(checked) > 0
+        for r in checked:
+            # round() gives half-scale error; allow float32→double slop
+            assert r["max_err"] <= r["scale"] / 2 + 1e-9, r["vec_id"]
+
+    def test_constant_vector_roundtrips_exactly(self, spark):
+        df = spark.createDataFrame([(1, [2.5, 2.5, 2.5])], ["vec_id", "embedding"])
+        row = (
+            quantize_embeddings(df)
+            .select(dequantize_vec(F.col("q")).alias("deq"), F.col("q.codes").alias("codes"))
+            .collect()[0]
+        )
+        assert row["deq"] == [2.5, 2.5, 2.5]
+        assert row["codes"] == [-128, -128, -128]
+
+    def test_codes_fit_int8(self, spark):
+        e = load_table(spark, SF_DIR, "embeddings")
+        bounds = (
+            quantize_embeddings(e)
+            .select(F.explode(F.col("q.codes")).alias("c"))
+            .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+            .collect()[0]
+        )
+        assert -128 <= bounds["lo"] and bounds["hi"] <= 127
+
+
+class TestCoarseRefine:
+    @pytest.fixture()
+    def corpus(self, spark):
+        return load_table(spark, SF_DIR, "embeddings")
+
+    def _exact_topk(self, corpus, queries, k):
+        from pyspark.sql import Window as W
+
+        from sentinela_py_spark.plans.simops import cosine
+
+        qs = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        return (
+            corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("qvec")), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cosine", "rnk")
+        )
+
+    def test_full_recall_with_wide_coarse(self, spark, corpus):
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = sorted(
+            (r["query_id"], r["rnk"], r["vec_id"])
+            for r in coarse_refine_topk(corpus, queries, k=5, coarse_k=50).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["rnk"], r["vec_id"])
+            for r in self._exact_topk(corpus, queries, 5).collect()
+        )
+        # coarse_k=50 over a ~100-vector corpus: quantization error cannot
+        # evict a true top-5 neighbour from the coarse pool
+        assert got == want
+
+    def test_narrow_coarse_still_high_recall(self, spark, corpus):
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in coarse_refine_topk(corpus, queries, k=5, coarse_k=10).collect()
+        }
+        want = {
+            (r["query_id"], r["vec_id"])
+            for r in self._exact_topk(corpus, queries, 5).collect()
+        }
+        # int8 error is tiny relative to cosine gaps: recall ≥ 0.8 even at
+        # coarse_k = 2k
+        assert len(got & want) / len(want) >= 0.8
