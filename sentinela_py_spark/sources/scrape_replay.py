@@ -65,20 +65,40 @@ _STRPTIME_TO_SPARK = {
 def strptime_to_spark(fmt: str) -> str:
     """Portal configs carry strptime ``date_format`` strings
     (reference portal_service_client.py:106); Spark wants
-    DateTimeFormatter patterns."""
-    out = []
+    DateTimeFormatter patterns.
+
+    Literal runs are emitted as ONE quoted block: per-character quoting
+    would render ``at`` as ``'a''t'``, which DateTimeFormatter reads as
+    ``a't`` (`''` inside a quoted section is an escaped quote)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if any(c.isalpha() for c in run) or "'" in run:
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        lit.clear()
+
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
             if tok not in _STRPTIME_TO_SPARK:
                 raise ValueError(f"unsupported strptime directive {tok!r} in {fmt!r}")
-            out.append(_STRPTIME_TO_SPARK[tok])
+            if tok == "%%":  # literal percent joins the surrounding run
+                lit.append("%")
+            else:
+                flush()
+                out.append(_STRPTIME_TO_SPARK[tok])
             i += 2
         else:
-            # quote literal letters so DateTimeFormatter doesn't interpret them
-            out.append(f"'{fmt[i]}'" if fmt[i].isalpha() else fmt[i])
+            lit.append(fmt[i])
             i += 1
+    flush()
     return "".join(out)
 
 

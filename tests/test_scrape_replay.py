@@ -79,8 +79,19 @@ class TestStrptime:
         assert strptime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
         assert strptime_to_spark("%d/%m/%Y %H:%M:%S") == "dd/MM/yyyy HH:mm:ss"
 
-    def test_literal_letters_quoted(self):
-        assert strptime_to_spark("%Y at %H") == "yyyy 'a''t' HH"
+    def test_literal_letters_quoted_as_one_run(self):
+        # one quoted block: 'a''t' would mean literal a't to
+        # DateTimeFormatter ('' = escaped quote inside a quoted section)
+        assert strptime_to_spark("%Y at %H") == "yyyy' at 'HH"
+
+    def test_literal_run_parses(self, spark):
+        import pyspark.sql.functions as F
+
+        fmt = strptime_to_spark("%d/%m/%Y at %H:%M")
+        got = spark.range(1).select(
+            F.try_to_timestamp(F.lit("03/02/2024 at 10:30"), F.lit(fmt)).alias("ts")
+        ).collect()[0]["ts"]
+        assert got == dt.datetime(2024, 2, 3, 10, 30)
 
     def test_unknown_directive_raises(self):
         with pytest.raises(ValueError, match="%q"):
