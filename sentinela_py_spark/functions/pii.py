@@ -36,11 +36,19 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-kind match counts (``n_email``/``n_phone``/``n_ipv4``) —
-    non-overlapping leftmost matches, identical semantics in Java regex
-    and RE2."""
+    """Per-kind match counts (``n_email``/``n_phone``/``n_ipv4``) that
+    mirror the CHAINED redaction exactly: each pattern is counted on the
+    text with the previous kinds already replaced, so a span consumed by
+    an earlier rule is never double-reported (an IPv4 inside an e-mail
+    host counts as the e-mail that redacted it, not as an IP that was
+    never touched). The counts therefore always equal the number of
+    placeholder tokens `redact_pii` inserts."""
     c = F.col(col) if isinstance(col, str) else col
-    return {f"n_{kind}": F.regexp_count(c, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}
+    counts: dict[str, Column] = {}
+    for kind, pat, token in PII_PATTERNS:
+        counts[f"n_{kind}"] = F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, token)
+    return counts
 
 
 def redact_pii(col: Column | str) -> Column:

@@ -29,7 +29,8 @@ _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
 def quantize_vec(vec: Column) -> Column:
     """struct(codes: array<tinyint>, vmin: double, scale: double) — each
     element mapped to round((v - vmin)/scale) - 128. A constant vector
-    (max == min) gets scale 1 and all-zero codes (exactly recoverable)."""
+    (max == min) gets scale 1 and all-(-128) codes, which dequantize
+    back to exactly vmin."""
     vmin = F.array_min(vec).cast("double")
     vmax = F.array_max(vec).cast("double")
     scale = F.when(vmax > vmin, (vmax - vmin) / F.lit(float(_LEVELS))).otherwise(F.lit(1.0))

@@ -459,19 +459,24 @@ _PII_ORACLE = """
     WITH tainted AS (
       SELECT doc_id, text || {contact} AS full_text FROM documents
     ),
-    scrubbed AS (
-      SELECT doc_id, full_text,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(full_text, '{email}', '<EMAIL>', 'g'),
-                 '{phone}', '<PHONE>', 'g'),
-               '{ipv4}', '<IP>', 'g') AS redacted
+    s1 AS (
+      SELECT *, regexp_replace(full_text, '{email}', '<EMAIL>', 'g') AS after_email
       FROM tainted
+    ),
+    s2 AS (
+      SELECT *, regexp_replace(after_email, '{phone}', '<PHONE>', 'g') AS after_phone
+      FROM s1
+    ),
+    scrubbed AS (
+      SELECT *, regexp_replace(after_phone, '{ipv4}', '<IP>', 'g') AS redacted
+      FROM s2
     )
+    -- counts mirror the chained redaction: each pattern counted on the
+    -- text with earlier kinds already replaced (functions/pii.py)
     SELECT doc_id,
            CAST(len(regexp_extract_all(full_text, '{email}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(full_text, '{phone}')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(full_text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(after_email, '{phone}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(after_phone, '{ipv4}')) AS BIGINT) AS n_ipv4,
            regexp_extract(full_text, '{email}') AS first_email,
            md5(redacted) AS redacted_md5,
            CAST(length(full_text) - length(redacted) AS BIGINT) AS n_chars_removed

@@ -77,7 +77,11 @@ def strptime_to_spark(fmt: str) -> str:
         if not lit:
             return
         run = "".join(lit)
-        if any(c.isalpha() for c in run) or "'" in run:
+        # letters are pattern tokens; # { } [ ] are DateTimeFormatter
+        # reserved/optional-section markers — all must ride inside quotes
+        # or they change parse semantics (e.g. [..] makes a section
+        # optional) or throw "reserved character" at runtime
+        if any(c.isalpha() or c in "#{}[]'" for c in run):
             out.append("'" + run.replace("'", "''") + "'")
         else:
             out.append(run)
@@ -85,7 +89,9 @@ def strptime_to_spark(fmt: str) -> str:
 
     i = 0
     while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"trailing '%' in strptime format {fmt!r}")
             tok = fmt[i : i + 2]
             if tok not in _STRPTIME_TO_SPARK:
                 raise ValueError(f"unsupported strptime directive {tok!r} in {fmt!r}")

@@ -221,6 +221,112 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     )
 
 
+def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
+    """The accumulated band index, MINUS the current epoch's partition.
+
+    Excluding ``exclude_epoch`` is what makes checkpoint replay safe: a
+    batch whose writes landed but whose offset never committed would
+    otherwise join against its own bands, reject every doc as a
+    self-match, and overwrite its epoch with empty data. Existence is
+    probed by reading through Spark (not a driver-side glob), so the
+    state dir can live on any Hadoop-compatible filesystem (HDFS/S3/…).
+    Returns None when the store doesn't exist yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(bands_dir)
+    except AnalysisException:
+        return None
+    return store.filter(F.col("epoch") != exclude_epoch).drop("epoch")
+
+
+def dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of near-dup rejection at ingest (the foreachBatch
+    body of `run_incremental_dedup_stream`, exposed for direct testing).
+
+    1. band the batch once (shingle → minhash → LSH bands);
+    2. WITHIN-batch near-dups: candidate pairs from a self-join of those
+       bands feed `connected_components` — each component keeps its min
+       id, exactly the batch path's survivor rule, so every reject's
+       ``matched_doc`` IS an accepted doc (a greedy pairwise rule would
+       let matched_doc point at another reject on chains like 1–2, 2–3);
+    3. CROSS-corpus near-dups: batch bands equi-join the persistent band
+       store on (band, sig) — cost ∝ true collisions, the index never
+       rescans corpus text;
+    4. survivors write their bands to ``bands/epoch=N`` and their rows to
+       ``accepted/epoch=N``; rejects land in ``rejected/epoch=N`` with
+       the matched doc and reason. Every write is an epoch-keyed
+       overwrite and the store read EXCLUDES the current epoch, so a
+       checkpoint-replayed batch reproduces its first attempt bit for bit
+       instead of self-matching (see `_read_band_store`)."""
+    from sentinela_py_spark.operators.dedup import (
+        connected_components,
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    bands_dir = os.path.join(state_dir, "bands")
+
+    b = (
+        batch.withColumnRenamed(id_col, "doc_id")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    bands = lsh_band_signatures(minhash_signatures(b, "doc_id", text_col)).localCheckpoint(
+        eager=True
+    )
+    # 2. within-batch: min-label components of the band-collision graph
+    ba, bb = bands.alias("a"), bands.alias("b")
+    edges = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(b.select("doc_id"), edges)
+    in_batch = (
+        comp.filter(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id", F.col("group_id").alias("matched_doc"))
+        .withColumn("reason", F.lit("within_batch"))
+    )
+    # 3. cross-corpus: any shared (band, sig) with the accepted index
+    store = _read_band_store(spark, bands_dir, epoch_id)
+    if store is not None:
+        store = store.select(F.col("doc_id").alias("corpus_doc"), "band", "sig")
+        vs_corpus = (
+            bands.join(store, ["band", "sig"])
+            .groupBy("doc_id")
+            .agg(F.min("corpus_doc").alias("matched_doc"))
+            .withColumn("reason", F.lit("vs_corpus"))
+        )
+        rejects = vs_corpus.unionByName(in_batch.join(vs_corpus, "doc_id", "left_anti"))
+    else:
+        rejects = in_batch
+    rejects = rejects.localCheckpoint(eager=True)
+    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
+    accepted.withColumnRenamed("doc_id", id_col).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    )
+    b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
+    bands.join(accepted.select("doc_id"), "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     source_path: str,
@@ -236,75 +342,14 @@ def run_incremental_dedup_stream(
     index of everything already accepted — the streaming twin of the
     batch `minhash_candidate_pairs` path, and the shape a training-data
     lake actually runs (dedup the firehose against the corpus, don't
-    re-pair the corpus nightly).
-
-    Per micro-batch:
-      1. band the batch (shingle → minhash → LSH bands, all engine ops);
-      2. WITHIN-batch near-dups: candidate pairs inside the batch reject
-         the higher id (min-id survivor, same rule as the batch path);
-      3. CROSS-corpus near-dups: batch bands equi-join the persistent
-         band store on (band, sig) — cost ∝ true collisions, the index
-         never rescans the corpus text;
-      4. survivors append their bands to the store and their rows to
-         ``accepted/``; rejects land in ``rejected/`` with the matched
-         corpus doc and reason.
-
-    Replay-safe: every write goes to an ``epoch=N`` subdirectory in
-    overwrite mode, so a checkpoint-replayed batch rewrites its own
-    epoch instead of duplicating state (the foreachBatch idempotency
-    pattern). State size is O(corpus × N_BANDS) fixed-width rows —
-    at 100 TB the band store is a small fraction of the text it indexes,
-    and the join prunes on the band column."""
-    import glob
-
-    from sentinela_py_spark.operators.dedup import (
-        lsh_band_signatures,
-        minhash_candidate_pairs,
-        minhash_signatures,
-    )
-
-    bands_dir = os.path.join(state_dir, "bands")
-    accepted_dir = os.path.join(state_dir, "accepted")
-    rejected_dir = os.path.join(state_dir, "rejected")
+    re-pair the corpus nightly). Batch semantics, replay safety, and the
+    state layout are documented on `dedup_batch_against_corpus`. State
+    size is O(corpus × N_BANDS) fixed-width rows — at 100 TB the band
+    store is a small fraction of the text it indexes, and the join prunes
+    on the band column."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        b = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
-        bands = lsh_band_signatures(minhash_signatures(b, id_col, text_col))
-        # 2. within-batch: reject the higher id of every candidate pair
-        in_batch = (
-            minhash_candidate_pairs(b, id_col, text_col)
-            .groupBy(F.col("doc_b").alias(id_col))
-            .agg(F.min("doc_a").alias("matched_doc"))
-            .withColumn("reason", F.lit("within_batch"))
-        )
-        # 3. cross-corpus: any shared (band, sig) with the accepted index
-        if glob.glob(os.path.join(bands_dir, "epoch=*")):
-            store = spark.read.parquet(bands_dir).select(
-                F.col(id_col).alias("corpus_doc"), "band", "sig"
-            )
-            vs_corpus = (
-                bands.join(store, ["band", "sig"])
-                .groupBy(F.col(id_col))
-                .agg(F.min("corpus_doc").alias("matched_doc"))
-                .withColumn("reason", F.lit("vs_corpus"))
-            )
-            rejects = vs_corpus.unionByName(
-                in_batch.join(vs_corpus, id_col, "left_anti")
-            )
-        else:
-            rejects = in_batch
-        rejects = rejects.localCheckpoint(eager=True)
-        accepted = b.join(rejects, id_col, "left_anti").localCheckpoint(eager=True)
-        # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"epoch={epoch_id}")
-        )
-        b.join(rejects, id_col).write.mode("overwrite").parquet(
-            os.path.join(rejected_dir, f"epoch={epoch_id}")
-        )
-        bands.join(accepted.select(id_col), id_col, "left_semi").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+        dedup_batch_against_corpus(batch, epoch_id, state_dir, id_col, text_col)
 
     reader = spark.readStream
     if schema is not None:

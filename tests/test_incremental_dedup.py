@@ -82,3 +82,54 @@ class TestIncrementalDedup:
             for r in spark.read.parquet(os.path.join(state, "rejected")).collect()
         }
         assert rejected == {2: "vs_corpus"}
+
+
+class TestReplaySafety:
+    def test_replayed_epoch_reproduces_first_attempt(self, spark, tmp_path):
+        """A batch whose writes landed but whose offset never committed is
+        re-run with the SAME epoch id on restart. The store read excludes
+        the batch's own epoch, so the replay must reproduce the first
+        attempt exactly — not self-match and empty out the epoch."""
+        from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        batch = spark.createDataFrame(
+            [(1, UNIQ[0]), (2, UNIQ[1])], ["doc_id", "text"]
+        )
+        dedup_batch_against_corpus(batch, 0, state)
+        first = _ids(spark, state, "accepted")
+        assert first == [1, 2]
+        # simulate the crash-replay: same batch, same epoch, store now
+        # holds this epoch's bands
+        dedup_batch_against_corpus(batch, 0, state)
+        assert _ids(spark, state, "accepted") == first
+        bands = spark.read.parquet(os.path.join(state, "bands"))
+        assert sorted(set(r["doc_id"] for r in bands.collect())) == [1, 2]
+
+    def test_chain_rejects_point_at_survivor(self, spark, tmp_path):
+        """Candidate chain 1-2, 2-3 (via identical text): every reject's
+        matched_doc must be the ACCEPTED survivor, never another reject."""
+        from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        batch = spark.createDataFrame(
+            [(1, UNIQ[0]), (2, UNIQ[0]), (3, UNIQ[0])], ["doc_id", "text"]
+        )
+        dedup_batch_against_corpus(batch, 0, state)
+        assert _ids(spark, state, "accepted") == [1]
+        rejected = {
+            r["doc_id"]: r["matched_doc"]
+            for r in spark.read.parquet(os.path.join(state, "rejected")).collect()
+        }
+        assert rejected == {2: 1, 3: 1}
+
+    def test_custom_id_column_works(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        batch = spark.createDataFrame(
+            [(7, UNIQ[0]), (8, UNIQ[0])], ["news_id", "text"]
+        )
+        dedup_batch_against_corpus(batch, 0, state, id_col="news_id")
+        acc = spark.read.parquet(os.path.join(state, "accepted"))
+        assert [r["news_id"] for r in acc.collect()] == [7]

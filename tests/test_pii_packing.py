@@ -38,6 +38,14 @@ class TestPiiScrub:
         r = _scrub(spark, "build v1.2.3.4x stays")
         assert r["n_ipv4"] == 0 and "<IP>" not in r["red"]
 
+    def test_overlapping_kinds_counted_once(self, spark):
+        # the digit quad inside the e-mail host is consumed by the email
+        # rule; counts mirror the chained redaction, so it must NOT also
+        # report as an IP that was never redacted
+        r = _scrub(spark, "ping x@1.2.3.4.co now")
+        assert r["red"] == "ping <EMAIL> now"
+        assert (r["n_email"], r["n_ipv4"]) == (1, 0)
+
     def test_clean_text_untouched(self, spark):
         r = _scrub(spark, "no personal data here at all")
         assert r["red"] == "no personal data here at all"

@@ -97,6 +97,24 @@ class TestStrptime:
         with pytest.raises(ValueError, match="%q"):
             strptime_to_spark("%q")
 
+    def test_trailing_percent_raises(self):
+        with pytest.raises(ValueError, match="trailing"):
+            strptime_to_spark("%Y%")
+
+    def test_reserved_punctuation_quoted(self, spark):
+        import pyspark.sql.functions as F
+
+        # [ ] are optional-section markers in DateTimeFormatter — unquoted
+        # they'd silently make the bracketed text optional
+        fmt = strptime_to_spark("%d.%m.%Y [%H:%M]")
+        assert fmt == "dd.MM.yyyy' ['HH:mm']'"
+        got = spark.range(1).select(
+            F.try_to_timestamp(F.lit("03.02.2024 [10:30]"), F.lit(fmt)).alias("ok"),
+            F.try_to_timestamp(F.lit("03.02.2024 10:30"), F.lit(fmt)).alias("nobrackets"),
+        ).collect()[0]
+        assert got["ok"] == dt.datetime(2024, 2, 3, 10, 30)
+        assert got["nobrackets"] is None  # brackets are literal, required
+
 
 class TestListingReplay:
     def test_explode_skip_and_urljoin(self, spark):
