@@ -512,3 +512,27 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         rows.append(bytes(row))
     header = f"P6\n{width} {height}\n{maxval}\n".encode()
     return header + b"".join(rows)
+
+
+def resample_audio(payload: bytes, factor: int) -> bytes:
+    """Integer-factor decimation of a RIFF/WAVE payload, pure Python:
+    decode, keep every `factor`-th sample frame (all channels together),
+    re-encode with the sample rate divided accordingly. Deterministic (no
+    filtering kernels), so resampled payloads are hash-stable across
+    engines and runs — the audio twin of `resize_image`."""
+    import struct
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    rate, channels, bits, data = decode_wav(payload)
+    if rate % factor != 0:
+        raise ValueError(f"rate {rate} not divisible by factor {factor}")
+    block = channels * (bits // 8)
+    frames = [data[i : i + block] for i in range(0, len(data), block)]
+    kept = b"".join(frames[::factor])
+    new_rate = rate // factor
+    header = b"RIFF" + struct.pack("<I", len(kept) + 36) + b"WAVEfmt "
+    header += struct.pack("<IHHIIHH", 16, 1, channels, new_rate,
+                          new_rate * block, block, bits)
+    header += b"data" + struct.pack("<I", len(kept))
+    return header + kept

@@ -275,3 +275,34 @@ def test_metadata_query_prunes_payload(media):
     meta_only = media.select("doc_id", "media_type", F.col("meta.n_bytes"))
     explained = meta_only._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in explained
+
+
+def test_resample_audio_decimates_and_reencodes():
+    import io
+    import wave as stdwave
+
+    from sentinela_py_spark.operators.multimodal import decode_wav, resample_audio
+
+    # 8 kHz mono 8-bit, samples 0..99
+    data = bytes(range(100))
+    src = (
+        b"RIFF" + (len(data) + 36).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + b"data" + len(data).to_bytes(4, "little")
+    ) + data
+    out = resample_audio(src, 4)
+    rate, channels, bits, kept = decode_wav(out)
+    assert (rate, channels, bits) == (2000, 1, 8)
+    assert kept == bytes(range(0, 100, 4))
+    # stdlib wave agrees the container is valid
+    w = stdwave.open(io.BytesIO(out))
+    assert w.getframerate() == 2000 and w.getnframes() == 25
+    # identity factor is a byte-identical round-trip of the data plane
+    assert decode_wav(resample_audio(src, 1))[3] == data
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        resample_audio(src, 3)
