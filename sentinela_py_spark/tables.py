@@ -33,14 +33,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized Parquet
-        # reader rejects; read nanos as long and truncate to micros JVM-side.
+        # The driver's events.parquet has changed physical timestamp encoding
+        # between rounds (TIMESTAMP(NANOS) → nanos-as-long workaround in r1,
+        # plain timestamp[us] → TIMESTAMP_NTZ in r2). Normalize `ts` to ONE
+        # canonical type — TIMESTAMP (LTZ; session tz is pinned to UTC, so
+        # wall-clock values are preserved) — so every plan sees the same type
+        # regardless of parquet encoding.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type and ts_type != "timestamp":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:  # timestamp_ntz (or date): wall-clock-preserving cast
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

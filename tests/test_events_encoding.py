@@ -1,0 +1,61 @@
+"""Type-hardening regression: the driver's events.parquet changed physical
+timestamp encoding between rounds (r1: TIMESTAMP(NANOS) → read as raw nanos
+bigint; r2: timestamp[us] no-tz → TIMESTAMP_NTZ), and a raw epoch cast in one
+plan broke. ``tables.load_table`` now normalizes ``ts`` to ONE canonical
+TIMESTAMP (LTZ, UTC session) whatever the parquet encoding; every event-time
+plan must run — and agree — on all three encodings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+from sentinela_py_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+QUERY_NAMES = ("q_user_sessions", "q_event_buckets", "q_asof_last_view")
+
+# encoding name -> (arrow ts type, parquet writer version)
+ENCODINGS = {
+    "ntz_micros": (pa.timestamp("us"), "2.4"),  # r2 driver encoding -> TIMESTAMP_NTZ
+    "ltz_micros": (pa.timestamp("us", tz="UTC"), "2.4"),  # -> TIMESTAMP (LTZ)
+    "nanos": (pa.timestamp("ns"), "2.6"),  # r1 driver encoding -> nanos-as-long bigint
+}
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    src = pq.read_table(os.path.join(SF, "events.parquet")).replace_schema_metadata(None)
+    idx = src.schema.get_field_index("ts")
+    dirs = {}
+    for name, (ts_type, version) in ENCODINGS.items():
+        d = tmp_path_factory.mktemp(f"events_{name}")
+        ts = src.column("ts").cast(ts_type)
+        table = src.set_column(idx, pa.field("ts", ts_type), ts)
+        pq.write_table(table, str(d / "events.parquet"), version=version)
+        dirs[name] = str(d)
+    return dirs
+
+
+def test_load_table_canonicalizes_ts(spark, encoded_dirs):
+    for name, d in encoded_dirs.items():
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", f"{name}: ts not canonical TIMESTAMP"
+
+
+@pytest.mark.parametrize("qname", QUERY_NAMES)
+def test_event_queries_encoding_invariant(spark, encoded_dirs, qname):
+    _ensure_loaded()
+    results = {}
+    for enc, d in encoded_dirs.items():
+        rows = QUERIES[qname].spark(spark, d).collect()
+        results[enc] = [tuple(r) for r in rows]
+        assert results[enc], f"{qname} on {enc}: empty result"
+    baseline = results["ltz_micros"]
+    for enc, rows in results.items():
+        assert rows == baseline, f"{qname}: {enc} result drifted from ltz_micros"
