@@ -92,7 +92,10 @@ def coarse_refine_topk(
     coarse = (
         qz.crossJoin(qs)
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("coarse_cos", cosine(F.col("deq"), F.col("qvec")))
+        # 6dp rounding before ranking (as everywhere in simops): the
+        # (score, id) order is then deterministic across engines and
+        # partitionings, so the coarse_k cutoff is oracle-checkable
+        .withColumn("coarse_cos", F.round(cosine(F.col("deq"), F.col("qvec")), 6))
         .withColumn("crnk", F.row_number().over(coarse_w))
         .filter(F.col("crnk") <= coarse_k)
     )

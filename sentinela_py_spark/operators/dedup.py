@@ -34,6 +34,16 @@ from sentinela_py_spark.functions.text_stats import word_shingles
 from sentinela_py_spark.tables import ensure_min_partitions
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
+# Hash/band counts are CONSTRUCTOR PARAMETERS of the helpers below;
+# 16 hashes / 4 bands is only the registered-query default, kept tiny so
+# the DuckDB oracles stay stable on the sf0.01 fixtures. Occupancy math
+# for a real deployment: with b bands of r rows each (n_hashes = b·r),
+# a pair at Jaccard similarity s collides with probability
+# 1 − (1 − s^r)^b, an S-curve with threshold s* ≈ (1/b)^(1/r) —
+# 16/4 → s* ≈ 0.71; a 128-hash/32-band config (s* ≈ 0.42) is the usual
+# web-dedup setting. Candidate work scales with true band collisions at
+# any (b, r); raising b only multiplies the exploded band rows, never
+# the pair space.
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -65,29 +75,41 @@ def shingle_hashes(documents: DataFrame, id_col: str = "doc_id", text_col: str =
     )
 
 
-def minhash_signatures(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document MinHash signature: columns m0..m{N_HASHES-1}.
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Per-document MinHash signature: columns m0..m{n_hashes-1}.
 
     Each hash is min((a_k*h + b_k) mod p) over the doc's shingle set —
     partial (map-side) mins collapse the shuffle to one row per doc."""
     hashed = shingle_hashes(documents, id_col, text_col)
     aggs = []
-    for k in range(N_HASHES):
+    for k in range(n_hashes):
         a, b = _hash_coeffs(k)
         aggs.append(F.min((F.col("h") * a + b) % MINHASH_PRIME).alias(f"m{k}"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_signatures(signatures: DataFrame) -> DataFrame:
+def lsh_band_signatures(
+    signatures: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """(doc_id, band, sig): band signature = joined minhash values of the
-    band's rows. Docs sharing any (band, sig) are candidate near-dups.
+    band's rows (r = n_hashes // n_bands rows per band — see the S-curve
+    math at N_HASHES). Docs sharing any (band, sig) are candidate
+    near-dups.
 
     Built as ONE explode over an inline (band, sig) array — a union of
     per-band projections would make Catalyst recompute the entire
     signature aggregation once per band."""
+    rows_per_band = n_hashes // n_bands
     band_structs = []
-    for band in range(N_BANDS):
-        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    for band in range(n_bands):
+        cols = [f"m{band * rows_per_band + r}" for r in range(rows_per_band)]
         band_structs.append(
             F.struct(
                 F.lit(band).alias("band"),
@@ -99,11 +121,19 @@ def lsh_band_signatures(signatures: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_candidate_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """(doc_a, doc_b, n_shared_bands): pairs colliding in ≥1 LSH band.
     The equi-join on (band, sig) is the inverted-index step — work scales
     with real collisions, never |docs|²."""
-    bands = lsh_band_signatures(minhash_signatures(documents, id_col, text_col))
+    bands = lsh_band_signatures(
+        minhash_signatures(documents, id_col, text_col, n_hashes), n_hashes, n_bands
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -30,6 +30,7 @@ from sentinela_py_spark.operators.dedup import (
     connected_components,
     minhash_candidate_pairs,
 )
+from sentinela_py_spark.operators.sampling import mixture_sample, temperature_rates
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
 from sentinela_py_spark.plans.registry import register
 from sentinela_py_spark.tables import load_table
@@ -196,6 +197,81 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sequence_packing.__doc__ = q_sequence_packing.__doc__.format(budget=SEQ_TOKEN_BUDGET)
+
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 200
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(pow(n, {MIX_ALPHA})) AS total_w FROM counts),
+    rates AS (
+      SELECT grp, n,
+             ROUND(LEAST(1.0, {MIX_BUDGET} * pow(n, {MIX_ALPHA}) / total_w / n), 6) AS rate
+      FROM counts CROSS JOIN tot
+    ),
+    samp AS (
+      SELECT d.lang AS grp, d.doc_id, d.n_chars
+      FROM documents d JOIN rates r ON d.lang = r.grp
+      WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 < r.rate
+    )
+    SELECT r.grp AS lang, r.n, r.rate,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           s.first_sampled_doc,
+           CAST(COALESCE(s.sampled_chars, 0) AS BIGINT) AS sampled_chars
+    FROM rates r LEFT JOIN (
+      SELECT grp, COUNT(*) AS n_sampled, MIN(doc_id) AS first_sampled_doc,
+             SUM(n_chars) AS sampled_chars
+      FROM samp GROUP BY grp
+    ) s ON r.grp = s.grp
+    ORDER BY lang
+    """,
+    survey_ref=(
+        "curation: temperature-mixture sampling — per-group rates ∝ n^alpha (alpha=0.5 "
+        "up-weights tail languages), md5-threshold membership per row — operators/sampling.py"
+    ),
+    tags=("curation", "sampling"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing, per-language summary: group
+    acceptance rates target MIX_BUDGET total rows with shares ∝ n^0.5
+    (the multilingual-mix up-weighting of tail languages), membership is
+    the same md5-threshold Bernoulli as q_train_split — stable across
+    runs, engines, partitionings. Rates are rounded to 6dp BEFORE the
+    membership comparison so the accept/reject boundary is bit-identical
+    on both engines (pow/sum float noise cannot flip a row). The rate
+    table is one tiny aggregate broadcast into a map-only filter — one
+    corpus scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(d, "lang", alpha=MIX_ALPHA, budget=MIX_BUDGET).withColumn(
+        "rate", F.round("rate", 6)
+    )
+    samp_agg = (
+        mixture_sample(d, rates, group_col="lang", key_col="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("first_sampled_doc"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+    return (
+        rates.select(F.col("group").alias("lang"), "n", "rate")
+        .join(samp_agg, "lang", "left")
+        .select(
+            "lang",
+            "n",
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            "first_sampled_doc",
+            F.coalesce("sampled_chars", F.lit(0)).cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 def _lang_hits_sql(lang: str) -> str:

@@ -483,28 +483,59 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_string_normalize",
     oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
+             ('high', 950.0, 975.0), ('premium', 975.0, 1000.0)
+    )
     SELECT p_partkey,
            LOWER(TRIM(p_type)) AS type_norm,
            regexp_replace(LOWER(p_name), ' +', '_', 'g') AS name_slug,
            LENGTH(p_name) AS name_len,
            UPPER(SUBSTRING(p_brand, 1, 5)) AS brand_prefix,
-           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
-    FROM part
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           b.band AS price_band
+    FROM part p LEFT JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     ORDER BY p_partkey
     """,
-    survey_ref="M1,M2,M15 (normalization.py:77-129 text normalization scalar family)",
-    tags=("scalar", "string"),
+    survey_ref=(
+        "M1,M2,M15 (normalization.py:77-129 text normalization scalar family); "
+        "+ range join (non-equi): fact × interval dimension, broadcast nested-loop "
+        "(folded former q_price_band_parts — frees a registry slot)"
+    ),
+    tags=("scalar", "string", "join", "range"),
 )
 def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-normalization family + interval/range join: each part
+    also lands in the price band whose [lo, hi) interval contains it (NULL
+    outside every band — LEFT join keeps the projection total). The band
+    dim is tiny and explicitly broadcast, so the non-equi condition
+    executes as a BroadcastNestedLoopJoin — each partition scans its parts
+    once against 4 in-memory rows; no shuffle, and the pattern holds at
+    100 TB because cost is |fact| × |bands|, never |fact|²."""
     p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.lower(F.trim("p_type")).alias("type_norm"),
-        F.regexp_replace(F.lower("p_name"), " +", "_").alias("name_slug"),
-        F.length("p_name").alias("name_len"),
-        F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
-    ).orderBy("p_partkey")
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 925.0), ("mid", 925.0, 950.0),
+         ("high", 950.0, 975.0), ("premium", 975.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "left",
+        )
+        .select(
+            "p_partkey",
+            F.lower(F.trim("p_type")).alias("type_norm"),
+            F.regexp_replace(F.lower("p_name"), " +", "_").alias("name_slug"),
+            F.length("p_name").alias("name_len"),
+            F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.col("band").alias("price_band"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 @register(
@@ -544,33 +575,6 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_events_json_extract",
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    survey_ref="§1.2 nested maps/structs (raw payload JSON access)",
-    tags=("scalar", "json"),
-)
-def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the raw payload column — the reference's
-    `raw` audit subtree access, JVM-side via get_json_object."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("k_sum"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
     "q_event_buckets",
     oracle="""
     SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS ws, event_type,
@@ -587,13 +591,20 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
     )
     GROUP BY ws, event_type
-    ORDER BY kind, ws, event_type
+    UNION ALL
+    SELECT 'json' AS kind, CAST(NULL AS TIMESTAMP) AS ws, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS INT)) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY kind, ws ASC NULLS FIRST, event_type
     """,
     survey_ref=(
         "T6 (tumbling + sliding window aggs — batch twins of the streaming superset, "
-        "both arms over one scan)"
+        "both arms over one scan); §1.2 nested maps/structs — 'json' arm sums a "
+        "get_json_object field from the raw payload (folded former q_events_json_extract)"
     ),
-    tags=("agg", "window", "time"),
+    tags=("agg", "window", "time", "json"),
 )
 def q_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling and sliding time buckets over the event stream table in
@@ -605,7 +616,11 @@ def q_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replication factor IS width/slide, which is why wide-and-fine
     sliding windows are expensive at scale and tumbling + rollup is often
     the better shape). The oracle derives the same window starts
-    arithmetically."""
+    arithmetically.
+
+    The 'json' arm (ws NULL) sums a field extracted from the raw JSON
+    payload column JVM-side via get_json_object — the reference's `raw`
+    audit subtree access (§1.2 nested maps/structs)."""
     e = load_table(spark, sf_dir, "events")
     tumbling = (
         e.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
@@ -624,7 +639,25 @@ def q_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    return tumbling.unionByName(sliding).orderBy("kind", "ws", "event_type")
+    json_arm = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.lit("json").alias("kind"),
+            F.lit(None).cast("timestamp").alias("ws"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(json_arm)
+        .orderBy("kind", F.col("ws").asc_nulls_first(), "event_type")
+    )
 
 
 @register(
@@ -1044,55 +1077,6 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.withColumn("quartile", F.ntile(4).over(w))
         .select("o_custkey", "total", "quartile")
         .orderBy("quartile", "o_custkey")
-    )
-
-
-@register(
-    "q_price_band_parts",
-    oracle="""
-    WITH bands(band, lo, hi) AS (
-      VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
-             ('high', 950.0, 975.0), ('premium', 975.0, 1000.0)
-    )
-    SELECT b.band, COUNT(*) AS n_parts,
-           CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(10,2))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS avg_price
-    FROM part p JOIN bands b
-      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
-    GROUP BY b.band
-    ORDER BY b.band
-    """,
-    survey_ref="range join (non-equi): fact × interval dimension, broadcast nested-loop",
-    tags=("join", "range"),
-)
-def q_price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range join: each part lands in the price band whose
-    [lo, hi) interval contains it. The band dim is tiny and explicitly
-    broadcast, so the non-equi condition executes as a BroadcastNestedLoop
-    join — each partition scans its parts once against 4 in-memory rows;
-    no shuffle, and the pattern holds at 100 TB because cost is
-    |fact| × |bands|, never |fact|². The mean rides on an exact decimal
-    sum so both engines divide identical numerators."""
-    p = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("budget", 900.0, 925.0), ("mid", 925.0, 950.0),
-         ("high", 950.0, 975.0), ("premium", 975.0, 1000.0)],
-        ["band", "lo", "hi"],
-    )
-    return (
-        p.join(
-            F.broadcast(bands),
-            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
-        )
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n_parts"),
-            (
-                F.sum(F.col("p_retailprice").cast("decimal(10,2)")).cast("double")
-                / F.count("*")
-            ).cast("double").alias("avg_price"),
-        )
-        .orderBy("band")
     )
 
 

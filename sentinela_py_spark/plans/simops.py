@@ -108,7 +108,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 import hashlib
 
 EMB_DIM = 64
-N_PLANES = 4  # 16 buckets
+# Plane count is a CONSTRUCTOR PARAMETER of every LSH helper below;
+# N_PLANES=4 (16 buckets) is only the registered-query default, kept tiny
+# so the DuckDB oracles stay stable and the sf0.01 fixtures keep non-empty
+# buckets. Occupancy math for a real deployment: P planes → 2^P buckets;
+# uniform-ish embeddings give expected occupancy n/2^P and candidate work
+# Σ occ² ≈ n²/2^P, so pick P ≈ log2(n / target_bucket_size) — e.g. n=10^10
+# vectors with ~10^4-vector buckets → P ≈ 20 (1M buckets). Recall follows
+# the hyperplane collision law p_bit = 1 − θ/π per plane: with multi-probe
+# Hamming ≤ 1, P(candidate) = p^P + P·p^(P−1)(1−p), so higher P needs
+# either more probes or an OR over several independent tables.
+N_PLANES = 4
 N_CELLS = 8
 
 
@@ -118,7 +128,14 @@ def _plane(p: int, dim: int = EMB_DIM) -> list[int]:
     return [1 if hashlib.md5(f"plane-{p}-{j}".encode()).digest()[0] & 1 else -1 for j in range(dim)]
 
 
-PLANES = [_plane(p) for p in range(N_PLANES)]
+def make_planes(n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
+    """The first ``n_planes`` deterministic ±1 hyperplanes — pass to
+    ``lsh_bucket``/``embedding_neardup_pairs`` to run a 2^n_planes-bucket
+    config (see the occupancy math at N_PLANES)."""
+    return [_plane(p, dim) for p in range(n_planes)]
+
+
+PLANES = make_planes(N_PLANES)
 
 
 def _signed_dot(vec: Column, plane: list[int]) -> Column:
@@ -127,12 +144,19 @@ def _signed_dot(vec: Column, plane: list[int]) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Hyperplane-sign bucket id in [0, 2^N_PLANES)."""
+def lsh_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
+    """Hyperplane-sign bucket id in [0, 2^len(planes))."""
+    planes = PLANES if planes is None else planes
     bucket = F.lit(0)
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(planes):
         bucket = bucket + F.when(_signed_dot(vec, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def probe_xors(n_planes: int) -> list[int]:
+    """Multi-probe XOR masks: own bucket + every single-bit flip
+    (Hamming ≤ 1 over the sign bits)."""
+    return [0] + [2**p for p in range(n_planes)]
 
 
 def _plane_sql(plane: list[int], vec: str) -> str:
@@ -155,7 +179,46 @@ NEARDUP_COS = 0.4
 # Multi-probe set: own bucket + every single-bit flip (Hamming distance <= 1
 # over the N_PLANES sign bits). For a fixed candidate the probe values are
 # distinct, so a pair can match on at most one probe — no dedup shuffle needed.
-PROBE_XORS = [0] + [2**p for p in range(N_PLANES)]
+PROBE_XORS = probe_xors(N_PLANES)
+
+
+def embedding_neardup_pairs(
+    e: DataFrame,
+    planes: list[list[int]] | None = None,
+    threshold: float = NEARDUP_COS,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs for an arbitrary plane count
+    — the parameterized core of ``q_embedding_neardup`` (which pins
+    ``planes=PLANES`` so its oracle stays stable). Candidates are pairs
+    whose buckets agree on all or all-but-one sign bit; true cosine is
+    computed on survivors only, so precision is 1.0 by construction and
+    recall follows the multi-probe collision law (see N_PLANES)."""
+    planes = PLANES if planes is None else planes
+    xors = probe_xors(len(planes))
+    e = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"), F.col("bucket").alias("bucket_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in xors])
+        ).alias("probe"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("bucket_a") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
+        .filter(F.col("cos_sim_r") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def exact_neardup_pairs(e: DataFrame) -> DataFrame:
@@ -218,30 +281,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     For a fixed candidate the probe values are distinct, so a pair can
     match on at most one probe — candidate generation needs no
     dedup shuffle. Norms are hoisted out of the pair scoring."""
-    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        F.col("norm").alias("na"), F.col("bucket").alias("bucket_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-        F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in PROBE_XORS])
-        ).alias("probe"),
-    )
-    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("bucket_a") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
-        .filter(F.col("cos_sim_r") >= NEARDUP_COS)
-        .orderBy("vec_a", "vec_b")
-    )
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_pairs(e, planes=PLANES, threshold=NEARDUP_COS)
 
 
 @register(
@@ -334,22 +375,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic 'training': centroids are the first
-    N_CELLS vectors. Assignment is a broadcast cross join (N_CELLS rows)
-    + argmax-cosine window; search probes only the query's own cell.
-    At scale: assignment is map-side (centroids broadcast), the cell id
-    becomes the partition key, and the cell join replaces the cross
-    product — the canonical IVF-flat layout."""
+    N_CELLS vectors. Assignment is MAP-SIDE: the N_CELLS centroids fold
+    into ONE broadcast row holding a cell_id-sorted struct array, and the
+    argmax is pure array algebra — an array of the N_CELLS rounded sims,
+    ``array_position(sims, array_max(sims))`` picking the first (= lowest
+    cell_id) maximum, exactly the window's (sim DESC, cell_id ASC) order.
+    No Exchange touches the corpus between the scan and the assignment
+    (pinned in test_plan_quality) — the earlier row_number() rendering
+    shuffled N×N_CELLS rows keyed by vec_id, an avoidable 8× corpus
+    shuffle at 100 TB. Search probes only the query's own cell; the cell
+    id becomes the partition key — the canonical IVF-flat layout."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    cents_row = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+                )
+            ).alias("cents")
+        )
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
-    aw = W.partitionBy("vec_id").orderBy(sim.desc(), F.col("cell_id"))
+    sims = F.transform(
+        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c["centroid"]), 6)
+    )
+    best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast("int")
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        e.crossJoin(F.broadcast(cents_row))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at(F.col("cents"), best)["cell_id"].alias("cell_id"),
+        )
     )
     q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
@@ -367,4 +425,77 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized coarse→refine ANN (functions/vectors.py) — driver-checked.
+# ---------------------------------------------------------------------------
+
+COARSE_K = 20
+
+# int8 min/max quantization in DuckDB, mirroring functions/vectors.py:
+# scale = (max-min)/255 (1.0 for constant vectors); code = round((v-min)/scale)
+# - 128; dequantized = (code+128)*scale + min = round((v-min)/scale)*scale + min
+# (the ±128 shift cancels, so the oracle skips the tinyint materialization —
+# round() is half-away-from-zero in both engines and the operand is ≥ 0).
+_DEQ_SQL = (
+    "list_transform({v}, x -> round((CAST(x AS DOUBLE) - CAST(list_min({v}) AS DOUBLE)) / "
+    "(CASE WHEN CAST(list_max({v}) AS DOUBLE) > CAST(list_min({v}) AS DOUBLE) "
+    "THEN (CAST(list_max({v}) AS DOUBLE) - CAST(list_min({v}) AS DOUBLE)) / 255.0 ELSE 1.0 END), 0) "
+    "* (CASE WHEN CAST(list_max({v}) AS DOUBLE) > CAST(list_min({v}) AS DOUBLE) "
+    "THEN (CAST(list_max({v}) AS DOUBLE) - CAST(list_min({v}) AS DOUBLE)) / 255.0 ELSE 1.0 END) "
+    "+ CAST(list_min({v}) AS DOUBLE))"
+)
+
+
+@register(
+    "q_quantized_refine_topk",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding, {_DEQ_SQL.format(v='embedding')} AS deq FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
+    coarse AS (
+      SELECT query_id, vec_id, embedding, qv,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_DOT_SQL.format(a='deq', b='qv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='deq')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+               vec_id) AS crnk
+      FROM qz CROSS JOIN qs
+      WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+      SELECT query_id, vec_id,
+             ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+               / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+               vec_id) AS rnk
+      FROM coarse WHERE crnk <= {COARSE_K}
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ref=(
+        "similarity at scale: int8-quantized coarse top-C (4× less I/O on the pass that "
+        "touches every row) → exact float refine of the C survivors — functions/vectors.py"
+    ),
+    tags=("similarity", "quantization"),
+)
+def q_quantized_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage compressed-representation ANN: coarse rank on DEQUANTIZED
+    int8 codes (per-element error ≤ scale/2), keep COARSE_K, re-rank those
+    exactly on the float vectors, keep TOP_K. The oracle reproduces the
+    identical integer/rounding algebra, so the *approximate* pipeline is
+    still exactly checkable. At 100 TB the coarse pass is the only one
+    that touches every row — at 1/4 the bytes; the refine reads |Q|·C
+    float vectors."""
+    from sentinela_py_spark.functions.vectors import coarse_refine_topk
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return coarse_refine_topk(e, queries, k=TOP_K, coarse_k=COARSE_K).orderBy(
+        "query_id", "rnk"
     )

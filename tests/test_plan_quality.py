@@ -68,7 +68,8 @@ def test_minhash_single_aggregation_pass(spark):
 def test_range_join_broadcasts_band_dim(spark):
     # non-equi interval join must be a broadcast nested-loop over the tiny
     # band dim — a shuffled cartesian here would not survive a scale-up
-    plan = _plan(spark, "q_price_band_parts")
+    # (range-join arm folded into q_string_normalize in round 3)
+    plan = _plan(spark, "q_string_normalize")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -129,6 +130,16 @@ def test_pii_scrub_is_map_only(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     # exactly the top-level result sort may exchange; the scrub adds none
     assert plan.count("Exchange") <= 1
+
+
+def test_ivf_assignment_is_map_side(spark):
+    # centroid assignment must be array-algebra over one broadcast row of
+    # centroids — the row_number() rendering shuffled N×N_CELLS rows keyed
+    # by vec_id (an 8× corpus shuffle at 100 TB). Only the per-QUERY top-k
+    # window may partition; nothing may hash-partition the corpus by vec_id
+    plan = _plan(spark, "q_ann_ivf_topk")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array join
 
 
 def test_sequence_packing_partitions_by_shard(spark):

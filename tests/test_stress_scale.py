@@ -133,6 +133,60 @@ def test_embedding_neardup_lsh_recall(spark):
     assert found == 20  # all 20 planted exact dups collide
 
 
+def test_scaled_lsh_configs_hold_recall_contract(spark):
+    """The LSH plane/band counts are constructor parameters (the registry
+    defaults are demo constants — see the occupancy math at
+    simops.N_PLANES / dedup.N_HASHES). Run a production-shaped config on
+    each sketch and assert the recall CONTRACT:
+
+    - 8 planes → 256 buckets: precision stays 1.0 (true cosine on
+      survivors), identical vectors still ALWAYS collide (all sign bits
+      equal), and recall on the cos≥0.4 set clears the multi-probe
+      collision floor (measured 0.15 on the deterministic planes; the
+      Hamming≤1 law gives ~0.14 at cos=0.4 — scaled deployments buy the
+      recall back with more probes or OR-ed tables, which is the
+      documented trade).
+    - 32 hashes / 8 bands MinHash: planted exact dups share all 8 bands.
+    """
+    from sentinela_py_spark.plans.simops import (
+        embedding_neardup_pairs,
+        exact_neardup_pairs,
+        make_planes,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    planes8 = make_planes(8)
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim_r
+        for r in embedding_neardup_pairs(e, planes8).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim_r for r in exact_neardup_pairs(e).collect()
+    }
+    assert set(got) <= set(exact)  # precision 1.0 at any plane count
+    assert all(exact[k] == v for k, v in got.items())
+    assert len(got) / len(exact) >= 0.10  # multi-probe floor at 256 buckets
+
+    # identical vectors agree on every sign bit -> same bucket always
+    planted = e.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_neardup_pairs(e.unionByName(planted), planes8, threshold=0.999)
+    found = pairs.filter(F.col("vec_b") - F.col("vec_a") == 1_000_000).count()
+    assert found == 20
+
+    # MinHash at 32 hashes / 8 bands: identical docs -> identical
+    # signatures -> all 8 bands shared
+    d = load_table(spark, SF, "documents").limit(50).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    mp = minhash_candidate_pairs(
+        d.unionByName(dup), n_hashes=32, n_bands=8
+    ).filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+    rows = mp.collect()
+    assert len(rows) == 50
+    assert all(r["n_shared_bands"] == 8 for r in rows)
+
+
 def test_connected_components_collapse_dup_groups(spark, skewed_corpus):
     """Pairs → groups at 10×: every 10-copy group must land in ONE
     component (identical docs share all bands, so the pair edges always
