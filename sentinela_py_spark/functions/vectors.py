@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vec", "dequantize_vec", "quantize_embeddings", "coarse_refine_topk"]
+__all__ = [
+    "quantize_vec",
+    "dequantize_vec",
+    "quantize_embeddings",
+    "coarse_refine_topk",
+    "pq_codebook_seeds",
+    "pq_reconstruct",
+    "pq_refine_topk",
+]
 
 _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
 
@@ -74,13 +82,26 @@ def coarse_refine_topk(
     Queries broadcast (small side); the coarse window partitions by
     query id, so per-query state is coarse_k rows. Output:
     (query_id, vec_id, cosine, rnk) — exact scores on the final ranking."""
+    qz = quantize_embeddings(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col), dequantize_vec(F.col("q")).alias("deq")
+    )
+    return _coarse_refine(qz, queries, k, coarse_k, vec_col, id_col)
+
+
+def _coarse_refine(
+    qz: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shared coarse→refine ranker over a (id, float vec, `deq` approx
+    vec) input — int8 and PQ reconstructions both feed this."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.plans.simops import cosine
 
-    qz = quantize_embeddings(embeddings, vec_col).select(
-        F.col(id_col), F.col(vec_col), dequantize_vec(F.col("q")).alias("deq")
-    )
     qs = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -106,3 +127,113 @@ def coarse_refine_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", F.col(id_col), "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the other half of the IVF-PQ vector-lake
+# family. The vector splits into PQ_M contiguous subvectors; each subvector
+# is replaced by the id of its nearest codeword in that subspace's
+# K-codeword codebook — dim·4 bytes shrink to M code bytes (32× at
+# dim=64/M=8 vs float32, vs int8's 4×). "Training" is deterministic like
+# IVF's: the codebook for every subspace is the matching slice of the
+# first K corpus vectors, so both engines rebuild the identical structure
+# and the approximation is exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (subvector length = dim / PQ_M)
+PQ_K = 16  # codewords per subspace
+
+
+def pq_codebook_seeds(
+    embeddings: DataFrame,
+    n_codewords: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE-row DataFrame holding the codeword seed vectors (the first
+    ``n_codewords`` by id, sorted) — broadcast into the encode step the
+    same way the IVF centroid row is."""
+    return (
+        embeddings.filter(F.col(id_col) < n_codewords)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("cw"), F.col(vec_col).alias("cv")))
+            ).alias("seeds")
+        )
+    )
+
+
+def _sub_l2sq(a: Column, b: Column, start: int, d: int) -> Column:
+    """Squared L2 between 1-based slices [start, start+d) of two vectors —
+    left-to-right double fold, multiplication not pow, so Spark and the
+    DuckDB oracle accumulate bit-identically."""
+    diffs = F.zip_with(
+        F.slice(a, start, d),
+        F.slice(b, start, d),
+        lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_reconstruct(vec: Column, seeds: Column, m: int = PQ_M, dim: int = 64) -> Column:
+    """array<double>: the PQ approximation of ``vec`` — per subspace, the
+    codeword slice minimizing squared L2 (9dp-rounded before the argmin,
+    ties to the lowest codeword id), concatenated back in subspace order.
+    Encode+reconstruct fused into one map-side expression: at scale the
+    stored form is the M tinyint codes; reconstruction rides the scan."""
+    d = dim // m
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: F.element_at(
+            seeds,
+            F.array_position(
+                F.transform(
+                    seeds,
+                    lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9),
+                ),
+                F.array_min(
+                    F.transform(
+                        seeds,
+                        lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9),
+                    )
+                ),
+            ).cast("int"),
+        )["cv"],
+    )
+    return F.flatten(
+        F.zip_with(
+            subs,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s, mi: F.transform(
+                F.slice(s, mi * d + 1, d), lambda x: x.cast("double")
+            ),
+        )
+    )
+
+
+def pq_refine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse→refine top-k where the coarse representation is the PQ
+    reconstruction (M bytes/vector): broadcast the one-row codebook,
+    reconstruct map-side, rank coarse_k by approximate cosine, re-rank
+    the survivors exactly — the IVF-PQ search shape minus the cell
+    routing (compose with the IVF cell join for the full layout)."""
+    seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords, vec_col, id_col))
+    qz = (
+        embeddings.crossJoin(seeds_row)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            pq_reconstruct(F.col(vec_col), F.col("seeds"), m, dim).alias("deq"),
+        )
+    )
+    return _coarse_refine(qz, queries, k, coarse_k, vec_col, id_col)

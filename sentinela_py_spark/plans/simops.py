@@ -449,53 +449,108 @@ _DEQ_SQL = (
 )
 
 
+def _refine_arm_sql(qz_cte: str) -> str:
+    """Coarse top-COARSE_K on the `deq` approximation, exact refine to
+    TOP_K — shared by the int8 and PQ oracle arms."""
+    return f"""
+      SELECT query_id, vec_id, cosine, rnk FROM (
+        SELECT query_id, vec_id,
+               ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+                   / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+                 vec_id) AS rnk
+        FROM (
+          SELECT query_id, vec_id, embedding, qv,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND({_DOT_SQL.format(a='deq', b='qv')}
+                     / (SQRT({_NORMSQ_SQL.format(a='deq')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+                   vec_id) AS crnk
+          FROM {qz_cte} CROSS JOIN qs
+          WHERE vec_id <> query_id
+        ) WHERE crnk <= {COARSE_K}
+      ) WHERE rnk <= {TOP_K}
+    """
+
+
+# PQ constants mirrored from functions/vectors.py (PQ_M subspaces of
+# EMB_DIM/PQ_M dims, PQ_K codewords = slices of the first PQ_K vectors).
+from sentinela_py_spark.functions.vectors import PQ_K, PQ_M  # noqa: E402
+
+_PQ_D = EMB_DIM // PQ_M
+
+# squared L2 between subspace m's slices of v and s.cv — multiplication,
+# not pow(), and an ordered list_sum so the double fold matches Spark's.
+_PQ_D2_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_D}), i -> "
+    f"(CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))"
+    f" * (CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))))"
+)
+
+
 @register(
     "q_quantized_refine_topk",
     oracle=f"""
-    WITH qz AS (
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
+    qz AS (
       SELECT vec_id, embedding, {_DEQ_SQL.format(v='embedding')} AS deq FROM embeddings
     ),
-    qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
-    coarse AS (
-      SELECT query_id, vec_id, embedding, qv,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-               ROUND({_DOT_SQL.format(a='deq', b='qv')}
-                 / (SQRT({_NORMSQ_SQL.format(a='deq')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
-               vec_id) AS crnk
-      FROM qz CROSS JOIN qs
-      WHERE vec_id <> query_id
+    seeds AS (SELECT vec_id AS cw, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}),
+    pq_codes AS (
+      SELECT vec_id, m, cw FROM (
+        SELECT v.vec_id, mi.m, s.cw,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, mi.m
+                                  ORDER BY ROUND({_PQ_D2_SQL}, 9), s.cw) AS rn
+        FROM embeddings v
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) mi
+        CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    pq_qz AS (
+      SELECT r.vec_id, e.embedding, r.deq FROM (
+        SELECT vec_id, flatten(list(sub ORDER BY m)) AS deq FROM (
+          SELECT c.vec_id, c.m, s.cv[c.m*{_PQ_D}+1 : c.m*{_PQ_D}+{_PQ_D}] AS sub
+          FROM pq_codes c JOIN seeds s ON s.cw = c.cw
+        ) GROUP BY vec_id
+      ) r JOIN embeddings e USING (vec_id)
     )
-    SELECT query_id, vec_id, cosine, rnk FROM (
-      SELECT query_id, vec_id,
-             ROUND({_DOT_SQL.format(a='embedding', b='qv')}
-               / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) AS cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-               ROUND({_DOT_SQL.format(a='embedding', b='qv')}
-                 / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
-               vec_id) AS rnk
-      FROM coarse WHERE crnk <= {COARSE_K}
-    )
-    WHERE rnk <= {TOP_K}
-    ORDER BY query_id, rnk
+    SELECT 'int8' AS method, query_id, vec_id, cosine, rnk FROM ({_refine_arm_sql('qz')})
+    UNION ALL
+    SELECT 'pq' AS method, query_id, vec_id, cosine, rnk FROM ({_refine_arm_sql('pq_qz')})
+    ORDER BY method, query_id, rnk
     """,
     survey_ref=(
-        "similarity at scale: int8-quantized coarse top-C (4× less I/O on the pass that "
-        "touches every row) → exact float refine of the C survivors — functions/vectors.py"
+        "similarity at scale: compressed-representation coarse top-C → exact float refine "
+        "of the C survivors — int8 arm (4× smaller scan) and product-quantization arm "
+        "(M-byte codes, 32× smaller; the IVF-PQ family) — functions/vectors.py"
     ),
     tags=("similarity", "quantization"),
 )
 def q_quantized_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage compressed-representation ANN: coarse rank on DEQUANTIZED
-    int8 codes (per-element error ≤ scale/2), keep COARSE_K, re-rank those
-    exactly on the float vectors, keep TOP_K. The oracle reproduces the
-    identical integer/rounding algebra, so the *approximate* pipeline is
-    still exactly checkable. At 100 TB the coarse pass is the only one
-    that touches every row — at 1/4 the bytes; the refine reads |Q|·C
-    float vectors."""
-    from sentinela_py_spark.functions.vectors import coarse_refine_topk
+    """Two-stage compressed-representation ANN, both lake layouts in one
+    result, each arm tagged:
+
+    - ``int8``: coarse rank on dequantized per-vector min/max int8 codes
+      (error ≤ scale/2, 1/4 the bytes of float32);
+    - ``pq``: coarse rank on the product-quantization reconstruction —
+      PQ_M subspaces × PQ_K deterministic codewords, PQ_M bytes per
+      vector (32× smaller), encode+reconstruct fused map-side with the
+      one-row codebook broadcast exactly like the IVF centroid row.
+
+    Both arms keep COARSE_K survivors then re-rank exactly on the float
+    vectors. The oracles reproduce the identical rounding/argmin algebra,
+    so the *approximate* pipelines are exactly checkable. At 100 TB the
+    coarse pass is the only one that touches every row — at 1/4 (int8) or
+    1/32 (PQ) of the float bytes; the refine reads |Q|·C float vectors."""
+    from sentinela_py_spark.functions.vectors import coarse_refine_topk, pq_refine_topk
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return coarse_refine_topk(e, queries, k=TOP_K, coarse_k=COARSE_K).orderBy(
-        "query_id", "rnk"
+    int8 = coarse_refine_topk(e, queries, k=TOP_K, coarse_k=COARSE_K).select(
+        F.lit("int8").alias("method"), "query_id", "vec_id", "cosine", "rnk"
     )
+    pq = pq_refine_topk(e, queries, k=TOP_K, coarse_k=COARSE_K, dim=EMB_DIM).select(
+        F.lit("pq").alias("method"), "query_id", "vec_id", "cosine", "rnk"
+    )
+    return int8.unionByName(pq).orderBy("method", "query_id", "rnk")

@@ -60,6 +60,95 @@ class TestQuantize:
         assert -128 <= bounds["lo"] and bounds["hi"] <= 127
 
 
+class TestPQ:
+    def test_seed_vectors_reconstruct_exactly(self, spark):
+        """A codebook seed's own subvectors are all in the codebook at
+        distance 0, so its PQ reconstruction is the vector itself."""
+        from sentinela_py_spark.functions.vectors import (
+            PQ_K,
+            pq_codebook_seeds,
+            pq_reconstruct,
+        )
+
+        e = load_table(spark, SF_DIR, "embeddings")
+        seeds_row = F.broadcast(pq_codebook_seeds(e))
+        rows = (
+            e.filter(F.col("vec_id") < PQ_K)
+            .crossJoin(seeds_row)
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "embedding",
+                    pq_reconstruct(F.col("embedding"), F.col("seeds")),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                ).alias("errs"),
+            )
+            .select("vec_id", F.array_max("errs").alias("max_err"))
+            .collect()
+        )
+        assert len(rows) == PQ_K
+        assert all(r["max_err"] == 0.0 for r in rows)
+
+    def test_pq_codes_compress_and_bound_error(self, spark):
+        """Non-seed vectors reconstruct with bounded error: the PQ
+        approximation can never beat the best codeword per subspace, and
+        must match the brute-force argmin computed independently."""
+        from sentinela_py_spark.functions.vectors import pq_codebook_seeds, pq_reconstruct
+
+        e = load_table(spark, SF_DIR, "embeddings").limit(50)
+        seeds_row = F.broadcast(pq_codebook_seeds(load_table(spark, SF_DIR, "embeddings")))
+        recon = (
+            e.crossJoin(seeds_row)
+            .select(
+                "vec_id",
+                "embedding",
+                pq_reconstruct(F.col("embedding"), F.col("seeds")).alias("deq"),
+            )
+            .collect()
+        )
+        import math
+
+        seeds = {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 16).collect()
+        }
+        for row in recon:
+            v, deq = row["embedding"], row["deq"]
+            assert len(deq) == len(v) == 64
+            for mi in range(8):
+                sub = [float(x) for x in v[mi * 8:(mi + 1) * 8]]
+                got = deq[mi * 8:(mi + 1) * 8]
+                best = min(
+                    (
+                        round(sum((a - float(b)) ** 2 for a, b in zip(sub, s[mi * 8:(mi + 1) * 8])), 9),
+                        cw,
+                    )
+                    for cw, s in sorted(seeds.items())
+                )
+                want = [float(x) for x in seeds[best[1]][mi * 8:(mi + 1) * 8]]
+                assert all(math.isclose(a, b, rel_tol=0, abs_tol=1e-12) for a, b in zip(got, want)), (
+                    row["vec_id"],
+                    mi,
+                )
+
+    def test_pq_refine_recall_vs_exact(self, spark):
+        from sentinela_py_spark.functions.vectors import pq_refine_topk
+
+        corpus = load_table(spark, SF_DIR, "embeddings")
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in pq_refine_topk(corpus, queries, k=5, coarse_k=50).collect()
+        }
+        want = {
+            (r["query_id"], r["vec_id"])
+            for r in TestCoarseRefine()._exact_topk(corpus, queries, 5).collect()
+        }
+        # PQ at 32× compression is coarser than int8; with coarse_k=50 over
+        # a ~500-vector corpus the true top-5 still survives the coarse cut
+        assert len(got & want) / len(want) >= 0.8
+
+
 class TestCoarseRefine:
     @pytest.fixture()
     def corpus(self, spark):
