@@ -50,7 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:  # timestamp_ntz (or date): wall-clock-preserving cast
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _canonical_timestamps(spark.read.parquet(path))
+
+
+def _canonical_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to canonical TIMESTAMP (wall-clock
+    preserved under the UTC session tz). orders.o_orderdate and
+    lineitem.l_shipdate share events.ts's no-tz parquet encoding; their
+    plans happen to tolerate NTZ today, but one canonical type for every
+    plan is the drift-proof contract (see the events note above)."""
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    return df
 
 
 def ensure_min_partitions(df: DataFrame, minimum: int | None = None) -> DataFrame:

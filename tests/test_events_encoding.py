@@ -48,6 +48,14 @@ def test_load_table_canonicalizes_ts(spark, encoded_dirs):
         assert dict(df.dtypes)["ts"] == "timestamp", f"{name}: ts not canonical TIMESTAMP"
 
 
+def test_load_table_canonicalizes_all_tables(spark):
+    """orders/lineitem share the no-tz parquet encoding; every timestamp
+    column must load as canonical TIMESTAMP, never TIMESTAMP_NTZ."""
+    for table, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        df = load_table(spark, SF, table)
+        assert dict(df.dtypes)[col] == "timestamp", table
+
+
 @pytest.mark.parametrize("qname", QUERY_NAMES)
 def test_event_queries_encoding_invariant(spark, encoded_dirs, qname):
     _ensure_loaded()
