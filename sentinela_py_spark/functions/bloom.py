@@ -1,0 +1,85 @@
+"""Deterministic Bloom filter as pure Column algebra.
+
+The scale path for membership screens (decontamination, URL blocklists,
+seen-before checks) when even the small side's exact key set is too big
+to broadcast: an m-bit Bloom filter with k salted hashes compresses it to
+m/8 bytes at a known false-positive rate p ≈ (1 − e^(−k·n/m))^k — e.g.
+10^9 eval grams at m=2^33, k=4 is one gigabyte broadcast with p < 3%.
+Everything is md5-derived integer arithmetic (same digest on every
+engine), so the filter — including its false positives — is
+deterministic and DuckDB-oracle-checkable, unlike
+``DataFrameStatFunctions.bloomFilter`` whose layout is JVM-private.
+
+Layout: bit i lives in word i÷32 at bit i mod 32 (32-bit words in a
+long: shifts stay under the sign bit, which DuckDB overflow-checks on
+BIGINT — 64-bit words would need two's-complement shifts both engines
+can't express identically); the built filter is ONE row holding a
+map<long, long> of non-zero words (zero words are absent —
+``bloom_contains`` coalesces misses to 0), broadcast like a dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BLOOM_BITS", "BLOOM_K", "bloom_build", "bloom_contains"]
+
+BLOOM_BITS = 1 << 16  # 65,536 bits = 2,048 32-bit words — demo-sized (see module note)
+BLOOM_K = 4
+
+
+def _positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """k salted md5 positions in [0, m_bits): the first 15 digest hex chars
+    of 's{i}-' || key as a 60-bit int, reduced mod m_bits."""
+    return [
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"s{i}-"), key)), 1, 15), 16, 10).cast("long")
+        % m_bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    n_hashes: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """ONE-row DataFrame with column ``bloom: map<long, long>`` — the
+    non-zero 32-bit words of the filter over ``keys``. Build cost is one
+    explode (|keys|·k rows) + a bit_or aggregation on ≤ m/32 words; the
+    result broadcasts."""
+    pos = F.explode(F.array(*_positions(F.col(key_col), n_hashes, m_bits))).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit"))).alias("mask"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word", "mask")))
+        ).alias("bloom")
+    )
+
+
+def bloom_contains(
+    key: Column,
+    bloom: Column,
+    n_hashes: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> Column:
+    """True iff every one of the key's k bits is set — exact-member keys
+    always pass; non-members pass at the filter's false-positive rate
+    (deterministically: the same FPs on every engine and run)."""
+    cond = F.lit(True)
+    for p in _positions(key, n_hashes, m_bits):
+        word = (p / 32).cast("long")
+        bit = (p % 32).cast("int")
+        mask = F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long"))
+        hit = F.call_function("shiftright", mask, bit).bitwiseAND(F.lit(1)) == 1
+        cond = cond & hit
+    return cond

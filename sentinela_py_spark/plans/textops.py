@@ -260,9 +260,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_POS_SQL = (
+    "(CAST(concat('0x', substr(md5(concat('s', CAST({i} AS VARCHAR), '-', {g})), 1, 15)) AS BIGINT) % 65536)"
+)
+
+
 @register(
     "q_decontamination",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_eval,
              UNNEST(list_transform(
@@ -270,54 +275,89 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
       FROM documents
     ),
-    dd AS (SELECT DISTINCT doc_id, is_eval, gram FROM grams)
-    SELECT t.doc_id AS doc_id,
+    dd AS (SELECT DISTINCT doc_id, is_eval, gram FROM grams),
+    bloom_words AS (
+      SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask FROM (
+        SELECT {_BLOOM_POS_SQL.format(i='i.i', g='e.gram')} AS pos
+        FROM (SELECT DISTINCT gram FROM dd WHERE is_eval) e
+        CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+      ) GROUP BY 1
+    ),
+    bloom_flags AS (
+      SELECT doc_id, COUNT(*) AS n FROM (
+        SELECT p.doc_id, p.gram
+        FROM (
+          SELECT t.doc_id, t.gram, {_BLOOM_POS_SQL.format(i='i.i', g='t.gram')} AS pos
+          FROM (SELECT DISTINCT doc_id, gram FROM dd WHERE NOT is_eval) t
+          CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+        ) p JOIN bloom_words b ON b.word = p.pos // 32
+        WHERE ((b.mask >> CAST(p.pos % 32 AS INT)) & 1) = 1
+        GROUP BY p.doc_id, p.gram
+        HAVING COUNT(*) = 4
+      ) GROUP BY doc_id
+    )
+    SELECT 'exact' AS method, t.doc_id AS doc_id,
            COUNT(DISTINCT t.gram) AS n_shared_ngrams,
            COUNT(DISTINCT e.doc_id) AS n_eval_docs,
            COUNT(*) AS n_pairs
     FROM dd t JOIN dd e ON t.gram = e.gram AND NOT t.is_eval AND e.is_eval
     GROUP BY t.doc_id
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'bloom' AS method, doc_id, n AS n_shared_ngrams,
+           CAST(NULL AS BIGINT) AS n_eval_docs, CAST(NULL AS BIGINT) AS n_pairs
+    FROM bloom_flags
+    ORDER BY method, doc_id
     """,
     survey_ref=(
         "LLM-pipeline: train/eval decontamination — flag training docs sharing "
-        "word 5-grams with the held-out split (the q_train_split membership key)"
+        "word 5-grams with the held-out split (the q_train_split membership key); "
+        "'bloom' arm = the same screen through a broadcast m-bit Bloom filter "
+        "(functions/bloom.py — the 100 TB path when the eval gram set outgrows "
+        "an exact broadcast)"
     ),
     tags=("dedup", "curation"),
 )
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: which train docs leak eval content?
+    Two arms over one gram scan, each tagged:
+
+    - ``exact``: inverted-index equi-join of train and eval 5-grams
+      (folded to xxhash64 before the shuffle — fixed-width keys); cost
+      proportional to actually-shared grams, never |train| × |eval|.
+    - ``bloom``: eval grams compressed into ONE broadcast Bloom-filter
+      row (functions/bloom.py — m/8 bytes instead of the exact gram set);
+      the train side probes it MAP-ONLY, no shuffle. Flag counts are ≥
+      the exact arm's per doc (deterministic false positives at the
+      filter's known rate) — at 100 TB this is the screen that runs on
+      every ingest batch, with the exact join reserved for the flagged
+      slice.
 
     The eval split is the same deterministic md5-membership predicate
     q_train_split verifies (first digest byte < 0x1a ~ 10.2%), so the
-    split is stable across engines, runs and partitionings. Each side
-    contributes its distinct word 5-grams (slice+zip_with shingles folded
-    to xxhash64 before the shuffle — fixed-width join keys); the
-    gram equi-join is an inverted index, so cost is proportional to
-    actually-shared grams, never |train| x |eval|.
+    split is stable across engines, runs and partitionings. The oracle
+    joins raw gram strings (DuckDB has no xxhash64), which doubles as a
+    hash-collision audit, and rebuilds the identical filter bit-for-bit
+    (md5 positions, two's-complement word masks)."""
+    from sentinela_py_spark.functions.bloom import bloom_build, bloom_contains
 
-    At 100 TB the eval side of a real deployment is a few thousand docs —
-    its gram index broadcasts, making decontamination one map-side join
-    over the train corpus. Here the 10% split exercises the general
-    shuffle-join path instead; the oracle joins raw gram strings (DuckDB
-    has no xxhash64), which doubles as a hash-collision audit: a same-gram
-    collision would make the counts diverge."""
     d = load_table(spark, sf_dir, "documents")
     digest = F.md5(F.col("doc_id").cast("string"))
     is_eval = F.substring(digest, 1, 2) < "1a"
-    grams = (
+    grams_s = (
         ensure_min_partitions(d)
         .select(
             "doc_id",
             is_eval.alias("is_eval"),
             F.explode(word_shingles(F.col("text"), k=5)).alias("g"),
         )
-        .select("doc_id", "is_eval", F.xxhash64("g").alias("gram"))
         .distinct()
     )
-    train = grams.filter(~F.col("is_eval")).select(F.col("doc_id").alias("t_doc"), "gram")
-    ev = grams.filter(F.col("is_eval")).select(F.col("doc_id").alias("e_doc"), "gram")
-    return (
+    train_s = grams_s.filter(~F.col("is_eval"))
+    eval_s = grams_s.filter(F.col("is_eval"))
+
+    train = train_s.select(F.col("doc_id").alias("t_doc"), F.xxhash64("g").alias("gram"))
+    ev = eval_s.select(F.col("doc_id").alias("e_doc"), F.xxhash64("g").alias("gram"))
+    exact = (
         train.join(ev, "gram")
         .groupBy(F.col("t_doc").alias("doc_id"))
         .agg(
@@ -325,8 +365,24 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("e_doc").alias("n_eval_docs"),
             F.count("*").alias("n_pairs"),
         )
-        .orderBy("doc_id")
+        .select(F.lit("exact").alias("method"), "doc_id", "n_shared_ngrams", "n_eval_docs", "n_pairs")
     )
+
+    bloom_row = F.broadcast(bloom_build(eval_s.select(F.col("g").alias("key"))))
+    bloom_arm = (
+        train_s.crossJoin(bloom_row)
+        .filter(bloom_contains(F.col("g"), F.col("bloom")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .select(
+            F.lit("bloom").alias("method"),
+            "doc_id",
+            "n_shared_ngrams",
+            F.lit(None).cast("long").alias("n_eval_docs"),
+            F.lit(None).cast("long").alias("n_pairs"),
+        )
+    )
+    return exact.unionByName(bloom_arm).orderBy("method", "doc_id")
 
 
 @register(

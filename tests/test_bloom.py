@@ -1,0 +1,55 @@
+"""Deterministic Bloom filter (functions/bloom.py): no false negatives,
+known-and-stable false positives, and the decontamination arm's
+superset contract vs the exact join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.bloom import BLOOM_BITS, bloom_build, bloom_contains
+
+
+def _member_set(spark, keys, probes, **kw):
+    bloom = F.broadcast(bloom_build(spark.createDataFrame([(k,) for k in keys], ["key"]), **kw))
+    probe_df = spark.createDataFrame([(p,) for p in probes], ["key"]).crossJoin(bloom)
+    return {
+        r["key"]
+        for r in probe_df.filter(bloom_contains(F.col("key"), F.col("bloom"), **kw)).collect()
+    }
+
+
+def test_no_false_negatives(spark):
+    keys = [f"gram-{i}" for i in range(500)]
+    got = _member_set(spark, keys, keys)
+    assert got == set(keys)
+
+
+def test_false_positive_rate_bounded_and_deterministic(spark):
+    keys = [f"gram-{i}" for i in range(500)]
+    probes = [f"other-{i}" for i in range(2000)]
+    fp1 = _member_set(spark, keys, probes)
+    fp2 = _member_set(spark, keys, probes)
+    assert fp1 == fp2  # same filter, same FPs, every run
+    # k=4, n=500, m=65536 -> p = (1 - e^(-kn/m))^4 ~ 7e-6; with 2000
+    # probes anything beyond a couple of hits means broken position math
+    assert len(fp1) <= 2
+
+
+def test_tiny_filter_saturates_to_all_pass(spark):
+    """m=32 bits with 500 keys: every word fills, everything passes —
+    the documented saturation behavior, not an error."""
+    keys = [f"gram-{i}" for i in range(500)]
+    probes = ["definitely-not-a-member"]
+    got = _member_set(spark, keys, probes, m_bits=32)
+    assert got == set(probes)
+
+
+def test_decontamination_bloom_arm_is_superset_of_exact(spark):
+    from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["q_decontamination"].spark(spark, "/root/testdata/sf0.01").collect()
+    exact = {r["doc_id"]: r["n_shared_ngrams"] for r in rows if r["method"] == "exact"}
+    bloom = {r["doc_id"]: r["n_shared_ngrams"] for r in rows if r["method"] == "bloom"}
+    assert set(exact) <= set(bloom)  # no false negatives
+    assert all(bloom[d] >= n for d, n in exact.items())  # per-doc counts dominate
