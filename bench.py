@@ -59,6 +59,8 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_cosine_topk",
     "q_ann_lsh_topk",
+    "q_quantized_refine_topk",  # r3: int8 + PQ compressed-ANN arms
+    "q_mixture_sample",  # r3: temperature-mixture sampling
     "q_media_decode",
     "q_media_frames",
     "q_haversine_supplier_nation",

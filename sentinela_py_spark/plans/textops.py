@@ -343,14 +343,13 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     digest = F.md5(F.col("doc_id").cast("string"))
     is_eval = F.substring(digest, 1, 2) < "1a"
-    grams_s = (
-        ensure_min_partitions(d)
-        .select(
-            "doc_id",
-            is_eval.alias("is_eval"),
-            F.explode(word_shingles(F.col("text"), k=5)).alias("g"),
-        )
-        .distinct()
+    # Per-doc gram dedup happens MAP-SIDE (array_distinct on the shingle
+    # array) — (doc_id, gram) pairs are unique by construction since a
+    # doc is one row, so no shuffle-distinct is needed before either arm.
+    grams_s = ensure_min_partitions(d).select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
     )
     train_s = grams_s.filter(~F.col("is_eval"))
     eval_s = grams_s.filter(F.col("is_eval"))
