@@ -538,37 +538,113 @@ def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic HyperLogLog (m=256 buckets, b=8): the scale path for
+# COUNT(DISTINCT) — per-group state shrinks from the full key set to 256
+# bytes of bucket maxima, mergeable across partitions. Built from the same
+# md5 integers every other sketch here uses, so — unlike
+# approx_count_distinct, whose HLL++ layout is JVM-private — the estimate
+# (including its error) is bit-reproducible on both engines: 1/2^M terms
+# are exact powers of two folded in sorted bucket order, and the one libm
+# call (ln, small-range correction) sits behind a 4dp round.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard alpha_m for m >= 128
+
+
 @register(
     "q_date_parts",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
-           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
-           strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order_iso,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
-    FROM orders
-    GROUP BY 1, 2
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             o_orderdate, o_custkey, o_totalprice,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ),
+    bucks AS (
+      SELECT yr, mo, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN 53
+                      ELSE 53 - len(bin(h // {_HLL_M})) END) AS mx
+      FROM base GROUP BY 1, 2, 3
+    ),
+    hll AS (
+      SELECT yr, mo,
+             list_reduce(list(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << CAST(mx AS INT) AS DOUBLE)
+                              ORDER BY bucket), (a, b) -> a + b)
+               + ({_HLL_M} - COUNT(*)) AS s,
+             {_HLL_M} - COUNT(*) AS v
+      FROM bucks GROUP BY 1, 2
+    )
+    SELECT g.yr, g.mo, g.first_order_iso, g.n_orders, g.n_customers, g.month_revenue,
+           ROUND(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / h.s <= {2.5 * _HLL_M} AND h.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / h.v)
+                      ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / h.s END, 4) AS n_customers_hll
+    FROM (
+      SELECT yr, mo,
+             strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order_iso,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+      FROM base GROUP BY 1, 2
+    ) g JOIN hll h USING (yr, mo)
     ORDER BY yr, mo
     """,
-    survey_ref="M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization); A9 distinct-set count (normalization.py:146-168)",
-    tags=("scalar", "date", "agg"),
+    survey_ref=(
+        "M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization); A9 "
+        "distinct-set count (normalization.py:146-168); + deterministic HyperLogLog "
+        "sketch next to the exact COUNT(DISTINCT) — the 100 TB distinct-count path"
+    ),
+    tags=("scalar", "date", "agg", "sketch"),
 )
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part grouping + ISO serialization, with an exact per-group
-    COUNT(DISTINCT) riding the same shuffle (expands to Spark's two-phase
-    distinct-aggregate plan — the A9 distinct-state-set semantics)."""
+    COUNT(DISTINCT) riding the same shuffle (the A9 distinct-state-set
+    semantics) AND its deterministic-HLL estimate beside it
+    (`n_customers_hll`). At 100 TB the exact distinct's two-phase
+    expansion shuffles every (group, key) pair; the HLL keeps 256 bucket
+    maxima per group — constant state, one shuffle — at ~6.5% standard
+    error (1.04/√m), and the column pair IS the accuracy audit."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-        )
+    yr, mo = F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    exact = (
+        o.groupBy(yr, mo)
         .agg(
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_order_iso"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.sum(_dec("o_totalprice")).cast("double").alias("month_revenue"),
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10).cast("long")
+    rem = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rem == 0, 53).otherwise(53 - F.length(F.bin(rem)))
+    bucks = (
+        o.select(yr, mo, h.alias("h"))
+        .select("yr", "mo", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("mx"))
+        .groupBy("yr", "mo", "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket", "mx"))),
+        lambda x: F.lit(1.0)
+        / F.call_function("shiftleft", F.lit(1).cast("long"), x["mx"].cast("int")).cast("double"),
+    )
+    hll = bucks.groupBy("yr", "mo").agg(
+        (
+            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+            + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(e_raw)
+    return (
+        exact.join(hll, ["yr", "mo"])
+        .select(
+            "yr", "mo", "first_order_iso", "n_orders", "n_customers", "month_revenue",
+            F.round(est, 4).alias("n_customers_hll"),
         )
         .orderBy("yr", "mo")
     )

@@ -48,6 +48,21 @@ def test_load_table_canonicalizes_ts(spark, encoded_dirs):
         assert dict(df.dtypes)["ts"] == "timestamp", f"{name}: ts not canonical TIMESTAMP"
 
 
+def test_hll_estimate_tracks_exact_distinct(spark):
+    """q_date_parts carries the deterministic-HLL estimate next to the
+    exact COUNT(DISTINCT): at m=256 the standard error is 1.04/sqrt(256)
+    ~ 6.5%, so per-group error beyond ~4 sigma means broken bucket/rho
+    math, not sketch variance. Deterministic planes -> stable bound."""
+    from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["q_date_parts"].spark(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    errs = [abs(r.n_customers_hll - r.n_customers) / r.n_customers for r in rows]
+    assert max(errs) < 0.25
+    assert sum(errs) / len(errs) < 0.10
+
+
 def test_load_table_canonicalizes_all_tables(spark):
     """orders/lineitem share the no-tz parquet encoding; every timestamp
     column must load as canonical TIMESTAMP, never TIMESTAMP_NTZ."""
