@@ -128,11 +128,15 @@ def _plane(p: int, dim: int = EMB_DIM) -> list[int]:
     return [1 if hashlib.md5(f"plane-{p}-{j}".encode()).digest()[0] & 1 else -1 for j in range(dim)]
 
 
-def make_planes(n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
-    """The first ``n_planes`` deterministic ±1 hyperplanes — pass to
+def make_planes(n_planes: int, dim: int = EMB_DIM, table: int = 0) -> list[list[int]]:
+    """``n_planes`` deterministic ±1 hyperplanes — pass to
     ``lsh_bucket``/``embedding_neardup_pairs`` to run a 2^n_planes-bucket
-    config (see the occupancy math at N_PLANES)."""
-    return [_plane(p, dim) for p in range(n_planes)]
+    config (see the occupancy math at N_PLANES). ``table`` seeds an
+    INDEPENDENT plane set: OR-ing candidates over T tables raises pair
+    recall from q to 1 − (1 − q)^T — the standard lever when a high plane
+    count (needed to keep buckets small) crushes single-table recall."""
+    offset = table * 10_000
+    return [_plane(offset + p, dim) for p in range(n_planes)]
 
 
 PLANES = make_planes(N_PLANES)
@@ -180,6 +184,29 @@ NEARDUP_COS = 0.4
 # over the N_PLANES sign bits). For a fixed candidate the probe values are
 # distinct, so a pair can match on at most one probe — no dedup shuffle needed.
 PROBE_XORS = probe_xors(N_PLANES)
+
+
+def embedding_neardup_multitable(
+    e: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    threshold: float = NEARDUP_COS,
+) -> DataFrame:
+    """OR over ``n_tables`` independent LSH tables: a pair is a candidate
+    if it collides (multi-probe Hamming ≤ 1) in ANY table, recovering
+    recall 1 − (1 − q)^T from a single table's q. Each table is its own
+    bucket equi-join; the union dedups pairs once at the end (a pair can
+    surface from several tables). At 100 TB the T joins run over the same
+    cached bucketed projection and T multiplies candidate work, not the
+    pair space — the classic recall/cost dial."""
+    per_table = [
+        embedding_neardup_pairs(e, make_planes(n_planes, table=t), threshold)
+        for t in range(n_tables)
+    ]
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionByName(t)
+    return out.dropDuplicates(["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
 
 
 def embedding_neardup_pairs(
