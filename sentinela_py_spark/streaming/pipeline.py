@@ -363,6 +363,156 @@ def run_incremental_dedup_stream(
     )
 
 
+def embedding_dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> None:
+    """One micro-batch of embedding near-dup rejection at ingest — the
+    SemDeDup-at-ingest shape: LSH buckets generate candidates, TRUE COSINE
+    confirms them (bucket collision alone would false-reject ~1/2^P of all
+    random pairs), and only confirmed near-dups are dropped.
+
+    1. bucket the batch's vectors (hyperplane LSH, norms hoisted);
+    2. WITHIN-batch: `embedding_neardup_pairs` edges → connected
+       components — each component keeps its min id, so every reject's
+       ``matched_vec`` is an accepted row (same survivor rule as the
+       MinHash stream);
+    3. CROSS-corpus: batch multi-probes (Hamming ≤ 1) equi-join the
+       persistent BUCKET-KEYED index of accepted vectors; candidates are
+       cosine-scored against the stored embedding and rejected at ≥
+       threshold — cost ∝ bucket collisions, never |batch| × |corpus|;
+    4. survivors append (vec_id, bucket, norm, embedding) to
+       ``index/epoch=N``; accepted/rejected rows land beside it. All
+       writes are epoch-keyed overwrites and the index read EXCLUDES the
+       current epoch, so a checkpoint-replayed batch reproduces its first
+       attempt instead of self-matching (see `_read_band_store`)."""
+    from sentinela_py_spark.operators.dedup import connected_components
+    from sentinela_py_spark.plans.simops import (
+        NEARDUP_COS,
+        PROBE_XORS,
+        dot_product,
+        embedding_neardup_pairs,
+        l2_norm_sq,
+        lsh_bucket,
+    )
+
+    threshold = NEARDUP_COS if threshold is None else threshold
+    spark = batch.sparkSession
+    index_dir = os.path.join(state_dir, "index")
+
+    b = (
+        batch.withColumnRenamed(id_col, "vec_id")
+        .withColumnRenamed(vec_col, "embedding")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    bucketed = b.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    ).localCheckpoint(eager=True)
+
+    # 2. within-batch: cosine-confirmed LSH pairs → min-label components
+    edges = embedding_neardup_pairs(b, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(b.select(F.col("vec_id").alias("doc_id")), edges)
+    in_batch = (
+        comp.filter(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias("vec_id"), F.col("group_id").alias("matched_vec"))
+        .withColumn("reason", F.lit("within_batch"))
+    )
+
+    # 3. cross-corpus: multi-probe into the bucket-keyed accepted index,
+    # then exact cosine on the candidates only
+    store = _read_band_store(spark, index_dir, epoch_id)
+    if store is not None:
+        probes = bucketed.select(
+            "vec_id", "embedding", "norm",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in PROBE_XORS])
+            ).alias("probe"),
+        )
+        cand = probes.join(
+            store.select(
+                F.col("vec_id").alias("corpus_vec"),
+                F.col("bucket").alias("probe"),
+                F.col("norm").alias("corpus_norm"),
+                F.col("embedding").alias("corpus_emb"),
+            ),
+            "probe",
+        )
+        cos = dot_product(F.col("embedding"), F.col("corpus_emb")) / (
+            F.col("norm") * F.col("corpus_norm")
+        )
+        vs_corpus = (
+            cand.filter(F.round(cos, 6) >= threshold)
+            .groupBy("vec_id")
+            .agg(F.min("corpus_vec").alias("matched_vec"))
+            .withColumn("reason", F.lit("vs_corpus"))
+        )
+        rejects = vs_corpus.unionByName(in_batch.join(vs_corpus, "vec_id", "left_anti"))
+    else:
+        rejects = in_batch
+    rejects = rejects.localCheckpoint(eager=True)
+    accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
+
+    # 4. idempotent epoch-keyed writes
+    accepted.withColumnRenamed("vec_id", id_col).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    )
+    b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
+    bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+
+
+def run_embedding_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    schema=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming embedding near-dup rejection at ingest: every micro-batch
+    is LSH-bucketed, cosine-confirmed within the batch and against the
+    bucket-keyed index of everything already accepted — the streaming twin
+    of `q_embedding_neardup`, and the shape an embedding lake runs (screen
+    the firehose against the corpus; never re-pair the corpus). Semantics,
+    replay safety and state layout are on
+    `embedding_dedup_batch_against_corpus`. State is O(corpus) index rows
+    partitioned by epoch and pruned by the bucket join; at 100 TB the
+    index holds vectors only for the probe's matching bucket, not the
+    corpus scan."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        embedding_dedup_batch_against_corpus(
+            batch, epoch_id, state_dir, id_col, vec_col, threshold
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "vecdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def view_click_attribution_stream(
     views: DataFrame,
     clicks: DataFrame,

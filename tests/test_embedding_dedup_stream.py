@@ -1,0 +1,87 @@
+"""Streaming embedding near-dup rejection at ingest: micro-batches of
+vectors are LSH-bucketed, cosine-confirmed within the batch and against
+the persistent bucket-keyed index of accepted vectors — the SemDeDup-at-
+ingest shape, streaming twin of q_embedding_neardup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sentinela_py_spark.streaming.pipeline import run_embedding_dedup_stream
+from sentinela_py_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+THRESHOLD = 0.9  # no sf0.01 pair reaches 0.9 -> batch 1 accepts everything
+DIM = 64
+
+
+def _write_batch(dirpath: str, name: str, rows: list[tuple[int, list[float]]]) -> None:
+    with open(os.path.join(dirpath, name), "w") as f:
+        for vec_id, emb in rows:
+            f.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "ckpt"), str(tmp_path / "state")
+
+
+def test_embedding_dedup_stream_end_to_end(spark, dirs):
+    src, ckpt, state = dirs
+    base = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ]
+    n = len(base)
+
+    # batch 2: exact copies -> cosine 1.0 with their accepted twin
+    copies = [(vid + 10_000, emb) for vid, emb in base]
+    # batch 3: same directions at 2x the norm -> cosine is still 1.0,
+    # proving the screen keys on angle, not magnitude
+    scaled = [(vid + 20_000, [2.0 * x for x in emb]) for vid, emb in base]
+    # batch 4: 25 distinct one-hot directions, each twice -> orthogonal to
+    # everything stored (cos <= max|v_i|/||v|| << 0.9) but exact dups
+    # WITHIN the batch: higher id of each pair must fall to within_batch
+    onehots = []
+    for i in range(25):
+        e = [0.0] * DIM
+        e[i] = 1.0
+        onehots += [(30_000 + i, e), (30_100 + i, e)]
+
+    _write_batch(src, "b1.json", base)
+    _write_batch(src, "b2.json", copies)
+    _write_batch(src, "b3.json", scaled)
+    _write_batch(src, "b4.json", onehots)
+
+    q = run_embedding_dedup_stream(
+        spark, src, ckpt, state,
+        schema="vec_id long, embedding array<float>", threshold=THRESHOLD,
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    accepted = spark.read.parquet(os.path.join(state, "accepted"))
+    rejected = spark.read.parquet(os.path.join(state, "rejected"))
+    acc_ids = {r["vec_id"] for r in accepted.select("vec_id").collect()}
+    rej = {r["vec_id"]: (r["matched_vec"], r["reason"]) for r in rejected.collect()}
+
+    # batch 1: no pair reaches 0.9 -> all accepted
+    assert {vid for vid, _ in base} <= acc_ids
+    # batch 2: every copy rejected against its twin, by id
+    for vid, _ in base:
+        assert rej[vid + 10_000] == (vid, "vs_corpus")
+    # batch 3: scaled copies rejected too (angle, not norm)
+    for vid, _ in base:
+        assert rej[vid + 20_000][1] == "vs_corpus"
+    # batch 4: one of each one-hot pair accepted, its copy rejected within batch
+    for i in range(25):
+        assert 30_000 + i in acc_ids
+        assert rej[30_100 + i] == (30_000 + i, "within_batch")
+    # the index holds exactly the survivors
+    index = spark.read.parquet(os.path.join(state, "index"))
+    assert {r["vec_id"] for r in index.select("vec_id").collect()} == acc_ids
+    assert n + 25 == len(acc_ids)
