@@ -57,6 +57,28 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return out
 
 
+def winnow_fingerprint(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing (MOSS-style rolling-hash) document fingerprint: hash the
+    k-gram sequence, take the minimum of every w-wide sliding window, and
+    digest the sorted distinct minima. Local minima are position-stable,
+    so insertions/deletions outside a window leave the rest of the
+    fingerprint intact — the property bag-of-words digests lack — while
+    the w-window guarantees ≥ one selected hash per w consecutive grams
+    (the winnowing coverage bound). Pure column algebra: the rolling
+    window is w aligned slices folded with least(), the same
+    no-per-element-subscripting shape as ``word_shingles``."""
+    sh = word_shingles(text, k)
+    h = F.transform(
+        sh, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    n_win = F.greatest(F.size(h) - F.lit(w - 1), F.lit(0))
+    mins = F.slice(h, F.lit(1), n_win)
+    for off in range(1, w):
+        mins = F.zip_with(mins, F.slice(h, F.lit(off + 1), n_win), lambda a, b: F.least(a, b))
+    selected = F.array_sort(F.array_distinct(mins))
+    return F.md5(F.concat_ws("-", F.transform(selected, lambda x: x.cast("string"))))
+
+
 def stopword_count(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
     toks = tokens(text)
     quoted = ", ".join(f"'{s}'" for s in stopwords)

@@ -22,15 +22,31 @@ from sentinela_py_spark.functions.text_stats import (
     quality_score,
     stopword_count,
     token_count,
+    winnow_fingerprint,
     word_shingles,
 )
 from sentinela_py_spark.plans.registry import register
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
+# Winnowing oracle twin (k=3 grams, w=4 windows): DuckDB list slices are
+# 1-based inclusive, so window i covers h[i : i+3].
+_WINNOW_SQL = """
+    md5(array_to_string(list_sort(list_distinct(
+      list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2 - 3, 0)),
+        i -> list_min((list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               j -> CAST(concat('0x', substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), j, j + 2), ' ')), 1, 15)) AS BIGINT)
+             ))[i : i + 3])
+      ))), '-'))
+"""
+
+
 @register(
     "q_dedup_digests",
-    oracle="""
+    oracle=f"""
     SELECT 'exact' AS method, md5(text) AS digest,
            COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
     FROM documents
@@ -42,24 +58,36 @@ from sentinela_py_spark.tables import ensure_min_partitions, load_table
     FROM documents
     GROUP BY 2
     HAVING COUNT(*) > 1
+    UNION ALL
+    SELECT 'winnow' AS method, {_WINNOW_SQL} AS digest,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 2
+    HAVING COUNT(*) > 1
     ORDER BY method, first_doc
     """,
     survey_ref=(
         "J6/A8 analog → exact corpus dedup (hash-groupBy, first-wins); "
-        "text analysis: bag-of-words fingerprint dedup (order-insensitive digest)"
+        "text analysis: bag-of-words fingerprint dedup (order-insensitive digest) + "
+        "winnowing rolling-hash fingerprint (MOSS window minima over the k-gram "
+        "hash sequence — functions/text_stats.py::winnow_fingerprint)"
     ),
     tags=("dedup", "text"),
 )
 def q_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Digest-based dedup, two methods in one pass each:
+    """Digest-based dedup, three methods in one pass each:
 
     - ``exact``: md5 of the raw text, full survivor list (min doc_id wins)
       — one shuffle on a uniformly-distributed 128-bit key, no skew by
       construction.
     - ``fingerprint``: md5 of the sorted distinct-token bag, collision
       groups only — catches reordered copies exact hashing misses.
+    - ``winnow``: rolling-hash (winnowing) fingerprint — the sorted
+      distinct minima of every 4-wide window over the 3-gram hash
+      sequence, digested; collision groups only. Position-stable local
+      minima make it robust to small edits in ways the token bag is not.
 
-    Both are groupBy-on-digest aggregates; near (non-identical) copies are
+    All are groupBy-on-digest aggregates; near (non-identical) copies are
     the MinHash/SimHash/Jaccard queries' job."""
     d = load_table(spark, sf_dir, "documents")
     exact = (
@@ -73,7 +101,13 @@ def q_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select(F.lit("fingerprint").alias("method"), "digest", "n_docs", "first_doc")
     )
-    return exact.unionByName(fp).orderBy("method", "first_doc")
+    wn = (
+        d.groupBy(winnow_fingerprint("text").alias("digest"))
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.lit("winnow").alias("method"), "digest", "n_docs", "first_doc")
+    )
+    return exact.unionByName(fp).unionByName(wn).orderBy("method", "first_doc")
 
 
 def _lang_hits_sql(lang: str) -> str:

@@ -1,0 +1,35 @@
+"""Winnowing rolling-hash fingerprint: discriminates token order (which
+the bag-of-words digest cannot) while grouping exact copies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.text_stats import doc_fingerprint, winnow_fingerprint
+
+
+def _digests(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    return df.select(
+        "doc_id",
+        doc_fingerprint("text").alias("bag"),
+        winnow_fingerprint("text").alias("winnow"),
+    ).collect()
+
+
+def test_winnow_groups_exact_copies_but_splits_reorders(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reordered = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    rows = {r["doc_id"]: r for r in _digests(spark, [base, base, reordered])}
+    assert rows[0]["winnow"] == rows[1]["winnow"]  # exact copy -> same digest
+    # same token bag -> bag digest collides; winnowing sees different grams
+    assert rows[0]["bag"] == rows[2]["bag"]
+    assert rows[0]["winnow"] != rows[2]["winnow"]
+
+
+def test_winnow_short_docs_share_empty_fingerprint(spark):
+    """Docs with fewer than k + w - 1 = 6 tokens have no full window:
+    their fingerprint is the empty-selection digest, shared by all of
+    them — the documented degenerate class, not an error."""
+    rows = _digests(spark, ["", "one two", "a b c d e"])
+    assert len({r["winnow"] for r in rows}) == 1
