@@ -29,6 +29,7 @@ __all__ = [
     "pq_codebook_seeds",
     "pq_reconstruct",
     "pq_refine_topk",
+    "ivf_pq_topk",
 ]
 
 _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
@@ -237,3 +238,63 @@ def pq_refine_topk(
         )
     )
     return _coarse_refine(qz, queries, k, coarse_k, vec_col, id_col)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int,
+    n_cells: int = 8,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """The full IVF-PQ search layout — cell routing composed with PQ
+    compression, both deterministic:
+
+    1. every vector is assigned its nearest centroid MAP-SIDE
+       (`plans.simops.ivf_assign` — array-algebra argmax, no corpus
+       shuffle);
+    2. a query only sees candidates in its own cell (nprobe=1: the
+       equi-join on cell_id replaces the cross product — candidate work
+       scales with cell occupancy);
+    3. within the cell, candidates coarse-rank on their PQ reconstruction
+       (m bytes/vector — the only representation the cell scan touches);
+    4. the coarse_k survivors re-rank exactly on the float vectors.
+
+    This is the canonical billion-scale ANN layout (IVF for I/O pruning,
+    PQ for bytes-per-vector, exact refine for ranking quality) expressed
+    as four DataFrame stages. Output: (query_id, vec_id, cell_id, cosine,
+    rnk)."""
+    from pyspark.sql import Window as W
+
+    from sentinela_py_spark.plans.simops import cosine, ivf_assign
+
+    assigned = ivf_assign(embeddings, n_cells)
+    seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
+    cand = assigned.crossJoin(seeds_row).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
+    )
+    qs = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .join(assigned.select(F.col("vec_id").alias("query_id"), "cell_id"), "query_id")
+    )
+    coarse_w = W.partitionBy("query_id").orderBy(F.col("coarse_cos").desc(), F.col("vec_id"))
+    coarse = (
+        cand.join(qs, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("coarse_cos", F.round(cosine(F.col("deq"), F.col("qvec")), 6))
+        .withColumn("crnk", F.row_number().over(coarse_w))
+        .filter(F.col("crnk") <= coarse_k)
+    )
+    exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        coarse.withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("qvec")), 6))
+        .withColumn("rnk", F.row_number().over(exact_w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cell_id", "cosine", "rnk")
+    )

@@ -365,6 +365,40 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """MAP-SIDE IVF cell assignment: the n_cells centroids (first vectors
+    by id) fold into ONE broadcast row holding a cell_id-sorted struct
+    array, and the argmax is pure array algebra — an array of rounded
+    sims, ``array_position(sims, array_max(sims))`` picking the first
+    (= lowest cell_id) maximum. No Exchange touches the corpus between
+    the scan and the assignment (pinned in test_plan_quality) — a
+    row_number() rendering would shuffle N×n_cells rows keyed by vec_id,
+    an avoidable n_cells× corpus shuffle at 100 TB."""
+    cents_row = (
+        e.filter(F.col("vec_id") < n_cells)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+                )
+            ).alias("cents")
+        )
+    )
+    sims = F.transform(
+        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c["centroid"]), 6)
+    )
+    best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast("int")
+    return (
+        e.crossJoin(F.broadcast(cents_row))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at(F.col("cents"), best)["cell_id"].alias("cell_id"),
+        )
+    )
+
+
 @register(
     "q_ann_ivf_topk",
     oracle=f"""
@@ -402,40 +436,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic 'training': centroids are the first
-    N_CELLS vectors. Assignment is MAP-SIDE: the N_CELLS centroids fold
-    into ONE broadcast row holding a cell_id-sorted struct array, and the
-    argmax is pure array algebra — an array of the N_CELLS rounded sims,
-    ``array_position(sims, array_max(sims))`` picking the first (= lowest
-    cell_id) maximum, exactly the window's (sim DESC, cell_id ASC) order.
-    No Exchange touches the corpus between the scan and the assignment
-    (pinned in test_plan_quality) — the earlier row_number() rendering
-    shuffled N×N_CELLS rows keyed by vec_id, an avoidable 8× corpus
-    shuffle at 100 TB. Search probes only the query's own cell; the cell
-    id becomes the partition key — the canonical IVF-flat layout."""
+    N_CELLS vectors, assignment is the map-side array-algebra argmax
+    (`ivf_assign`). Search probes only the query's own cell; the cell id
+    becomes the partition key — the canonical IVF-flat layout."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    cents_row = (
-        e.filter(F.col("vec_id") < N_CELLS)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-                )
-            ).alias("cents")
-        )
-    )
-    sims = F.transform(
-        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c["centroid"]), 6)
-    )
-    best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast("int")
-    assigned = (
-        e.crossJoin(F.broadcast(cents_row))
-        .withColumn("sims", sims)
-        .select(
-            "vec_id",
-            "embedding",
-            F.element_at(F.col("cents"), best)["cell_id"].alias("cell_id"),
-        )
-    )
+    assigned = ivf_assign(e)
     q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
     )

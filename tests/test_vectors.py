@@ -131,6 +131,43 @@ class TestPQ:
                     mi,
                 )
 
+    def test_ivf_pq_matches_in_cell_search(self, spark):
+        """IVF-PQ = cell routing + PQ coarse + exact refine: a query's
+        results must (a) all come from its own cell, and (b) contain the
+        true in-cell top-k whenever coarse_k spans the cell (the PQ
+        coarse stage can then never evict an in-cell winner)."""
+        from sentinela_py_spark.functions.vectors import ivf_pq_topk
+        from sentinela_py_spark.plans.simops import ivf_assign
+
+        corpus = load_table(spark, SF_DIR, "embeddings")
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = ivf_pq_topk(corpus, queries, k=5, coarse_k=1000).collect()
+        cells = {r["vec_id"]: r["cell_id"] for r in ivf_assign(corpus).collect()}
+        for r in got:
+            assert r["cell_id"] == cells[r["query_id"]]  # own cell only
+        # exact in-cell top-5 for each query
+        from pyspark.sql import Window as W
+
+        from sentinela_py_spark.plans.simops import cosine
+
+        assigned = ivf_assign(corpus)
+        qs = assigned.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "cell_id"
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        want = (
+            assigned.join(qs, "cell_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("qvec")), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id", "rnk")
+            .collect()
+        )
+        assert {(r["query_id"], r["rnk"], r["vec_id"]) for r in got} == {
+            (r["query_id"], r["rnk"], r["vec_id"]) for r in want
+        }
+
     def test_pq_refine_recall_vs_exact(self, spark):
         from sentinela_py_spark.functions.vectors import pq_refine_topk
 
