@@ -68,15 +68,24 @@ def winnow_fingerprint(text: Column | str, k: int = 3, w: int = 4) -> Column:
     window is w aligned slices folded with least(), the same
     no-per-element-subscripting shape as ``word_shingles``."""
     sh = word_shingles(text, k)
-    h = F.transform(
+    h_expr = F.transform(
         sh, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
-    n_win = F.greatest(F.size(h) - F.lit(w - 1), F.lit(0))
-    mins = F.slice(h, F.lit(1), n_win)
-    for off in range(1, w):
-        mins = F.zip_with(mins, F.slice(h, F.lit(off + 1), n_win), lambda a, b: F.least(a, b))
-    selected = F.array_sort(F.array_distinct(mins))
-    return F.md5(F.concat_ws("-", F.transform(selected, lambda x: x.cast("string"))))
+
+    # Let-bind the hash array through a 1-element transform: `h` below is a
+    # lambda VARIABLE (cheap reference), so the md5 pipeline evaluates once
+    # per row instead of once per slice — Catalyst does not CSE repeated
+    # subtrees inside a single expression, and the w inline copies measured
+    # ~5x slower at sf0.1.
+    def _body(h: Column) -> Column:
+        n_win = F.greatest(F.size(h) - F.lit(w - 1), F.lit(0))
+        mins = F.slice(h, F.lit(1), n_win)
+        for off in range(1, w):
+            mins = F.zip_with(mins, F.slice(h, F.lit(off + 1), n_win), lambda a, b: F.least(a, b))
+        selected = F.array_sort(F.array_distinct(mins))
+        return F.md5(F.concat_ws("-", F.transform(selected, lambda x: x.cast("string"))))
+
+    return F.transform(F.array(h_expr), _body).getItem(0)
 
 
 def stopword_count(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:

@@ -183,24 +183,24 @@ def pq_reconstruct(vec: Column, seeds: Column, m: int = PQ_M, dim: int = 64) -> 
     Encode+reconstruct fused into one map-side expression: at scale the
     stored form is the M tinyint codes; reconstruction rides the scan."""
     d = dim // m
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda mi: F.element_at(
-            seeds,
-            F.array_position(
-                F.transform(
-                    seeds,
-                    lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9),
-                ),
-                F.array_min(
-                    F.transform(
-                        seeds,
-                        lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9),
-                    )
-                ),
-            ).cast("int"),
-        )["cv"],
-    )
+
+    # Let-bind the per-subspace distance array through a 1-element
+    # transform: `ds` is a lambda variable, so the K subspace-L2 folds
+    # evaluate once per (row, subspace) instead of twice (argmin = both
+    # array_position and array_min reference them; Catalyst does not CSE
+    # repeated subtrees inside one expression).
+    def _best_codeword(mi):
+        dists = F.transform(
+            seeds, lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9)
+        )
+        return F.transform(
+            F.array(dists),
+            lambda ds: F.element_at(
+                seeds, F.array_position(ds, F.array_min(ds)).cast("int")
+            )["cv"],
+        ).getItem(0)
+
+    subs = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _best_codeword)
     return F.flatten(
         F.zip_with(
             subs,
