@@ -380,10 +380,18 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc gram dedup happens MAP-SIDE (array_distinct on the shingle
     # array) — (doc_id, gram) pairs are unique by construction since a
     # doc is one row, so no shuffle-distinct is needed before either arm.
-    grams_s = ensure_min_partitions(d).select(
-        "doc_id",
-        is_eval.alias("is_eval"),
-        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
+    # The gram stream has FOUR consumers (train/eval × exact/bloom); the
+    # lazy localCheckpoint materializes the explode once instead of four
+    # times (~25% at sf0.1) — the batch analog of writing the gram table,
+    # which is what a 100 TB pipeline does anyway.
+    grams_s = (
+        ensure_min_partitions(d)
+        .select(
+            "doc_id",
+            is_eval.alias("is_eval"),
+            F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
     )
     train_s = grams_s.filter(~F.col("is_eval"))
     eval_s = grams_s.filter(F.col("is_eval"))
