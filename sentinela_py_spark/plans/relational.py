@@ -1088,34 +1088,172 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic fixed-memory percentile sketch: a 64-bin equi-width
+# histogram per group (min/max pass → bin counts → cumulative walk with
+# linear interpolation inside the landing bin). The scale path for
+# percentiles — state is 64 longs per group versus the exact quantile's
+# full sorted group — built engine-neutrally (unlike approx_percentile,
+# whose KLL/GK sketch layout is JVM-private), so the estimate is
+# oracle-checked INCLUDING its binning error, like the HLL and Bloom arms.
+_HIST_BINS = 64
+
+_HIST_SQL = f"""
+    stats AS (
+      SELECT o_orderpriority, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders GROUP BY 1
+    ),
+    binned AS (
+      SELECT o.o_orderpriority,
+             CAST(LEAST(FLOOR((o.o_totalprice - s.lo) /
+               (CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {_HIST_BINS}.0 ELSE 1.0 END)),
+               {_HIST_BINS - 1}) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders o JOIN stats s USING (o_orderpriority) GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT d.o_orderpriority,
+             list(CAST(d.cnt AS BIGINT) ORDER BY d.bin) AS counts
+      FROM (
+        SELECT s.o_orderpriority, g.i AS bin, COALESCE(b.cnt, 0) AS cnt
+        FROM stats s
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HIST_BINS - 1})) AS i) g
+        LEFT JOIN binned b ON b.o_orderpriority = s.o_orderpriority AND b.bin = g.i
+      ) d GROUP BY 1
+    ),
+    cums AS (
+      SELECT o_orderpriority, counts,
+             list_transform(generate_series(1, {_HIST_BINS}),
+                            i -> CAST(list_sum(counts[1:i]) AS BIGINT)) AS cums
+      FROM hist
+    )
+"""
+
+
+def _hist_est_sql(q: float) -> str:
+    b = _HIST_BINS
+    r = f"GREATEST(CAST(CEIL({q} * cums[{b}]) AS BIGINT), 1)"
+    pos = f"list_position(list_transform(cums, c -> c >= {r}), true)"
+    cb = f"(CASE WHEN {pos} = 1 THEN 0 ELSE cums[{pos} - 1] END)"
+    width = f"(CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {b}.0 ELSE 1.0 END)"
+    return (
+        f"ROUND(s.lo + {width} * (CAST({pos} - 1 AS DOUBLE)"
+        f" + CAST({r} - {cb} AS DOUBLE) / CAST(counts[{pos}] AS DOUBLE)), 4)"
+    )
+
+
 @register(
     "q_price_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-           COUNT(*) AS n
-    FROM orders
-    GROUP BY o_orderpriority
+    oracle=f"""
+    WITH {_HIST_SQL}
+    SELECT e.o_orderpriority, e.p50, e.p90, e.p99, e.n,
+           {_hist_est_sql(0.5)} AS p50_hist,
+           {_hist_est_sql(0.9)} AS p90_hist,
+           {_hist_est_sql(0.99)} AS p99_hist
+    FROM (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ) e
+    JOIN cums USING (o_orderpriority)
+    JOIN stats s USING (o_orderpriority)
     ORDER BY o_orderpriority
     """,
-    survey_ref="§2.4 superset: exact percentiles (data-quality profiling agg)",
-    tags=("agg", "percentile"),
+    survey_ref=(
+        "§2.4 superset: exact percentiles (data-quality profiling agg) + 64-bin "
+        "histogram percentile sketch beside them — the fixed-memory 100 TB path, "
+        "oracle-checked including its binning error"
+    ),
+    tags=("agg", "percentile", "sketch"),
 )
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (Spark `percentile`
-    == DuckDB `quantile_cont`; 4dp rounding absorbs interpolation ulps).
-    At 100 TB the approx_percentile sketch replaces this when a bounded
-    error is acceptable — exact percentiles need the full sorted group."""
+    == DuckDB `quantile_cont`; 4dp rounding absorbs interpolation ulps) —
+    and the 64-bin equi-width histogram ESTIMATE of the same quantiles
+    beside them (`*_hist` columns). Exact quantiles need the full sorted
+    group; the histogram holds 64 longs per group and two scans (min/max,
+    then counts), which is what survives 100 TB. The estimate interpolates
+    linearly inside the landing bin of the cumulative walk; the paired
+    columns are the accuracy audit."""
     o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / _HIST_BINS
+    ).otherwise(F.lit(1.0))
+    binned = (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(_HIST_BINS - 1),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bins = spark.range(_HIST_BINS).select(F.col("id").cast("int").alias("bin"))
+    dense = (
+        stats.crossJoin(F.broadcast(bins))
+        .join(binned, ["o_orderpriority", "bin"], "left")
+        .select(
+            "o_orderpriority", "bin", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+    hist = dense.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bin", "cnt"))), lambda x: x["cnt"]
+        ).alias("counts")
+    )
+    cums = F.transform(
+        F.sequence(F.lit(1), F.lit(_HIST_BINS)),
+        lambda i: F.aggregate(
+            F.slice(F.col("counts"), F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+    )
+
+    def est(q: float) -> F.Column:
+        r = F.greatest(
+            F.ceil(F.lit(q) * F.element_at(F.col("cums"), _HIST_BINS)).cast("long"),
+            F.lit(1).cast("long"),
+        )
+        pos = F.array_position(
+            F.transform(F.col("cums"), lambda c: c >= r), F.lit(True)
+        ).cast("int")
+        cum_before = F.when(pos == 1, F.lit(0).cast("long")).otherwise(
+            F.element_at(F.col("cums"), pos - 1)
+        )
+        cnt_b = F.element_at(F.col("counts"), pos)
+        return F.round(
+            F.col("lo")
+            + width
+            * (
+                (pos - 1).cast("double")
+                + (r - cum_before).cast("double") / cnt_b.cast("double")
+            ),
+            4,
+        )
+
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
-            F.count("*").alias("n"),
+        exact.join(hist.withColumn("cums", cums), "o_orderpriority")
+        .join(stats, "o_orderpriority")
+        .select(
+            "o_orderpriority", "p50", "p90", "p99", "n",
+            est(0.5).alias("p50_hist"),
+            est(0.9).alias("p90_hist"),
+            est(0.99).alias("p99_hist"),
         )
         .orderBy("o_orderpriority")
     )

@@ -31,6 +31,40 @@ def dirs(tmp_path):
     return str(src), str(tmp_path / "ckpt"), str(tmp_path / "state")
 
 
+def test_restart_and_replay_safety(spark, tmp_path):
+    """Restart continues from the checkpoint (corpus index persists), and
+    a crash-replayed epoch reproduces its first attempt — the index read
+    excludes the batch's own epoch, so a batch whose writes landed but
+    whose offset never committed cannot self-match on re-run."""
+    from sentinela_py_spark.streaming.pipeline import (
+        embedding_dedup_batch_against_corpus,
+    )
+
+    state = str(tmp_path / "state")
+    e1 = [1.0] + [0.0] * (DIM - 1)
+    e2 = [0.0, 1.0] + [0.0] * (DIM - 2)
+    batch = spark.createDataFrame([(1, e1), (2, e2)], "vec_id long, embedding array<float>")
+    embedding_dedup_batch_against_corpus(batch, 0, state, threshold=THRESHOLD)
+    accepted = lambda: sorted(  # noqa: E731
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(state, "accepted")).collect()
+    )
+    assert accepted() == [1, 2]
+    # crash-replay: same batch, same epoch — index now holds this epoch
+    embedding_dedup_batch_against_corpus(batch, 0, state, threshold=THRESHOLD)
+    assert accepted() == [1, 2]
+    # next epoch: a copy of vec 1 rejects vs corpus, a fresh direction lands
+    e3 = [0.0, 0.0, 1.0] + [0.0] * (DIM - 3)
+    batch2 = spark.createDataFrame([(3, e1), (4, e3)], "vec_id long, embedding array<float>")
+    embedding_dedup_batch_against_corpus(batch2, 1, state, threshold=THRESHOLD)
+    assert accepted() == [1, 2, 4]
+    rej = {
+        r["vec_id"]: (r["matched_vec"], r["reason"])
+        for r in spark.read.parquet(os.path.join(state, "rejected")).collect()
+    }
+    assert rej == {3: (1, "vs_corpus")}
+
+
 def test_embedding_dedup_stream_end_to_end(spark, dirs):
     src, ckpt, state = dirs
     base = [

@@ -63,6 +63,21 @@ def test_hll_estimate_tracks_exact_distinct(spark):
     assert sum(errs) / len(errs) < 0.10
 
 
+def test_histogram_percentiles_track_exact(spark):
+    """q_price_percentiles carries the 64-bin histogram estimate beside
+    the exact quantile: worst-case binning error is one bin width
+    (~(max-min)/64 ≈ 1.6% of the range); beyond ~5% relative means the
+    cumulative walk or interpolation is broken, not sketch resolution."""
+    from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["q_price_percentiles"].spark(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        for p in (50, 90, 99):
+            assert abs(r[f"p{p}_hist"] - r[f"p{p}"]) / r[f"p{p}"] < 0.05, (r["o_orderpriority"], p)
+
+
 def test_load_table_canonicalizes_all_tables(spark):
     """orders/lineitem share the no-tz parquet encoding; every timestamp
     column must load as canonical TIMESTAMP, never TIMESTAMP_NTZ."""
