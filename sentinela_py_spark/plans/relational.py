@@ -1178,15 +1178,17 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly inside the landing bin of the cumulative walk; the paired
     columns are the accuracy audit."""
     o = load_table(spark, sf_dir, "orders")
+    # min/max ride the exact-percentile aggregation (same group keys) so
+    # the histogram costs ONE extra scan (the bin counts), not two
     exact = o.groupBy("o_orderpriority").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
         F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
-    stats = o.groupBy("o_orderpriority").agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    )
+    stats = exact.select("o_orderpriority", "lo", "hi")
     width = F.when(
         F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / _HIST_BINS
     ).otherwise(F.lit(1.0))
@@ -1248,7 +1250,6 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         exact.join(hist.withColumn("cums", cums), "o_orderpriority")
-        .join(stats, "o_orderpriority")
         .select(
             "o_orderpriority", "p50", "p90", "p99", "n",
             est(0.5).alias("p50_hist"),
