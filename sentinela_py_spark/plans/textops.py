@@ -669,6 +669,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi AS (
       SELECT doc_id, CAST(MAX(n_b) AS BIGINT) AS top_bf, CAST(SUM(n_b) AS BIGINT) AS n_bigrams
       FROM bg GROUP BY doc_id
+    ),
+    cbg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(text) - 1),
+                                   i -> substr(text, i, 2))) AS cb
+      FROM documents
+    ),
+    cmodel AS (
+      SELECT cb, COUNT(*) AS cnt, substr(cb, 1, 1) AS ctx FROM cbg GROUP BY cb
+    ),
+    cctx AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM cmodel GROUP BY ctx),
+    cv AS (SELECT COUNT(*) AS v FROM cmodel),
+    clogp AS (
+      SELECT m.cb, ROUND(LN(CAST(m.cnt + 1 AS DOUBLE) / (c.ctx_cnt + cv.v)), 6) AS logp
+      FROM cmodel m JOIN cctx c USING (ctx) CROSS JOIN cv
+    ),
+    lm AS (
+      SELECT cbg.doc_id,
+             ROUND(CAST(SUM(CAST(s.logp AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS char_lm_logprob
+      FROM cbg JOIN clogp s USING (cb)
+      GROUP BY cbg.doc_id
     )
     SELECT uni.doc_id, n_tokens, n_distinct_terms,
            ROUND(CAST(n_distinct_terms AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
@@ -678,15 +700,19 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS top_bigram_fraction,
            (CAST(top_tf AS DOUBLE) / n_tokens > 0.30
             OR CAST(COALESCE(top_bf, 0) AS DOUBLE) / GREATEST(COALESCE(n_bigrams, 0), 1) > 0.18)
-               AS repetitive
+               AS repetitive,
+           lm.char_lm_logprob
     FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+             LEFT JOIN lm ON uni.doc_id = lm.doc_id
     ORDER BY uni.doc_id
     """,
     survey_ref=(
         "text analysis: token-distribution entropy (quality/diversity score) + "
         "Gopher-style repetition rules (top-term fraction, top-2-gram fraction, "
         "distinct-token ratio) — the document-level repetition filters a "
-        "pretraining curation pipeline applies corpus-wide"
+        "pretraining curation pipeline applies corpus-wide; + char-bigram LM "
+        "likelihood (the KenLM-style perplexity quality signal, corpus-trained "
+        "add-1-smoothed model, deterministic on both engines)"
     ),
     tags=("text", "quality"),
 )
@@ -703,7 +729,16 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise flip low bits and break the oracle hash). The bigram arm
     reuses the shingle builder; both arms shuffle on doc_id once and the
     final join is doc_id-aligned. At 100 TB this is the shape you want:
-    cost ∝ corpus tokens, no cross-document state."""
+    cost ∝ corpus tokens, no cross-document state.
+
+    `char_lm_logprob` is the KenLM-style likelihood quality signal: a
+    corpus-trained add-1-smoothed character-bigram model — logp(c₂|c₁) =
+    ln((cnt+1)/(ctx_cnt+V)), rounded 6dp at BUILD time so both engines
+    store identical doubles — scored per doc as the mean over its char
+    bigrams, summed in DECIMAL so partitioning can't flip bits. The model
+    is |charset|² rows (broadcasts at any corpus size); scoring is one
+    broadcast join riding the same explode. Low-likelihood docs are the
+    gibberish/boilerplate a perplexity filter removes."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_t"))
@@ -722,12 +757,58 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bg.groupBy("doc_id").agg(
         F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
     )
+    # char-bigram LM: extract UTF-16-unit bigrams (the driver corpus is
+    # ASCII; the sequence guard covers 0/1-char docs where Spark's
+    # sequence(1, 0) would go DESCENDING), train the smoothed model, score
+    # each doc by decimal-summed mean logp
+    t = F.col("text")
+    char_bigrams = F.when(
+        F.length(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1), lambda i: t.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    # the exploded bigram stream feeds both the model build and the
+    # scoring join; recomputing the map-only ASCII explode is CHEAPER than
+    # materializing 1M+ tiny rows (measured: a localCheckpoint here costs
+    # +30% — the opposite trade from q_decontamination's md5-heavy grams)
+    cbg = d.select("doc_id", F.explode(char_bigrams).alias("cb"))
+    cmodel = (
+        cbg.groupBy("cb")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ctx", F.substring("cb", 1, 1))
+    )
+    cctx = cmodel.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    cv = cmodel.agg(F.count("*").alias("v"))
+    clogp = (
+        cmodel.join(cctx, "ctx")
+        .crossJoin(F.broadcast(cv))
+        .select(
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    lm = (
+        cbg.join(F.broadcast(clogp), "cb")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+            ).alias("char_lm_logprob")
+        )
+    )
+
     top_bf = F.coalesce(F.col("top_bf"), F.lit(0)).cast("double")
     n_bg = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
     top_term_frac = F.col("top_tf").cast("double") / F.col("n_tokens")
     top_bigram_frac = top_bf / n_bg
     return (
         uni.join(bi, "doc_id", "left")
+        .join(lm, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -739,6 +820,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top_term_frac, 6).alias("top_term_fraction"),
             F.round(top_bigram_frac, 6).alias("top_bigram_fraction"),
             ((top_term_frac > 0.30) | (top_bigram_frac > 0.18)).alias("repetitive"),
+            "char_lm_logprob",
         )
         .orderBy("doc_id")
     )
