@@ -757,15 +757,16 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bg.groupBy("doc_id").agg(
         F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
     )
-    # char-bigram LM: extract UTF-16-unit bigrams (the driver corpus is
-    # ASCII; the sequence guard covers 0/1-char docs where Spark's
-    # sequence(1, 0) would go DESCENDING), train the smoothed model, score
-    # each doc by decimal-summed mean logp
+    # char-bigram LM: bigrams via the slice+zip_with idiom (no per-element
+    # substr, naturally empty for 0/1-char docs — same shape as
+    # word_shingles), train the smoothed model, score each doc by
+    # decimal-summed mean logp
     t = F.col("text")
-    char_bigrams = F.when(
-        F.length(t) >= 2,
-        F.transform(F.sequence(F.lit(1), F.length(t) - 1), lambda i: t.substr(i, F.lit(2))),
-    ).otherwise(F.array().cast("array<string>"))
+    chars = F.split(t, "")
+    n_cb = F.greatest(F.size(chars) - 1, F.lit(0))
+    char_bigrams = F.zip_with(
+        F.slice(chars, 1, n_cb), F.slice(chars, 2, n_cb), lambda a, b: F.concat(a, b)
+    )
     # the exploded bigram stream feeds both the model build and the
     # scoring join; recomputing the map-only ASCII explode is CHEAPER than
     # materializing 1M+ tiny rows (measured: a localCheckpoint here costs
