@@ -1,0 +1,96 @@
+"""Distributed BPE trainer vs a pure-Python reference implementation of
+the classic Sennrich algorithm — merge sequence, counts, and final
+segmentation must agree exactly, and training must be deterministic
+across partitionings."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.bpe import apply_merge, bpe_train
+from sentinela_py_spark.tables import load_table
+
+CORPUS = (
+    "low low low low low lower lower newest newest newest newest newest newest "
+    "widest widest widest"
+)
+
+
+def _ref_bpe(text: str, n_merges: int, min_pair_count: int = 2):
+    """Reference BPE: word-frequency training, leftmost-greedy merge
+    application, ties broken (count desc, left asc, right asc)."""
+    vocab = {w: list(w) for w in text.split() if w}
+    counts = Counter(w for w in text.split() if w)
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pair_counts[(x, y)] += counts[w]
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.fixture()
+def corpus_df(spark):
+    return spark.createDataFrame([(1, CORPUS)], ["doc_id", "text"])
+
+
+def test_matches_reference_merges_and_segmentation(spark, corpus_df):
+    merges, vocab = bpe_train(corpus_df, n_merges=8)
+    ref_merges, ref_vocab = _ref_bpe(CORPUS, 8)
+    assert merges == ref_merges
+    got = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got == ref_vocab
+    # segmentation is a true partition of each word
+    assert all("".join(syms) == w for w, syms in got.items())
+
+
+def test_training_is_partitioning_invariant(spark):
+    docs = [(i, CORPUS) for i in range(8)]
+    one = spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1)
+    many = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(8)
+    m1, _ = bpe_train(one, n_merges=6)
+    m2, _ = bpe_train(many, n_merges=6)
+    assert m1 == m2
+
+
+def test_apply_merge_greedy_nonoverlapping(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "b", "a", "b"],)], ["syms"])
+    rows = df.select(apply_merge(F.col("syms"), "a", "a").alias("m1"),
+                     apply_merge(F.col("syms"), "a", "b").alias("m2")).collect()
+    assert rows[0]["m1"] == ["aa", "a"]  # leftmost wins in aaa
+    assert rows[1]["m2"] == ["ab", "ab"]
+
+
+def test_corpus_scale_smoke(spark):
+    """5 merges over the sf0.001 documents table: every merge's pair count
+    is positive and non-increasing, and the vocab segmentation still
+    partitions each word."""
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges, vocab = bpe_train(d, n_merges=5)
+    assert len(merges) == 5
+    cnts = [c for (_, _, _, c) in merges]
+    assert all(c > 0 for c in cnts)
+    assert cnts == sorted(cnts, reverse=True)
+    sample = vocab.limit(50).collect()
+    assert all("".join(r["syms"]) == r["word"] for r in sample)
