@@ -82,6 +82,26 @@ def test_apply_merge_greedy_nonoverlapping(spark):
     assert rows[1]["m2"] == ["ab", "ab"]
 
 
+def test_encode_reproduces_trained_segmentation(spark, corpus_df):
+    """Encoding the training text with the learned merge table must
+    reproduce the trained vocab segmentation word for word; unseen words
+    segment with whatever learned subwords apply."""
+    from sentinela_py_spark.operators.bpe import bpe_encode
+
+    merges, vocab = bpe_train(corpus_df, n_merges=8)
+    trained = {r["word"]: r["syms"] for r in vocab.collect()}
+    enc = bpe_encode(corpus_df, merges).collect()[0]["bpe_tokens"]
+    want = [s for w in CORPUS.split() for s in trained[w]]
+    assert enc == want
+
+    oov = spark.createDataFrame([(1, "slowest newlow")], ["doc_id", "text"])
+    toks = bpe_encode(oov, merges).collect()[0]["bpe_tokens"]
+    assert "".join(toks) == "slowestnewlow"  # partition property holds OOV
+    # learned subwords appear where their pairs exist
+    learned = {a + b for (_, a, b, _) in merges}
+    assert any(t in learned for t in toks)
+
+
 def test_corpus_scale_smoke(spark):
     """5 merges over the sf0.001 documents table: every merge's pair count
     is positive and non-increasing, and the vocab segmentation still
