@@ -2,10 +2,22 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "arms": {...}, "calibration": {...},
+"sf": ...}.
 
-Each query is timed end-to-end (plan + execute + count collapse); a warmup
-run of the flagship amortizes JVM/codegen startup out of the numbers.
+Each query is timed end-to-end (plan + execute + full Arrow
+materialization); a warmup run of the flagship amortizes JVM/codegen
+startup out of the numbers. Three harness features keep cross-round
+comparison honest (r3 judge findings):
+
+- min-of-3 reps per query (damps GC / worker-startup noise);
+- per-ARM sub-timings for multi-arm queries (plans.registry.ARMS) — a
+  query that GAINS an arm between rounds shows workload growth in the
+  arm rows instead of poisoning its headline number;
+- a fixed calibration query timed first/middle/last: ambient drift
+  within the session (JVM heap state, GC pressure from earlier queries)
+  shows up as calibration spread, separating session variance from plan
+  regression.
 """
 
 from __future__ import annotations
@@ -17,8 +29,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from sentinela_py_spark.plans import QUERIES  # noqa: E402
-from sentinela_py_spark.plans.registry import _ensure_loaded  # noqa: E402
+from sentinela_py_spark.plans.registry import ARMS, _ensure_loaded  # noqa: E402
 from sentinela_py_spark.session import build_session  # noqa: E402
 
 # Fold map vs BENCH_r01 names (registry consolidated in round 2 so every
@@ -78,6 +92,43 @@ HEADLINE = [
 ]
 
 
+N_REPS = 3
+
+
+def _time_df(make_df, reps: int = N_REPS) -> tuple[float | None, str | None]:
+    """min-of-``reps`` wall time of building + fully materializing the
+    frame. A rep that throws after an earlier rep succeeded keeps the
+    finite best (a real measurement) and reports the error beside it."""
+    best = float("inf")
+    err = None
+    for _rep in range(reps):
+        try:
+            t0 = time.perf_counter()
+            df = make_df()
+            df.toPandas()  # full materialization to the driver via Arrow
+            best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            break
+    return (round(best, 3) if best < float("inf") else None), err
+
+
+def _calibrate(spark, sf_dir: str) -> float | None:
+    """Fixed reference aggregate over lineitem — identical work every
+    time it runs, so spread across the session IS the ambient drift."""
+
+    def make():
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_quantity") > 25)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n"))
+        )
+
+    t, _err = _time_df(make, reps=1)
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
@@ -89,26 +140,40 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
         print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Discarded calibration rep: the first run of ANY query pays residual
+    # codegen/reader warmup, which would dominate drift_ratio.
+    _calibrate(spark, sf_dir)
+    calibration: dict[str, float | None] = {"first": _calibrate(spark, sf_dir)}
+
     # Per-query fault isolation: one broken query records null + the error
     # and the loop moves on — the summary JSON is ALWAYS emitted (round 2
     # shipped zero timings because a single AnalysisException aborted the
     # whole loop).
     timings: dict[str, float | None] = {}
+    arm_timings: dict[str, dict[str, float | None]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == len(HEADLINE) // 2:
+            calibration["middle"] = _calibrate(spark, sf_dir)
         q = QUERIES[name]
-        best = float("inf")
-        try:
-            for _rep in range(2):  # min of 2 — damps GC/worker-startup noise
-                t0 = time.perf_counter()
-                df = q.spark(spark, sf_dir)
-                df.toPandas()  # full materialization to the driver via Arrow
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-            timings[name] = None
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"{name} failed: {errors[name]}", file=sys.stderr)
+        t, err = _time_df(lambda: q.spark(spark, sf_dir))
+        timings[name] = t
+        if err:
+            errors[name] = err
+            print(f"{name} failed: {err}", file=sys.stderr)
+        # Per-arm sub-timings (min-of-2: these are diagnostics, the
+        # headline number above carries the official min-of-3).
+        for arm, fn in ARMS.get(name, {}).items():
+            at, aerr = _time_df(lambda: fn(spark, sf_dir), reps=2)
+            arm_timings.setdefault(name, {})[arm] = at
+            if aerr:
+                errors[f"{name}.{arm}"] = aerr
+                print(f"{name}.{arm} failed: {aerr}", file=sys.stderr)
+
+    calibration["last"] = _calibrate(spark, sf_dir)
+    cal_vals = [v for v in calibration.values() if v]
+    if len(cal_vals) >= 2 and min(cal_vals) > 0:
+        calibration["drift_ratio"] = round(max(cal_vals) / min(cal_vals), 3)
 
     timed = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(timed.values()), 3)
@@ -118,6 +183,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "arms": arm_timings,
+        "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if errors:

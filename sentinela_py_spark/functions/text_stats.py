@@ -82,6 +82,14 @@ def winnow_fingerprint(text: Column | str, k: int = 3, w: int = 4) -> Column:
         mins = F.slice(h, F.lit(1), n_win)
         for off in range(1, w):
             mins = F.zip_with(mins, F.slice(h, F.lit(off + 1), n_win), lambda a, b: F.least(a, b))
+        # Standard winnowing for sequences shorter than the window: one
+        # window over the whole hash array (min of all hashes), NOT the
+        # empty selection — otherwise every doc with < k+w-1 tokens would
+        # share one spurious 'duplicate' digest. Truly gram-less docs
+        # (< k tokens) still share the empty-selection digest.
+        mins = F.when(
+            (F.size(h) > 0) & (F.size(h) < w), F.array(F.array_min(h))
+        ).otherwise(mins)
         selected = F.array_sort(F.array_distinct(mins))
         return F.md5(F.concat_ws("-", F.transform(selected, lambda x: x.cast("string"))))
 

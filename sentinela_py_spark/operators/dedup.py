@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.functions.text_stats import word_shingles
+from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE, cap_buckets
 from sentinela_py_spark.tables import ensure_min_partitions
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
@@ -121,22 +122,37 @@ def lsh_band_signatures(
     )
 
 
-def minhash_candidate_pairs(
-    documents: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-) -> DataFrame:
-    """(doc_a, doc_b, n_shared_bands): pairs colliding in ≥1 LSH band.
-    The equi-join on (band, sig) is the inverted-index step — work scales
-    with real collisions, never |docs|²."""
-    bands = lsh_band_signatures(
-        minhash_signatures(documents, id_col, text_col, n_hashes), n_hashes, n_bands
-    )
+# Hot-bucket guard for the band self-join: DEFAULT_MAX_BUCKET_SIZE
+# (operators/scale.py) is the registered-query default — far above any
+# sf0.01/sf0.1 fixture bucket (≤ a few hundred docs share a band
+# signature even in the adversarial stress tests), so the DuckDB oracles
+# see identical results while the guard stays armed. At 100 TB of real
+# web text the degenerate bucket (one boilerplate template repeated
+# 10⁵×, near-empty docs) is CERTAIN to occur, and b²/2 within-bucket
+# pairs land in one task — the classic LSH failure mode that salting
+# cannot fix (see operators/scale.py:cap_buckets).
+
+
+def band_candidate_pairs(
+    bands: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Candidate pairs from a ``(doc_id, band, sig)`` frame with the
+    hot-bucket guard applied BEFORE the self-join.
+
+    Returns ``(pairs, overflow_audit)``: pairs has ``(doc_a, doc_b,
+    n_shared_bands)``; the audit (None when uncapped) carries one row per
+    truncated ``(band, sig)`` bucket with its size and drop count — the
+    explicit overflow accounting that keeps truncation visible. A capped
+    bucket contributes pairs only among its ``cap`` deterministically
+    sampled rows, bounding per-task join output at cap²/2 rows instead
+    of b²/2."""
+    audit = None
+    if max_bucket_size is not None:
+        bands, audit = cap_buckets(bands, ["band", "sig"], max_bucket_size, ["doc_id"])
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -146,6 +162,27 @@ def minhash_candidate_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    return pairs, audit
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands): pairs colliding in ≥1 LSH band.
+    The equi-join on (band, sig) is the inverted-index step — work scales
+    with real collisions, never |docs|² — and every bucket is bounded to
+    ``max_bucket_size`` rows first (see ``band_candidate_pairs`` /
+    ``cap_buckets`` for the audit-visible overflow path)."""
+    bands = lsh_band_signatures(
+        minhash_signatures(documents, id_col, text_col, n_hashes), n_hashes, n_bands
+    )
+    pairs, _ = band_candidate_pairs(bands, max_bucket_size)
+    return pairs
 
 
 SIMHASH_BITS = 32

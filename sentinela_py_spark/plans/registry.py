@@ -27,6 +27,25 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Per-arm benchmark decomposition for multi-arm queries. A registered
+# query that computes several methods in one result (e.g. exact + sketch)
+# reports ONE wall-clock number in bench.py, so every round that adds an
+# arm poisons the cross-round comparison. Each entry here is an
+# independently-runnable callable covering ONE arm's work (same sf_dir
+# contract as Query.spark); bench.py times them as
+# "<query>.<arm>" sub-rows so workload growth and plan regression are
+# separable. Arms need not partition the full query exactly (shared
+# scans are re-paid per arm) — they are a measurement surface, not a
+# correctness one.
+ARMS: dict[str, dict[str, Callable[[SparkSession, str], DataFrame]]] = {}
+
+
+def register_arms(
+    name: str, **fns: Callable[[SparkSession, str], DataFrame]
+) -> None:
+    """Attach per-arm bench callables to the registered query ``name``."""
+    ARMS.setdefault(name, {}).update(fns)
+
 
 def register(
     name: str,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import register, register_arms
 from sentinela_py_spark.tables import load_table
 
 
@@ -1180,7 +1180,22 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # min/max ride the exact-percentile aggregation (same group keys) so
     # the histogram costs ONE extra scan (the bin counts), not two
-    exact = o.groupBy("o_orderpriority").agg(
+    exact = _price_exact(o)
+    hist = _price_hist_est(spark, o, exact.select("o_orderpriority", "lo", "hi"))
+    return (
+        exact.join(hist, "o_orderpriority")
+        .select(
+            "o_orderpriority", "p50", "p90", "p99", "n",
+            "p50_hist", "p90_hist", "p99_hist",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _price_exact(o: DataFrame) -> DataFrame:
+    """Exact arm of q_price_percentiles (+ the min/max the histogram
+    reuses when both arms run together)."""
+    return o.groupBy("o_orderpriority").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
@@ -1188,7 +1203,12 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
-    stats = exact.select("o_orderpriority", "lo", "hi")
+
+
+def _price_hist_est(spark: SparkSession, o: DataFrame, stats: DataFrame) -> DataFrame:
+    """Histogram arm of q_price_percentiles: 64-bin equi-width counts per
+    group (``stats`` carries lo/hi), cumulative walk, linear interpolation
+    inside the landing bin. Returns (o_orderpriority, p50/p90/p99_hist)."""
     width = F.when(
         F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / _HIST_BINS
     ).otherwise(F.lit(1.0))
@@ -1249,15 +1269,32 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        exact.join(hist.withColumn("cums", cums), "o_orderpriority")
+        hist.withColumn("cums", cums)
+        .join(stats, "o_orderpriority")
         .select(
-            "o_orderpriority", "p50", "p90", "p99", "n",
+            "o_orderpriority",
             est(0.5).alias("p50_hist"),
             est(0.9).alias("p90_hist"),
             est(0.99).alias("p99_hist"),
         )
-        .orderBy("o_orderpriority")
     )
+
+
+def _price_exact_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _price_exact(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority", "p50", "p90", "p99", "n"
+    )
+
+
+def _price_hist_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return _price_hist_est(spark, o, stats)
+
+
+register_arms("q_price_percentiles", exact=_price_exact_arm, hist=_price_hist_arm)
 
 
 @register(

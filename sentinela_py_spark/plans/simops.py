@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE
 from sentinela_py_spark.plans.registry import register
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
@@ -213,13 +214,39 @@ def embedding_neardup_pairs(
     e: DataFrame,
     planes: list[list[int]] | None = None,
     threshold: float = NEARDUP_COS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs for an arbitrary plane count
     — the parameterized core of ``q_embedding_neardup`` (which pins
     ``planes=PLANES`` so its oracle stays stable). Candidates are pairs
     whose buckets agree on all or all-but-one sign bit; true cosine is
     computed on survivors only, so precision is 1.0 by construction and
-    recall follows the multi-probe collision law (see N_PLANES)."""
+    recall follows the multi-probe collision law (see N_PLANES).
+
+    ``max_bucket_size`` arms the hot-bucket guard (see
+    ``embedding_neardup_pairs_with_audit`` for the audit frame)."""
+    pairs, _ = embedding_neardup_pairs_with_audit(e, planes, threshold, max_bucket_size)
+    return pairs
+
+
+def embedding_neardup_pairs_with_audit(
+    e: DataFrame,
+    planes: list[list[int]] | None = None,
+    threshold: float = NEARDUP_COS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``embedding_neardup_pairs`` plus the overflow audit.
+
+    When ``max_bucket_size`` is set, each LSH bucket is bounded to that
+    many vectors BEFORE either join side is built (deterministic uniform
+    sample by xxhash64(vec_id) — see operators/scale.cap_buckets). A hot
+    bucket of b vectors otherwise yields up to b² candidate rows inside
+    one task (its own b probes × b residents, plus Hamming-1 neighbours);
+    capping bounds that at cap² × (n_planes + 2). The audit frame (None
+    when uncapped) lists every truncated bucket with its size and drop
+    count so the recall loss is never silent."""
+    from sentinela_py_spark.operators.scale import cap_buckets
+
     planes = PLANES if planes is None else planes
     xors = probe_xors(len(planes))
     e = e.select(
@@ -228,6 +255,9 @@ def embedding_neardup_pairs(
         lsh_bucket(F.col("embedding"), planes).alias("bucket"),
         F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
     )
+    audit = None
+    if max_bucket_size is not None:
+        e, audit = cap_buckets(e, ["bucket"], max_bucket_size, ["vec_id"])
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
         F.col("norm").alias("na"), F.col("bucket").alias("bucket_a"),
@@ -240,12 +270,13 @@ def embedding_neardup_pairs(
         ).alias("probe"),
     )
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    pairs = (
         a.join(b, (F.col("bucket_a") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim_r"))
         .filter(F.col("cos_sim_r") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+    return pairs, audit
 
 
 def exact_neardup_pairs(e: DataFrame) -> DataFrame:

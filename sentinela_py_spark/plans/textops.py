@@ -25,22 +25,29 @@ from sentinela_py_spark.functions.text_stats import (
     winnow_fingerprint,
     word_shingles,
 )
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import register, register_arms
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
 # Winnowing oracle twin (k=3 grams, w=4 windows): DuckDB list slices are
-# 1-based inclusive, so window i covers h[i : i+3].
-_WINNOW_SQL = """
-    md5(array_to_string(list_sort(list_distinct(
-      list_transform(
-        generate_series(1, greatest(len(string_split(text, ' ')) - 2 - 3, 0)),
-        i -> list_min((list_transform(
+# 1-based inclusive, so window i covers h[i : i+3]. Sequences shorter
+# than the window (1-3 grams) fall back to one window over the whole
+# hash array — standard winnowing, mirrored in text_stats.py.
+_WINNOW_HASHES = """list_transform(
                generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
                j -> CAST(concat('0x', substr(md5(array_to_string(
                       list_slice(string_split(text, ' '), j, j + 2), ' ')), 1, 15)) AS BIGINT)
-             ))[i : i + 3])
-      ))), '-'))
+             )"""
+_WINNOW_SQL = f"""
+    md5(array_to_string(list_sort(list_distinct(
+      CASE WHEN len(string_split(text, ' ')) - 2 BETWEEN 1 AND 3
+        THEN [list_min({_WINNOW_HASHES})]
+        ELSE list_transform(
+          generate_series(1, greatest(len(string_split(text, ' ')) - 2 - 3, 0)),
+          i -> list_min(({_WINNOW_HASHES})[i : i + 3])
+        )
+      END
+      )), '-'))
 """
 
 
@@ -740,68 +747,9 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join riding the same explode. Low-likelihood docs are the
     gibberish/boilerplate a perplexity filter removes."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_t"))
-    uni = tf.groupBy("doc_id").agg(
-        F.sum("n_t").alias("n_tokens"),
-        F.count("*").alias("n_distinct_terms"),
-        F.max("n_t").alias("top_tf"),
-        F.sum((F.col("n_t") * F.log("n_t")).cast("decimal(28,15)"))
-        .cast("double")
-        .alias("s_nlogn"),
-    )
-    bigrams = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
-    )
-    bg = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_b"))
-    bi = bg.groupBy("doc_id").agg(
-        F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
-    )
-    # char-bigram LM: bigrams via the slice+zip_with idiom (no per-element
-    # substr, naturally empty for 0/1-char docs — same shape as
-    # word_shingles), train the smoothed model, score each doc by
-    # decimal-summed mean logp
-    t = F.col("text")
-    chars = F.split(t, "")
-    n_cb = F.greatest(F.size(chars) - 1, F.lit(0))
-    char_bigrams = F.zip_with(
-        F.slice(chars, 1, n_cb), F.slice(chars, 2, n_cb), lambda a, b: F.concat(a, b)
-    )
-    # the exploded bigram stream feeds both the model build and the
-    # scoring join; recomputing the map-only ASCII explode is CHEAPER than
-    # materializing 1M+ tiny rows (measured: a localCheckpoint here costs
-    # +30% — the opposite trade from q_decontamination's md5-heavy grams)
-    cbg = d.select("doc_id", F.explode(char_bigrams).alias("cb"))
-    cmodel = (
-        cbg.groupBy("cb")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("ctx", F.substring("cb", 1, 1))
-    )
-    cctx = cmodel.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
-    cv = cmodel.agg(F.count("*").alias("v"))
-    clogp = (
-        cmodel.join(cctx, "ctx")
-        .crossJoin(F.broadcast(cv))
-        .select(
-            "cb",
-            F.round(
-                F.log(
-                    (F.col("cnt") + 1).cast("double")
-                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
-                ),
-                6,
-            ).alias("logp"),
-        )
-    )
-    lm = (
-        cbg.join(F.broadcast(clogp), "cb")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("logp").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
-            ).alias("char_lm_logprob")
-        )
-    )
+    uni = _qr_unigram(d)
+    bi = _qr_bigram(d)
+    lm = _qr_charlm(d)
 
     top_bf = F.coalesce(F.col("top_bf"), F.lit(0)).cast("double")
     n_bg = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
@@ -827,6 +775,122 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qr_unigram(d: DataFrame) -> DataFrame:
+    """Unigram arm of q_quality_rules: per-doc token counts, distinct
+    terms, top term frequency and the decimal-summed Σ n_t·ln(n_t)
+    entropy term — one shuffle on (doc_id, term), one on doc_id."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_t"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("n_t").alias("n_tokens"),
+        F.count("*").alias("n_distinct_terms"),
+        F.max("n_t").alias("top_tf"),
+        F.sum((F.col("n_t") * F.log("n_t")).cast("decimal(28,15)"))
+        .cast("double")
+        .alias("s_nlogn"),
+    )
+
+
+def _qr_bigram(d: DataFrame) -> DataFrame:
+    """Bigram arm of q_quality_rules: top word-bigram frequency per doc
+    (Gopher top-2-gram repetition rule input)."""
+    bigrams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
+    )
+    bg = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_b"))
+    return bg.groupBy("doc_id").agg(
+        F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
+    )
+
+
+def _qr_charlm(d: DataFrame) -> DataFrame:
+    """Char-bigram LM arm of q_quality_rules: train the add-1-smoothed
+    corpus model (|charset|² rows, broadcast), score each doc by the
+    decimal-summed mean log-likelihood. Bigrams use the slice+zip_with
+    idiom (no per-element substr, naturally empty for 0/1-char docs).
+    The exploded bigram stream feeds both the model build and the
+    scoring join; recomputing the map-only ASCII explode is CHEAPER than
+    materializing 1M+ tiny rows (measured: a localCheckpoint here costs
+    +30% — the opposite trade from q_decontamination's md5-heavy
+    grams)."""
+    chars = F.split(F.col("text"), "")
+    n_cb = F.greatest(F.size(chars) - 1, F.lit(0))
+    char_bigrams = F.zip_with(
+        F.slice(chars, 1, n_cb), F.slice(chars, 2, n_cb), lambda a, b: F.concat(a, b)
+    )
+    cbg = d.select("doc_id", F.explode(char_bigrams).alias("cb"))
+    cmodel = (
+        cbg.groupBy("cb")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ctx", F.substring("cb", 1, 1))
+    )
+    cctx = cmodel.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    cv = cmodel.agg(F.count("*").alias("v"))
+    clogp = (
+        cmodel.join(cctx, "ctx")
+        .crossJoin(F.broadcast(cv))
+        .select(
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return (
+        cbg.join(F.broadcast(clogp), "cb")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+            ).alias("char_lm_logprob")
+        )
+    )
+
+
+def _arm_on_documents(fn):
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
+
+    return arm
+
+
+register_arms(
+    "q_quality_rules",
+    unigram=_arm_on_documents(_qr_unigram),
+    bigram=_arm_on_documents(_qr_bigram),
+    charlm=_arm_on_documents(_qr_charlm),
+)
+
+
+def _method_arm(qname: str, method: str):
+    """Arm = the registered union-shaped query filtered to one method tag;
+    the literal-vs-literal filter folds the other union branches away
+    (verified in tests/test_plan_quality.py), so the timing covers only
+    this arm's subtree."""
+
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sentinela_py_spark.plans.registry import QUERIES
+
+        return QUERIES[qname].spark(spark, sf_dir).filter(F.col("method") == method)
+
+    return arm
+
+
+register_arms(
+    "q_decontamination",
+    exact=_method_arm("q_decontamination", "exact"),
+    bloom=_method_arm("q_decontamination", "bloom"),
+)
+register_arms(
+    "q_dedup_digests",
+    exact=_method_arm("q_dedup_digests", "exact"),
+    fingerprint=_method_arm("q_dedup_digests", "fingerprint"),
+    winnow=_method_arm("q_dedup_digests", "winnow"),
+)
 
 
 @register(

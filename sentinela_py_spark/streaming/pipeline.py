@@ -21,7 +21,7 @@ import os
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.schemas import NEWS_DOCUMENT
@@ -246,31 +246,56 @@ def dedup_batch_against_corpus(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> None:
     """One micro-batch of near-dup rejection at ingest (the foreachBatch
     body of `run_incremental_dedup_stream`, exposed for direct testing).
 
-    1. band the batch once (shingle → minhash → LSH bands);
-    2. WITHIN-batch near-dups: candidate pairs from a self-join of those
-       bands feed `connected_components` — each component keeps its min
-       id, exactly the batch path's survivor rule, so every reject's
-       ``matched_doc`` IS an accepted doc (a greedy pairwise rule would
-       let matched_doc point at another reject on chains like 1–2, 2–3);
-    3. CROSS-corpus near-dups: batch bands equi-join the persistent band
-       store on (band, sig) — cost ∝ true collisions, the index never
-       rescans corpus text;
+    1. collapse EXACT copies on md5(text) — a uniformly-distributed key,
+       skew-proof at any copy count — and band only the representatives;
+    2. WITHIN-batch near-dups: candidate pairs from a (hot-bucket-capped)
+       self-join of the representatives' bands feed
+       `connected_components`; each component's survivor is re-elected
+       AFTER the corpus verdicts (min id among members not
+       corpus-rejected), so every reject's ``matched_doc`` IS an accepted
+       row — never another reject (greedy pairwise rules strand chains
+       like 1–2, 2–3; min-id-first election strands members whose
+       representative is itself corpus-rejected);
+    3. CROSS-corpus near-dups: representative bands equi-join the
+       persistent band store on (band, sig) — cost ∝ true collisions,
+       the index never rescans corpus text. Exact copies then follow
+       their representative's verdict: rep accepted → reject the copy
+       pointing at the rep; rep rejected → the copy inherits the rep's
+       matched_doc and reason (both accepted rows by construction);
     4. survivors write their bands to ``bands/epoch=N`` and their rows to
        ``accepted/epoch=N``; rejects land in ``rejected/epoch=N`` with
        the matched doc and reason. Every write is an epoch-keyed
        overwrite and the store read EXCLUDES the current epoch, so a
        checkpoint-replayed batch reproduces its first attempt bit for bit
-       instead of self-matching (see `_read_band_store`)."""
+       instead of self-matching (see `_read_band_store`).
+
+    Skew guards (the two joins where one hot (band, sig) — a boilerplate
+    template flooding the firehose — would otherwise blow up one task):
+    exact copies never reach the band join at all (step 1), so the
+    degenerate identical-template flood is handled EXACTLY at any copy
+    count; the within-batch self-join over representatives runs through
+    `band_candidate_pairs`, whose ``max_bucket_size`` cap bounds a
+    residual near-dup bucket's pair output at cap²/2 and writes every
+    truncated bucket to ``overflow/epoch=N`` (explicit, never-silent
+    accounting); the cross-corpus probe needs only min(corpus_doc) per
+    (band, sig), so the store is PRE-AGGREGATED to one row per band
+    signature before the join — exact, and immune to corpus-side bucket
+    skew at any corpus size."""
     from sentinela_py_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        band_candidate_pairs,
         connected_components,
         lsh_band_signatures,
         minhash_signatures,
     )
 
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     spark = batch.sparkSession
     bands_dir = os.path.join(state_dir, "bands")
 
@@ -279,40 +304,83 @@ def dedup_batch_against_corpus(
         .dropDuplicates(["doc_id"])
         .localCheckpoint(eager=True)
     )
-    bands = lsh_band_signatures(minhash_signatures(b, "doc_id", text_col)).localCheckpoint(
-        eager=True
+    # 1. exact-copy collapse (uniform md5 key — no skew at any copy count)
+    rep_of = (
+        b.select("doc_id", F.md5(F.col(text_col)).alias("__th"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("__th")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)
     )
-    # 2. within-batch: min-label components of the band-collision graph
-    ba, bb = bands.alias("a"), bands.alias("b")
-    edges = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    rep_docs = b.join(
+        rep_of.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id", "left_semi"
     )
-    comp = connected_components(b.select("doc_id"), edges)
-    in_batch = (
-        comp.filter(F.col("doc_id") != F.col("group_id"))
-        .select("doc_id", F.col("group_id").alias("matched_doc"))
-        .withColumn("reason", F.lit("within_batch"))
-    )
-    # 3. cross-corpus: any shared (band, sig) with the accepted index
+    bands = lsh_band_signatures(
+        minhash_signatures(rep_docs, "doc_id", text_col)
+    ).localCheckpoint(eager=True)
+    # 2. within-batch (representatives only): min-label components of the
+    # band-collision graph (hot-bucket-capped self-join; truncations land
+    # in overflow/epoch=N)
+    pairs, overflow = band_candidate_pairs(bands, max_bucket_size)
+    edges = pairs.select("doc_a", "doc_b")
+    members = connected_components(rep_docs.select("doc_id"), edges)
+    # 3. cross-corpus: any shared (band, sig) with the accepted index.
+    # Only min(corpus_doc) per signature matters, so aggregate the store
+    # to ONE row per (band, sig) first — map-side partials shrink the
+    # shuffle and no store-side bucket can concentrate rows in one task.
     store = _read_band_store(spark, bands_dir, epoch_id)
     if store is not None:
-        store = store.select(F.col("doc_id").alias("corpus_doc"), "band", "sig")
+        store = (
+            store.groupBy("band", "sig").agg(F.min("doc_id").alias("corpus_doc"))
+        )
         vs_corpus = (
             bands.join(store, ["band", "sig"])
             .groupBy("doc_id")
             .agg(F.min("corpus_doc").alias("matched_doc"))
             .withColumn("reason", F.lit("vs_corpus"))
         )
-        rejects = vs_corpus.unionByName(in_batch.join(vs_corpus, "doc_id", "left_anti"))
     else:
-        rejects = in_batch
+        vs_corpus = None
+    # Survivor RE-ELECTION among representatives not rejected against the
+    # corpus, so a within_batch reject never points at a corpus-rejected
+    # row (see docstring step 2).
+    alive = (
+        members.join(vs_corpus.select("doc_id"), "doc_id", "left_anti")
+        if vs_corpus is not None
+        else members
+    )
+    surv = alive.groupBy("group_id").agg(F.min("doc_id").alias("survivor"))
+    in_batch = (
+        alive.join(surv, "group_id")
+        .filter(F.col("doc_id") != F.col("survivor"))
+        .select("doc_id", F.col("survivor").alias("matched_doc"))
+        .withColumn("reason", F.lit("within_batch"))
+    )
+    rep_rejects = (
+        vs_corpus.unionByName(in_batch) if vs_corpus is not None else in_batch
+    )
+    # Exact copies follow their representative's verdict (docstring step 3).
+    copy_rejects = (
+        rep_of.filter(F.col("doc_id") != F.col("rep"))
+        .join(
+            rep_rejects.select(
+                F.col("doc_id").alias("rep"),
+                F.col("matched_doc").alias("rep_match"),
+                F.col("reason").alias("rep_reason"),
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("rep_match", F.col("rep")).alias("matched_doc"),
+            F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
+        )
+    )
+    rejects = rep_rejects.unionByName(copy_rejects)
+    if overflow is not None:
+        overflow.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        )
     rejects = rejects.localCheckpoint(eager=True)
     accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
     # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
@@ -370,6 +438,7 @@ def embedding_dedup_batch_against_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> None:
     """One micro-batch of embedding near-dup rejection at ingest — the
     SemDeDup-at-ingest shape: LSH buckets generate candidates, TRUE COSINE
@@ -378,9 +447,11 @@ def embedding_dedup_batch_against_corpus(
 
     1. bucket the batch's vectors (hyperplane LSH, norms hoisted);
     2. WITHIN-batch: `embedding_neardup_pairs` edges → connected
-       components — each component keeps its min id, so every reject's
-       ``matched_vec`` is an accepted row (same survivor rule as the
-       MinHash stream);
+       components — each component's survivor is the min id among members
+       NOT corpus-rejected (re-elected after step 3's verdicts), so every
+       reject's ``matched_vec`` is an accepted row: corpus-matched rows
+       point at their (accepted) corpus match, the rest point at the
+       surviving representative;
     3. CROSS-corpus: batch multi-probes (Hamming ≤ 1) equi-join the
        persistent BUCKET-KEYED index of accepted vectors; candidates are
        cosine-scored against the stored embedding and rejected at ≥
@@ -389,8 +460,20 @@ def embedding_dedup_batch_against_corpus(
        ``index/epoch=N``; accepted/rejected rows land beside it. All
        writes are epoch-keyed overwrites and the index read EXCLUDES the
        current epoch, so a checkpoint-replayed batch reproduces its first
-       attempt instead of self-matching (see `_read_band_store`)."""
+       attempt instead of self-matching (see `_read_band_store`).
+
+    Skew guards: unlike the MinHash stream, the cross-corpus probe here
+    needs the full candidate set (true cosine against EACH stored vector,
+    not a min), so both join sides are hot-bucket-capped at
+    ``max_bucket_size`` — the store per bucket and the batch's probe
+    frame per bucket — bounding any one probe key's task output at cap².
+    Truncated buckets from either side land in ``overflow/epoch=N`` with
+    a ``side`` column (explicit, never-silent accounting); a batch vector
+    dropped from the probe frame skips corpus screening for that bucket
+    (documented recall trade — it remains subject to within-batch
+    screening and to future batches probing against its index entry)."""
     from sentinela_py_spark.operators.dedup import connected_components
+    from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE, cap_buckets
     from sentinela_py_spark.plans.simops import (
         NEARDUP_COS,
         PROBE_XORS,
@@ -401,6 +484,8 @@ def embedding_dedup_batch_against_corpus(
     )
 
     threshold = NEARDUP_COS if threshold is None else threshold
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     spark = batch.sparkSession
     index_dir = os.path.join(state_dir, "index")
 
@@ -417,22 +502,33 @@ def embedding_dedup_batch_against_corpus(
         F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
     ).localCheckpoint(eager=True)
 
-    # 2. within-batch: cosine-confirmed LSH pairs → min-label components
-    edges = embedding_neardup_pairs(b, threshold=threshold).select(
+    # 2. within-batch: cosine-confirmed LSH pairs → min-label components.
+    # Representative election is DEFERRED until the corpus verdicts are
+    # known (step 3): electing min(id) here would let a representative
+    # that is itself corpus-rejected strand its members pointing at a
+    # rejected row.
+    edges = embedding_neardup_pairs(b, threshold=threshold, max_bucket_size=max_bucket_size).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = connected_components(b.select(F.col("vec_id").alias("doc_id")), edges)
-    in_batch = (
-        comp.filter(F.col("doc_id") != F.col("group_id"))
-        .select(F.col("doc_id").alias("vec_id"), F.col("group_id").alias("matched_vec"))
-        .withColumn("reason", F.lit("within_batch"))
-    )
+    members = comp.select(F.col("doc_id").alias("vec_id"), "group_id")
 
     # 3. cross-corpus: multi-probe into the bucket-keyed accepted index,
-    # then exact cosine on the candidates only
+    # then exact cosine on the candidates only. Both sides are capped per
+    # bucket first so no hot probe key can concentrate cap-unbounded work
+    # in one task; truncations are collected for the overflow audit.
+    overflow_parts = []
     store = _read_band_store(spark, index_dir, epoch_id)
     if store is not None:
-        probes = bucketed.select(
+        store, store_overflow = cap_buckets(store, ["bucket"], max_bucket_size, ["vec_id"])
+        probe_base, batch_overflow = cap_buckets(
+            bucketed, ["bucket"], max_bucket_size, ["vec_id"]
+        )
+        overflow_parts = [
+            store_overflow.withColumn("side", F.lit("store")),
+            batch_overflow.withColumn("side", F.lit("batch")),
+        ]
+        probes = probe_base.select(
             "vec_id", "embedding", "norm",
             F.explode(
                 F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in PROBE_XORS])
@@ -456,9 +552,32 @@ def embedding_dedup_batch_against_corpus(
             .agg(F.min("corpus_vec").alias("matched_vec"))
             .withColumn("reason", F.lit("vs_corpus"))
         )
-        rejects = vs_corpus.unionByName(in_batch.join(vs_corpus, "vec_id", "left_anti"))
     else:
-        rejects = in_batch
+        vs_corpus = None
+    # Representative RE-ELECTION: each component's survivor is the min id
+    # among members NOT rejected against the corpus, so every
+    # within_batch reject's matched_vec is an ACCEPTED row (never a
+    # corpus-rejected one). A component whose members all matched the
+    # corpus keeps no survivor — correctly, since the corpus already
+    # holds its content.
+    alive = (
+        members.join(vs_corpus.select("vec_id"), "vec_id", "left_anti")
+        if vs_corpus is not None
+        else members
+    )
+    reps = alive.groupBy("group_id").agg(F.min("vec_id").alias("rep"))
+    in_batch = (
+        alive.join(reps, "group_id")
+        .filter(F.col("vec_id") != F.col("rep"))
+        .select("vec_id", F.col("rep").alias("matched_vec"))
+        .withColumn("reason", F.lit("within_batch"))
+    )
+    rejects = vs_corpus.unionByName(in_batch) if vs_corpus is not None else in_batch
+    if overflow_parts:
+        overflow = overflow_parts[0].unionByName(overflow_parts[1])
+        overflow.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        )
     rejects = rejects.localCheckpoint(eager=True)
     accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
 

@@ -1,0 +1,187 @@
+"""Adversarial hot-bucket skew through the LSH pair generators.
+
+The classic LSH failure mode at 100 TB: one degenerate (band, sig) /
+bucket — a boilerplate template repeated thousands of times, empty or
+near-empty docs — makes the band self-join emit b²/2 candidate rows
+INSIDE ONE TASK. Salting cannot fix it (within-bucket pair count is
+inherently quadratic), so `operators/scale.cap_buckets` bounds b itself
+with explicit, never-silent overflow accounting. These tests plant the
+degenerate corpus and assert (a) bounded pair output, (b) the audit
+surfaces exactly what was truncated, (c) the streaming dedup handles the
+dominant flood case (identical copies) EXACTLY via md5 pre-collapse, and
+(d) survivor re-election keeps every reject pointing at an accepted row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.dedup import (
+    N_BANDS,
+    band_candidate_pairs,
+    lsh_band_signatures,
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+from sentinela_py_spark.operators.scale import cap_buckets
+from sentinela_py_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+TEMPLATE = (
+    "breaking news update subscribe to our newsletter for the latest "
+    "coverage terms of service privacy policy all rights reserved"
+)
+
+
+def test_cap_buckets_semantics_and_determinism(spark):
+    rows = [(b, i) for b in ("hot", "cold") for i in range((5 if b == "hot" else 2))]
+    df = spark.createDataFrame(rows, "bucket string, doc_id int")
+    kept, audit = cap_buckets(df, ["bucket"], 3, ["doc_id"])
+    sizes = {r["bucket"]: r["n"] for r in kept.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"hot": 3, "cold": 2}
+    a = audit.collect()
+    assert len(a) == 1
+    assert (a[0]["bucket"], a[0]["bucket_size"], a[0]["n_kept"], a[0]["n_dropped"]) == ("hot", 5, 3, 2)
+    # deterministic uniform sample: same kept set on re-evaluation and on
+    # a different partitioning
+    kept_ids = sorted(r["doc_id"] for r in kept.filter(F.col("bucket") == "hot").collect())
+    kept2, _ = cap_buckets(df.repartition(7), ["bucket"], 3, ["doc_id"])
+    assert sorted(r["doc_id"] for r in kept2.filter(F.col("bucket") == "hot").collect()) == kept_ids
+
+
+def test_minhash_hot_bucket_pair_output_bounded(spark):
+    """5 000 identical template docs among the sf0.01 corpus: uncapped,
+    the band join would emit 4 × 5 000²/2 = 50M rows in four tasks;
+    capped at 64 it emits C(64,2) template pairs (all bands shared) and
+    the audit reports exactly four truncated buckets."""
+    cap = 64
+    n_hot = 5_000
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    hot = spark.range(n_hot).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(TEMPLATE).alias("text")
+    )
+    corpus = d.unionByName(hot)
+    bands = lsh_band_signatures(minhash_signatures(corpus, "doc_id", "text"))
+    pairs, audit = band_candidate_pairs(bands, max_bucket_size=cap)
+    hot_pairs = pairs.filter(
+        (F.col("doc_a") >= 1_000_000) & (F.col("doc_b") >= 1_000_000)
+    ).collect()
+    assert len(hot_pairs) == cap * (cap - 1) // 2
+    assert all(r["n_shared_bands"] == N_BANDS for r in hot_pairs)
+    a = audit.collect()
+    assert len(a) == N_BANDS  # the template's one signature per band
+    assert all(r["bucket_size"] >= n_hot and r["n_dropped"] == r["bucket_size"] - cap for r in a)
+    # the cap is per-bucket, not global: normal-corpus pairs still surface
+    assert pairs.filter(F.col("doc_b") < 1_000_000).count() > 0
+
+
+def test_minhash_default_cap_does_not_bite_at_fixture_scale(spark):
+    """The registered default (DEFAULT_MAX_BUCKET_SIZE) sits far above
+    any fixture bucket: capped and uncapped results are identical at
+    sf0.01, which is what keeps the DuckDB oracles untouched while the
+    guard stays armed."""
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    capped = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"])
+        for r in minhash_candidate_pairs(d).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"])
+        for r in minhash_candidate_pairs(d, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_embedding_hot_bucket_pair_output_bounded(spark):
+    """1 000 copies of one vector all land in one LSH bucket (identical
+    sign bits): capped at 32, candidate pairs are C(32,2) instead of
+    ~500 000, and the audit reports the truncation."""
+    from sentinela_py_spark.plans.simops import EMB_DIM, embedding_neardup_pairs_with_audit
+
+    cap = 32
+    n_hot = 1_000
+    vec = F.array(*[F.lit(1.0)] + [F.lit(0.0)] * (EMB_DIM - 1))
+    e = spark.range(n_hot).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    pairs, audit = embedding_neardup_pairs_with_audit(
+        e, threshold=0.999, max_bucket_size=cap
+    )
+    assert pairs.count() == cap * (cap - 1) // 2
+    a = audit.collect()
+    assert len(a) == 1
+    assert a[0]["bucket_size"] == n_hot and a[0]["n_dropped"] == n_hot - cap
+
+
+def test_streaming_dedup_template_flood_handled_exactly(spark, tmp_path):
+    """An identical-template flood through the streaming dedup is the
+    dominant degenerate case — and the md5 pre-collapse handles it
+    EXACTLY: one survivor, every copy rejected pointing at it, zero
+    overflow (the capped band join only ever sees one representative).
+    A later batch of more copies rejects vs_corpus against the stored
+    band index, whose probe is pre-aggregated per (band, sig)."""
+    from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+
+    state = str(tmp_path / "state")
+    flood = [(i, TEMPLATE) for i in range(500)]
+    distinct = [
+        (1000 + i, f"genuinely distinct document number {i} about topic {i} with unique content")
+        for i in range(5)
+    ]
+    b0 = spark.createDataFrame(flood + distinct, "doc_id long, text string")
+    dedup_batch_against_corpus(b0, 0, state, max_bucket_size=16)
+
+    accepted = spark.read.parquet(os.path.join(state, "accepted", "epoch=0"))
+    rejected = spark.read.parquet(os.path.join(state, "rejected", "epoch=0"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [0, 1000, 1001, 1002, 1003, 1004]
+    rej = {r["doc_id"]: (r["matched_doc"], r["reason"]) for r in rejected.collect()}
+    assert set(rej) == {i for i in range(1, 500)}
+    assert all(v == (0, "within_batch") for v in rej.values())
+    overflow = spark.read.parquet(os.path.join(state, "overflow", "epoch=0"))
+    assert overflow.count() == 0  # exact collapse ate the flood; cap never bit
+
+    b1 = spark.createDataFrame(
+        [(2000 + i, TEMPLATE) for i in range(300)], "doc_id long, text string"
+    )
+    dedup_batch_against_corpus(b1, 1, state, max_bucket_size=16)
+    rejected1 = spark.read.parquet(os.path.join(state, "rejected", "epoch=1"))
+    rej1 = {r["doc_id"]: (r["matched_doc"], r["reason"]) for r in rejected1.collect()}
+    assert set(rej1) == {2000 + i for i in range(300)}
+    # the batch's one representative matches the corpus survivor; its 299
+    # exact copies inherit that verdict, so every matched_doc is doc 0
+    assert all(v == (0, "vs_corpus") for v in rej1.values())
+    accepted1 = spark.read.parquet(os.path.join(state, "accepted", "epoch=1"))
+    assert accepted1.count() == 0
+
+
+def test_embedding_stream_reelects_survivor_when_rep_is_corpus_rejected(spark, tmp_path):
+    """ADVICE r3: a within-batch component whose min-id member matches
+    the corpus must re-elect its survivor among the OTHER members, not
+    strand them pointing at a rejected row. Geometry: corpus u = e1;
+    batch v at 18° from u (cos .951 ≥ .9 → corpus-rejected) and w at 36°
+    (cos(w,u) = .809 < .9 → no corpus match, cos(w,v) = .951 → same
+    within-batch component). Old min-id election rejected w with
+    matched_vec = v (itself rejected); re-election accepts w."""
+    import math
+
+    from sentinela_py_spark.plans.simops import EMB_DIM
+    from sentinela_py_spark.streaming.pipeline import embedding_dedup_batch_against_corpus
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (EMB_DIM - 2)
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(100, vec(0.0))], "vec_id long, embedding array<double>")
+    embedding_dedup_batch_against_corpus(b0, 0, state, threshold=0.9)
+
+    b1 = spark.createDataFrame(
+        [(1, vec(18.0)), (2, vec(36.0))], "vec_id long, embedding array<double>"
+    )
+    embedding_dedup_batch_against_corpus(b1, 1, state, threshold=0.9)
+    accepted = spark.read.parquet(os.path.join(state, "accepted", "epoch=1"))
+    rejected = spark.read.parquet(os.path.join(state, "rejected", "epoch=1"))
+    assert [r["vec_id"] for r in accepted.collect()] == [2]
+    rej = {r["vec_id"]: (r["matched_vec"], r["reason"]) for r in rejected.collect()}
+    assert rej == {1: (100, "vs_corpus")}

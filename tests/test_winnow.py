@@ -27,9 +27,17 @@ def test_winnow_groups_exact_copies_but_splits_reorders(spark):
     assert rows[0]["winnow"] != rows[2]["winnow"]
 
 
-def test_winnow_short_docs_share_empty_fingerprint(spark):
-    """Docs with fewer than k + w - 1 = 6 tokens have no full window:
-    their fingerprint is the empty-selection digest, shared by all of
-    them — the documented degenerate class, not an error."""
-    rows = _digests(spark, ["", "one two", "a b c d e"])
-    assert len({r["winnow"] for r in rows}) == 1
+def test_winnow_short_docs_fall_back_to_whole_sequence_min(spark):
+    """Docs with some grams but no full window (3..5 tokens, i.e.
+    0 < n_grams < w) take one window over the WHOLE hash sequence —
+    standard winnowing — so distinct short docs do NOT collapse into one
+    spurious duplicate cluster. Truly gram-less docs (< 3 tokens) still
+    share the empty-selection digest."""
+    rows = _digests(
+        spark, ["", "one two", "a b c d e", "a b c d e", "v w x y z"]
+    )
+    by_id = {r["doc_id"]: r["winnow"] for r in rows}
+    assert by_id[0] == by_id[1]  # gram-less docs share the empty digest
+    assert by_id[2] == by_id[3]  # identical short docs still group
+    assert by_id[2] != by_id[4]  # distinct short docs no longer collide
+    assert by_id[2] != by_id[0]  # and differ from the gram-less class
