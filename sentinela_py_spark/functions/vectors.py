@@ -266,7 +266,12 @@ def ivf_pq_topk(
     This is the canonical billion-scale ANN layout (IVF for I/O pruning,
     PQ for bytes-per-vector, exact refine for ranking quality) expressed
     as four DataFrame stages. Output: (query_id, vec_id, cell_id, cosine,
-    rnk)."""
+    rnk).
+
+    Query cells are computed by running the same map-side assignment over
+    the QUERY frame against the CORPUS centroids — queries need not be
+    corpus members (a corpus-assignment join would silently drop
+    out-of-corpus queries)."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.plans.simops import cosine, ivf_assign
@@ -280,8 +285,11 @@ def ivf_pq_topk(
         pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
     )
     qs = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-        .join(assigned.select(F.col("vec_id").alias("query_id"), "cell_id"), "query_id")
+        ivf_assign(queries, n_cells, centroid_source=embeddings).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            "cell_id",
+        )
     )
     coarse_w = W.partitionBy("query_id").orderBy(F.col("coarse_cos").desc(), F.col("vec_id"))
     coarse = (

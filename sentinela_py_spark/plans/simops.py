@@ -17,8 +17,19 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import QUERIES, register, register_arms
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
+
+
+def _method_arm(qname: str, method: str):
+    """Bench arm = the registered union-shaped query filtered to one
+    method tag; the literal-vs-literal filter folds the other union
+    branches away, so the timing covers only this arm's subtree."""
+
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return QUERIES[qname].spark(spark, sf_dir).filter(F.col("method") == method)
+
+    return arm
 
 N_QUERY_VECTORS = 3  # vec_id 0..2 act as the query set
 TOP_K = 5
@@ -396,7 +407,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+def ivf_assign(
+    e: DataFrame, n_cells: int = N_CELLS, centroid_source: DataFrame | None = None
+) -> DataFrame:
     """MAP-SIDE IVF cell assignment: the n_cells centroids (first vectors
     by id) fold into ONE broadcast row holding a cell_id-sorted struct
     array, and the argmax is pure array algebra — an array of rounded
@@ -404,9 +417,14 @@ def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     (= lowest cell_id) maximum. No Exchange touches the corpus between
     the scan and the assignment (pinned in test_plan_quality) — a
     row_number() rendering would shuffle N×n_cells rows keyed by vec_id,
-    an avoidable n_cells× corpus shuffle at 100 TB."""
+    an avoidable n_cells× corpus shuffle at 100 TB.
+
+    ``centroid_source`` (default: ``e`` itself) is the frame the centroid
+    row is built from — pass the CORPUS here when assigning out-of-corpus
+    rows (e.g. query vectors) so both sides share one codebook."""
     cents_row = (
-        e.filter(F.col("vec_id") < n_cells)
+        (e if centroid_source is None else centroid_source)
+        .filter(F.col("vec_id") < n_cells)
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -430,13 +448,27 @@ def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     )
 
 
-@register(
-    "q_ann_ivf_topk",
-    oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
-    ),
-    assigned AS (
+# PQ constants mirrored from functions/vectors.py (PQ_M subspaces of
+# EMB_DIM/PQ_M dims, PQ_K codewords = slices of the first PQ_K vectors) —
+# shared by the q_ann_ivf_topk pq arm and q_quantized_refine_topk below.
+from sentinela_py_spark.functions.vectors import PQ_K, PQ_M  # noqa: E402
+
+_PQ_D = EMB_DIM // PQ_M
+
+# squared L2 between subspace m's slices of v and s.cv — multiplication,
+# not pow(), and an ordered list_sum so the double fold matches Spark's.
+_PQ_D2_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_D}), i -> "
+    f"(CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))"
+    f" * (CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))))"
+)
+
+COARSE_K = 20
+
+# Shared DuckDB CTE bodies: deterministic IVF assignment and the PQ
+# code/reconstruction relations (the same algebra q_quantized_refine_topk
+# proves stage-wise; q_ann_ivf_topk composes them with the cell routing).
+_ASSIGNED_SQL = f"""
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, cents.cell_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -445,7 +477,34 @@ def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
                    cents.cell_id) AS rn
         FROM embeddings e CROSS JOIN cents
       ) WHERE rn = 1
+"""
+
+_PQ_CODES_SQL = f"""
+      SELECT vec_id, m, cw FROM (
+        SELECT v.vec_id, mi.m, s.cw,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, mi.m
+                                  ORDER BY ROUND({_PQ_D2_SQL}, 9), s.cw) AS rn
+        FROM embeddings v
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) mi
+        CROSS JOIN seeds s
+      ) WHERE rn = 1
+"""
+
+_PQ_RECON_SQL = f"""
+        SELECT vec_id, flatten(list(sub ORDER BY m)) AS deq FROM (
+          SELECT c.vec_id, c.m, s.cv[c.m*{_PQ_D}+1 : c.m*{_PQ_D}+{_PQ_D}] AS sub
+          FROM pq_codes c JOIN seeds s ON s.cw = c.cw
+        ) GROUP BY vec_id
+"""
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
     ),
+    assigned AS ({_ASSIGNED_SQL}),
     q AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned WHERE vec_id < {N_QUERY_VECTORS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM assigned WHERE vec_id >= {N_QUERY_VECTORS}),
     ranked AS (
@@ -457,20 +516,102 @@ def ivf_assign(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
                  / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) DESC,
                  neighbor_id) AS rank
       FROM q JOIN c ON q.cell_id = c.cell_id
+    ),
+    seeds AS (SELECT vec_id AS cw, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}),
+    pq_codes AS ({_PQ_CODES_SQL}),
+    pq_cand AS (
+      SELECT a.vec_id, a.embedding, a.cell_id, r.deq
+      FROM assigned a JOIN ({_PQ_RECON_SQL}) r USING (vec_id)
+    ),
+    pq_coarse AS (
+      SELECT query_id, vec_id, cell_id, embedding, qv,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_DOT_SQL.format(a='deq', b='qv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='deq')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+               vec_id) AS crnk
+      FROM pq_cand c
+      JOIN (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned WHERE vec_id < {N_QUERY_VECTORS}) qc
+        USING (cell_id)
+      WHERE c.vec_id <> qc.query_id
+    ),
+    pq_arm AS (
+      SELECT query_id, vec_id AS neighbor_id, cell_id, cos_sim_r, rank FROM (
+        SELECT query_id, vec_id, cell_id,
+               ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+                 / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) AS cos_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 ROUND({_DOT_SQL.format(a='embedding', b='qv')}
+                   / (SQRT({_NORMSQ_SQL.format(a='embedding')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
+                 vec_id) AS rank
+        FROM pq_coarse WHERE crnk <= {COARSE_K}
+      ) WHERE rank <= {TOP_K}
     )
-    SELECT query_id, neighbor_id, cell_id, cos_sim_r, rank
+    SELECT 'flat' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM ranked WHERE rank <= {TOP_K}
-    ORDER BY query_id, rank
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM pq_arm
+    ORDER BY method, query_id, rank
     """,
-    survey_ref="similarity: IVF-cell ANN (broadcast centroid assignment, nprobe=1 cell search)",
+    survey_ref=(
+        "similarity: IVF-cell ANN (broadcast centroid assignment, nprobe=1 cell search) — "
+        "flat arm (exact in-cell cosine) + pq arm (the COMPOSED IVF-PQ layout of "
+        "functions/vectors.ivf_pq_topk: cell routing × PQ-coarse × exact refine)"
+    ),
     tags=("similarity", "sketch"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic 'training': centroids are the first
     N_CELLS vectors, assignment is the map-side array-algebra argmax
     (`ivf_assign`). Search probes only the query's own cell; the cell id
-    becomes the partition key — the canonical IVF-flat layout."""
+    becomes the partition key — the canonical IVF-flat layout.
+
+    Two arms, each tagged by ``method``:
+
+    - ``flat``: exact cosine over every candidate in the query's cell
+      (query vectors excluded from the candidate side);
+    - ``pq``: the COMPOSED IVF-PQ layout (`functions/vectors.ivf_pq_topk`)
+      — same cell routing, but candidates coarse-rank on their
+      product-quantization reconstruction (PQ_M bytes/vector is all the
+      cell scan touches at 100 TB) and only COARSE_K survivors are
+      re-ranked exactly. Candidates exclude only the query itself —
+      generic-corpus semantics, mirrored by the oracle."""
+    from sentinela_py_spark.functions.vectors import ivf_pq_topk
+
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    flat = _ivf_flat_arm(e)
+    pq = ivf_pq_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+        k=TOP_K,
+        coarse_k=COARSE_K,
+        n_cells=N_CELLS,
+        dim=EMB_DIM,
+    ).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        F.col("cosine").alias("cos_sim_r"),
+        F.col("rnk").alias("rank"),
+    )
+    return flat.unionByName(pq).orderBy("method", "query_id", "rank")
+
+
+register_arms(
+    "q_ann_ivf_topk",
+    flat=_method_arm("q_ann_ivf_topk", "flat"),
+    pq=_method_arm("q_ann_ivf_topk", "pq"),
+)
+register_arms(
+    "q_quantized_refine_topk",
+    int8=_method_arm("q_quantized_refine_topk", "int8"),
+    pq=_method_arm("q_quantized_refine_topk", "pq"),
+)
+
+
+def _ivf_flat_arm(e: DataFrame) -> DataFrame:
+    """The IVF-flat (exact in-cell) arm of q_ann_ivf_topk."""
     assigned = ivf_assign(e)
     q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
@@ -486,7 +627,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank")
+        .select(
+            F.lit("flat").alias("method"),
+            "query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank",
+        )
         .orderBy("query_id", "rank")
     )
 
@@ -494,8 +638,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Quantized coarse→refine ANN (functions/vectors.py) — driver-checked.
 # ---------------------------------------------------------------------------
-
-COARSE_K = 20
 
 # int8 min/max quantization in DuckDB, mirroring functions/vectors.py:
 # scale = (max-min)/255 (1.0 for constant vectors); code = round((v-min)/scale)
@@ -535,21 +677,6 @@ def _refine_arm_sql(qz_cte: str) -> str:
         ) WHERE crnk <= {COARSE_K}
       ) WHERE rnk <= {TOP_K}
     """
-
-
-# PQ constants mirrored from functions/vectors.py (PQ_M subspaces of
-# EMB_DIM/PQ_M dims, PQ_K codewords = slices of the first PQ_K vectors).
-from sentinela_py_spark.functions.vectors import PQ_K, PQ_M  # noqa: E402
-
-_PQ_D = EMB_DIM // PQ_M
-
-# squared L2 between subspace m's slices of v and s.cv — multiplication,
-# not pow(), and an ordered list_sum so the double fold matches Spark's.
-_PQ_D2_SQL = (
-    f"list_sum(list_transform(generate_series(1, {_PQ_D}), i -> "
-    f"(CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))"
-    f" * (CAST(v.embedding[mi.m*{_PQ_D}+i] AS DOUBLE) - CAST(s.cv[mi.m*{_PQ_D}+i] AS DOUBLE))))"
-)
 
 
 @register(
