@@ -48,6 +48,10 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #   q_hourly_event_buckets + q_sliding_event_buckets -> q_event_buckets
 #   q_token_entropy          -> q_quality_rules (+ Gopher repetition arms)
 #   q_media_decode           += RIFF/WAVE audio arm (decode_wav driver signal)
+# Round-4 folds (frees the slot for q_bpe_encode):
+#   q_region_head_nation     -> q_revenue_per_nation (region_head column;
+#                               broadcast self-join, zero extra shuffles)
+#   q_ann_ivf_topk           += pq arm (the composed IVF-PQ layout)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -74,6 +78,8 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ann_lsh_topk",
     "q_quantized_refine_topk",  # r3: int8 + PQ compressed-ANN arms
+    "q_ann_ivf_topk",  # r4: IVF-flat + composed IVF-PQ arms
+    "q_bpe_encode",  # r4: trained-tokenizer encode surface
     "q_mixture_sample",  # r3: temperature-mixture sampling
     "q_media_decode",
     "q_media_frames",

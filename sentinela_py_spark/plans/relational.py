@@ -241,7 +241,11 @@ def q_alias_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_revenue_per_nation",
     oracle="""
-    SELECT n.n_name AS nation, r.r_name AS region,
+    WITH heads AS (
+      SELECT n_regionkey, MIN(n_nationkey) AS head_key
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n.n_name AS nation, r.r_name AS region, h2.n_name AS region_head,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
@@ -249,28 +253,50 @@ def q_alias_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c  ON o.o_custkey  = c.c_custkey
     JOIN nation n    ON c.c_nationkey = n.n_nationkey
     JOIN region r    ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name, r.r_name
+    JOIN heads h     ON n.n_regionkey = h.n_regionkey
+    JOIN nation h2   ON h.head_key = h2.n_nationkey
+    GROUP BY n.n_name, r.r_name, h2.n_name
     ORDER BY revenue DESC, nation
     """,
-    survey_ref="J3 (aggregator.py:34-49 catalog enrichment join) + A3",
-    tags=("join", "agg", "flagship"),
+    survey_ref=(
+        "J3 (aggregator.py:34-49 catalog enrichment join) + A3 + J5 "
+        "(catalog.py:208-251 state-capital self-join on uf — the region_head "
+        "column; folded former q_region_head_nation)"
+    ),
+    tags=("join", "agg", "self", "flagship"),
 )
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: big fact × small dims. nation/region (and customer at low
     SF) go broadcast — no shuffle for the dimension sides; lineitem⋈orders
-    is the only shuffle exchange, and AQE handles skew."""
+    is the only shuffle exchange, and AQE handles skew.
+
+    The ``region_head`` column is the J5 self equi-join attaching each
+    group's designated head row — the reference's state-capital enrichment
+    (every city gets its UF capital), folded in from the former
+    q_region_head_nation: both the head aggregate and the head-name lookup
+    stay broadcast, so the fold adds zero shuffles."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    heads = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("head_key"))
+    head_names = n.select(
+        F.col("n_nationkey").alias("head_key"), F.col("n_name").alias("region_head")
+    )
     revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .join(F.broadcast(heads), "n_regionkey")
+        .join(F.broadcast(head_names), "head_key")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "region_head",
+        )
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
         .orderBy(F.col("revenue").desc(), F.col("nation"))
     )
@@ -312,39 +338,6 @@ def q_customer_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("semi").alias("probe"), "c_custkey", "c_name")
     )
     return anti.unionByName(semi).orderBy("probe", "c_custkey")
-
-
-@register(
-    "q_region_head_nation",
-    oracle="""
-    WITH heads AS (
-      SELECT n_regionkey, MIN(n_nationkey) AS head_key
-      FROM nation GROUP BY n_regionkey
-    )
-    SELECT n.n_name AS nation, r.r_name AS region, h2.n_name AS region_head
-    FROM nation n
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    JOIN heads h  ON n.n_regionkey = h.n_regionkey
-    JOIN nation h2 ON h.head_key = h2.n_nationkey
-    ORDER BY nation
-    """,
-    survey_ref="J5 (catalog.py:208-251 state-capital self-join on uf)",
-    tags=("join", "self"),
-)
-def q_region_head_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self equi-join attaching each group's designated head row — the
-    reference's state-capital enrichment (every city gets its UF capital)."""
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    heads = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("head_key"))
-    head_names = n.select(F.col("n_nationkey").alias("head_key"), F.col("n_name").alias("region_head"))
-    return (
-        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(heads), "n_regionkey")
-        .join(F.broadcast(head_names), "head_key")
-        .select(F.col("n_name").alias("nation"), F.col("r_name").alias("region"), "region_head")
-        .orderBy("nation")
-    )
 
 
 # ---------------------------------------------------------------------------

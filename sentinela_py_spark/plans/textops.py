@@ -956,3 +956,89 @@ def q_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "link_text": ("article > a:first-child", None),
         },
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer inference (operators/bpe.py) — driver-checked encode arm.
+# ---------------------------------------------------------------------------
+
+# FIXED merge table (rank, left, right, count) — a literal tokenizer
+# artifact, chosen to exercise multi-level rank-order replay on the
+# driver corpus's vocabulary: 'spark' assembles through three chained
+# merges (sp → spa → spark), 'join' through two, 'bat' consumes the
+# rank-2 'at' merge, and 'the'/'er'/'at' interact inside words like
+# 'the'/'order'/'batch'. Counts are placeholders (encode ignores them).
+_BPE_FIXED_MERGES: list[tuple[int, str, str, int]] = [
+    (0, "t", "h", 0),
+    (1, "th", "e", 0),
+    (2, "a", "t", 0),
+    (3, "e", "r", 0),
+    (4, "s", "p", 0),
+    (5, "sp", "a", 0),
+    (6, "r", "k", 0),
+    (7, "spa", "rk", 0),
+    (8, "j", "o", 0),
+    (9, "i", "n", 0),
+    (10, "jo", "in", 0),
+    (11, "b", "at", 0),
+]
+
+
+def _bpe_encode_word_sql(var: str) -> str:
+    """DuckDB expression tokenizing one word with _BPE_FIXED_MERGES.
+
+    The symbol sequence is serialized as chr(1)||sym||chr(2) per symbol —
+    symbols never contain either sentinel, so a merge (a, b) is EXACTLY
+    the substring chr(1)a chr(2)chr(1)b chr(2) and ``replace()`` (which
+    scans left-to-right over non-overlapping occurrences, resuming AFTER
+    each replacement) reproduces the leftmost-greedy merge rule of
+    operators/bpe.py. Replays run in rank order, so later merges see
+    earlier merges' symbols — e.g. rank 11 (b, at) only fires where
+    rank 2 already produced 'at'."""
+    expr = f"regexp_replace({var}, '(.)', chr(1)||'\\1'||chr(2), 'g')"
+    for _, a, b, _ in _BPE_FIXED_MERGES:
+        pat = f"chr(1)||'{a}'||chr(2)||chr(1)||'{b}'||chr(2)"
+        expr = f"replace({expr}, {pat}, chr(1)||'{a}{b}'||chr(2))"
+    return f"string_split(trim({expr}, chr(1)||chr(2)), chr(2)||chr(1))"
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(toks, chr(31)) AS bpe_tokens,
+           len(toks) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             flatten(list_transform(
+               list_filter(string_split(COALESCE(text, ''), ' '), w -> len(w) > 0),
+               w -> {_bpe_encode_word_sql('w')}
+             )) AS toks
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    survey_ref=(
+        "tokenize: BPE encode — broadcast-merge-table leftmost-greedy replay "
+        "(operators/bpe.py bpe_encode, the map-only inference path of the "
+        "distributed Sennrich trainer bpe_train); oracle = chained "
+        "sentinel-delimited replace() per word in rank order"
+    ),
+    tags=("text", "tokenize"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword encoding of every document under a FIXED literal merge
+    table (the trained-tokenizer surface: training learns the table once;
+    encode replays it corpus-wide, map-only, no shuffle). Tokens are
+    re-joined with the unit separator (0x1f — absent from the corpus) so
+    the value-hash comparison covers token identity AND order; n_tokens
+    is the sequence length a packing/budgeting stage would consume."""
+    from sentinela_py_spark.operators.bpe import bpe_encode
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    enc = bpe_encode(d, _BPE_FIXED_MERGES, text_col="text", out_col="toks")
+    return enc.select(
+        "doc_id",
+        F.concat_ws("\x1f", F.col("toks")).alias("bpe_tokens"),
+        F.size("toks").alias("n_tokens"),
+    ).orderBy("doc_id")
