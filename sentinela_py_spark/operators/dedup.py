@@ -165,6 +165,32 @@ def band_candidate_pairs(
     return pairs, audit
 
 
+def cross_corpus_candidates(
+    probe_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """The batch twin of the streaming persistent-index probe
+    (streaming/pipeline.py dedup_batch_against_corpus step 3): new-batch
+    band signatures joined against an accepted-corpus band store.
+
+    The store is PRE-AGGREGATED to one row per (band, sig) — only
+    min(corpus_doc) per signature matters for the match verdict — which
+    is exact AND skew-immune: a probe band row joins at most one store
+    row, so no corpus-side hot bucket can concentrate rows in one task
+    at any corpus size (the cap-based guard the self-join needs is
+    unnecessary here). Returns one row per matched probe doc:
+    ``(doc_a = probe doc, doc_b = min matched corpus doc,
+    n_shared_bands = band signatures shared with the store)``."""
+    store = corpus_bands.groupBy("band", "sig").agg(F.min("doc_id").alias("corpus_doc"))
+    return (
+        probe_bands.join(store, ["band", "sig"])
+        .groupBy(F.col("doc_id").alias("doc_a"))
+        .agg(
+            F.min("corpus_doc").alias("doc_b"),
+            F.count("*").alias("n_shared_bands"),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",

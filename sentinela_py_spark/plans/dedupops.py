@@ -42,7 +42,11 @@ from sentinela_py_spark.operators.dedup import (
     minhash_signatures,
     simhash32,
 )
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import (
+    method_arm as _method_arm,
+    register,
+    register_arms,
+)
 from sentinela_py_spark.tables import load_table
 
 # DuckDB twins of the md5-prefix integer hashes in operators/dedup.py.
@@ -99,23 +103,93 @@ def _band_sql() -> str:
     return " UNION ALL ".join(bands)
 
 
+# Deterministic ~50/50 corpus/probe split for the corpus_probe arm: first
+# md5 hex char of the stringified doc_id, '<8' → corpus (the "accepted"
+# index half), else probe (the "new batch" half). Same hex-string compare
+# on both engines (md5 is lowercase hex in Spark and DuckDB).
+_CORPUS_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
+
+
 @register(
     "q_minhash_pairs",
     oracle=f"""
     WITH sigs AS ({_minhash_sig_sql()}),
-    bands AS ({_band_sql()})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    ORDER BY doc_a, doc_b
+    bands AS ({_band_sql()}),
+    all_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    store AS (
+      SELECT band, sig, MIN(doc_id) AS corpus_doc
+      FROM bands WHERE {_CORPUS_SPLIT_SQL.format(d='doc_id')}
+      GROUP BY band, sig
+    ),
+    probe_hits AS (
+      SELECT p.doc_id AS doc_a, MIN(s.corpus_doc) AS doc_b,
+             COUNT(*) AS n_shared_bands
+      FROM bands p JOIN store s ON p.band = s.band AND p.sig = s.sig
+      WHERE NOT ({_CORPUS_SPLIT_SQL.format(d='p.doc_id')})
+      GROUP BY p.doc_id
+    )
+    SELECT 'all_pairs' AS method, doc_a, doc_b, n_shared_bands FROM all_pairs
+    UNION ALL
+    SELECT 'corpus_probe' AS method, doc_a, doc_b, n_shared_bands FROM probe_hits
+    ORDER BY method, doc_a, doc_b
     """,
-    survey_ref="dedup: MinHash-LSH candidate pairs (band-bucket inverted-index join)",
+    survey_ref=(
+        "dedup: MinHash-LSH candidate pairs (band-bucket inverted-index join) — "
+        "all_pairs arm (within-corpus self-join) + corpus_probe arm (the batch "
+        "twin of the streaming persistent-index probe, "
+        "streaming/pipeline.py dedup_batch_against_corpus step 3)"
+    ),
     tags=("dedup", "sketch"),
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two arms over ONE band-signature computation (lazy localCheckpoint
+    — the md5-heavy signature aggregation is materialized once for its
+    three consumers, the batch analog of writing the band table):
+
+    - ``all_pairs``: hot-bucket-capped band self-join — within-corpus
+      near-dup mining;
+    - ``corpus_probe``: the dedup-at-ingest probe as batch algebra. The
+      md5-split 'accepted' half acts as the persistent band store
+      (pre-aggregated to min(doc) per (band, sig) — exact, skew-immune),
+      the other half is the incoming batch; each probe doc reports its
+      matched corpus doc and how many band signatures matched. The
+      streaming tests keep covering state/replay semantics; this arm
+      oracle-checks the join algebra itself."""
+    from sentinela_py_spark.operators.dedup import (
+        band_candidate_pairs,
+        cross_corpus_candidates,
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(d).orderBy("doc_a", "doc_b")
+    bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+    pairs, _ = band_candidate_pairs(bands)
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    probe_hits = cross_corpus_candidates(
+        bands.filter(~split), bands.filter(split)
+    )
+    return (
+        pairs.select(F.lit("all_pairs").alias("method"), "doc_a", "doc_b", "n_shared_bands")
+        .unionByName(
+            probe_hits.select(
+                F.lit("corpus_probe").alias("method"), "doc_a", "doc_b", "n_shared_bands"
+            )
+        )
+        .orderBy("method", "doc_a", "doc_b")
+    )
+
+
+register_arms(
+    "q_minhash_pairs",
+    all_pairs=_method_arm("q_minhash_pairs", "all_pairs"),
+    corpus_probe=_method_arm("q_minhash_pairs", "corpus_probe"),
+)
 
 
 def _simhash_sql() -> str:

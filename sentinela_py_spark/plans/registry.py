@@ -47,6 +47,19 @@ def register_arms(
     ARMS.setdefault(name, {}).update(fns)
 
 
+def method_arm(qname: str, method: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Bench arm = the registered union-shaped query filtered to one
+    ``method`` tag; the literal-vs-literal filter folds the other union
+    branches away (verified in tests/test_plan_quality.py), so the
+    timing covers only this arm's subtree."""
+    from pyspark.sql import functions as F
+
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return QUERIES[qname].spark(spark, sf_dir).filter(F.col("method") == method)
+
+    return arm
+
+
 def register(
     name: str,
     oracle: str | None,

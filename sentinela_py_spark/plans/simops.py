@@ -17,19 +17,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE
-from sentinela_py_spark.plans.registry import QUERIES, register, register_arms
+from sentinela_py_spark.plans.registry import (
+    method_arm as _method_arm,
+    register,
+    register_arms,
+)
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
-
-
-def _method_arm(qname: str, method: str):
-    """Bench arm = the registered union-shaped query filtered to one
-    method tag; the literal-vs-literal filter folds the other union
-    branches away, so the timing covers only this arm's subtree."""
-
-    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return QUERIES[qname].spark(spark, sf_dir).filter(F.col("method") == method)
-
-    return arm
 
 N_QUERY_VECTORS = 3  # vec_id 0..2 act as the query set
 TOP_K = 5

@@ -25,7 +25,11 @@ from sentinela_py_spark.functions.text_stats import (
     winnow_fingerprint,
     word_shingles,
 )
-from sentinela_py_spark.plans.registry import register, register_arms
+from sentinela_py_spark.plans.registry import (
+    method_arm as _method_arm,
+    register,
+    register_arms,
+)
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
@@ -864,20 +868,6 @@ register_arms(
     bigram=_arm_on_documents(_qr_bigram),
     charlm=_arm_on_documents(_qr_charlm),
 )
-
-
-def _method_arm(qname: str, method: str):
-    """Arm = the registered union-shaped query filtered to one method tag;
-    the literal-vs-literal filter folds the other union branches away
-    (verified in tests/test_plan_quality.py), so the timing covers only
-    this arm's subtree."""
-
-    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sentinela_py_spark.plans.registry import QUERIES
-
-        return QUERIES[qname].spark(spark, sf_dir).filter(F.col("method") == method)
-
-    return arm
 
 
 register_arms(
