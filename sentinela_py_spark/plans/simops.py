@@ -146,6 +146,72 @@ def make_planes(n_planes: int, dim: int = EMB_DIM, table: int = 0) -> list[list[
 
 PLANES = make_planes(N_PLANES)
 
+NEARDUP_COS = 0.4
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class LshSizing:
+    """Output of ``plan_lsh_config`` — a concrete hyperplane-LSH deployment."""
+
+    n_planes: int  # P: sign bits per table → 2^P buckets
+    n_tables: int  # T: independent OR-ed tables
+    n_buckets: int  # 2^P
+    expected_occupancy: float  # n / 2^P
+    per_table_recall: float  # q: P(multi-probe collision in ONE table) at the threshold
+    recall: float  # 1 − (1 − q)^T
+
+
+def plan_lsh_config(
+    n_vectors: int,
+    target_bucket_size: int,
+    cos_threshold: float = NEARDUP_COS,
+    recall_target: float = 0.9,
+    max_tables: int = 64,
+) -> LshSizing:
+    """Compute the RIGHT (n_planes, n_tables) for a corpus instead of the
+    16-bucket registry demo constants — the occupancy math documented at
+    ``N_PLANES``, closed-form:
+
+    - **Occupancy** fixes the plane count: uniform-ish embeddings give
+      expected bucket size n/2^P and candidate work Σ occ² ≈ n²/2^P, so
+      ``P = ceil(log2(n / target_bucket_size))`` bounds per-bucket work at
+      the target (the hot-bucket cap handles the adversarial tail).
+    - **Recall** then fixes the table count: each plane collides for a
+      pair at angle θ with p = 1 − θ/π (Goemans–Williamson), and
+      multi-probe Hamming ≤ 1 accepts ≤1 differing bit, so one table
+      catches q = p^P + P·p^(P−1)(1−p). Raising P to keep buckets small
+      crushes q; OR-ing T independent tables recovers
+      1 − (1 − q)^T ≥ recall_target with
+      ``T = ceil(log(1 − recall_target) / log(1 − q))``.
+
+    Recall here is CANDIDATE-GENERATION recall at exactly
+    ``cos_threshold`` (the worst pair the deployment promises to find —
+    closer pairs collide strictly more often); precision is always 1.0
+    because survivors are scored with true cosine. Feed ``n_planes`` /
+    ``n_tables`` to ``make_planes`` / ``embedding_neardup_multitable``.
+    Verified against a 10⁵-row corpus in tests/test_stress_scale.py."""
+    import math
+
+    n_planes = max(1, math.ceil(math.log2(max(n_vectors / max(target_bucket_size, 1), 2.0))))
+    p = 1.0 - math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+    q = p**n_planes + n_planes * p ** (n_planes - 1) * (1.0 - p)
+    if q >= 1.0:
+        n_tables = 1
+    else:
+        n_tables = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - q)))
+    n_tables = min(n_tables, max_tables)
+    return LshSizing(
+        n_planes=n_planes,
+        n_tables=n_tables,
+        n_buckets=2**n_planes,
+        expected_occupancy=n_vectors / 2**n_planes,
+        per_table_recall=q,
+        recall=1.0 - (1.0 - q) ** n_tables,
+    )
+
 
 def _signed_dot(vec: Column, plane: list[int]) -> Column:
     lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -184,7 +250,6 @@ def _bucket_sql(vec: str) -> str:
     return f"({terms})"
 
 
-NEARDUP_COS = 0.4
 # Multi-probe set: own bucket + every single-bit flip (Hamming distance <= 1
 # over the N_PLANES sign bits). For a fixed candidate the probe values are
 # distinct, so a pair can match on at most one probe — no dedup shuffle needed.
@@ -196,6 +261,7 @@ def embedding_neardup_multitable(
     n_planes: int,
     n_tables: int,
     threshold: float = NEARDUP_COS,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """OR over ``n_tables`` independent LSH tables: a pair is a candidate
     if it collides (multi-probe Hamming ≤ 1) in ANY table, recovering
@@ -205,7 +271,7 @@ def embedding_neardup_multitable(
     cached bucketed projection and T multiplies candidate work, not the
     pair space — the classic recall/cost dial."""
     per_table = [
-        embedding_neardup_pairs(e, make_planes(n_planes, table=t), threshold)
+        embedding_neardup_pairs(e, make_planes(n_planes, dim=dim, table=t), threshold)
         for t in range(n_tables)
     ]
     out = per_table[0]

@@ -204,6 +204,80 @@ def test_multitable_lsh_amplifies_recall(spark):
     assert len(multi & exact) / len(exact) >= 0.40  # ~3x the 1-table floor
 
 
+def test_occupancy_sized_lsh_holds_recall_at_1e5_rows(spark):
+    """`plan_lsh_config` computes (n_planes, n_tables) from corpus size +
+    target occupancy + recall target instead of the registry demo
+    constants — prove the computed config on a 10⁵-row synthetic corpus:
+
+    - the sizing math lands where the docstring promises (11 planes /
+      2048 buckets / 4 tables for n=10⁵, occupancy 64, recall 0.9 at
+      cos 0.9; 20 planes for the documented n=10¹⁰ deployment example);
+    - MEASURED mean bucket occupancy matches the n/2^P prediction;
+    - MEASURED candidate-generation recall on planted near-dup pairs at
+      the threshold clears the recall target (collision ⇔ some table's
+      bucket codes differ in ≤1 bit — exactly the multi-probe criterion
+      the pair join uses, so pair recall = this collision rate; the
+      cosine refine has precision 1.0 and removes nothing true).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sentinela_py_spark.plans.simops import lsh_bucket, make_planes, plan_lsh_config
+
+    cfg = plan_lsh_config(100_000, target_bucket_size=64, cos_threshold=0.9, recall_target=0.9)
+    assert (cfg.n_planes, cfg.n_buckets, cfg.n_tables) == (11, 2048, 4)
+    assert cfg.recall >= 0.9
+    assert plan_lsh_config(10_000_000_000, 10_000).n_planes == 20  # docstring example
+
+    rng = np.random.RandomState(7)
+    n, dim, n_seed = 100_000, 16, 400
+    base = rng.normal(size=(n, dim))
+    dups = base[:n_seed] + 0.45 * rng.normal(size=(n_seed, dim))
+    cos = (base[:n_seed] * dups).sum(1) / (
+        np.linalg.norm(base[:n_seed], axis=1) * np.linalg.norm(dups, axis=1)
+    )
+    # ground truth: the planted pairs actually at/above the threshold
+    planted = [(int(i), int(n + i)) for i in range(n_seed) if cos[i] >= 0.9]
+    assert len(planted) > 200  # enough mass for a tight recall estimate
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(n), np.arange(n, n + n_seed)]),
+            "embedding": [r.tolist() for r in np.vstack([base, dups])],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    cols = [
+        lsh_bucket(F.col("embedding"), make_planes(cfg.n_planes, dim=dim, table=t)).alias(f"b{t}")
+        for t in range(cfg.n_tables)
+    ]
+    buckets = df.select("vec_id", *cols).cache()
+
+    sizes = [r["count"] for r in buckets.groupBy("b0").count().collect()]
+    mean_occ = sum(sizes) / len(sizes)
+    assert cfg.expected_occupancy / 2 <= mean_occ <= cfg.expected_occupancy * 2
+
+    pp = spark.createDataFrame(planted, "a long, b long")
+    ba = buckets.select(
+        F.col("vec_id").alias("a"),
+        *[F.col(f"b{t}").alias(f"ba{t}") for t in range(cfg.n_tables)],
+    )
+    bb = buckets.select(
+        F.col("vec_id").alias("b"),
+        *[F.col(f"b{t}").alias(f"bb{t}") for t in range(cfg.n_tables)],
+    )
+    hit = (
+        sum(
+            (F.bit_count(F.col(f"ba{t}").bitwiseXOR(F.col(f"bb{t}"))) <= 1).cast("int")
+            for t in range(cfg.n_tables)
+        )
+        > 0
+    )
+    hits = pp.join(ba, "a").join(bb, "b").select(hit.cast("int").alias("h")).agg(F.sum("h")).first()[0]
+    buckets.unpersist()
+    assert hits / len(planted) >= 0.9  # the recall target, measured
+
+
 def test_connected_components_collapse_dup_groups(spark, skewed_corpus):
     """Pairs → groups at 10×: every 10-copy group must land in ONE
     component (identical docs share all bands, so the pair edges always
