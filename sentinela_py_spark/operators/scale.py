@@ -79,6 +79,7 @@ def cap_buckets(
     bucket_cols: list[str],
     cap: int,
     order_cols: list[str] | None = None,
+    rebalance: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Bound every ``bucket_cols`` group to at most ``cap`` rows — the
     skew guard for LSH band/bucket SELF-joins, where one degenerate
@@ -116,6 +117,20 @@ def cap_buckets(
         "__rn", F.row_number().over(w.orderBy(F.xxhash64(*order_cols), *order_cols))
     ).withColumn("__sz", F.count("*").over(w))
     kept = ranked.filter(F.col("__rn") <= cap).drop("__rn", "__sz")
+    # The window leaves `kept` hash-partitioned BY BUCKET, and AQE sizes
+    # partitions by BYTES — with a small bucket-key space (16-bucket demo
+    # configs, a few hot bands) or a byte-small capped frame it coalesces
+    # the exchange down to one/few partitions, so the CPU-dense candidate
+    # join every caller builds on top (higher-order-function cosine /
+    # per-pair scoring — cost ∝ pairs, not bytes) runs near-single-task:
+    # measured 5-7× on q_embedding_neardup at sf0.1. The explicit
+    # round-robin repartition is exempt from AQE coalescing and restores
+    # even parallelism. Pass ``rebalance=False`` for deployments whose
+    # capped frame has a wide key space AND feeds a join aligned with the
+    # bucket partitioning (the SMJ then reuses the window's exchange,
+    # which the rebalance would otherwise discard).
+    if rebalance:
+        kept = kept.repartition(df.sparkSession.sparkContext.defaultParallelism)
     audit = (
         ranked.filter(F.col("__sz") > cap)
         .groupBy(*bucket_cols)
