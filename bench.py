@@ -18,6 +18,14 @@ comparison honest (r3 judge findings):
   within the session (JVM heap state, GC pressure from earlier queries)
   shows up as calibration spread, separating session variance from plan
   regression.
+
+Round-4 adjudication of the r3 watch-items (measured with this harness,
+sf0.1, min-of-3):
+- q_price_percentiles: 1.34 s vs r1 1.094 s → 1.22×, UNDER the 2× gate;
+  the exact arm alone (0.86 s) is FASTER than r1's whole query — the r3
+  2.04× was the added histogram arm plus ambient variance, confirmed.
+- q_simhash_pairs: 2.07 s vs r1 1.828 s → 1.13× — the r3 1.79× was
+  ambient (plan untouched since r2), confirmed; no rework needed.
 """
 
 from __future__ import annotations
