@@ -285,6 +285,7 @@ def embedding_neardup_pairs(
     planes: list[list[int]] | None = None,
     threshold: float = NEARDUP_COS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs for an arbitrary plane count
     — the parameterized core of ``q_embedding_neardup`` (which pins
@@ -295,8 +296,23 @@ def embedding_neardup_pairs(
 
     ``max_bucket_size`` arms the hot-bucket guard (see
     ``embedding_neardup_pairs_with_audit`` for the audit frame)."""
-    pairs, _ = embedding_neardup_pairs_with_audit(e, planes, threshold, max_bucket_size)
+    pairs, _ = embedding_neardup_pairs_with_audit(
+        e, planes, threshold, max_bucket_size, bucketed
+    )
     return pairs
+
+
+def bucketed_embeddings(e: DataFrame, planes: list[list[int]] | None = None) -> DataFrame:
+    """(vec_id, embedding, bucket, norm): the shared LSH projection every
+    bucket join builds on — hoist + checkpoint it when several arms
+    consume it."""
+    planes = PLANES if planes is None else planes
+    return e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    )
 
 
 def embedding_neardup_pairs_with_audit(
@@ -304,6 +320,7 @@ def embedding_neardup_pairs_with_audit(
     planes: list[list[int]] | None = None,
     threshold: float = NEARDUP_COS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bucketed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """``embedding_neardup_pairs`` plus the overflow audit.
 
@@ -314,17 +331,16 @@ def embedding_neardup_pairs_with_audit(
     one task (its own b probes × b residents, plus Hamming-1 neighbours);
     capping bounds that at cap² × (n_planes + 2). The audit frame (None
     when uncapped) lists every truncated bucket with its size and drop
-    count so the recall loss is never silent."""
+    count so the recall loss is never silent.
+
+    ``bucketed`` (a `bucketed_embeddings` frame) skips the projection —
+    pass it when the caller shares one materialized projection across
+    several consumers."""
     from sentinela_py_spark.operators.scale import cap_buckets
 
     planes = PLANES if planes is None else planes
     xors = probe_xors(len(planes))
-    e = e.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
-    )
+    e = bucketed_embeddings(e, planes) if bucketed is None else bucketed
     audit = None
     if max_bucket_size is not None:
         e, audit = cap_buckets(e, ["bucket"], max_bucket_size, ["vec_id"])
@@ -349,6 +365,55 @@ def embedding_neardup_pairs_with_audit(
     return pairs, audit
 
 
+def embedding_cross_corpus_candidates(
+    probe_b: DataFrame,
+    store_b: DataFrame,
+    planes_count: int = N_PLANES,
+    threshold: float = NEARDUP_COS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Batch twin of the streaming embedding-index probe
+    (streaming/pipeline.py embedding_dedup_batch_against_corpus step 3):
+    new-batch vectors multi-probe (Hamming ≤ 1) the bucket-keyed accepted
+    index, candidates are confirmed with TRUE cosine, and each matched
+    probe reports its lowest-id confirmed corpus match.
+
+    Inputs are `bucketed_embeddings` frames. Unlike the MinHash probe the
+    store cannot be pre-aggregated to a min id — every candidate needs a
+    cosine against the stored VECTOR — so BOTH sides are hot-bucket
+    capped (cap², never b², per probe key; cf. the streaming twin's
+    overflow accounting). Output: (vec_a = probe id, vec_b = min
+    confirmed corpus id, cos_sim_r = that match's cosine)."""
+    from sentinela_py_spark.operators.scale import cap_buckets
+
+    if max_bucket_size is not None:
+        store_b, _ = cap_buckets(store_b, ["bucket"], max_bucket_size, ["vec_id"])
+        probe_b, _ = cap_buckets(probe_b, ["bucket"], max_bucket_size, ["vec_id"])
+    xors = probe_xors(planes_count)
+    probes = probe_b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in xors])
+        ).alias("probe"),
+    )
+    store = store_b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("probe"),
+    )
+    cos = F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        probes.join(store, "probe")
+        .select("vec_a", "vec_b", cos.alias("cos_sim_r"))
+        .filter(F.col("cos_sim_r") >= threshold)
+        .groupBy("vec_a")
+        .agg(
+            F.min("vec_b").alias("vec_b"),
+            F.min_by("cos_sim_r", "vec_b").alias("cos_sim_r"),
+        )
+    )
+
+
 def exact_neardup_pairs(e: DataFrame) -> DataFrame:
     """Exact O(n²/2) cosine near-dup pairs — the small-sf validation twin
     the LSH recall test compares against (NOT registered: quadratic in the
@@ -364,6 +429,12 @@ def exact_neardup_pairs(e: DataFrame) -> DataFrame:
         .filter(F.col("cos_sim_r") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# Deterministic ~50/50 corpus/probe split for the corpus_probe arm —
+# same idiom as q_minhash_pairs' (first md5 hex char of the stringified
+# id; '<8' → the "accepted index" half).
+_VEC_SPLIT_SQL = "substr(md5(CAST({v} AS VARCHAR)), 1, 1) < '8'"
 
 
 @register(
@@ -384,14 +455,31 @@ def exact_neardup_pairs(e: DataFrame) -> DataFrame:
                / (a.norm * b.norm), 6) AS cos_sim_r
       FROM bucketed a JOIN probed b
         ON a.bucket = b.probe AND a.vec_id < b.vec_id
+    ),
+    probe_cand AS (
+      SELECT p.vec_id AS vec_a, s.vec_id AS vec_b,
+             ROUND({_DOT_SQL.format(a='p.embedding', b='s.embedding')}
+               / (p.norm * s.norm), 6) AS cos_sim_r
+      FROM probed p JOIN bucketed s ON s.bucket = p.probe
+      WHERE NOT ({_VEC_SPLIT_SQL.format(v='p.vec_id')})
+        AND {_VEC_SPLIT_SQL.format(v='s.vec_id')}
+    ),
+    probe_hits AS (
+      SELECT vec_a, MIN(vec_b) AS vec_b, arg_min(cos_sim_r, vec_b) AS cos_sim_r
+      FROM probe_cand WHERE cos_sim_r >= {NEARDUP_COS}
+      GROUP BY vec_a
     )
-    SELECT vec_a, vec_b, cos_sim_r
+    SELECT 'all_pairs' AS method, vec_a, vec_b, cos_sim_r
     FROM pairs WHERE cos_sim_r >= {NEARDUP_COS}
-    ORDER BY vec_a, vec_b
+    UNION ALL
+    SELECT 'corpus_probe' AS method, vec_a, vec_b, cos_sim_r FROM probe_hits
+    ORDER BY method, vec_a, vec_b
     """,
     survey_ref=(
         "dedup: embedding-cosine near-duplicate pairs via hyperplane-LSH bucket equi-join "
-        "(multi-probe Hamming<=1) — the 100 TB path; exact twin = exact_neardup_pairs (tests)"
+        "(multi-probe Hamming<=1) — the 100 TB path; exact twin = exact_neardup_pairs "
+        "(tests); corpus_probe arm = batch twin of the streaming embedding-index probe "
+        "(streaming/pipeline.py embedding_dedup_batch_against_corpus step 3)"
     ),
     tags=("dedup", "similarity", "sketch"),
 )
@@ -408,9 +496,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     For a fixed candidate the probe values are distinct, so a pair can
     match on at most one probe — candidate generation needs no
-    dedup shuffle. Norms are hoisted out of the pair scoring."""
+    dedup shuffle. Norms are hoisted out of the pair scoring.
+
+    Two arms over ONE materialized bucket projection (lazy
+    localCheckpoint):
+
+    - ``all_pairs``: the within-corpus self-join above;
+    - ``corpus_probe``: dedup-at-ingest as batch algebra — the md5-split
+      'accepted' half is the bucket-keyed index, the rest the incoming
+      batch; each probe multi-probes the index and TRUE cosine confirms
+      (`embedding_cross_corpus_candidates`, the streaming probe's twin)."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    return embedding_neardup_pairs(e, planes=PLANES, threshold=NEARDUP_COS)
+    bucketed = bucketed_embeddings(e, PLANES).localCheckpoint(eager=False)
+    all_pairs = embedding_neardup_pairs(e, planes=PLANES, threshold=NEARDUP_COS, bucketed=bucketed)
+    split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    probe_hits = embedding_cross_corpus_candidates(
+        bucketed.filter(~split), bucketed.filter(split)
+    )
+    return (
+        all_pairs.select(F.lit("all_pairs").alias("method"), "vec_a", "vec_b", "cos_sim_r")
+        .unionByName(
+            probe_hits.select(
+                F.lit("corpus_probe").alias("method"), "vec_a", "vec_b", "cos_sim_r"
+            )
+        )
+        .orderBy("method", "vec_a", "vec_b")
+    )
+
+
+register_arms(
+    "q_embedding_neardup",
+    all_pairs=_method_arm("q_embedding_neardup", "all_pairs"),
+    corpus_probe=_method_arm("q_embedding_neardup", "corpus_probe"),
+)
 
 
 @register(

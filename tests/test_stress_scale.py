@@ -99,7 +99,10 @@ def test_embedding_neardup_lsh_recall(spark):
     _ensure_loaded()
     lsh = {
         (r.vec_a, r.vec_b): r.cos_sim_r
-        for r in QUERIES["q_embedding_neardup"].spark(spark, SF).collect()
+        for r in QUERIES["q_embedding_neardup"]
+        .spark(spark, SF)
+        .filter(F.col("method") == "all_pairs")  # corpus_probe arm is not a pair set
+        .collect()
     }
     exact = {
         (r.vec_a, r.vec_b): r.cos_sim_r
