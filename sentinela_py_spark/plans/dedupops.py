@@ -38,7 +38,9 @@ from sentinela_py_spark.operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     _hash_coeffs,
-    minhash_candidate_pairs,
+    band_candidate_pairs,
+    cross_corpus_candidates,
+    lsh_band_signatures,
     minhash_signatures,
     simhash32,
 )
@@ -160,13 +162,6 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       matched corpus doc and how many band signatures matched. The
       streaming tests keep covering state/replay semantics; this arm
       oracle-checks the join algebra itself."""
-    from sentinela_py_spark.operators.dedup import (
-        band_candidate_pairs,
-        cross_corpus_candidates,
-        lsh_band_signatures,
-        minhash_signatures,
-    )
-
     d = load_table(spark, sf_dir, "documents")
     bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
     pairs, _ = band_candidate_pairs(bands)

@@ -290,6 +290,7 @@ def dedup_batch_against_corpus(
         DEFAULT_MAX_BUCKET_SIZE,
         band_candidate_pairs,
         connected_components,
+        cross_corpus_candidates,
         lsh_band_signatures,
         minhash_signatures,
     )
@@ -323,19 +324,20 @@ def dedup_batch_against_corpus(
     pairs, overflow = band_candidate_pairs(bands, max_bucket_size)
     edges = pairs.select("doc_a", "doc_b")
     members = connected_components(rep_docs.select("doc_id"), edges)
-    # 3. cross-corpus: any shared (band, sig) with the accepted index.
-    # Only min(corpus_doc) per signature matters, so aggregate the store
-    # to ONE row per (band, sig) first — map-side partials shrink the
-    # shuffle and no store-side bucket can concentrate rows in one task.
+    # 3. cross-corpus: any shared (band, sig) with the accepted index —
+    # `cross_corpus_candidates` pre-aggregates the store to one row per
+    # (band, sig) (only min(corpus_doc) matters), so no store-side bucket
+    # can concentrate rows in one task. Same helper as q_minhash_pairs'
+    # corpus_probe arm, so the oracle-checked batch algebra IS the
+    # streaming algebra.
     store = _read_band_store(spark, bands_dir, epoch_id)
     if store is not None:
-        store = (
-            store.groupBy("band", "sig").agg(F.min("doc_id").alias("corpus_doc"))
-        )
         vs_corpus = (
-            bands.join(store, ["band", "sig"])
-            .groupBy("doc_id")
-            .agg(F.min("corpus_doc").alias("matched_doc"))
+            cross_corpus_candidates(bands, store)
+            .select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("doc_b").alias("matched_doc"),
+            )
             .withColumn("reason", F.lit("vs_corpus"))
         )
     else:
@@ -404,6 +406,7 @@ def run_incremental_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    max_bucket_size: int | None = None,
 ):
     """Streaming near-dup REJECTION AT INGEST: every micro-batch of
     documents is MinHash-banded and joined against the accumulated band
@@ -411,13 +414,17 @@ def run_incremental_dedup_stream(
     batch `minhash_candidate_pairs` path, and the shape a training-data
     lake actually runs (dedup the firehose against the corpus, don't
     re-pair the corpus nightly). Batch semantics, replay safety, and the
-    state layout are documented on `dedup_batch_against_corpus`. State
-    size is O(corpus × N_BANDS) fixed-width rows — at 100 TB the band
-    store is a small fraction of the text it indexes, and the join prunes
-    on the band column."""
+    state layout are documented on `dedup_batch_against_corpus`, as is
+    ``max_bucket_size`` (the hot-bucket cap; None → the library default)
+    — deployments tune it per corpus here instead of bypassing the
+    stream driver. State size is O(corpus × N_BANDS) fixed-width rows —
+    at 100 TB the band store is a small fraction of the text it indexes,
+    and the join prunes on the band column."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        dedup_batch_against_corpus(batch, epoch_id, state_dir, id_col, text_col)
+        dedup_batch_against_corpus(
+            batch, epoch_id, state_dir, id_col, text_col, max_bucket_size
+        )
 
     reader = spark.readStream
     if schema is not None:
@@ -445,17 +452,22 @@ def embedding_dedup_batch_against_corpus(
     confirms them (bucket collision alone would false-reject ~1/2^P of all
     random pairs), and only confirmed near-dups are dropped.
 
-    1. bucket the batch's vectors (hyperplane LSH, norms hoisted);
-    2. WITHIN-batch: `embedding_neardup_pairs` edges → connected
-       components — each component's survivor is the min id among members
-       NOT corpus-rejected (re-elected after step 3's verdicts), so every
-       reject's ``matched_vec`` is an accepted row: corpus-matched rows
-       point at their (accepted) corpus match, the rest point at the
-       surviving representative;
-    3. CROSS-corpus: batch multi-probes (Hamming ≤ 1) equi-join the
+    1. collapse EXACT copies on the embedding value itself (array
+       equality — no hash collisions; min-id window over a uniform id
+       space) and bucket only the representatives: an identical-vector
+       flood is handled EXACTLY at any copy count, and the hot-bucket cap
+       below only ever affects near-identical tails;
+    2. WITHIN-batch: `embedding_neardup_pairs` edges over the
+       representatives → connected components — each component's survivor
+       is the min id among members NOT corpus-rejected (re-elected after
+       step 3's verdicts), so every reject's ``matched_vec`` is an
+       accepted row: corpus-matched rows point at their (accepted) corpus
+       match, the rest point at the surviving representative;
+    3. CROSS-corpus: representatives multi-probe (Hamming ≤ 1) the
        persistent BUCKET-KEYED index of accepted vectors; candidates are
        cosine-scored against the stored embedding and rejected at ≥
-       threshold — cost ∝ bucket collisions, never |batch| × |corpus|;
+       threshold — cost ∝ bucket collisions, never |batch| × |corpus|.
+       Exact copies then follow their representative's verdict;
     4. survivors append (vec_id, bucket, norm, embedding) to
        ``index/epoch=N``; accepted/rejected rows land beside it. All
        writes are epoch-keyed overwrites and the index read EXCLUDES the
@@ -467,20 +479,20 @@ def embedding_dedup_batch_against_corpus(
     not a min), so both join sides are hot-bucket-capped at
     ``max_bucket_size`` — the store per bucket and the batch's probe
     frame per bucket — bounding any one probe key's task output at cap².
-    Truncated buckets from either side land in ``overflow/epoch=N`` with
-    a ``side`` column (explicit, never-silent accounting); a batch vector
-    dropped from the probe frame skips corpus screening for that bucket
-    (documented recall trade — it remains subject to within-batch
-    screening and to future batches probing against its index entry)."""
+    EVERY truncation — the within-batch self-join cap's (step 2) and both
+    probe-side caps' (step 3) — lands in ``overflow/epoch=N`` with a
+    ``side`` column (explicit, never-silent accounting); a capped vector
+    skips that screen for that bucket (documented recall trade — exact
+    copies are immune via step 1, and a capped batch vector remains
+    subject to future batches probing against its index entry)."""
     from sentinela_py_spark.operators.dedup import connected_components
     from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE, cap_buckets
     from sentinela_py_spark.plans.simops import (
         NEARDUP_COS,
         PROBE_XORS,
+        bucketed_embeddings,
         dot_product,
-        embedding_neardup_pairs,
-        l2_norm_sq,
-        lsh_bucket,
+        embedding_neardup_pairs_with_audit,
     )
 
     threshold = NEARDUP_COS if threshold is None else threshold
@@ -495,36 +507,45 @@ def embedding_dedup_batch_against_corpus(
         .dropDuplicates(["vec_id"])
         .localCheckpoint(eager=True)
     )
-    bucketed = b.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
-    ).localCheckpoint(eager=True)
-
-    # 2. within-batch: cosine-confirmed LSH pairs → min-label components.
-    # Representative election is DEFERRED until the corpus verdicts are
-    # known (step 3): electing min(id) here would let a representative
-    # that is itself corpus-rejected strand its members pointing at a
-    # rejected row.
-    edges = embedding_neardup_pairs(b, threshold=threshold, max_bucket_size=max_bucket_size).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    # 1. exact-copy collapse (bitwise array equality — no hash collisions)
+    rep_of = (
+        b.withColumn("rep", F.min("vec_id").over(Window.partitionBy("embedding")))
+        .select("vec_id", "rep")
+        .localCheckpoint(eager=True)
     )
-    comp = connected_components(b.select(F.col("vec_id").alias("doc_id")), edges)
+    rep_vecs = b.join(
+        rep_of.filter(F.col("vec_id") == F.col("rep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    bucketed = bucketed_embeddings(rep_vecs).localCheckpoint(eager=True)
+
+    # 2. within-batch (representatives only): cosine-confirmed LSH pairs →
+    # min-label components. Representative election is DEFERRED until the
+    # corpus verdicts are known (step 3): electing min(id) here would let
+    # a representative that is itself corpus-rejected strand its members
+    # pointing at a rejected row. The self-join cap's truncations feed
+    # the overflow audit below.
+    pairs, within_overflow = embedding_neardup_pairs_with_audit(
+        rep_vecs, threshold=threshold, max_bucket_size=max_bucket_size, bucketed=bucketed
+    )
+    edges = pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = connected_components(rep_vecs.select(F.col("vec_id").alias("doc_id")), edges)
     members = comp.select(F.col("doc_id").alias("vec_id"), "group_id")
 
     # 3. cross-corpus: multi-probe into the bucket-keyed accepted index,
     # then exact cosine on the candidates only. Both sides are capped per
     # bucket first so no hot probe key can concentrate cap-unbounded work
     # in one task; truncations are collected for the overflow audit.
-    overflow_parts = []
+    overflow_parts = (
+        [] if within_overflow is None
+        else [within_overflow.withColumn("side", F.lit("within_batch"))]
+    )
     store = _read_band_store(spark, index_dir, epoch_id)
     if store is not None:
         store, store_overflow = cap_buckets(store, ["bucket"], max_bucket_size, ["vec_id"])
         probe_base, batch_overflow = cap_buckets(
             bucketed, ["bucket"], max_bucket_size, ["vec_id"]
         )
-        overflow_parts = [
+        overflow_parts += [
             store_overflow.withColumn("side", F.lit("store")),
             batch_overflow.withColumn("side", F.lit("batch")),
         ]
@@ -565,16 +586,40 @@ def embedding_dedup_batch_against_corpus(
         if vs_corpus is not None
         else members
     )
-    reps = alive.groupBy("group_id").agg(F.min("vec_id").alias("rep"))
+    survivors = alive.groupBy("group_id").agg(F.min("vec_id").alias("survivor"))
     in_batch = (
-        alive.join(reps, "group_id")
-        .filter(F.col("vec_id") != F.col("rep"))
-        .select("vec_id", F.col("rep").alias("matched_vec"))
+        alive.join(survivors, "group_id")
+        .filter(F.col("vec_id") != F.col("survivor"))
+        .select("vec_id", F.col("survivor").alias("matched_vec"))
         .withColumn("reason", F.lit("within_batch"))
     )
-    rejects = vs_corpus.unionByName(in_batch) if vs_corpus is not None else in_batch
+    rep_rejects = vs_corpus.unionByName(in_batch) if vs_corpus is not None else in_batch
+    # Exact copies follow their representative's verdict (step 1): rep
+    # accepted → the copy rejects pointing at the rep; rep rejected → the
+    # copy inherits the rep's matched_vec and reason (both accepted rows
+    # by construction).
+    copy_rejects = (
+        rep_of.filter(F.col("vec_id") != F.col("rep"))
+        .join(
+            rep_rejects.select(
+                F.col("vec_id").alias("rep"),
+                F.col("matched_vec").alias("rep_match"),
+                F.col("reason").alias("rep_reason"),
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("rep_match", F.col("rep")).alias("matched_vec"),
+            F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
+        )
+    )
+    rejects = rep_rejects.unionByName(copy_rejects)
     if overflow_parts:
-        overflow = overflow_parts[0].unionByName(overflow_parts[1])
+        overflow = overflow_parts[0]
+        for part in overflow_parts[1:]:
+            overflow = overflow.unionByName(part)
         overflow.write.mode("overwrite").parquet(
             os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
         )
@@ -603,21 +648,24 @@ def run_embedding_dedup_stream(
     vec_col: str = "embedding",
     threshold: float | None = None,
     max_files_per_trigger: int = 1,
+    max_bucket_size: int | None = None,
 ):
     """Streaming embedding near-dup rejection at ingest: every micro-batch
     is LSH-bucketed, cosine-confirmed within the batch and against the
     bucket-keyed index of everything already accepted — the streaming twin
     of `q_embedding_neardup`, and the shape an embedding lake runs (screen
     the firehose against the corpus; never re-pair the corpus). Semantics,
-    replay safety and state layout are on
-    `embedding_dedup_batch_against_corpus`. State is O(corpus) index rows
-    partitioned by epoch and pruned by the bucket join; at 100 TB the
-    index holds vectors only for the probe's matching bucket, not the
-    corpus scan."""
+    replay safety, state layout, and ``max_bucket_size`` (the hot-bucket
+    cap; None → the library default) are on
+    `embedding_dedup_batch_against_corpus` — deployments tune the cap per
+    corpus here instead of bypassing the stream driver. State is O(corpus)
+    index rows partitioned by epoch and pruned by the bucket join; at
+    100 TB the index holds vectors only for the probe's matching bucket,
+    not the corpus scan."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         embedding_dedup_batch_against_corpus(
-            batch, epoch_id, state_dir, id_col, vec_col, threshold
+            batch, epoch_id, state_dir, id_col, vec_col, threshold, max_bucket_size
         )
 
     reader = spark.readStream

@@ -148,3 +148,31 @@ def test_sequence_packing_partitions_by_shard(spark):
     plan = _plan(spark, "q_sequence_packing")
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_method_arm_filter_folds_other_union_branches(spark):
+    """The per-arm bench callables (plans.registry.method_arm) time ONE
+    arm of a union-shaped query by filtering on the literal method tag —
+    which only measures that arm's subtree if Catalyst folds the
+    lit == lit comparison and prunes the other union branches to empty
+    relations. Pin that: each armed plan must scan strictly fewer parquet
+    files than the full query, and the single-arm scan counts must sum to
+    (at least) the full query's. If this ever fails, arm timings would
+    silently measure both subtrees and the cross-round per-arm comparison
+    breaks."""
+    from sentinela_py_spark.plans.registry import ARMS
+
+    # (q_minhash_pairs / q_embedding_neardup are excluded: their shared
+    # lazy localCheckpoint replaces FileScans with an RDD scan, so scan
+    # counts can't witness the fold there)
+    for qname in ("q_quantized_refine_topk", "q_ann_ivf_topk"):
+        full = QUERIES[qname].spark(spark, SF)
+        n_full = full._jdf.queryExecution().executedPlan().toString().count("FileScan")
+        arm_counts = []
+        for arm_fn in ARMS[qname].values():
+            armed = arm_fn(spark, SF)
+            arm_counts.append(
+                armed._jdf.queryExecution().executedPlan().toString().count("FileScan")
+            )
+        assert all(0 < c < n_full for c in arm_counts), (qname, arm_counts, n_full)
+        assert sum(arm_counts) >= n_full, (qname, arm_counts, n_full)

@@ -185,3 +185,48 @@ def test_embedding_stream_reelects_survivor_when_rep_is_corpus_rejected(spark, t
     assert [r["vec_id"] for r in accepted.collect()] == [2]
     rej = {r["vec_id"]: (r["matched_vec"], r["reason"]) for r in rejected.collect()}
     assert rej == {1: (100, "vs_corpus")}
+
+
+def test_embedding_stream_identical_vector_flood_handled_exactly(spark, tmp_path):
+    """r4 review finding: before the exact-copy collapse, an
+    identical-VECTOR flood wider than the cap left every copy past the
+    cap as a singleton component — silently ACCEPTED into the index, with
+    no overflow row recording the loss. Now the collapse (bitwise array
+    equality) eats the flood exactly: one survivor, every copy rejected
+    pointing at it, zero overflow (the capped joins only ever see one
+    representative). A later flood of the same vector rejects vs_corpus,
+    all copies inheriting their representative's verdict."""
+    from sentinela_py_spark.plans.simops import EMB_DIM
+    from sentinela_py_spark.streaming.pipeline import embedding_dedup_batch_against_corpus
+
+    hot = [1.0, 2.0] + [0.0] * (EMB_DIM - 2)
+    state = str(tmp_path / "state")
+    flood = [(i, hot) for i in range(300)]
+    distinct = [
+        (1000 + i, [0.0] * i + [1.0] + [0.0] * (EMB_DIM - 1 - i)) for i in range(5)
+    ]
+    b0 = spark.createDataFrame(flood + distinct, "vec_id long, embedding array<double>")
+    embedding_dedup_batch_against_corpus(b0, 0, state, threshold=0.9, max_bucket_size=16)
+
+    accepted = spark.read.parquet(os.path.join(state, "accepted", "epoch=0"))
+    rejected = spark.read.parquet(os.path.join(state, "rejected", "epoch=0"))
+    assert sorted(r["vec_id"] for r in accepted.collect()) == [0, 1000, 1001, 1002, 1003, 1004]
+    rej = {r["vec_id"]: (r["matched_vec"], r["reason"]) for r in rejected.collect()}
+    assert set(rej) == set(range(1, 300))
+    assert all(v == (0, "within_batch") for v in rej.values())
+    overflow = spark.read.parquet(os.path.join(state, "overflow", "epoch=0"))
+    assert overflow.count() == 0  # collapse ate the flood; cap never bit
+    index = spark.read.parquet(os.path.join(state, "index", "epoch=0"))
+    assert index.count() == 6  # survivors only — no silent flood acceptance
+
+    b1 = spark.createDataFrame(
+        [(2000 + i, hot) for i in range(100)], "vec_id long, embedding array<double>"
+    )
+    embedding_dedup_batch_against_corpus(b1, 1, state, threshold=0.9, max_bucket_size=16)
+    rej1 = {
+        r["vec_id"]: (r["matched_vec"], r["reason"])
+        for r in spark.read.parquet(os.path.join(state, "rejected", "epoch=1")).collect()
+    }
+    assert set(rej1) == {2000 + i for i in range(100)}
+    assert all(v == (0, "vs_corpus") for v in rej1.values())
+    assert spark.read.parquet(os.path.join(state, "accepted", "epoch=1")).count() == 0

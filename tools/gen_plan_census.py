@@ -45,8 +45,9 @@ CENSUS_NODES = (
 )
 
 # Formatted-explain detail entries look like "(7) Exchange [codegen id : 3]"
-# — capture the node name after the index.
-_NODE_RE = re.compile(r"^\(\d+\)\s+([A-Za-z][A-Za-z0-9 ]*?)(?:\s+\[codegen id.*)?$")
+# or "(14) ReusedExchange [Reuses operator id: 7]" — capture the node
+# name after the index, tolerating ANY bracketed suffix.
+_NODE_RE = re.compile(r"^\(\d+\)\s+([A-Za-z][A-Za-z0-9 ]*?)(?:\s+\[.*)?$")
 
 
 def formatted_plan(df) -> str:
