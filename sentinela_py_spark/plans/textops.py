@@ -437,34 +437,94 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(bloom_arm).orderBy("method", "doc_id")
 
 
+# Count-Min sketch geometry: CMS_D md5-seeded hash rows × CMS_W counters.
+# Fixed memory (CMS_D × CMS_W longs per group key) at ANY corpus size —
+# the heavy-hitter-counting member of the sketch family (HLL = distinct,
+# histogram = percentiles, Bloom = membership, CMS = frequency). Estimate
+# = min over rows of the probed counter; always ≥ the true count, with
+# overestimate ≤ 2·N/CMS_W at probability 1 − 2^−CMS_D (Cormode &
+# Muthukrishnan '05).
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_bucket_spark(tok, r: int):
+    """Row-r counter index of a token: md5-derived 32-bit int mod CMS_W —
+    integer-exact and engine-independent (DuckDB twin below)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(tok, F.lit(f"#{r}"))), 1, 8), 16, 10).cast("long")
+        % CMS_W
+    )
+
+
+def _cms_bucket_sql(tok: str, r: str) -> str:
+    return f"(('0x' || substr(md5({tok} || '#' || {r}), 1, 8))::BIGINT % {CMS_W})"
+
+
 @register(
     "q_top_token_per_lang",
-    oracle="""
-    SELECT lang, tok AS top_token, n
-    FROM (
-      SELECT lang, tok, COUNT(*) AS n,
-             ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY COUNT(*) DESC, tok) AS rn
-      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY lang, tok
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exact AS (
+      SELECT lang, tok AS top_token, n
+      FROM (
+        SELECT lang, tok, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM toks GROUP BY lang, tok
+      )
+      WHERE rn = 1
+    ),
+    rows_r AS (SELECT UNNEST(generate_series(0, {CMS_D - 1})) AS r),
+    sketch AS (
+      SELECT lang, r, {_cms_bucket_sql('tok', 'r')} AS bucket, COUNT(*) AS c
+      FROM toks CROSS JOIN rows_r
+      GROUP BY lang, r, bucket
+    ),
+    probe AS (
+      SELECT e.lang, e.top_token, rr.r,
+             {_cms_bucket_sql('e.top_token', 'rr.r')} AS bucket
+      FROM exact e CROSS JOIN rows_r rr
+    ),
+    cms AS (
+      SELECT p.lang, p.top_token, MIN(s.c) AS n
+      FROM probe p JOIN sketch s USING (lang, r, bucket)
+      GROUP BY p.lang, p.top_token
     )
-    WHERE rn = 1
-    ORDER BY lang
+    SELECT 'exact' AS method, lang, top_token, n FROM exact
+    UNION ALL
+    SELECT 'cms' AS method, lang, top_token, n FROM cms
+    ORDER BY method, lang
     """,
-    survey_ref="U1-family grouped-map: applyInPandas per-group computation (text analysis)",
-    tags=("text", "pandas-udf"),
+    survey_ref=(
+        "U1-family grouped-map: applyInPandas per-group computation (text analysis) — "
+        "exact arm; cms arm = Count-Min sketch frequency estimate (fixed "
+        f"{CMS_D}×{CMS_W}-counter state per language at any corpus size, the "
+        "heavy-hitter member of the sketch family beside HLL/histogram/Bloom)"
+    ),
+    tags=("text", "pandas-udf", "sketch"),
 )
 def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most frequent token per language via grouped-map ``applyInPandas``:
-    each language's documents arrive as ONE pandas DataFrame (Arrow), the
-    modal token is found vectorized, ties broken lexicographically so the
-    result is deterministic and hash-matches the SQL window oracle.
+    """Most frequent token per language, two arms:
 
-    Scale note: groupBy(lang).applyInPandas shuffles each group to a
-    single task — right when per-group state must be whole (mode, model
-    fit); for merely-associative stats the built-in agg (the oracle's
-    shape) stays preferable. Both shapes are exposed; this query proves
-    the grouped-map path end-to-end."""
+    - ``exact``: grouped-map ``applyInPandas`` — each language's documents
+      arrive as ONE pandas DataFrame (Arrow), the modal token is found
+      vectorized, ties broken lexicographically so the result is
+      deterministic and hash-matches the SQL window oracle. Scale note:
+      groupBy(lang).applyInPandas shuffles each group to a single task —
+      right when per-group state must be whole (mode, model fit); for
+      merely-associative stats the built-in agg stays preferable. Both
+      shapes are exposed; this arm proves the grouped-map path end-to-end.
+    - ``cms``: the same winners' counts re-estimated from a Count-Min
+      sketch (CMS_D md5-hash rows × CMS_W counters per language — fixed
+      memory at ANY corpus size, map-side partial counts). The estimate is
+      min over rows of the probed counter, always ≥ the exact n; the
+      oracle rebuilds the sketch counter-for-counter, so the approximation
+      itself is value-hash-checked. At 100 TB the sketch (not the exact
+      token→count table) is what survives: 8 KB per language versus one
+      row per distinct token."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
@@ -479,12 +539,64 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"lang": [pdf["lang"].iloc[0]], "top_token": [best_tok], "n": [int(best_n)]}
         )
 
-    return (
+    exact = (
         d.select("lang", "text")
         .groupBy("lang")
         .applyInPandas(top_token, "lang string, top_token string, n long")
-        .orderBy("lang")
     )
+
+    toks = ensure_min_partitions(d).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    entries = toks.select(
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket_spark(F.col("tok"), r).alias("bucket")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    )
+    sketch = entries.groupBy(
+        "lang", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    probe = exact.select(
+        "lang",
+        "top_token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket_spark(F.col("top_token"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("lang", "top_token", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    cms = (
+        F.broadcast(probe)
+        .join(sketch, ["lang", "r", "bucket"])
+        .groupBy("lang", "top_token")
+        .agg(F.min("c").alias("n"))
+    )
+    return (
+        exact.select(F.lit("exact").alias("method"), "lang", "top_token", "n")
+        .unionByName(cms.select(F.lit("cms").alias("method"), "lang", "top_token", "n"))
+        .orderBy("method", "lang")
+    )
+
+
+register_arms(
+    "q_top_token_per_lang",
+    exact=_method_arm("q_top_token_per_lang", "exact"),
+    cms=_method_arm("q_top_token_per_lang", "cms"),
+)
 
 
 @register(
