@@ -207,6 +207,32 @@ def test_multitable_lsh_amplifies_recall(spark):
     assert len(multi & exact) / len(exact) >= 0.40  # ~3x the 1-table floor
 
 
+def test_plan_lsh_config_edge_cases():
+    """Closed-form sizing math stays sane at the edges: a corpus smaller
+    than the target bucket still gets ≥1 plane; identical-vector
+    threshold (cos 1.0 → per-plane collision certainty) needs exactly one
+    table; more vectors at fixed occupancy monotonically add planes; a
+    high plane count at a loose threshold gets its recall back with more
+    tables, never fewer."""
+    from sentinela_py_spark.plans.simops import plan_lsh_config
+
+    tiny = plan_lsh_config(10, target_bucket_size=1000)
+    assert tiny.n_planes == 1 and tiny.n_tables >= 1
+
+    certain = plan_lsh_config(1_000_000, 1_000, cos_threshold=1.0)
+    assert certain.per_table_recall == 1.0 and certain.n_tables == 1
+
+    p_small = plan_lsh_config(10**6, 1_000).n_planes
+    p_big = plan_lsh_config(10**9, 1_000).n_planes
+    assert p_small < p_big
+
+    loose = plan_lsh_config(10**9, 1_000, cos_threshold=0.4, recall_target=0.9)
+    tight = plan_lsh_config(10**9, 1_000, cos_threshold=0.9, recall_target=0.9)
+    assert loose.n_planes == tight.n_planes  # occupancy fixes P, not the threshold
+    assert loose.n_tables >= tight.n_tables  # farther pairs need more tables
+    assert loose.recall >= 0.9 or loose.n_tables == 64  # met or capped
+
+
 def test_occupancy_sized_lsh_holds_recall_at_1e5_rows(spark):
     """`plan_lsh_config` computes (n_planes, n_tables) from corpus size +
     target occupancy + recall target instead of the registry demo
