@@ -32,8 +32,20 @@ from sentinela_py_spark.operators.dedup import (
 )
 from sentinela_py_spark.operators.sampling import mixture_sample, temperature_rates
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import (
+    method_arm as _method_arm,
+    register,
+    register_arms,
+)
 from sentinela_py_spark.tables import load_table
+
+
+_QUALITY_SQL = """
+    CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+         / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE)
+"""
 
 
 @register(
@@ -55,24 +67,79 @@ from sentinela_py_spark.tables import load_table
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc_id
+    ),
+    scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    labels AS (
+      SELECT doc_id, MIN(label) AS group_id FROM reach GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT doc_id, group_id, quality FROM (
+        SELECT l.doc_id, l.group_id, s.quality,
+               ROW_NUMBER() OVER (PARTITION BY l.group_id
+                                  ORDER BY s.quality DESC, l.doc_id) AS rn
+        FROM labels l JOIN scored s USING (doc_id)
+      ) WHERE rn = 1
     )
-    SELECT doc_id, MIN(label) AS group_id
-    FROM reach
-    GROUP BY doc_id
-    ORDER BY doc_id
+    SELECT 'labels' AS method, l.doc_id, l.group_id, s.quality
+    FROM labels l JOIN scored s USING (doc_id)
+    UNION ALL
+    SELECT 'survivor' AS method, doc_id, group_id, quality FROM surv
+    ORDER BY method, doc_id
     """,
-    survey_ref="dedup groups: MinHash-LSH pairs → connected components (min-label propagation)",
-    tags=("dedup", "iterative"),
+    survey_ref=(
+        "dedup groups: MinHash-LSH pairs → connected components (min-label "
+        "propagation) — labels arm; survivor arm = quality-aware retention "
+        "(keep the best-quality member per group, the FineWeb-style policy)"
+    ),
+    tags=("dedup", "iterative", "curation"),
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP ids: every document labelled with the min doc_id of
-    its LSH-candidate connected component (singletons label themselves).
-    group_id is the canonical survivor — `GROUP BY group_id` + keep-min is
-    the actual dedup delete list. The oracle computes the identical
-    fixpoint as a recursive-CTE transitive closure."""
+    """Near-dup GROUP ids plus the retention decision, two arms:
+
+    - ``labels``: every document labelled with the min doc_id of its
+      LSH-candidate connected component (singletons label themselves),
+      carrying its quality score. The oracle computes the identical
+      fixpoint as a recursive-CTE transitive closure.
+    - ``survivor``: one row per group — the member RETAINED under a
+      quality-aware policy (max quality_score, ties to the lowest id).
+      Min-id survivor election is what the streaming dedup uses for
+      latency; at curation time the better policy is keeping each
+      cluster's best-quality copy (boilerplate-stripped originals beat
+      scraped mirrors), and it is pure aggregation over the same labels —
+      one extra shuffle on group_id, no second corpus pass."""
     d = load_table(spark, sf_dir, "documents")
     edges = minhash_candidate_pairs(d).select("doc_a", "doc_b")
-    return connected_components(d, edges).orderBy("doc_id")
+    labels = connected_components(d, edges)
+    scored = d.select("doc_id", quality_score("text").cast("double").alias("quality"))
+    members = labels.join(scored, "doc_id")
+    # argmax(quality, tie → min doc_id) via struct-max: max quality wins,
+    # then max(-doc_id) = min doc_id — one aggregate, no window shuffle.
+    best = F.max(
+        F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    surv = (
+        members.groupBy("group_id")
+        .agg(best)
+        .select(
+            (-F.col("b.neg_id")).alias("doc_id"),
+            "group_id",
+            F.col("b.q").alias("quality"),
+        )
+    )
+    return (
+        members.select(F.lit("labels").alias("method"), "doc_id", "group_id", "quality")
+        .unionByName(
+            surv.select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
+        )
+        .orderBy("method", "doc_id")
+    )
+
+
+register_arms(
+    "q_dedup_groups",
+    labels=_method_arm("q_dedup_groups", "labels"),
+    survivor=_method_arm("q_dedup_groups", "survivor"),
+)
 
 
 @register(
@@ -277,14 +344,6 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
-
-
-_QUALITY_SQL = """
-    CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
-    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
-         t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-         / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END) AS DOUBLE)
-"""
 
 
 @register(
