@@ -310,10 +310,18 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # Hand the converged labels to the caller as a lineage-truncated
+    # checkpoint and RELEASE the loop's cache entry — otherwise every
+    # invocation (bench reps, arms) leaves one persisted label set behind
+    # for the rest of the session. The checkpoint blocks free with the
+    # returned frame's GC; the cache entry would linger in the store UI
+    # and executor memory accounting until then.
+    final_labels = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     # Singletons (no incident edge) label themselves — one map-side
     # projection + left join against the (small) converged label set.
     return vertices.select(F.col(id_col).alias("doc_id")).join(
-        labels, "doc_id", "left"
+        final_labels, "doc_id", "left"
     ).select(
         "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
     )

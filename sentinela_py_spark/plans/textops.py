@@ -462,6 +462,20 @@ def _cms_bucket_spark(tok, r: int):
     )
 
 
+def _cms_rb(tok) -> F.Column:
+    """Exploded (r, bucket) struct column of a token — the ONE definition
+    of the sketch row layout, shared by the build (entries) and the probe
+    so they can never drift apart."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), _cms_bucket_spark(tok, r).alias("bucket"))
+                for r in range(CMS_D)
+            ]
+        )
+    )
+
+
 def _cms_bucket_sql(tok: str, r: str) -> str:
     return f"(('0x' || substr(md5({tok} || '#' || {r}), 1, 8))::BIGINT % {CMS_W})"
 
@@ -544,45 +558,26 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"lang": [pdf["lang"].iloc[0]], "top_token": [best_tok], "n": [int(best_n)]}
         )
 
+    # Lazy localCheckpoint: the grouped-map mode computation is the
+    # dominant cost and has TWO consumers (the exact branch of the union
+    # and the cms probe) — materialize its |languages| rows once instead
+    # of running the pandas stage twice per materialization.
     exact = (
         d.select("lang", "text")
         .groupBy("lang")
         .applyInPandas(top_token, "lang string, top_token string, n long")
+        .localCheckpoint(eager=False)
     )
 
     toks = ensure_min_partitions(d).select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    entries = toks.select(
-        "lang",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"), _cms_bucket_spark(F.col("tok"), r).alias("bucket")
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("rb"),
-    )
+    entries = toks.select("lang", _cms_rb(F.col("tok")).alias("rb"))
     sketch = entries.groupBy(
         "lang", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
     ).agg(F.count("*").alias("c"))
     probe = exact.select(
-        "lang",
-        "top_token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cms_bucket_spark(F.col("top_token"), r).alias("bucket"),
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("rb"),
+        "lang", "top_token", _cms_rb(F.col("top_token")).alias("rb")
     ).select("lang", "top_token", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     cms = (
         F.broadcast(probe)
@@ -597,6 +592,10 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measurement note: the cms arm SEMANTICALLY contains the exact winners'
+# computation (the sketch is probed with them), so its timing is a
+# superset of the exact arm's — read sketch cost as (cms − exact), not
+# as the cms row alone.
 register_arms(
     "q_top_token_per_lang",
     exact=_method_arm("q_top_token_per_lang", "exact"),
