@@ -249,6 +249,7 @@ def ivf_pq_topk(
     m: int = PQ_M,
     n_codewords: int = PQ_K,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
     """The full IVF-PQ search layout — cell routing composed with PQ
     compression, both deterministic:
@@ -271,10 +272,19 @@ def ivf_pq_topk(
     Query cells are computed by running the same map-side assignment over
     the QUERY frame against the CORPUS centroids — queries need not be
     corpus members (a corpus-assignment join would silently drop
-    out-of-corpus queries)."""
+    out-of-corpus queries). ``nprobe`` widens the search to each query's
+    nprobe nearest cells (the standard recall dial for boundary queries:
+    candidate work × nprobe, registered queries stay at the default 1;
+    a pair can match on at most one (query, cell) row since corpus
+    vectors live in exactly one cell, so no dedup shuffle is needed).
+    Scale ``coarse_k`` with nprobe — the wider candidate pool otherwise
+    squeezes true neighbours out of the fixed-size PQ-ranked cut and can
+    LOWER recall (measured: recall@5 drops 22→19 on the test corpus at
+    nprobe=2 with coarse_k held at 20; restored at coarse_k=20·nprobe —
+    the same coupling FAISS documents for its nprobe/k_factor pair)."""
     from pyspark.sql import Window as W
 
-    from sentinela_py_spark.plans.simops import cosine, ivf_assign
+    from sentinela_py_spark.plans.simops import cosine, ivf_assign, ivf_probe_cells
 
     assigned = ivf_assign(embeddings, n_cells)
     seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
@@ -285,7 +295,9 @@ def ivf_pq_topk(
         pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
     )
     qs = F.broadcast(
-        ivf_assign(queries, n_cells, centroid_source=embeddings).select(
+        ivf_probe_cells(
+            queries, n_cells, nprobe=nprobe, centroid_source=embeddings
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
             "cell_id",

@@ -625,6 +625,54 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    e: DataFrame,
+    n_cells: int = N_CELLS,
+    nprobe: int = 1,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, embedding, cell_id) with ONE ROW PER PROBED CELL — the
+    query's ``nprobe`` nearest centroids, still fully MAP-SIDE: the same
+    one-row broadcast centroid array as `ivf_assign`, per-row
+    (sim, cell_id) structs sorted by a deterministic comparator (sim
+    DESC, cell_id ASC), sliced to nprobe and exploded. ``nprobe`` is the
+    standard IVF recall dial — a query near a cell boundary misses its
+    true neighbours under nprobe=1, and probing the next-nearest cells
+    multiplies candidate work by nprobe while recovering them. At
+    nprobe=1 this reproduces `ivf_assign`'s argmax exactly (first maximum
+    = lowest cell id on ties — pinned in tests)."""
+    cents_row = (
+        (e if centroid_source is None else centroid_source)
+        .filter(F.col("vec_id") < n_cells)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+                )
+            ).alias("cents")
+        )
+    )
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("embedding"), c["centroid"]), 6).alias("sim"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    ranked = F.array_sort(
+        sims,
+        lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .when(a["cell_id"] < b["cell_id"], F.lit(-1))
+        .otherwise(F.lit(1)),
+    )
+    return (
+        e.crossJoin(F.broadcast(cents_row))
+        .withColumn("probe", F.explode(F.slice(ranked, 1, nprobe)))
+        .select("vec_id", "embedding", F.col("probe.cell_id").alias("cell_id"))
+    )
+
+
 # PQ constants mirrored from functions/vectors.py (PQ_M subspaces of
 # EMB_DIM/PQ_M dims, PQ_K codewords = slices of the first PQ_K vectors) —
 # shared by the q_ann_ivf_topk pq arm and q_quantized_refine_topk below.

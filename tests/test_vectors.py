@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sentinela_py_spark.functions.vectors import (
     coarse_refine_topk,
     dequantize_vec,
+    ivf_pq_topk,
     quantize_embeddings,
 )
 from sentinela_py_spark.tables import load_table
@@ -234,3 +235,67 @@ class TestCoarseRefine:
         # int8 error is tiny relative to cosine gaps: recall ≥ 0.8 even at
         # coarse_k = 2k
         assert len(got & want) / len(want) >= 0.8
+
+
+class TestIvfProbeCells:
+    def test_nprobe1_reproduces_argmax_assignment(self, spark):
+        """ivf_probe_cells at nprobe=1 must pick exactly ivf_assign's cell
+        for every vector (first maximum = lowest cell id on ties), since
+        the registered IVF queries run through the argmax path and the
+        probe path must agree with it at the default."""
+        from sentinela_py_spark.plans.simops import ivf_assign, ivf_probe_cells
+
+        e = load_table(spark, SF_DIR, "embeddings")
+        via_argmax = {
+            r["vec_id"]: r["cell_id"] for r in ivf_assign(e, 8).collect()
+        }
+        via_probe = {
+            r["vec_id"]: r["cell_id"] for r in ivf_probe_cells(e, 8, nprobe=1).collect()
+        }
+        assert via_probe == via_argmax
+
+    def test_nprobe_widens_candidates_and_recall(self, spark):
+        """nprobe=2 probes each query's two nearest cells: the probed-cell
+        sets nest (nprobe=1 ⊂ nprobe=2), ivf_pq_topk with coarse_k scaled
+        alongside (20·nprobe — the FAISS nprobe/k_factor coupling the
+        docstring documents; a FIXED coarse_k measurably loses recall
+        because the doubled pool squeezes true neighbours out of the
+        PQ-ranked cut) is at least as close to brute force as nprobe=1,
+        and no (query, neighbor) pair duplicates (a corpus vector lives
+        in exactly one cell)."""
+        from sentinela_py_spark.plans.simops import cosine, ivf_probe_cells
+
+        e = load_table(spark, SF_DIR, "embeddings")
+        q = e.filter(F.col("vec_id") < 5)
+        p1 = {(r["vec_id"], r["cell_id"]) for r in ivf_probe_cells(q, 8, 1, centroid_source=e).collect()}
+        p2 = {(r["vec_id"], r["cell_id"]) for r in ivf_probe_cells(q, 8, 2, centroid_source=e).collect()}
+        assert p1 < p2 and len(p2) == 2 * len(p1)
+
+        def hits(nprobe):
+            out = ivf_pq_topk(
+                e, q, k=5, coarse_k=20 * nprobe, n_cells=8, nprobe=nprobe
+            ).collect()
+            pairs = [(r["query_id"], r["vec_id"]) for r in out]
+            assert len(pairs) == len(set(pairs))  # no dup candidates
+            return set(pairs)
+
+        # brute-force top-5 per query (rounded cosine, id tie-break)
+        a = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        b = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+        scored = (
+            a.crossJoin(b)
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("cand_id"))
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .collect()
+        }
+        r1 = len(hits(1) & exact)
+        r2 = len(hits(2) & exact)
+        assert r2 >= r1
