@@ -30,13 +30,21 @@ BLOOM_K = 4
 
 
 def _positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
-    """k salted md5 positions in [0, m_bits): the first 15 digest hex chars
-    of 's{i}-' || key as a 60-bit int, reduced mod m_bits."""
-    return [
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"s{i}-"), key)), 1, 15), 16, 10).cast("long")
-        % m_bits
-        for i in range(n_hashes)
-    ]
+    """k md5-derived positions in [0, m_bits). The first four come from
+    DISJOINT 8-hex (32-bit) slices of ONE digest — md5 is the dominant
+    per-row cost on both the build and the map-only probe, and one digest
+    per key instead of k cuts it k× (the slices are independent uniform
+    words, the standard slice-the-digest construction). Hashes beyond
+    four (> 128 digest bits consumed) fall back to salted digests."""
+    cols = []
+    digest = F.md5(key)
+    for i in range(n_hashes):
+        if i < 4:
+            h = F.substring(digest, 1 + 8 * i, 8)
+        else:
+            h = F.substring(F.md5(F.concat(F.lit(f"s{i}-"), key)), 1, 15)
+        cols.append(F.conv(h, 16, 10).cast("long") % m_bits)
+    return cols
 
 
 def bloom_build(

@@ -305,8 +305,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors functions/bloom._positions: position i (< 4) is the i-th
+# disjoint 8-hex slice of ONE md5 digest, mod the bit count — one digest
+# per gram on both build and probe.
 _BLOOM_POS_SQL = (
-    "(CAST(concat('0x', substr(md5(concat('s', CAST({i} AS VARCHAR), '-', {g})), 1, 15)) AS BIGINT) % 65536)"
+    "(CAST(concat('0x', substr(md5({g}), 1 + 8 * CAST({i} AS INT), 8)) AS BIGINT) % 65536)"
 )
 
 
