@@ -457,11 +457,13 @@ CMS_W = 256
 
 
 def _cms_bucket_spark(tok, r: int):
-    """Row-r counter index of a token: md5-derived 32-bit int mod CMS_W —
-    integer-exact and engine-independent (DuckDB twin below)."""
+    """Row-r counter index of a token: the r-th disjoint 8-hex (32-bit)
+    slice of ONE md5 digest, mod CMS_W — one digest per token instead of
+    CMS_D (md5 dominates per-row cost; the slices are independent uniform
+    words). Integer-exact and engine-independent (DuckDB twin below).
+    CMS_D ≤ 4: a 128-bit digest holds four 32-bit rows."""
     return (
-        F.conv(F.substring(F.md5(F.concat(tok, F.lit(f"#{r}"))), 1, 8), 16, 10).cast("long")
-        % CMS_W
+        F.conv(F.substring(F.md5(tok), 1 + 8 * r, 8), 16, 10).cast("long") % CMS_W
     )
 
 
@@ -480,7 +482,7 @@ def _cms_rb(tok) -> F.Column:
 
 
 def _cms_bucket_sql(tok: str, r: str) -> str:
-    return f"(('0x' || substr(md5({tok} || '#' || {r}), 1, 8))::BIGINT % {CMS_W})"
+    return f"(('0x' || substr(md5({tok}), 1 + 8 * CAST({r} AS INT), 8))::BIGINT % {CMS_W})"
 
 
 @register(
