@@ -30,16 +30,19 @@ BLOOM_K = 4
 
 
 def _positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
-    """k md5-derived positions in [0, m_bits). The first four come from
-    DISJOINT 8-hex (32-bit) slices of ONE digest — md5 is the dominant
-    per-row cost on both the build and the map-only probe, and one digest
-    per key instead of k cuts it k× (the slices are independent uniform
-    words, the standard slice-the-digest construction). Hashes beyond
-    four (> 128 digest bits consumed) fall back to salted digests."""
+    """k md5-derived positions in [0, m_bits). When a 32-bit slice can
+    address every bit (m_bits ≤ 2^32), the first four positions come from
+    DISJOINT 8-hex slices of ONE digest — md5 is the dominant per-row
+    cost on both the build and the map-only probe, and one digest per key
+    instead of k cuts it k× (the slices are independent uniform words,
+    the standard slice-the-digest construction). Larger filters (the
+    m=2^33 deployment example) and hashes beyond four fall back to salted
+    60-bit digests — a 32-bit slice mod m > 2^32 could never set the
+    upper half of the filter, silently doubling the real FP rate."""
     cols = []
     digest = F.md5(key)
     for i in range(n_hashes):
-        if i < 4:
+        if i < 4 and m_bits <= (1 << 32):
             h = F.substring(digest, 1 + 8 * i, 8)
         else:
             h = F.substring(F.md5(F.concat(F.lit(f"s{i}-"), key)), 1, 15)

@@ -284,7 +284,11 @@ def ivf_pq_topk(
     the same coupling FAISS documents for its nprobe/k_factor pair)."""
     from pyspark.sql import Window as W
 
-    from sentinela_py_spark.plans.simops import cosine, ivf_assign, ivf_probe_cells
+    from sentinela_py_spark.plans.simops import (  # noqa: F401 — both cell routers
+        cosine,
+        ivf_assign,
+        ivf_probe_cells,
+    )
 
     assigned = ivf_assign(embeddings, n_cells)
     seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
@@ -294,10 +298,16 @@ def ivf_pq_topk(
         "cell_id",
         pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
     )
+    # nprobe=1 keeps the cheaper argmax assignment (proven equivalent to
+    # the probe path's rank-1 cell by test); >1 pays the comparator sort
+    # + explode only when the recall dial is actually turned.
+    q_cells = (
+        ivf_assign(queries, n_cells, centroid_source=embeddings)
+        if nprobe == 1
+        else ivf_probe_cells(queries, n_cells, nprobe=nprobe, centroid_source=embeddings)
+    )
     qs = F.broadcast(
-        ivf_probe_cells(
-            queries, n_cells, nprobe=nprobe, centroid_source=embeddings
-        ).select(
+        q_cells.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
             "cell_id",

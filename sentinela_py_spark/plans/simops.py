@@ -584,6 +584,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_row(
+    e: DataFrame, n_cells: int, centroid_source: DataFrame | None = None
+) -> DataFrame:
+    """ONE-row frame holding the cell_id-sorted centroid struct array —
+    the single definition `ivf_assign` and `ivf_probe_cells` both
+    broadcast, so their equivalence at nprobe=1 (test-pinned) can never
+    drift on the centroid side."""
+    return (
+        (e if centroid_source is None else centroid_source)
+        .filter(F.col("vec_id") < n_cells)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+                )
+            ).alias("cents")
+        )
+    )
+
+
 def ivf_assign(
     e: DataFrame, n_cells: int = N_CELLS, centroid_source: DataFrame | None = None
 ) -> DataFrame:
@@ -599,17 +619,7 @@ def ivf_assign(
     ``centroid_source`` (default: ``e`` itself) is the frame the centroid
     row is built from — pass the CORPUS here when assigning out-of-corpus
     rows (e.g. query vectors) so both sides share one codebook."""
-    cents_row = (
-        (e if centroid_source is None else centroid_source)
-        .filter(F.col("vec_id") < n_cells)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-                )
-            ).alias("cents")
-        )
-    )
+    cents_row = _centroid_row(e, n_cells, centroid_source)
     sims = F.transform(
         F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c["centroid"]), 6)
     )
@@ -640,18 +650,10 @@ def ivf_probe_cells(
     true neighbours under nprobe=1, and probing the next-nearest cells
     multiplies candidate work by nprobe while recovering them. At
     nprobe=1 this reproduces `ivf_assign`'s argmax exactly (first maximum
-    = lowest cell id on ties — pinned in tests)."""
-    cents_row = (
-        (e if centroid_source is None else centroid_source)
-        .filter(F.col("vec_id") < n_cells)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-                )
-            ).alias("cents")
-        )
-    )
+    = lowest cell id on ties — pinned in tests; callers on the default
+    should route through `ivf_assign` itself, whose argmax skips this
+    path's comparator sort + explode — `ivf_pq_topk` does)."""
+    cents_row = _centroid_row(e, n_cells, centroid_source)
     sims = F.transform(
         F.col("cents"),
         lambda c: F.struct(

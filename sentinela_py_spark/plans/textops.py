@@ -305,9 +305,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirrors functions/bloom._positions: position i (< 4) is the i-th
-# disjoint 8-hex slice of ONE md5 digest, mod the bit count — one digest
-# per gram on both build and probe.
+# Mirrors functions/bloom._positions for the REGISTERED configuration
+# (k ≤ 4, m = 2^16 ≤ 2^32): position i is the i-th disjoint 8-hex slice
+# of ONE md5 digest, mod the bit count — one digest per gram on both
+# build and probe. The salted-digest fallback (i ≥ 4 or m > 2^32) has no
+# twin here by design; widening the registered config means extending
+# this template in lockstep.
 _BLOOM_POS_SQL = (
     "(CAST(concat('0x', substr(md5({g}), 1 + 8 * CAST({i} AS INT), 8)) AS BIGINT) % 65536)"
 )
@@ -462,6 +465,11 @@ def _cms_bucket_spark(tok, r: int):
     CMS_D (md5 dominates per-row cost; the slices are independent uniform
     words). Integer-exact and engine-independent (DuckDB twin below).
     CMS_D ≤ 4: a 128-bit digest holds four 32-bit rows."""
+    if r >= 4:
+        raise ValueError(
+            f"CMS row {r}: a 128-bit md5 digest holds only four 32-bit slices — "
+            "raise CMS_D past 4 only with a salted-digest fallback (cf. bloom._positions)"
+        )
     return (
         F.conv(F.substring(F.md5(tok), 1 + 8 * r, 8), 16, 10).cast("long") % CMS_W
     )
