@@ -1,0 +1,244 @@
+"""Deterministic distributed k-means for ANN codebook training.
+
+FAISS trains IVF centroids and PQ codewords with Lloyd's k-means; the
+first-N-vector placeholders this replaces (rounds 1-4) gave the canonical
+*layout* but — on real data — arbitrarily unbalanced cells: one hot cell
+absorbs a large corpus fraction, per-query candidate work degenerates
+toward brute force, and recall collapses for queries routed to sparse
+cells. This module is Lloyd's loop with every source of nondeterminism
+removed, so the TRAINED codebooks are still bit-reproducible in DuckDB
+and the trained ANN arms stay oracle-checkable end to end:
+
+- **Init**: the k seed vectors are the corpus rows with the smallest
+  ``md5(id)`` digests (ties by id) — a deterministic uniform sample,
+  invariant to partitioning (k-means++ would need a sequential scan; an
+  md5-ranked sample is the distributed stand-in with the same "spread by
+  hash" effect on real corpora).
+- **Assign**: argmax of 6dp-rounded cosine against a one-row broadcast
+  centroid array (ties to the lowest cell id) — MAP-SIDE, the same
+  shape as ``plans.simops.ivf_assign``; no Exchange touches the corpus.
+- **Update**: the per-cell mean is computed from INTEGER sums —
+  each element is quantized to ``floor(x·10^6 + 0.5)`` (int64), summed
+  exactly (integer addition is order-insensitive, so the mean cannot
+  drift with partitioning or shuffle order), and the centroid element is
+  ``s / n / 10^6`` — three IEEE-exact operations on identical operands,
+  so Spark and DuckDB produce bit-identical centroids with no rounding
+  tie-break hazard. Quantization error (≤ 5·10^-7 per element) is far
+  below any clustering-relevant scale.
+- **Termination**: a FIXED iteration count (no data-dependent stopping),
+  so the oracle is a fixed chain of CTEs. Cells that lose every member
+  keep their previous centroid (LEFT JOIN + COALESCE on both engines).
+
+Scale shape: one Lloyd iteration = one corpus scan (map-side assignment,
+broadcast centroids) + one shuffle of k×dim int64 partial sums (map-side
+combine makes the shuffle k·dim·partitions longs, independent of corpus
+size). At 100 TB with k=2^16 cells this is the standard two-stage
+training run; the fixture-scale demo uses the same algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "KMEANS_ITERS",
+    "KMEANS_SCALE",
+    "kmeans_seed_centroids",
+    "quantized_mean_centroids",
+    "kmeans_centroids",
+    "kmeans_cents_sql",
+]
+
+KMEANS_ITERS = 2  # fixed Lloyd iterations (oracle = a fixed CTE chain)
+KMEANS_SCALE = 1_000_000  # integer-mean quantum: 1e-6 per element
+
+
+def _quant(x) -> F.Column:
+    """int64 quantization of one vector element — floor(x·scale + 0.5)
+    avoids any dependence on round-half tie semantics (exact .5 products
+    ARE reachable from float32 inputs, e.g. x = 2^-7)."""
+    return F.floor(x.cast("double") * KMEANS_SCALE + F.lit(0.5)).cast("long")
+
+
+def kmeans_seed_centroids(
+    e: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(cell_id, centroid): deterministic init — the k corpus vectors with
+    the smallest md5(id) digests, numbered 0..k-1 in digest order. The
+    global sort is a top-k over (16-byte digest, id) — driver-cheap at any
+    corpus size; the row_number window runs on the k surviving rows only."""
+    seeds = (
+        e.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("centroid"),
+            F.md5(F.col(id_col).cast("string")).alias("mk"),
+        )
+        .orderBy("mk", "sid")
+        .limit(k)
+    )
+    w = W.orderBy("mk", "sid")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("cell_id"),
+        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("centroid"),
+    )
+
+
+def quantized_mean_centroids(
+    assigned: DataFrame,
+    key_cols: list[str],
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-``key_cols`` mean vector via integer-exact sums (module note).
+    Output: key_cols + (centroid: array<double>, n: long). One shuffle of
+    |keys|·dim int64 partial sums — map-side combined, corpus-size-free."""
+    sums = [F.sum(F.element_at(F.col("__qvec"), j + 1)).alias(f"s{j}") for j in range(dim)]
+    agg = (
+        assigned.withColumn("__qvec", F.transform(F.col(vec_col), _quant))
+        .groupBy(*key_cols)
+        .agg(*sums, F.count("*").alias("n"))
+    )
+    centroid = F.array(
+        *[
+            F.col(f"s{j}").cast("double") / F.col("n").cast("double") / F.lit(float(KMEANS_SCALE))
+            for j in range(dim)
+        ]
+    )
+    return agg.select(*key_cols, centroid.alias("centroid"), "n")
+
+
+def kmeans_centroids_local(
+    e: DataFrame,
+    k: int,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """``iters`` Lloyd iterations from the md5-ranked init — every step
+    deterministic (module note), so the same chain in DuckDB
+    (``kmeans_cents_sql``) yields bit-identical centroids.
+
+    The k·dim centroid table is COLLECTED to the driver each iteration
+    and re-inlined as literals (`plans.simops.assign_cells_literal`) —
+    the Spark MLlib KMeans pattern: centers must reach every executor
+    each step anyway, and driver-resident centers make one Lloyd
+    iteration exactly TWO stages (map-side assignment fused into the
+    scan + one k·dim-long shuffle of partial integer sums) instead of a
+    chain of centroid-aggregate/broadcast/join stages whose scheduling
+    overhead dominates at any scale. The per-iteration driver traffic is
+    k·dim doubles — the same order as the broadcast the alternative
+    would ship. Mean division (s/n/scale) runs driver-side on the exact
+    int64 sums: IEEE-identical to DuckDB's in-engine division."""
+    rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
+    cents = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+    from sentinela_py_spark.plans.simops import assign_cells_literal
+
+    # Quantize the whole vector ONCE per row (one transform), then sum
+    # plain element_at lookups — 64 independent expression trees each
+    # redoing the cast/floor would multiply both codegen and per-row work.
+    sums = [F.sum(F.element_at(F.col("__qvec"), j + 1)).alias(f"s{j}") for j in range(dim)]
+    for _ in range(iters):
+        assigned = assign_cells_literal(e, cents, id_col=id_col, vec_col=vec_col)
+        upd = {
+            int(r["cell_id"]): [
+                r[f"s{j}"] / r["n"] / float(KMEANS_SCALE) for j in range(dim)
+            ]
+            for r in (
+                assigned.withColumn("__qvec", F.transform(F.col(vec_col), _quant))
+                .groupBy("cell_id")
+                .agg(*sums, F.count("*").alias("n"))
+                .collect()
+            )
+        }
+        cents = [(cid, upd.get(cid, old)) for cid, old in cents]
+    return cents
+
+
+def kmeans_centroids(
+    e: DataFrame,
+    k: int,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(cell_id, centroid) as a lineage-free local DataFrame — the frame
+    form of `kmeans_centroids_local` for callers that feed
+    `plans.simops.assign_cells` or persist the codebook."""
+    return e.sparkSession.createDataFrame(
+        kmeans_centroids_local(e, k, iters, id_col, vec_col, dim),
+        "cell_id bigint, centroid array<double>",
+    )
+
+
+def kmeans_cents_sql(
+    k: int,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "km",
+    dot_sql_fmt: str | None = None,
+    normsq_sql_fmt: str | None = None,
+) -> str:
+    """DuckDB twin of ``kmeans_centroids`` as a chain of CTE definitions
+    (no leading WITH): ``{prefix}_cents0`` (init) →
+    assignment/update/coalesce per iteration → final relation
+    ``{prefix}_cents`` (cell_id, centroid). Embed inside a WITH list."""
+    from sentinela_py_spark.plans.simops import _DOT_SQL, _NORMSQ_SQL
+
+    dot = dot_sql_fmt or _DOT_SQL
+    normsq = normsq_sql_fmt or _NORMSQ_SQL
+    s = KMEANS_SCALE
+    sums = ", ".join(
+        f"SUM(CAST(floor(CAST({vec_col}[{j + 1}] AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS s{j}"
+        for j in range(dim)
+    )
+    mean = ", ".join(
+        f"CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE) / {float(s)!r}" for j in range(dim)
+    )
+    parts = [
+        f"""{prefix}_cents0 AS (
+      SELECT cell_id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS centroid FROM (
+        SELECT {id_col}, {vec_col},
+               ROW_NUMBER() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cell_id
+        FROM {src}
+      ) WHERE cell_id < {k}
+    )"""
+    ]
+    for i in range(iters):
+        cos = (
+            f"ROUND({dot.format(a=f'e.{vec_col}', b='c.centroid')}"
+            f" / (SQRT({normsq.format(a=f'e.{vec_col}')}) * SQRT({normsq.format(a='c.centroid')})), 6)"
+        )
+        parts.append(
+            f"""{prefix}_asg{i} AS (
+      SELECT {id_col}, {vec_col}, cell_id FROM (
+        SELECT e.{id_col}, e.{vec_col}, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                                  ORDER BY {cos} DESC, c.cell_id) AS rn
+        FROM {src} e CROSS JOIN {prefix}_cents{i} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""{prefix}_upd{i} AS (
+      SELECT cell_id, COUNT(*) AS n, {sums}
+      FROM {prefix}_asg{i} GROUP BY cell_id
+    )"""
+        )
+        parts.append(
+            f"""{prefix}_cents{i + 1} AS (
+      SELECT p.cell_id, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM {prefix}_cents{i} p LEFT JOIN (
+        SELECT cell_id, [{mean}] AS centroid FROM {prefix}_upd{i}
+      ) u USING (cell_id)
+    )"""
+        )
+    parts.append(
+        f"{prefix}_cents AS (SELECT cell_id, centroid FROM {prefix}_cents{iters})"
+    )
+    return ",\n    ".join(parts)

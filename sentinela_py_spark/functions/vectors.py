@@ -250,6 +250,7 @@ def ivf_pq_topk(
     n_codewords: int = PQ_K,
     dim: int = 64,
     nprobe: int = 1,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search layout — cell routing composed with PQ
     compression, both deterministic:
@@ -281,16 +282,27 @@ def ivf_pq_topk(
     squeezes true neighbours out of the fixed-size PQ-ranked cut and can
     LOWER recall (measured: recall@5 drops 22→19 on the test corpus at
     nprobe=2 with coarse_k held at 20; restored at coarse_k=20·nprobe —
-    the same coupling FAISS documents for its nprobe/k_factor pair)."""
+    the same coupling FAISS documents for its nprobe/k_factor pair).
+
+    ``max_cell_size`` arms the hot-cell occupancy guard
+    (`plans.simops.capped_cell_candidates`): the corpus side is bounded
+    per cell BEFORE the PQ reconstruction (dropped rows never pay the
+    encode), so one degenerate cell cannot make per-query candidate work
+    unbounded — the same skew class the LSH bucket cap closes. The
+    registered arm defaults it on via `IVF_MAX_CELL_SIZE` (never bites at
+    fixture scale — test-pinned); the default here stays ``None`` so the
+    stage-wise quantization query keeps its cap-free oracle exactly."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.plans.simops import (  # noqa: F401 — both cell routers
+        capped_cell_candidates,
         cosine,
         ivf_assign,
         ivf_probe_cells,
     )
 
     assigned = ivf_assign(embeddings, n_cells)
+    assigned, _audit = capped_cell_candidates(assigned, max_cell_size)
     seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
     cand = assigned.crossJoin(seeds_row).select(
         "vec_id",

@@ -372,6 +372,26 @@ def embedding_cross_corpus_candidates(
     threshold: float = NEARDUP_COS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
+    """`embedding_cross_corpus_candidates_with_audit` minus the audit
+    frames — for callers that surface overflow accounting elsewhere (the
+    streaming twin keeps its own per-epoch metrics). The registered
+    `q_embedding_neardup` corpus_probe arm's DuckDB oracle models NO cap;
+    that is sound because no bucket reaches the cap at oracle scale —
+    pinned by tests/test_skew_guard.py, so any future fixture growth that
+    silently crossed the cap would fail the pin, not the hash check."""
+    pairs, _pa, _sa = embedding_cross_corpus_candidates_with_audit(
+        probe_b, store_b, planes_count, threshold, max_bucket_size
+    )
+    return pairs
+
+
+def embedding_cross_corpus_candidates_with_audit(
+    probe_b: DataFrame,
+    store_b: DataFrame,
+    planes_count: int = N_PLANES,
+    threshold: float = NEARDUP_COS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """Batch twin of the streaming embedding-index probe
     (streaming/pipeline.py embedding_dedup_batch_against_corpus step 3):
     new-batch vectors multi-probe (Hamming ≤ 1) the bucket-keyed accepted
@@ -382,13 +402,17 @@ def embedding_cross_corpus_candidates(
     store cannot be pre-aggregated to a min id — every candidate needs a
     cosine against the stored VECTOR — so BOTH sides are hot-bucket
     capped (cap², never b², per probe key; cf. the streaming twin's
-    overflow accounting). Output: (vec_a = probe id, vec_b = min
-    confirmed corpus id, cos_sim_r = that match's cosine)."""
+    overflow accounting). Returns ``(pairs, probe_audit, store_audit)``
+    — the two cap_buckets overflow frames (None when uncapped), so
+    deployments can surface exactly which buckets lost candidates (the
+    never-silent-truncation policy, operators/scale.py). Pairs:
+    (vec_a = probe id, vec_b = min confirmed corpus id, cos_sim_r)."""
     from sentinela_py_spark.operators.scale import cap_buckets
 
+    probe_audit = store_audit = None
     if max_bucket_size is not None:
-        store_b, _ = cap_buckets(store_b, ["bucket"], max_bucket_size, ["vec_id"])
-        probe_b, _ = cap_buckets(probe_b, ["bucket"], max_bucket_size, ["vec_id"])
+        store_b, store_audit = cap_buckets(store_b, ["bucket"], max_bucket_size, ["vec_id"])
+        probe_b, probe_audit = cap_buckets(probe_b, ["bucket"], max_bucket_size, ["vec_id"])
     xors = probe_xors(planes_count)
     probes = probe_b.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
@@ -402,7 +426,7 @@ def embedding_cross_corpus_candidates(
         F.col("norm").alias("nb"), F.col("bucket").alias("probe"),
     )
     cos = F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
+    pairs = (
         probes.join(store, "probe")
         .select("vec_a", "vec_b", cos.alias("cos_sim_r"))
         .filter(F.col("cos_sim_r") >= threshold)
@@ -412,6 +436,7 @@ def embedding_cross_corpus_candidates(
             F.min_by("cos_sim_r", "vec_b").alias("cos_sim_r"),
         )
     )
+    return pairs, probe_audit, store_audit
 
 
 def exact_neardup_pairs(e: DataFrame) -> DataFrame:
@@ -584,55 +609,119 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def centroid_row_of(cents: DataFrame) -> DataFrame:
+    """Fold a (cell_id, centroid) codebook frame into the ONE-row
+    cell_id-sorted struct array every assignment broadcast consumes —
+    placeholder and k-means-trained codebooks ride the same path."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell_id"), F.col("centroid")))
+        ).alias("cents")
+    )
+
+
 def _centroid_row(
     e: DataFrame, n_cells: int, centroid_source: DataFrame | None = None
 ) -> DataFrame:
     """ONE-row frame holding the cell_id-sorted centroid struct array —
     the single definition `ivf_assign` and `ivf_probe_cells` both
     broadcast, so their equivalence at nprobe=1 (test-pinned) can never
-    drift on the centroid side."""
-    return (
+    drift on the centroid side. Centroids here are the UNTRAINED
+    first-n_cells placeholder (kept for the layout-only arms/oracles);
+    the deployment path trains them — `functions.kmeans.kmeans_centroids`
+    feeds `assign_cells` below."""
+    return centroid_row_of(
         (e if centroid_source is None else centroid_source)
         .filter(F.col("vec_id") < n_cells)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-                )
-            ).alias("cents")
-        )
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
     )
 
 
-def ivf_assign(
-    e: DataFrame, n_cells: int = N_CELLS, centroid_source: DataFrame | None = None
+def _assign_with_row(
+    e: DataFrame, cents_row: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """MAP-SIDE IVF cell assignment: the n_cells centroids (first vectors
-    by id) fold into ONE broadcast row holding a cell_id-sorted struct
-    array, and the argmax is pure array algebra — an array of rounded
-    sims, ``array_position(sims, array_max(sims))`` picking the first
-    (= lowest cell_id) maximum. No Exchange touches the corpus between
-    the scan and the assignment (pinned in test_plan_quality) — a
-    row_number() rendering would shuffle N×n_cells rows keyed by vec_id,
-    an avoidable n_cells× corpus shuffle at 100 TB.
-
-    ``centroid_source`` (default: ``e`` itself) is the frame the centroid
-    row is built from — pass the CORPUS here when assigning out-of-corpus
-    rows (e.g. query vectors) so both sides share one codebook."""
-    cents_row = _centroid_row(e, n_cells, centroid_source)
+    """MAP-SIDE argmax assignment against a one-row broadcast centroid
+    array: an array of rounded sims, ``array_position(sims,
+    array_max(sims))`` picking the first (= lowest cell_id) maximum. No
+    Exchange touches the corpus between the scan and the assignment
+    (pinned in test_plan_quality) — a row_number() rendering would
+    shuffle N×n_cells rows keyed by id, an avoidable n_cells× corpus
+    shuffle at 100 TB. A zero-norm vector's cosine is NaN; ``nanvl``
+    coalesces it to −2.0 (below any real cosine) so the argmax stays
+    defined and deterministic instead of propagating NaN through
+    array_max."""
     sims = F.transform(
-        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c["centroid"]), 6)
+        F.col("cents"),
+        lambda c: F.nanvl(F.round(cosine(F.col(vec_col), c["centroid"]), 6), F.lit(-2.0)),
     )
     best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast("int")
     return (
         e.crossJoin(F.broadcast(cents_row))
         .withColumn("sims", sims)
         .select(
-            "vec_id",
-            "embedding",
+            id_col,
+            vec_col,
             F.element_at(F.col("cents"), best)["cell_id"].alias("cell_id"),
         )
     )
+
+
+def assign_cells(
+    e: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vec, cell_id): map-side argmax-cosine assignment of ``e``
+    against an explicit (cell_id, centroid) codebook FRAME — for
+    codebooks too large to inline as literals (k·dim beyond ~10^5
+    values); the frame aggregates to one row and broadcasts. For
+    driver-resident codebooks (the k-means loop, the trained search arm)
+    `assign_cells_literal` skips the aggregate+broadcast stages
+    entirely."""
+    return _assign_with_row(e, centroid_row_of(cents), id_col, vec_col)
+
+
+def assign_cells_literal(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell_id): the same argmax-cosine assignment as
+    `assign_cells`, but against DRIVER-RESIDENT centroids inlined as
+    literal arrays — a MAP-ONLY projection with zero extra stages (no
+    centroid aggregate, no broadcast exchange). This is how distributed
+    k-means actually iterates (Spark MLlib collects centers to the
+    driver every Lloyd step): the codebook is k·dim doubles, tiny
+    relative to any corpus that needs clustering. Same NaN→−2.0 guard
+    and first-maximum (= lowest cell id) tie-break as the frame path.
+
+    The centroid matrix enters the plan as ONE nested array literal
+    (``F.lit([[...], ...])``), not k·dim CreateArray nodes — at k=8,
+    dim=64 the node-by-node form costs ~1 s of driver-side analysis per
+    assignment, which the Lloyd loop pays every iteration."""
+    cents = sorted(cents)
+    vecs = F.lit([[float(x) for x in vec] for _cid, vec in cents])
+    ids = F.lit([int(cid) for cid, _vec in cents])
+    sims = F.transform(
+        vecs, lambda c: F.nanvl(F.round(cosine(F.col(vec_col), c), 6), F.lit(-2.0))
+    )
+    best = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
+    return (
+        e.withColumn("__sims", sims)
+        .select(id_col, vec_col, F.element_at(ids, best).cast("bigint").alias("cell_id"))
+    )
+
+
+def ivf_assign(
+    e: DataFrame, n_cells: int = N_CELLS, centroid_source: DataFrame | None = None
+) -> DataFrame:
+    """IVF cell assignment with the PLACEHOLDER codebook (first n_cells
+    vectors by id) — see `_assign_with_row` for the map-side argmax
+    mechanics shared with the trained path (`assign_cells`).
+
+    ``centroid_source`` (default: ``e`` itself) is the frame the centroid
+    row is built from — pass the CORPUS here when assigning out-of-corpus
+    rows (e.g. query vectors) so both sides share one codebook."""
+    return _assign_with_row(e, _centroid_row(e, n_cells, centroid_source))
 
 
 def ivf_probe_cells(
@@ -652,12 +741,17 @@ def ivf_probe_cells(
     nprobe=1 this reproduces `ivf_assign`'s argmax exactly (first maximum
     = lowest cell id on ties — pinned in tests; callers on the default
     should route through `ivf_assign` itself, whose argmax skips this
-    path's comparator sort + explode — `ivf_pq_topk` does)."""
+    path's comparator sort + explode — `ivf_pq_topk` does). A zero-norm
+    vector's NaN cosine is coalesced to −2.0 BEFORE ranking — without it
+    every comparator branch is false for NaN and both (a,b) and (b,a)
+    return 1, an inconsistent comparator with undefined sort order."""
     cents_row = _centroid_row(e, n_cells, centroid_source)
     sims = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            F.round(cosine(F.col("embedding"), c["centroid"]), 6).alias("sim"),
+            F.nanvl(
+                F.round(cosine(F.col("embedding"), c["centroid"]), 6), F.lit(-2.0)
+            ).alias("sim"),
             c["cell_id"].alias("cell_id"),
         ),
     )
@@ -695,15 +789,40 @@ COARSE_K = 20
 # Shared DuckDB CTE bodies: deterministic IVF assignment and the PQ
 # code/reconstruction relations (the same algebra q_quantized_refine_topk
 # proves stage-wise; q_ann_ivf_topk composes them with the cell routing).
-_ASSIGNED_SQL = f"""
+
+
+def _assigned_sql(cents_rel: str, src: str = "embeddings", rn_pred: str = "rn = 1") -> str:
+    """Argmax-cosine cell assignment of ``src`` against codebook relation
+    ``cents_rel`` — `rn_pred` generalizes to ``rn <= nprobe`` for the
+    multi-cell probe twin (`ivf_probe_cells`)."""
+    return f"""
       SELECT vec_id, embedding, cell_id FROM (
-        SELECT e.vec_id, e.embedding, cents.cell_id,
+        SELECT e.vec_id, e.embedding, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='cents.centroid')}
-                   / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='cents.centroid')})), 6) DESC,
-                   cents.cell_id) AS rn
-        FROM embeddings e CROSS JOIN cents
-      ) WHERE rn = 1
+                 ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='c.centroid')}
+                   / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='c.centroid')})), 6) DESC,
+                   c.cell_id) AS rn
+        FROM {src} e CROSS JOIN {cents_rel} c
+      ) WHERE {rn_pred}
+"""
+
+
+_ASSIGNED_SQL = _assigned_sql("cents")
+
+
+def _cell_ranked_sql(q_rel: str, c_rel: str) -> str:
+    """In-cell exact-cosine ranking of a (query_id, qv, cell_id) relation
+    against a (neighbor_id, cv, cell_id) relation — the flat-search body
+    shared by the flat / trained / nprobe2 oracle arms."""
+    cos = (
+        f"ROUND({_DOT_SQL.format(a='qv', b='cv')}"
+        f" / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6)"
+    )
+    return f"""
+      SELECT query_id, neighbor_id, {q_rel}.cell_id, {cos} AS cos_sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {cos} DESC, neighbor_id) AS rank
+      FROM {q_rel} JOIN {c_rel} ON {q_rel}.cell_id = {c_rel}.cell_id
 """
 
 _PQ_CODES_SQL = f"""
@@ -725,6 +844,19 @@ _PQ_RECON_SQL = f"""
 """
 
 
+def _km_sql() -> str:
+    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_cents_sql
+
+    return kmeans_cents_sql(
+        N_CELLS,
+        KMEANS_ITERS,
+        EMB_DIM,
+        prefix="km",
+        dot_sql_fmt=_DOT_SQL,
+        normsq_sql_fmt=_NORMSQ_SQL,
+    )
+
+
 @register(
     "q_ann_ivf_topk",
     oracle=f"""
@@ -734,16 +866,17 @@ _PQ_RECON_SQL = f"""
     assigned AS ({_ASSIGNED_SQL}),
     q AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned WHERE vec_id < {N_QUERY_VECTORS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM assigned WHERE vec_id >= {N_QUERY_VECTORS}),
-    ranked AS (
-      SELECT query_id, neighbor_id, q.cell_id,
-             ROUND({_DOT_SQL.format(a='qv', b='cv')}
-               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) AS cos_sim_r,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND({_DOT_SQL.format(a='qv', b='cv')}
-                 / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) DESC,
-                 neighbor_id) AS rank
-      FROM q JOIN c ON q.cell_id = c.cell_id
+    ranked AS ({_cell_ranked_sql('q', 'c')}),
+    {_km_sql()},
+    tassigned AS ({_assigned_sql('km_cents')}),
+    tq AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM tassigned WHERE vec_id < {N_QUERY_VECTORS}),
+    tc AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM tassigned WHERE vec_id >= {N_QUERY_VECTORS}),
+    tranked AS ({_cell_ranked_sql('tq', 'tc')}),
+    q2 AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell_id
+      FROM ({_assigned_sql('cents', src=f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECTORS})', rn_pred='rn <= 2')})
     ),
+    npranked AS ({_cell_ranked_sql('q2', 'c')}),
     seeds AS (SELECT vec_id AS cw, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}),
     pq_codes AS ({_PQ_CODES_SQL}),
     pq_cand AS (
@@ -778,35 +911,62 @@ _PQ_RECON_SQL = f"""
     UNION ALL
     SELECT 'pq' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM pq_arm
+    UNION ALL
+    SELECT 'trained' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM tranked WHERE rank <= {TOP_K}
+    UNION ALL
+    SELECT 'nprobe2' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM npranked WHERE rank <= {TOP_K}
     ORDER BY method, query_id, rank
     """,
     survey_ref=(
-        "similarity: IVF-cell ANN (broadcast centroid assignment, nprobe=1 cell search) — "
-        "flat arm (exact in-cell cosine) + pq arm (the COMPOSED IVF-PQ layout of "
-        "functions/vectors.ivf_pq_topk: cell routing × PQ-coarse × exact refine)"
+        "similarity: IVF-cell ANN (broadcast centroid assignment) — flat arm (exact "
+        "in-cell cosine, placeholder codebook), pq arm (the COMPOSED IVF-PQ layout of "
+        "functions/vectors.ivf_pq_topk), trained arm (deterministic distributed "
+        "k-means codebook — functions/kmeans.py, the FAISS-style deployment path), "
+        "nprobe2 arm (multi-cell probe recall dial, ivf_probe_cells at nprobe=2)"
     ),
     tags=("similarity", "sketch"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with deterministic 'training': centroids are the first
-    N_CELLS vectors, assignment is the map-side array-algebra argmax
-    (`ivf_assign`). Search probes only the query's own cell; the cell id
-    becomes the partition key — the canonical IVF-flat layout.
-
-    Two arms, each tagged by ``method``:
+    """IVF ANN, four arms tagged by ``method``:
 
     - ``flat``: exact cosine over every candidate in the query's cell
-      (query vectors excluded from the candidate side);
+      (query vectors excluded from the candidate side), PLACEHOLDER
+      codebook (first N_CELLS vectors) — the layout baseline;
     - ``pq``: the COMPOSED IVF-PQ layout (`functions/vectors.ivf_pq_topk`)
       — same cell routing, but candidates coarse-rank on their
       product-quantization reconstruction (PQ_M bytes/vector is all the
       cell scan touches at 100 TB) and only COARSE_K survivors are
       re-ranked exactly. Candidates exclude only the query itself —
-      generic-corpus semantics, mirrored by the oracle."""
+      generic-corpus semantics, mirrored by the oracle;
+    - ``trained``: the DEPLOYMENT path — centroids trained with
+      deterministic distributed k-means (functions/kmeans.py: md5-ranked
+      init, fixed Lloyd iterations, integer-exact means), then the same
+      flat search. Trained centroids are what keeps cells balanced on
+      real data (the placeholder's hot-cell failure mode — see
+      tests/test_kmeans.py for the balance proof on a clustered corpus);
+    - ``nprobe2``: the recall dial — each query probes its TWO nearest
+      cells (`ivf_probe_cells`), candidate work ×2, recovering true
+      neighbours that sit across a cell boundary from the query. Corpus
+      vectors live in exactly one cell, so a (query, neighbor) pair can
+      match on at most one probe — no dedup shuffle.
+
+    Every arm's candidate side rides the hot-cell occupancy guard
+    (`capped_cell_candidates`): at fixture scale the cap never bites
+    (test-pinned, so the cap-free oracles see identical rows); on real
+    data it bounds the per-cell scan the same way the LSH bucket cap
+    bounds band joins."""
     from sentinela_py_spark.functions.vectors import ivf_pq_topk
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    flat = _ivf_flat_arm(e)
+    # The flat and nprobe2 arms consume the SAME capped placeholder
+    # assignment (one definition; recomputing the map-side assignment per
+    # arm beats checkpointing it — serializing the embedding payload
+    # costs more than the map work it saves, measured at sf0.1).
+    assigned = ivf_assign(e)
+    cand, _audit = capped_cell_candidates(assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS))
+    flat = _ivf_flat_arm(e, assigned=assigned, cand=cand)
     pq = ivf_pq_topk(
         e,
         e.filter(F.col("vec_id") < N_QUERY_VECTORS),
@@ -814,6 +974,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_k=COARSE_K,
         n_cells=N_CELLS,
         dim=EMB_DIM,
+        max_cell_size=IVF_MAX_CELL_SIZE,
     ).select(
         F.lit("pq").alias("method"),
         "query_id",
@@ -822,13 +983,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("cos_sim_r"),
         F.col("rnk").alias("rank"),
     )
-    return flat.unionByName(pq).orderBy("method", "query_id", "rank")
+    trained = _ivf_trained_arm(e)
+    np2 = _ivf_nprobe2_arm(e, cand=cand)
+    return (
+        flat.unionByName(pq)
+        .unionByName(trained)
+        .unionByName(np2)
+        .orderBy("method", "query_id", "rank")
+    )
 
 
 register_arms(
     "q_ann_ivf_topk",
     flat=_method_arm("q_ann_ivf_topk", "flat"),
     pq=_method_arm("q_ann_ivf_topk", "pq"),
+    trained=_method_arm("q_ann_ivf_topk", "trained"),
+    nprobe2=_method_arm("q_ann_ivf_topk", "nprobe2"),
 )
 register_arms(
     "q_quantized_refine_topk",
@@ -837,15 +1007,37 @@ register_arms(
 )
 
 
-def _ivf_flat_arm(e: DataFrame) -> DataFrame:
-    """The IVF-flat (exact in-cell) arm of q_ann_ivf_topk."""
-    assigned = ivf_assign(e)
-    q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
-    )
-    c = assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
-    )
+# Hot-cell guard default: shared with the LSH bucket cap — far above any
+# fixture cell (sf0.1: ~250 vectors/cell at N_CELLS=8, test-pinned), low
+# enough to bound a degenerate cell's per-query scan at deployment.
+IVF_MAX_CELL_SIZE = DEFAULT_MAX_BUCKET_SIZE
+
+
+def capped_cell_candidates(
+    assigned: DataFrame, cap: int | None = IVF_MAX_CELL_SIZE
+) -> tuple[DataFrame, DataFrame | None]:
+    """(kept, audit): the IVF analog of the LSH hot-bucket guard — bound
+    every cell of a (vec_id, embedding, cell_id) candidate frame to
+    ``cap`` rows (deterministic xxhash64 sample; operators/scale
+    .cap_buckets) so one degenerate cell cannot absorb the corpus and
+    turn every query's candidate scan into brute force. With TRAINED
+    centroids the cap should never bite (k-means balances occupancy —
+    tests/test_kmeans.py); it stays armed as the audit-backed backstop,
+    exactly like the LSH side. The audit frame (None when uncapped) lists
+    every truncated cell — registered queries evaluate kept only and
+    their oracles model no cap, which is sound because the cap provably
+    never bites at fixture scale (tests/test_skew_guard.py pins this)."""
+    from sentinela_py_spark.operators.scale import cap_buckets
+
+    if cap is None:
+        return assigned, None
+    return cap_buckets(assigned, ["cell_id"], cap, ["vec_id"])
+
+
+def _ivf_search(q: DataFrame, c: DataFrame, method: str) -> DataFrame:
+    """Exact-cosine in-cell search: (query_id, qv, cell_id) × broadcast
+    against (neighbor_id, cv, cell_id), per-query top-k — the flat-search
+    body shared by the flat / trained / nprobe2 arms."""
     scored = c.join(F.broadcast(q), "cell_id").select(
         "query_id", "neighbor_id", "cell_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
@@ -855,11 +1047,68 @@ def _ivf_flat_arm(e: DataFrame) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
-            F.lit("flat").alias("method"),
+            F.lit(method).alias("method"),
             "query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank",
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _ivf_flat_arm(
+    e: DataFrame,
+    assigned: DataFrame | None = None,
+    method: str = "flat",
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF-flat (exact in-cell) arm of q_ann_ivf_topk — pass a
+    trained ``assigned`` frame to reuse the search under another
+    codebook, and/or a pre-capped ``cand`` frame shared across arms."""
+    assigned = ivf_assign(e) if assigned is None else assigned
+    q = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    if cand is None:
+        cand, _audit = capped_cell_candidates(
+            assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        )
+    c = cand.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
+    )
+    return _ivf_search(q, c, method)
+
+
+def _ivf_trained_arm(e: DataFrame) -> DataFrame:
+    """q_ann_ivf_topk's trained arm: k-means codebook → same flat search.
+    The trained centroids come back driver-resident and the corpus
+    assignment inlines them as literals — map-only, zero codebook
+    stages."""
+    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_centroids_local
+
+    cents = kmeans_centroids_local(e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM)
+    return _ivf_flat_arm(e, assigned=assign_cells_literal(e, cents), method="trained")
+
+
+def _ivf_nprobe2_arm(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """q_ann_ivf_topk's nprobe=2 arm: corpus cells from the argmax
+    assignment, query side exploded to its 2 nearest cells
+    (`ivf_probe_cells` — the recall dial, previously pytest-only). The
+    flat search has no coarse-cut, so unlike the PQ path there is no
+    coarse_k∝nprobe coupling to compensate — the wider pool feeds the
+    exact top-k directly."""
+    probes = ivf_probe_cells(
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS), N_CELLS, nprobe=2, centroid_source=e
+    )
+    q = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    if cand is None:
+        cand, _audit = capped_cell_candidates(
+            ivf_assign(e).filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        )
+    c = cand.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
+    )
+    return _ivf_search(q, c, "nprobe2")
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,31 @@ def test_embedding_hot_bucket_pair_output_bounded(spark):
     assert a[0]["bucket_size"] == n_hot and a[0]["n_dropped"] == n_hot - cap
 
 
+def test_embedding_probe_cap_never_bites_at_fixture_scale(spark):
+    """q_embedding_neardup's corpus_probe oracle models NO bucket cap —
+    sound only while no LSH bucket reaches DEFAULT_MAX_BUCKET_SIZE at the
+    registered scales. Pin it (ADVICE r4): fixture growth that crossed
+    the cap would fail HERE loudly instead of surfacing as an
+    unexplained oracle hash mismatch. Also exercises the _with_audit
+    surface: both audit frames exist and are empty."""
+    from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE
+    from sentinela_py_spark.plans.simops import (
+        bucketed_embeddings,
+        embedding_cross_corpus_candidates_with_audit,
+    )
+
+    for sf in (SF, "/root/testdata/sf0.1"):
+        b = bucketed_embeddings(load_table(spark, sf, "embeddings"))
+        max_bucket = b.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+        assert max_bucket <= DEFAULT_MAX_BUCKET_SIZE
+        split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+        _pairs, probe_audit, store_audit = embedding_cross_corpus_candidates_with_audit(
+            b.filter(~split), b.filter(split)
+        )
+        assert probe_audit is not None and store_audit is not None
+        assert probe_audit.count() == 0 and store_audit.count() == 0
+
+
 def test_streaming_dedup_template_flood_handled_exactly(spark, tmp_path):
     """An identical-template flood through the streaming dedup is the
     dominant degenerate case — and the md5 pre-collapse handles it
