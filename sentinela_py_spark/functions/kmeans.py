@@ -47,7 +47,11 @@ __all__ = [
     "kmeans_seed_centroids",
     "quantized_mean_centroids",
     "kmeans_centroids",
+    "kmeans_centroids_local",
     "kmeans_cents_sql",
+    "pq_train_codebooks_local",
+    "pq_stitch_codewords",
+    "pq_train_sql",
 ]
 
 KMEANS_ITERS = 2  # fixed Lloyd iterations (oracle = a fixed CTE chain)
@@ -129,28 +133,16 @@ def kmeans_centroids_local(
     chain of centroid-aggregate/broadcast/join stages whose scheduling
     overhead dominates at any scale. The per-iteration driver traffic is
     k·dim doubles — the same order as the broadcast the alternative
-    would ship. Mean division (s/n/scale) runs driver-side on the exact
-    int64 sums: IEEE-identical to DuckDB's in-engine division."""
+    would ship."""
     rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
     cents = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
     from sentinela_py_spark.plans.simops import assign_cells_literal
 
-    # Quantize the whole vector ONCE per row (one transform), then sum
-    # plain element_at lookups — 64 independent expression trees each
-    # redoing the cast/floor would multiply both codegen and per-row work.
-    sums = [F.sum(F.element_at(F.col("__qvec"), j + 1)).alias(f"s{j}") for j in range(dim)]
     for _ in range(iters):
         assigned = assign_cells_literal(e, cents, id_col=id_col, vec_col=vec_col)
         upd = {
-            int(r["cell_id"]): [
-                r[f"s{j}"] / r["n"] / float(KMEANS_SCALE) for j in range(dim)
-            ]
-            for r in (
-                assigned.withColumn("__qvec", F.transform(F.col(vec_col), _quant))
-                .groupBy("cell_id")
-                .agg(*sums, F.count("*").alias("n"))
-                .collect()
-            )
+            int(r["cell_id"]): [float(x) for x in r["centroid"]]
+            for r in quantized_mean_centroids(assigned, ["cell_id"], vec_col, dim).collect()
         }
         cents = [(cid, upd.get(cid, old)) for cid, old in cents]
     return cents
@@ -171,6 +163,184 @@ def kmeans_centroids(
         kmeans_centroids_local(e, k, iters, id_col, vec_col, dim),
         "cell_id bigint, centroid array<double>",
     )
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 between two equal-length vectors — left-to-right double
+    fold (multiplication, not pow), matching the DuckDB twin exactly."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_train_codebooks_local(
+    e: DataFrame,
+    m: int,
+    k: int,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means for PRODUCT-QUANTIZATION codewords —
+    ``books[mi][j]`` = codeword j of subspace mi (dim/m doubles). The
+    same determinism kit as the IVF loop, under PQ's metric:
+
+    - init: subspace slices of the SAME k md5-ranked seed vectors the
+      IVF init uses (so init is one ranking, every subspace);
+    - assign: argmin of 9dp-rounded squared L2 (PQ encodes by L2, not
+      cosine — subvector magnitude matters), ties to the lowest codeword
+      id — identical to the encode argmin in `vectors.pq_reconstruct`;
+    - update: the integer-quantized mean (module note).
+
+    All m subspaces train in ONE job per iteration: the corpus explodes
+    to (id, m, sub) rows — m× the rows but 1/m the vector width, so the
+    scan bytes are unchanged — and the per-(m, cw) integer sums shuffle
+    m·k·(dim/m) = k·dim longs total, same as the IVF loop."""
+    d = dim // m
+    rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
+    seeds = [[float(x) for x in r["centroid"]] for r in sorted(rows, key=lambda r: r["cell_id"])]
+    books = [[vec[mi * d : (mi + 1) * d] for vec in seeds] for mi in range(m)]
+
+    subs = e.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"), F.slice(F.col(vec_col), mi * d + 1, d).alias("sub")
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("ms"),
+    ).select(id_col, F.col("ms.m").alias("m"), F.col("ms.sub").alias("sub"))
+
+    for _ in range(iters):
+        # per-subspace codebook as one literal array-of-arrays each, the
+        # subspace's book picked by m — all map-side
+        cw_lit = F.array(*[F.lit(book) for book in books])
+        dists = F.transform(
+            F.element_at(cw_lit, F.col("m") + 1),
+            lambda cw: F.round(_l2sq(F.col("sub"), cw), 9),
+        )
+        best = (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast("int")
+        assigned = subs.withColumn("__d", dists).select("m", "sub", best.alias("cw"))
+        upd = {
+            (int(r["m"]), int(r["cw"])): [float(x) for x in r["centroid"]]
+            for r in quantized_mean_centroids(assigned, ["m", "cw"], "sub", d).collect()
+        }
+        books = [
+            [upd.get((mi, j), old) for j, old in enumerate(book)]
+            for mi, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_stitch_codewords(books: list[list[list[float]]]) -> list[list[float]]:
+    """Stitch per-subspace codebooks into k FULL-dim vectors —
+    ``stitched[j][mi·d : (mi+1)·d] = books[mi][j]`` — the layout
+    `vectors.pq_reconstruct` consumes (it slices subspace mi back out of
+    seed j), so trained codebooks ride the exact same encode algebra as
+    the placeholder seeds."""
+    k = len(books[0])
+    return [[x for book in books for x in book[j]] for j in range(k)]
+
+
+def pq_train_sql(
+    m: int,
+    k: int,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "pqt",
+) -> str:
+    """DuckDB twin of ``pq_train_codebooks_local`` as chained CTE
+    definitions (no leading WITH): exposes ``{prefix}_subs`` (vec_id, m,
+    sub — the corpus exploded by subspace), ``{prefix}_cents`` (m, cw,
+    sub — the trained codebooks), ``{prefix}_codes`` (the corpus encoded
+    against them — one more argmin assignment, the same shape as a
+    training iteration), and ``{prefix}_recon`` (vec_id, deq — the
+    reconstruction, subspace codewords concatenated in m order — the
+    twin of ``vectors.pq_reconstruct_vecs`` over stitched codebooks)."""
+    d = dim // m
+    s = KMEANS_SCALE
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(s.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))"
+        " * (CAST(s.sub[i] AS DOUBLE) - CAST(c.sub[i] AS DOUBLE))))"
+    )
+    sums = ", ".join(
+        f"SUM(CAST(floor(CAST(sub[{j + 1}] AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS s{j}"
+        for j in range(d)
+    )
+    mean = ", ".join(
+        f"CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE) / {float(s)!r}" for j in range(d)
+    )
+    parts = [
+        f"""{prefix}_subs AS (
+      SELECT {id_col} AS vec_id, mi.m, {vec_col}[mi.m*{d}+1 : mi.m*{d}+{d}] AS sub
+      FROM {src} CROSS JOIN (SELECT UNNEST(generate_series(0, {m - 1})) AS m) mi
+    )""",
+        f"""{prefix}_cents0 AS (
+      SELECT mi.m, r.cw, r.{vec_col}[mi.m*{d}+1 : mi.m*{d}+{d}] AS sub
+      FROM (
+        SELECT {vec_col}, ROW_NUMBER() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cw
+        FROM {src}
+      ) r CROSS JOIN (SELECT UNNEST(generate_series(0, {m - 1})) AS m) mi
+      WHERE r.cw < {k}
+    )""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""{prefix}_asg{i} AS (
+      SELECT m, sub, cw FROM (
+        SELECT s.m, s.sub, c.cw,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY ROUND({l2}, 9), c.cw) AS rn
+        FROM {prefix}_subs s JOIN {prefix}_cents{i} c USING (m)
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""{prefix}_upd{i} AS (
+      SELECT m, cw, COUNT(*) AS n, {sums}
+      FROM {prefix}_asg{i} GROUP BY m, cw
+    )"""
+        )
+        parts.append(
+            f"""{prefix}_cents{i + 1} AS (
+      SELECT p.m, p.cw, COALESCE(u.sub, p.sub) AS sub
+      FROM {prefix}_cents{i} p LEFT JOIN (
+        SELECT m, cw, [{mean}] AS sub FROM {prefix}_upd{i}
+      ) u USING (m, cw)
+    )"""
+        )
+    parts.append(
+        f"{prefix}_cents AS (SELECT m, cw, sub FROM {prefix}_cents{iters})"
+    )
+    parts.append(
+        f"""{prefix}_codes AS (
+      SELECT vec_id, m, cw FROM (
+        SELECT s.vec_id, s.m, c.cw,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY ROUND({l2}, 9), c.cw) AS rn
+        FROM {prefix}_subs s JOIN {prefix}_cents c USING (m)
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""{prefix}_recon AS (
+      SELECT vec_id, flatten(list(sub ORDER BY m)) AS deq FROM (
+        SELECT k.vec_id, k.m, t.sub
+        FROM {prefix}_codes k JOIN {prefix}_cents t USING (m, cw)
+      ) GROUP BY vec_id
+    )"""
+    )
+    return ",\n    ".join(parts)
 
 
 def kmeans_cents_sql(

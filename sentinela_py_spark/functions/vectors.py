@@ -28,6 +28,7 @@ __all__ = [
     "coarse_refine_topk",
     "pq_codebook_seeds",
     "pq_reconstruct",
+    "pq_reconstruct_vecs",
     "pq_refine_topk",
     "ivf_pq_topk",
 ]
@@ -177,9 +178,19 @@ def _sub_l2sq(a: Column, b: Column, start: int, d: int) -> Column:
 
 
 def pq_reconstruct(vec: Column, seeds: Column, m: int = PQ_M, dim: int = 64) -> Column:
+    """`pq_reconstruct_vecs` over a struct-array codebook (the
+    `pq_codebook_seeds` row shape) — extracts the vectors and delegates."""
+    return pq_reconstruct_vecs(vec, F.transform(seeds, lambda s: s["cv"]), m, dim)
+
+
+def pq_reconstruct_vecs(vec: Column, seed_vecs: Column, m: int = PQ_M, dim: int = 64) -> Column:
     """array<double>: the PQ approximation of ``vec`` — per subspace, the
     codeword slice minimizing squared L2 (9dp-rounded before the argmin,
-    ties to the lowest codeword id), concatenated back in subspace order.
+    ties to the lowest codeword id = array order), concatenated back in
+    subspace order. ``seed_vecs`` is a plain array<array<double>> of k
+    full-dim codeword vectors — either the placeholder seeds or k-means
+    trained codebooks stitched full-dim (functions/kmeans
+    .pq_stitch_codewords); both ride this same encode algebra.
     Encode+reconstruct fused into one map-side expression: at scale the
     stored form is the M tinyint codes; reconstruction rides the scan."""
     d = dim // m
@@ -191,13 +202,13 @@ def pq_reconstruct(vec: Column, seeds: Column, m: int = PQ_M, dim: int = 64) -> 
     # repeated subtrees inside one expression).
     def _best_codeword(mi):
         dists = F.transform(
-            seeds, lambda s: F.round(_sub_l2sq(vec, s["cv"], mi * d + 1, d), 9)
+            seed_vecs, lambda s: F.round(_sub_l2sq(vec, s, mi * d + 1, d), 9)
         )
         return F.transform(
             F.array(dists),
             lambda ds: F.element_at(
-                seeds, F.array_position(ds, F.array_min(ds)).cast("int")
-            )["cv"],
+                seed_vecs, F.array_position(ds, F.array_min(ds)).cast("int")
+            ),
         ).getItem(0)
 
     subs = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _best_codeword)
@@ -251,6 +262,9 @@ def ivf_pq_topk(
     dim: int = 64,
     nprobe: int = 1,
     max_cell_size: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codeword_vecs: list[list[float]] | None = None,
+    encoded_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search layout — cell routing composed with PQ
     compression, both deterministic:
@@ -291,33 +305,68 @@ def ivf_pq_topk(
     unbounded — the same skew class the LSH bucket cap closes. The
     registered arm defaults it on via `IVF_MAX_CELL_SIZE` (never bites at
     fixture scale — test-pinned); the default here stays ``None`` so the
-    stage-wise quantization query keeps its cap-free oracle exactly."""
+    stage-wise quantization query keeps its cap-free oracle exactly.
+
+    ``centroids`` / ``codeword_vecs`` swap the placeholder codebooks for
+    TRAINED, driver-resident ones (functions/kmeans): centroids as a
+    (cell_id, vector) list inlined via `assign_cells_literal` (map-only,
+    no codebook stages), codewords as k stitched full-dim vectors
+    (`pq_stitch_codewords`) riding the same encode algebra. Training is
+    nprobe=1-only here — `ivf_probe_cells` takes a frame-backed codebook.
+
+    ``encoded_corpus`` is a PRE-BUILT index frame (vec_id, embedding,
+    cell_id, deq) — the stored form a vector lake writes once (cells and
+    codes at ingest, not per query); when given, the corpus-side
+    assignment/cap/encode above are skipped and only the query routing +
+    search run (``max_cell_size`` is then the index builder's concern)."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.plans.simops import (  # noqa: F401 — both cell routers
+        assign_cells_literal,
         capped_cell_candidates,
         cosine,
         ivf_assign,
         ivf_probe_cells,
     )
 
-    assigned = ivf_assign(embeddings, n_cells)
-    assigned, _audit = capped_cell_candidates(assigned, max_cell_size)
-    seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
-    cand = assigned.crossJoin(seeds_row).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
-    )
+    if centroids is not None and nprobe != 1:
+        raise ValueError("driver-resident trained centroids support nprobe=1 only")
+    if encoded_corpus is not None:
+        cand = encoded_corpus
+    else:
+        assigned = (
+            ivf_assign(embeddings, n_cells)
+            if centroids is None
+            else assign_cells_literal(embeddings, centroids)
+        )
+        assigned, _audit = capped_cell_candidates(assigned, max_cell_size)
+        if codeword_vecs is None:
+            seeds_row = F.broadcast(pq_codebook_seeds(embeddings, n_codewords))
+            cand = assigned.crossJoin(seeds_row).select(
+                "vec_id",
+                "embedding",
+                "cell_id",
+                pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
+            )
+        else:
+            seed_vecs = F.lit([[float(x) for x in v] for v in codeword_vecs])
+            cand = assigned.select(
+                "vec_id",
+                "embedding",
+                "cell_id",
+                pq_reconstruct_vecs(F.col("embedding"), seed_vecs, m, dim).alias("deq"),
+            )
     # nprobe=1 keeps the cheaper argmax assignment (proven equivalent to
     # the probe path's rank-1 cell by test); >1 pays the comparator sort
     # + explode only when the recall dial is actually turned.
-    q_cells = (
-        ivf_assign(queries, n_cells, centroid_source=embeddings)
-        if nprobe == 1
-        else ivf_probe_cells(queries, n_cells, nprobe=nprobe, centroid_source=embeddings)
-    )
+    if centroids is not None:
+        q_cells = assign_cells_literal(queries, centroids)
+    else:
+        q_cells = (
+            ivf_assign(queries, n_cells, centroid_source=embeddings)
+            if nprobe == 1
+            else ivf_probe_cells(queries, n_cells, nprobe=nprobe, centroid_source=embeddings)
+        )
     qs = F.broadcast(
         q_cells.select(
             F.col("vec_id").alias("query_id"),

@@ -825,25 +825,6 @@ def _cell_ranked_sql(q_rel: str, c_rel: str) -> str:
       FROM {q_rel} JOIN {c_rel} ON {q_rel}.cell_id = {c_rel}.cell_id
 """
 
-_PQ_CODES_SQL = f"""
-      SELECT vec_id, m, cw FROM (
-        SELECT v.vec_id, mi.m, s.cw,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id, mi.m
-                                  ORDER BY ROUND({_PQ_D2_SQL}, 9), s.cw) AS rn
-        FROM embeddings v
-        CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) mi
-        CROSS JOIN seeds s
-      ) WHERE rn = 1
-"""
-
-_PQ_RECON_SQL = f"""
-        SELECT vec_id, flatten(list(sub ORDER BY m)) AS deq FROM (
-          SELECT c.vec_id, c.m, s.cv[c.m*{_PQ_D}+1 : c.m*{_PQ_D}+{_PQ_D}] AS sub
-          FROM pq_codes c JOIN seeds s ON s.cw = c.cw
-        ) GROUP BY vec_id
-"""
-
-
 def _km_sql() -> str:
     from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_cents_sql
 
@@ -855,6 +836,12 @@ def _km_sql() -> str:
         dot_sql_fmt=_DOT_SQL,
         normsq_sql_fmt=_NORMSQ_SQL,
     )
+
+
+def _pqt_sql() -> str:
+    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, pq_train_sql
+
+    return pq_train_sql(PQ_M, PQ_K, KMEANS_ITERS, EMB_DIM, prefix="pqt")
 
 
 @register(
@@ -877,11 +864,10 @@ def _km_sql() -> str:
       FROM ({_assigned_sql('cents', src=f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECTORS})', rn_pred='rn <= 2')})
     ),
     npranked AS ({_cell_ranked_sql('q2', 'c')}),
-    seeds AS (SELECT vec_id AS cw, embedding AS cv FROM embeddings WHERE vec_id < {PQ_K}),
-    pq_codes AS ({_PQ_CODES_SQL}),
+    {_pqt_sql()},
     pq_cand AS (
       SELECT a.vec_id, a.embedding, a.cell_id, r.deq
-      FROM assigned a JOIN ({_PQ_RECON_SQL}) r USING (vec_id)
+      FROM tassigned a JOIN pqt_recon r USING (vec_id)
     ),
     pq_coarse AS (
       SELECT query_id, vec_id, cell_id, embedding, qv,
@@ -890,7 +876,7 @@ def _km_sql() -> str:
                  / (SQRT({_NORMSQ_SQL.format(a='deq')}) * SQRT({_NORMSQ_SQL.format(a='qv')})), 6) DESC,
                vec_id) AS crnk
       FROM pq_cand c
-      JOIN (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned WHERE vec_id < {N_QUERY_VECTORS}) qc
+      JOIN (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM tassigned WHERE vec_id < {N_QUERY_VECTORS}) qc
         USING (cell_id)
       WHERE c.vec_id <> qc.query_id
     ),
@@ -935,22 +921,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       (query vectors excluded from the candidate side), PLACEHOLDER
       codebook (first N_CELLS vectors) — the layout baseline;
     - ``pq``: the COMPOSED IVF-PQ layout (`functions/vectors.ivf_pq_topk`)
-      — same cell routing, but candidates coarse-rank on their
-      product-quantization reconstruction (PQ_M bytes/vector is all the
-      cell scan touches at 100 TB) and only COARSE_K survivors are
-      re-ranked exactly. Candidates exclude only the query itself —
-      generic-corpus semantics, mirrored by the oracle;
-    - ``trained``: the DEPLOYMENT path — centroids trained with
-      deterministic distributed k-means (functions/kmeans.py: md5-ranked
-      init, fixed Lloyd iterations, integer-exact means), then the same
-      flat search. Trained centroids are what keeps cells balanced on
-      real data (the placeholder's hot-cell failure mode — see
-      tests/test_kmeans.py for the balance proof on a clustered corpus);
+      under the TRAINED codebooks — k-means cell routing, candidates
+      coarse-ranked on their product-quantization reconstruction against
+      per-subspace k-means codewords (PQ_M bytes/vector is all the cell
+      scan touches at 100 TB), COARSE_K survivors re-ranked exactly.
+      Candidates exclude only the query itself — generic-corpus
+      semantics, mirrored by the oracle. (The placeholder-codebook PQ
+      layout remains stage-wise proven in q_quantized_refine_topk; here
+      the composed search runs what a deployment runs.);
+    - ``trained``: trained-centroid IVF-flat — k-means centroids
+      (functions/kmeans.py: md5-ranked init, fixed Lloyd iterations,
+      integer-exact means), then the same flat search. Trained centroids
+      are what keeps cells balanced on real data (the placeholder's
+      hot-cell failure mode — see tests/test_kmeans.py for the balance
+      proof on a clustered corpus);
     - ``nprobe2``: the recall dial — each query probes its TWO nearest
       cells (`ivf_probe_cells`), candidate work ×2, recovering true
       neighbours that sit across a cell boundary from the query. Corpus
       vectors live in exactly one cell, so a (query, neighbor) pair can
       match on at most one probe — no dedup shuffle.
+
+    Codebook training (IVF centroids + PQ codewords) and the corpus
+    encode (cell ids + PQ codes per vector) happen ONCE per corpus — the
+    stored-index semantics of a real vector lake (FAISS trains and
+    encodes offline, searches online): `_ivf_index` memoizes the three
+    index frames per (session, sf_dir) behind lazy localCheckpoints, so
+    the registered arms time SEARCH against the stored index and the
+    bench's ``training`` arm prices the full offline build explicitly.
 
     Every arm's candidate side rides the hot-cell occupancy guard
     (`capped_cell_candidates`): at fixture scale the cap never bites
@@ -960,13 +957,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentinela_py_spark.functions.vectors import ivf_pq_topk
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    # The flat and nprobe2 arms consume the SAME capped placeholder
-    # assignment (one definition; recomputing the map-side assignment per
-    # arm beats checkpointing it — serializing the embedding payload
-    # costs more than the map work it saves, measured at sf0.1).
-    assigned = ivf_assign(e)
-    cand, _audit = capped_cell_candidates(assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS))
-    flat = _ivf_flat_arm(e, assigned=assigned, cand=cand)
+    cents, _books = _trained_codebooks(e, sf_dir)
+    index = _ivf_index(e, sf_dir)
+    flat = _ivf_flat_arm(e, cand=index["cand"])
     pq = ivf_pq_topk(
         e,
         e.filter(F.col("vec_id") < N_QUERY_VECTORS),
@@ -974,7 +967,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_k=COARSE_K,
         n_cells=N_CELLS,
         dim=EMB_DIM,
-        max_cell_size=IVF_MAX_CELL_SIZE,
+        centroids=cents,
+        encoded_corpus=index["pq_cand"],
     ).select(
         F.lit("pq").alias("method"),
         "query_id",
@@ -983,8 +977,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("cos_sim_r"),
         F.col("rnk").alias("rank"),
     )
-    trained = _ivf_trained_arm(e)
-    np2 = _ivf_nprobe2_arm(e, cand=cand)
+    t_assigned = index["t_assigned"]
+    t_q = t_assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    t_c, _taudit = capped_cell_candidates(
+        t_assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+    )
+    trained = _ivf_search(
+        t_q,
+        t_c.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
+        ),
+        "trained",
+    )
+    np2 = _ivf_nprobe2_arm(e, cand=index["cand"])
     return (
         flat.unionByName(pq)
         .unionByName(trained)
@@ -993,13 +1000,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_arms(
-    "q_ann_ivf_topk",
-    flat=_method_arm("q_ann_ivf_topk", "flat"),
-    pq=_method_arm("q_ann_ivf_topk", "pq"),
-    trained=_method_arm("q_ann_ivf_topk", "trained"),
-    nprobe2=_method_arm("q_ann_ivf_topk", "nprobe2"),
-)
 register_arms(
     "q_quantized_refine_topk",
     int8=_method_arm("q_quantized_refine_topk", "int8"),
@@ -1077,15 +1077,99 @@ def _ivf_flat_arm(
     return _ivf_search(q, c, method)
 
 
-def _ivf_trained_arm(e: DataFrame) -> DataFrame:
-    """q_ann_ivf_topk's trained arm: k-means codebook → same flat search.
-    The trained centroids come back driver-resident and the corpus
-    assignment inlines them as literals — map-only, zero codebook
-    stages."""
-    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_centroids_local
+# Trained codebooks are a pure function of the corpus (deterministic
+# init, fixed iterations), so one training per sf_dir serves every arm,
+# bench rep, and correctness run — deployment semantics: FAISS trains a
+# codebook once and serves searches against it. The bench `training` arm
+# calls _train_codebooks directly, bypassing this memo, so training cost
+# stays a measured number instead of vanishing into the first rep.
+_TRAINED_CODEBOOKS: dict[str, tuple[list, list]] = {}
+
+
+def _train_codebooks(e: DataFrame) -> tuple[list, list]:
+    """One full un-memoized training run: IVF centroids (cosine k-means)
+    + PQ codewords (per-subspace L2 k-means)."""
+    from sentinela_py_spark.functions.kmeans import (
+        KMEANS_ITERS,
+        kmeans_centroids_local,
+        pq_train_codebooks_local,
+    )
 
     cents = kmeans_centroids_local(e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM)
-    return _ivf_flat_arm(e, assigned=assign_cells_literal(e, cents), method="trained")
+    books = pq_train_codebooks_local(e, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, dim=EMB_DIM)
+    return cents, books
+
+
+def _trained_codebooks(e: DataFrame, sf_dir: str) -> tuple[list, list]:
+    if sf_dir not in _TRAINED_CODEBOOKS:
+        _TRAINED_CODEBOOKS[sf_dir] = _train_codebooks(e)
+    return _TRAINED_CODEBOOKS[sf_dir]
+
+
+# The stored ANN index, as a real vector lake lays it out: cell
+# assignments and PQ codes are computed at WRITE time and read back by
+# every search — re-deriving them per query is a demo artifact, not the
+# deployment plan. One lazy localCheckpoint per (session, sf_dir) for
+# each index frame; the first action pays the build (the bench `training`
+# arm prices the full offline path explicitly), later searches read it.
+_IVF_INDEX: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
+    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+    from sentinela_py_spark.functions.vectors import pq_reconstruct_vecs
+
+    spark = e.sparkSession
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX:
+        cents, books = _trained_codebooks(e, sf_dir)
+        cand, _a1 = capped_cell_candidates(
+            ivf_assign(e).filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        )
+        t_assigned = assign_cells_literal(e, cents)
+        seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
+        t_for_pq, _a3 = capped_cell_candidates(t_assigned)  # cap BEFORE encode
+        pq_cand = t_for_pq.select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            pq_reconstruct_vecs(F.col("embedding"), seed_vecs, PQ_M, EMB_DIM).alias("deq"),
+        )
+        _IVF_INDEX[key] = {
+            "cand": cand.localCheckpoint(eager=False),
+            "t_assigned": t_assigned.localCheckpoint(eager=False),
+            "pq_cand": pq_cand.localCheckpoint(eager=False),
+        }
+    return _IVF_INDEX[key]
+
+
+def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench arm: time the FULL offline index build, memo bypassed —
+    codebook training (IVF + PQ k-means) plus the corpus encode (cell id
+    + PQ reconstruction per vector, the frame a vector lake writes).
+    Materializing the returned frame IS the encode pass."""
+    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+    from sentinela_py_spark.functions.vectors import pq_reconstruct_vecs
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    cents, books = _train_codebooks(e)
+    seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
+    encoded, _audit = capped_cell_candidates(assign_cells_literal(e, cents))
+    return encoded.select(
+        "vec_id",
+        "cell_id",
+        pq_reconstruct_vecs(F.col("embedding"), seed_vecs, PQ_M, EMB_DIM).alias("deq"),
+    )
+
+
+register_arms(
+    "q_ann_ivf_topk",
+    flat=_method_arm("q_ann_ivf_topk", "flat"),
+    pq=_method_arm("q_ann_ivf_topk", "pq"),
+    trained=_method_arm("q_ann_ivf_topk", "trained"),
+    nprobe2=_method_arm("q_ann_ivf_topk", "nprobe2"),
+    training=_ivf_training_probe,
+)
 
 
 def _ivf_nprobe2_arm(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:

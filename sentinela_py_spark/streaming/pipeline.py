@@ -541,9 +541,15 @@ def embedding_dedup_batch_against_corpus(
     )
     store = _read_band_store(spark, index_dir, epoch_id)
     if store is not None:
-        store, store_overflow = cap_buckets(store, ["bucket"], max_bucket_size, ["vec_id"])
+        # rebalance=False: a micro-batch's capped frame is byte-small and
+        # feeds one bounded probe join — the extra round-robin Exchange
+        # the registered self-joins need (AQE byte-coalescing, see
+        # cap_buckets) is pure per-epoch overhead here (r4 ADVICE).
+        store, store_overflow = cap_buckets(
+            store, ["bucket"], max_bucket_size, ["vec_id"], rebalance=False
+        )
         probe_base, batch_overflow = cap_buckets(
-            bucketed, ["bucket"], max_bucket_size, ["vec_id"]
+            bucketed, ["bucket"], max_bucket_size, ["vec_id"], rebalance=False
         )
         overflow_parts += [
             store_overflow.withColumn("side", F.lit("store")),

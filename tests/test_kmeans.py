@@ -28,6 +28,9 @@ from sentinela_py_spark.functions.kmeans import (
     KMEANS_ITERS,
     kmeans_cents_sql,
     kmeans_centroids,
+    pq_stitch_codewords,
+    pq_train_codebooks_local,
+    pq_train_sql,
 )
 from sentinela_py_spark.plans.simops import (
     _DOT_SQL,
@@ -117,6 +120,66 @@ def test_kmeans_matches_duckdb_bit_for_bit(spark):
         assert len(sc) == len(centroid)
         for x, y in zip(sc, centroid):
             assert x == y or (math.isnan(x) and math.isnan(y))  # EXACT, no tolerance
+
+
+def test_pq_codebooks_match_duckdb_bit_for_bit(spark):
+    from sentinela_py_spark.functions.vectors import PQ_K, PQ_M
+
+    books = pq_train_codebooks_local(
+        load_table(spark, SF_SMOKE, "embeddings"), m=PQ_M, k=PQ_K, dim=64
+    )
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_SMOKE, 'embeddings.parquet')}')"
+    )
+    duck = con.execute(
+        f"WITH {pq_train_sql(PQ_M, PQ_K, KMEANS_ITERS, 64)} "
+        "SELECT m, cw, sub FROM pqt_cents ORDER BY m, cw"
+    ).fetchall()
+    assert len(duck) == PQ_M * PQ_K
+    for m, cw, sub in duck:
+        assert books[m][cw] == list(sub)  # EXACT, no tolerance
+
+
+def test_trained_codewords_cut_reconstruction_error(spark):
+    """The point of training: trained codewords reconstruct the corpus
+    strictly better than the first-K placeholder slices (total squared
+    L2 over the fixture corpus)."""
+    from sentinela_py_spark.functions.vectors import (
+        PQ_K,
+        PQ_M,
+        pq_codebook_seeds,
+        pq_reconstruct,
+        pq_reconstruct_vecs,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("deq"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    seeds_row = F.broadcast(pq_codebook_seeds(e, PQ_K))
+    placeholder = (
+        e.crossJoin(seeds_row)
+        .select(pq_reconstruct(F.col("embedding"), F.col("seeds"), PQ_M, 64).alias("deq"), "embedding")
+        .agg(F.sum(err).alias("sse"))
+        .collect()[0]["sse"]
+    )
+    stitched = F.lit(pq_stitch_codewords(pq_train_codebooks_local(e, m=PQ_M, k=PQ_K, dim=64)))
+    trained = (
+        e.select(pq_reconstruct_vecs(F.col("embedding"), stitched, PQ_M, 64).alias("deq"), "embedding")
+        .agg(F.sum(err).alias("sse"))
+        .collect()[0]["sse"]
+    )
+    assert trained < placeholder * 0.9
 
 
 def test_cell_cap_never_bites_at_fixture_scale(spark):

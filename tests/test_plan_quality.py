@@ -162,14 +162,16 @@ def test_method_arm_filter_folds_other_union_branches(spark):
     breaks."""
     from sentinela_py_spark.plans.registry import ARMS
 
-    # (q_minhash_pairs / q_embedding_neardup are excluded: their shared
-    # lazy localCheckpoint replaces FileScans with an RDD scan, so scan
+    # (q_minhash_pairs / q_embedding_neardup / q_ann_ivf_topk /
+    # q_sequence_packing are excluded: their shared lazy localCheckpoints
+    # — gram/bucket projections, the memoized stored ANN index, the
+    # memoized curated pool — replace FileScans with RDD scans, so scan
     # counts can't witness the fold there)
-    for qname in ("q_quantized_refine_topk", "q_ann_ivf_topk"):
+    for qname in ("q_quantized_refine_topk",):
         full = QUERIES[qname].spark(spark, SF)
         n_full = full._jdf.queryExecution().executedPlan().toString().count("FileScan")
         arm_counts = []
-        for arm_fn in ARMS[qname].values():
+        for arm_name, arm_fn in ARMS[qname].items():
             armed = arm_fn(spark, SF)
             arm_counts.append(
                 armed._jdf.queryExecution().executedPlan().toString().count("FileScan")
