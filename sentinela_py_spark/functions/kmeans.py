@@ -112,6 +112,37 @@ def quantized_mean_centroids(
     return agg.select(*key_cols, centroid.alias("centroid"), "n")
 
 
+def training_sample(
+    e: DataFrame, train_frac: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic md5-threshold subsample for codebook TRAINING — the
+    FAISS practice at scale: k-means quality saturates around ~256
+    vectors per centroid, so training on the full corpus multiplies
+    every Lloyd iteration's scan for nothing. Membership is the same
+    content-keyed Bernoulli as q_train_split (first 8 md5 hex chars of
+    the id under frac·2^32), so the training set — hence the trained
+    codebook — is reproducible across runs, engines, partitionings and
+    cluster sizes, and the DuckDB twin is one WHERE clause."""
+    if not (0.0 < train_frac <= 1.0):
+        raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
+    if train_frac == 1.0:
+        return e
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+    return e.filter(u < F.lit(float(train_frac)))
+
+
+def training_sample_sql(train_frac: float, id_col: str = "vec_id") -> str:
+    """DuckDB twin of ``training_sample`` as a WHERE predicate."""
+    if train_frac == 1.0:
+        return "TRUE"
+    return (
+        f"(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / 4294967296.0 < {float(train_frac)!r})"
+    )
+
+
 def kmeans_centroids_local(
     e: DataFrame,
     k: int,
@@ -119,6 +150,7 @@ def kmeans_centroids_local(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    train_frac: float = 1.0,
 ) -> list[tuple[int, list[float]]]:
     """``iters`` Lloyd iterations from the md5-ranked init — every step
     deterministic (module note), so the same chain in DuckDB
@@ -133,7 +165,15 @@ def kmeans_centroids_local(
     chain of centroid-aggregate/broadcast/join stages whose scheduling
     overhead dominates at any scale. The per-iteration driver traffic is
     k·dim doubles — the same order as the broadcast the alternative
-    would ship."""
+    would ship.
+
+    ``train_frac`` < 1 trains on a deterministic md5 subsample
+    (`training_sample`) — the standard subsampled-training setup; the
+    returned codebook then ASSIGNS the full corpus as usual. The
+    registered demo trains on the whole (tiny) fixture corpus; a 100 TB
+    deployment sizes the sample at ~256·k vectors."""
+    if train_frac < 1.0:
+        e = training_sample(e, train_frac, id_col)
     rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
     cents = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
     from sentinela_py_spark.plans.simops import assign_cells_literal
@@ -353,15 +393,20 @@ def kmeans_cents_sql(
     prefix: str = "km",
     dot_sql_fmt: str | None = None,
     normsq_sql_fmt: str | None = None,
+    train_frac: float = 1.0,
 ) -> str:
     """DuckDB twin of ``kmeans_centroids`` as a chain of CTE definitions
     (no leading WITH): ``{prefix}_cents0`` (init) →
     assignment/update/coalesce per iteration → final relation
-    ``{prefix}_cents`` (cell_id, centroid). Embed inside a WITH list."""
+    ``{prefix}_cents`` (cell_id, centroid). Embed inside a WITH list.
+    ``train_frac`` mirrors `training_sample` (init + every iteration
+    scan the same deterministic subsample)."""
     from sentinela_py_spark.plans.simops import _DOT_SQL, _NORMSQ_SQL
 
     dot = dot_sql_fmt or _DOT_SQL
     normsq = normsq_sql_fmt or _NORMSQ_SQL
+    if train_frac < 1.0:
+        src = f"(SELECT * FROM {src} WHERE {training_sample_sql(train_frac, id_col)})"
     s = KMEANS_SCALE
     sums = ", ".join(
         f"SUM(CAST(floor(CAST({vec_col}[{j + 1}] AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS s{j}"

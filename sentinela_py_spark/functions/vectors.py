@@ -309,10 +309,10 @@ def ivf_pq_topk(
 
     ``centroids`` / ``codeword_vecs`` swap the placeholder codebooks for
     TRAINED, driver-resident ones (functions/kmeans): centroids as a
-    (cell_id, vector) list inlined via `assign_cells_literal` (map-only,
-    no codebook stages), codewords as k stitched full-dim vectors
-    (`pq_stitch_codewords`) riding the same encode algebra. Training is
-    nprobe=1-only here — `ivf_probe_cells` takes a frame-backed codebook.
+    (cell_id, vector) list inlined via `assign_cells_literal` /
+    `probe_cells_literal` (map-only, no codebook stages — nprobe > 1
+    included), codewords as k stitched full-dim vectors
+    (`pq_stitch_codewords`) riding the same encode algebra.
 
     ``encoded_corpus`` is a PRE-BUILT index frame (vec_id, embedding,
     cell_id, deq) — the stored form a vector lake writes once (cells and
@@ -327,10 +327,8 @@ def ivf_pq_topk(
         cosine,
         ivf_assign,
         ivf_probe_cells,
+        probe_cells_literal,
     )
-
-    if centroids is not None and nprobe != 1:
-        raise ValueError("driver-resident trained centroids support nprobe=1 only")
     if encoded_corpus is not None:
         cand = encoded_corpus
     else:
@@ -360,7 +358,11 @@ def ivf_pq_topk(
     # the probe path's rank-1 cell by test); >1 pays the comparator sort
     # + explode only when the recall dial is actually turned.
     if centroids is not None:
-        q_cells = assign_cells_literal(queries, centroids)
+        q_cells = (
+            assign_cells_literal(queries, centroids)
+            if nprobe == 1
+            else probe_cells_literal(queries, centroids, nprobe=nprobe)
+        )
     else:
         q_cells = (
             ivf_assign(queries, n_cells, centroid_source=embeddings)

@@ -755,17 +755,53 @@ def ivf_probe_cells(
             c["cell_id"].alias("cell_id"),
         ),
     )
-    ranked = F.array_sort(
-        sims,
-        lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
-        .when(a["sim"] < b["sim"], F.lit(1))
-        .when(a["cell_id"] < b["cell_id"], F.lit(-1))
-        .otherwise(F.lit(1)),
-    )
+    ranked = F.array_sort(sims, _sim_comparator)
     return (
         e.crossJoin(F.broadcast(cents_row))
         .withColumn("probe", F.explode(F.slice(ranked, 1, nprobe)))
         .select("vec_id", "embedding", F.col("probe.cell_id").alias("cell_id"))
+    )
+
+
+def _sim_comparator(a, b):
+    """(sim DESC, cell_id ASC) — deterministic and total because NaN sims
+    were already coalesced to −2.0 (see callers)."""
+    return (
+        F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .when(a["cell_id"] < b["cell_id"], F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+
+
+def probe_cells_literal(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_probe_cells` against DRIVER-RESIDENT (trained) centroids —
+    one row per probed cell, map-only, the literal twin of the
+    frame-backed path exactly as `assign_cells_literal` is `ivf_assign`'s
+    (same nested-array-literal inlining, same NaN guard, same
+    comparator). Closes the trained-codebook nprobe>1 gap: the recall
+    dial no longer requires the placeholder codebook."""
+    cents = sorted(cents)
+    vecs = F.lit([[float(x) for x in v] for _cid, v in cents])
+    ids = F.lit([int(cid) for cid, _v in cents])
+    sims = F.zip_with(
+        vecs,
+        ids,
+        lambda v, cid: F.struct(
+            F.nanvl(F.round(cosine(F.col(vec_col), v), 6), F.lit(-2.0)).alias("sim"),
+            cid.cast("bigint").alias("cell_id"),
+        ),
+    )
+    ranked = F.array_sort(sims, _sim_comparator)
+    return (
+        e.withColumn("__probe", F.explode(F.slice(ranked, 1, nprobe)))
+        .select(id_col, vec_col, F.col("__probe.cell_id").alias("cell_id"))
     )
 
 

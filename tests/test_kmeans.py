@@ -182,6 +182,62 @@ def test_trained_codewords_cut_reconstruction_error(spark):
     assert trained < placeholder * 0.9
 
 
+def test_subsampled_training_matches_duckdb_and_stays_deterministic(spark):
+    """train_frac: the codebook trained on the md5 subsample is
+    bit-identical to the DuckDB chain with the same predicate, invariant
+    to partitioning, and actually trained on fewer rows."""
+    from sentinela_py_spark.functions.kmeans import (
+        kmeans_centroids_local,
+        training_sample,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n_sample = training_sample(e, 0.5).count()
+    assert 0 < n_sample < e.count()
+
+    a = kmeans_centroids_local(e, N_CELLS, dim=64, train_frac=0.5)
+    b = kmeans_centroids_local(e.repartition(11), N_CELLS, dim=64, train_frac=0.5)
+    assert a == b
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_SMOKE, 'embeddings.parquet')}')"
+    )
+    sql = kmeans_cents_sql(
+        N_CELLS, KMEANS_ITERS, 64,
+        dot_sql_fmt=_DOT_SQL, normsq_sql_fmt=_NORMSQ_SQL, train_frac=0.5,
+    )
+    duck = dict(
+        con.execute(
+            f"WITH {sql} SELECT cell_id, centroid FROM km_cents ORDER BY cell_id"
+        ).fetchall()
+    )
+    assert {cid: vec for cid, vec in a} == {cid: list(v) for cid, v in duck.items()}
+
+
+def test_probe_cells_literal_matches_frame_path(spark):
+    """The literal (trained-codebook) nprobe router must reproduce the
+    frame-backed `ivf_probe_cells` exactly when fed the same centroids —
+    so the recall dial works identically under trained codebooks."""
+    from sentinela_py_spark.plans.simops import ivf_probe_cells, probe_cells_literal
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < N_CELLS).collect()
+    ]
+    for nprobe in (1, 2, 3):
+        frame = {
+            (r["vec_id"], r["cell_id"])
+            for r in ivf_probe_cells(e, N_CELLS, nprobe=nprobe).collect()
+        }
+        lit = {
+            (r["vec_id"], r["cell_id"])
+            for r in probe_cells_literal(e, cents, nprobe=nprobe).collect()
+        }
+        assert lit == frame
+
+
 def test_cell_cap_never_bites_at_fixture_scale(spark):
     """The registered arms' oracles model no cap — sound because no cell
     reaches IVF_MAX_CELL_SIZE at either the correctness sf (0.01) or the
