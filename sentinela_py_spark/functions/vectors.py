@@ -31,6 +31,8 @@ __all__ = [
     "pq_reconstruct_vecs",
     "pq_refine_topk",
     "ivf_pq_topk",
+    "write_ann_index",
+    "read_ann_index",
 ]
 
 _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
@@ -391,3 +393,28 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cell_id", "cosine", "rnk")
     )
+
+
+def write_ann_index(encoded: DataFrame, path: str) -> None:
+    """Persist an encoded IVF(-PQ) index frame (vec_id, embedding,
+    cell_id, deq — e.g. `ivf_pq_topk`'s corpus side or
+    `plans.simops._ivf_index`'s `pq_cand`) as parquet PARTITIONED BY
+    cell_id — the physical lake layout where the IVF promise becomes an
+    I/O guarantee: a query probing nprobe cells reads nprobe directories
+    and Spark never opens the rest (static partition pruning for literal
+    cell filters, dynamic partition pruning for the broadcast cell join —
+    asserted in tests/test_vectors.py). One write task per cell keeps
+    files cell-clustered; at 10^5+ cells add a second shard key inside
+    hot cells (`operators.scale.write_partitioned`'s maxRecordsPerFile
+    treatment)."""
+    encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(path)
+
+
+def read_ann_index(spark, path: str) -> DataFrame:
+    """Read a `write_ann_index` layout back as the `encoded_corpus` input
+    of `ivf_pq_topk` (cell_id comes back as a partition column; cast to
+    the bigint the search algebra expects)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("cell_id", F.col("cell_id").cast("bigint"))

@@ -299,3 +299,62 @@ class TestIvfProbeCells:
         r1 = len(hits(1) & exact)
         r2 = len(hits(2) & exact)
         assert r2 >= r1
+
+
+class TestStoredIndex:
+    def test_written_index_round_trips_and_prunes_partitions(self, spark, tmp_path):
+        """The persisted IVF-PQ index (parquet partitioned by cell_id)
+        must (a) reproduce the in-memory search exactly, (b) turn a
+        literal cell filter into STATIC partition pruning, and (c) let
+        the broadcast cell join plan DYNAMIC partition pruning — the
+        I/O-level payoff the IVF layout exists for."""
+        from sentinela_py_spark.functions.kmeans import (
+            kmeans_centroids_local,
+            pq_stitch_codewords,
+            pq_train_codebooks_local,
+        )
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_topk,
+            pq_reconstruct_vecs,
+            read_ann_index,
+            write_ann_index,
+        )
+        from sentinela_py_spark.plans.simops import assign_cells_literal
+
+        e = load_table(spark, SF_DIR, "embeddings")
+        cents = kmeans_centroids_local(e, 8, dim=64)
+        books = pq_train_codebooks_local(e, m=8, k=16, dim=64)
+        seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
+        encoded = assign_cells_literal(e, cents).select(
+            "vec_id", "embedding", "cell_id",
+            pq_reconstruct_vecs(F.col("embedding"), seed_vecs, 8, 64).alias("deq"),
+        )
+        path = str(tmp_path / "ann_index")
+        write_ann_index(encoded, path)
+
+        stored = read_ann_index(spark, path)
+        queries = e.filter(F.col("vec_id") < 3)
+        from_store = ivf_pq_topk(
+            e, queries, k=5, coarse_k=20, centroids=cents, encoded_corpus=stored
+        ).collect()
+        in_memory = ivf_pq_topk(
+            e, queries, k=5, coarse_k=20, centroids=cents, encoded_corpus=encoded
+        ).collect()
+        key = lambda rows: sorted(  # noqa: E731
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"]) for r in rows
+        )
+        assert key(from_store) == key(in_memory)
+
+        # (b) static pruning: a literal cell predicate reaches PartitionFilters
+        one_cell = stored.filter(F.col("cell_id") == 3)
+        plan = one_cell._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cell_id" in plan.split("PartitionFilters:")[1][:200]
+
+        # (c) dynamic pruning: the broadcast cell join carries a DPP subquery
+        search_plan = (
+            ivf_pq_topk(e, queries, k=5, coarse_k=20, centroids=cents, encoded_corpus=stored)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "dynamicpruning" in search_plan.lower()
