@@ -686,6 +686,108 @@ def run_embedding_dedup_stream(
     )
 
 
+def decontamination_screen_batch(
+    batch: DataFrame,
+    bloom_row: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> None:
+    """One micro-batch of train/eval decontamination AT INGEST — the
+    deployment shape `plans.textops.q_decontamination` documents (the
+    Bloom screen "runs on every ingest batch"): each document's distinct
+    word 5-grams probe the ONE-row broadcast Bloom filter of eval grams
+    (functions/bloom.py — map-only, no shuffle until the tiny per-doc
+    hit count), and documents with ≥ ``min_hits`` probing positive are
+    quarantined instead of entering the corpus.
+
+    False-positive discipline: the filter admits no false NEGATIVES, so
+    every genuinely contaminated doc is caught; a clean doc is flagged at
+    ≈ the filter's per-gram FP rate compounded over its grams — size m
+    with `functions.bloom.plan_bloom_config` (or raise ``min_hits``) to
+    keep the quarantine precision acceptable, and re-screen the flagged
+    slice with the exact join offline (it is tiny by construction).
+
+    Writes are epoch-keyed overwrites (``accepted/epoch=N``,
+    ``flagged/epoch=N`` with the per-doc hit count), so a
+    checkpoint-replayed batch reproduces its first attempt."""
+    from sentinela_py_spark.functions.bloom import bloom_contains
+    from sentinela_py_spark.functions.text_stats import word_shingles
+
+    b = (
+        batch.withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(text_col, "text")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    grams = b.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
+    )
+    hits = (
+        grams.crossJoin(F.broadcast(bloom_row))
+        .filter(bloom_contains(F.col("g"), F.col("bloom")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
+    accepted = b.join(hits, "doc_id", "left_anti").select("doc_id", "text")
+    flagged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
+    )
+    accepted.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    )
+
+
+def run_decontamination_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    eval_docs: DataFrame,
+    schema=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    min_hits: int = 1,
+):
+    """Streaming train/eval decontamination: the eval split's 5-gram
+    Bloom filter is built ONCE (the amortized one-shot cost
+    q_decontamination's bench note prices) and every incoming micro-batch
+    probes it map-only — the third ingest screen beside the MinHash and
+    embedding dedup streams, closing the loop on the "runs on every
+    ingest batch" deployment claim with running code."""
+    from sentinela_py_spark.functions.bloom import bloom_build
+    from sentinela_py_spark.functions.text_stats import word_shingles
+
+    eval_grams = eval_docs.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k=5))
+        ).alias("key")
+    )
+    bloom_row = bloom_build(eval_grams).localCheckpoint(eager=True)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        decontamination_screen_batch(
+            batch, bloom_row, epoch_id, state_dir, id_col, text_col, min_hits
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def view_click_attribution_stream(
     views: DataFrame,
     clicks: DataFrame,

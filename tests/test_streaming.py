@@ -369,3 +369,72 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         batch.filter("event_type = 'view'"), batch.filter("event_type = 'click'")
     )
     assert sorted((r["click_id"], r["view_id"], r["user_id"]) for r in b.collect()) == sorted(got)
+
+
+def test_decontamination_stream_flags_eval_overlap(spark, tmp_path):
+    """Streaming Bloom decontamination: batch 1 mixes exact eval-doc
+    copies (must be flagged — the filter has no false negatives) with
+    synthetic unique docs; batch 2 is entirely clean. Flag decisions must
+    be a SUPERSET of the exact 5-gram join's per batch (FP-only excess)."""
+    import json
+    import os
+
+    from sentinela_py_spark.functions.text_stats import word_shingles
+    from sentinela_py_spark.streaming.pipeline import run_decontamination_stream
+    from sentinela_py_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    eval_docs = d.filter(is_eval)
+    eval_rows = [(r["doc_id"], r["text"]) for r in eval_docs.collect()]
+    assert eval_rows  # the md5 split must select some eval docs
+
+    contaminated = [(10_000 + i, text) for i, (_id, text) in enumerate(eval_rows)]
+    clean = [
+        (20_000 + i, f"zq{i}x unique synthetic filler row number {i} with no overlap tokens qz{i}")
+        for i in range(30)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("b1.json", contaminated + clean[:10]), ("b2.json", clean[10:])):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    q = run_decontamination_stream(
+        spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "state"),
+        eval_docs=eval_docs, schema="doc_id long, text string",
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    state = str(tmp_path / "state")
+    flagged = {
+        r["doc_id"]: r["n_hits"]
+        for r in spark.read.parquet(os.path.join(state, "flagged")).collect()
+    }
+    accepted = {r["doc_id"] for r in spark.read.parquet(os.path.join(state, "accepted")).collect()}
+    # every contaminated doc flagged (no false negatives), none accepted
+    cont_ids = {i for i, _ in contaminated}
+    assert cont_ids <= set(flagged)
+    assert not (cont_ids & accepted)
+    # exact-join superset check: every doc the exact screen flags is
+    # Bloom-flagged, with at least as many gram hits
+    batch = spark.createDataFrame(contaminated + clean[:10], "doc_id long, text string")
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g")
+    )
+    exact = {
+        r["doc_id"]: r["n"]
+        for r in grams(batch)
+        .join(grams(eval_docs).select(F.col("g")).distinct(), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(exact) <= set(flagged)
+    assert all(flagged[i] >= n for i, n in exact.items())
+    # clean batch 2: everything accepted unless a (deterministic) Bloom
+    # FP fires; with m=2^16 over the tiny eval gram set that is rare —
+    # allow at most 2 of 20
+    b2_ids = {i for i, _ in clean[10:]}
+    assert len(b2_ids & accepted) >= len(b2_ids) - 2
