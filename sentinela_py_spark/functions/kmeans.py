@@ -122,15 +122,16 @@ def training_sample(
     content-keyed Bernoulli as q_train_split (first 8 md5 hex chars of
     the id under frac·2^32), so the training set — hence the trained
     codebook — is reproducible across runs, engines, partitionings and
-    cluster sizes, and the DuckDB twin is one WHERE clause."""
+    cluster sizes, and the DuckDB twin is one WHERE clause. The variate
+    is THE shared `operators.sampling.md5_uniform` definition — one
+    engine-pair-sensitive idiom, one implementation."""
+    from sentinela_py_spark.operators.sampling import md5_uniform
+
     if not (0.0 < train_frac <= 1.0):
         raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
     if train_frac == 1.0:
         return e
-    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(float(1 << 32))
-    return e.filter(u < F.lit(float(train_frac)))
+    return e.filter(md5_uniform(id_col) < F.lit(float(train_frac)))
 
 
 def training_sample_sql(train_frac: float, id_col: str = "vec_id") -> str:
@@ -151,6 +152,7 @@ def kmeans_centroids_local(
     vec_col: str = "embedding",
     dim: int = 64,
     train_frac: float = 1.0,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """``iters`` Lloyd iterations from the md5-ranked init — every step
     deterministic (module note), so the same chain in DuckDB
@@ -171,11 +173,18 @@ def kmeans_centroids_local(
     (`training_sample`) — the standard subsampled-training setup; the
     returned codebook then ASSIGNS the full corpus as usual. The
     registered demo trains on the whole (tiny) fixture corpus; a 100 TB
-    deployment sizes the sample at ~256·k vectors."""
+    deployment sizes the sample at ~256·k vectors.
+
+    ``seeds`` injects pre-collected init centroids (rank order, as
+    `kmeans_seed_centroids` returns them) — callers training SEVERAL
+    codebooks share one seed scan (`plans.simops._train_codebooks`)."""
     if train_frac < 1.0:
         e = training_sample(e, train_frac, id_col)
-    rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
-    cents = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+    if seeds is None:
+        rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
+        cents = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+    else:
+        cents = [(int(cid), [float(x) for x in vec]) for cid, vec in seeds[:k]]
     from sentinela_py_spark.plans.simops import assign_cells_literal
 
     for _ in range(iters):
@@ -222,6 +231,7 @@ def pq_train_codebooks_local(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_vectors: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means for PRODUCT-QUANTIZATION codewords —
     ``books[mi][j]`` = codeword j of subspace mi (dim/m doubles). The
@@ -237,10 +247,21 @@ def pq_train_codebooks_local(
     All m subspaces train in ONE job per iteration: the corpus explodes
     to (id, m, sub) rows — m× the rows but 1/m the vector width, so the
     scan bytes are unchanged — and the per-(m, cw) integer sums shuffle
-    m·k·(dim/m) = k·dim longs total, same as the IVF loop."""
+    m·k·(dim/m) = k·dim longs total, same as the IVF loop.
+
+    ``seed_vectors`` injects the k md5-rank-ordered full-dim seeds
+    (skipping this function's own seed scan) — the IVF and PQ trainings
+    share one ranking by construction, so `_train_codebooks` collects it
+    once and feeds both."""
     d = dim // m
-    rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
-    seeds = [[float(x) for x in r["centroid"]] for r in sorted(rows, key=lambda r: r["cell_id"])]
+    if seed_vectors is None:
+        rows = kmeans_seed_centroids(e, k, id_col, vec_col).collect()
+        seeds = [
+            [float(x) for x in r["centroid"]]
+            for r in sorted(rows, key=lambda r: r["cell_id"])
+        ]
+    else:
+        seeds = [[float(x) for x in vec] for vec in seed_vectors[:k]]
     books = [[vec[mi * d : (mi + 1) * d] for vec in seeds] for mi in range(m)]
 
     subs = e.select(
@@ -425,10 +446,14 @@ def kmeans_cents_sql(
     )"""
     ]
     for i in range(iters):
-        cos = (
-            f"ROUND({dot.format(a=f'e.{vec_col}', b='c.centroid')}"
-            f" / (SQRT({normsq.format(a=f'e.{vec_col}')}) * SQRT({normsq.format(a='c.centroid')})), 6)"
+        # nanvl/NULL guard mirrors the Spark assignment's (see
+        # plans.simops._guarded_cos_sql): a zero-norm centroid's cosine is
+        # NaN in Spark, NULL in DuckDB — both must rank LAST (−2.0)
+        raw = (
+            f"{dot.format(a=f'e.{vec_col}', b='c.centroid')}"
+            f" / (SQRT({normsq.format(a=f'e.{vec_col}')}) * SQRT({normsq.format(a='c.centroid')}))"
         )
+        cos = f"COALESCE((CASE WHEN isnan({raw}) THEN -2.0 ELSE ROUND({raw}, 6) END), -2.0)"
         parts.append(
             f"""{prefix}_asg{i} AS (
       SELECT {id_col}, {vec_col}, cell_id FROM (

@@ -18,9 +18,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["temperature_rates", "mixture_sample"]
+__all__ = ["md5_uniform", "temperature_rates", "mixture_sample"]
 
 _HEX8 = float(16**8)
+
+
+def md5_uniform(key_col: str) -> F.Column:
+    """u(key) in [0, 1): the first 8 md5 hex chars of the stringified key
+    scaled by 16^8 — THE engine's content-keyed uniform variate, the one
+    definition every md5-threshold Bernoulli must share (mixture
+    sampling here, `functions.kmeans.training_sample`, and the
+    `q_train_split`-family oracles' ``('0x'||substr(md5(..),1,8))::BIGINT
+    / 4294967296.0`` twin). Deterministic across runs, engines,
+    partitionings and cluster sizes."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / _HEX8
+    )
 
 
 def temperature_rates(df: DataFrame, group_col: str, alpha: float, budget: int) -> DataFrame:
@@ -59,12 +75,7 @@ def mixture_sample(
     content-keyed, and resumable. ``rates`` is (group, rate) (e.g. from
     `temperature_rates`); it broadcasts, so the sample is one map-only
     pass over the corpus."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
-        / _HEX8
-    )
+    u = md5_uniform(key_col)
     return (
         df.join(
             F.broadcast(rates.select(F.col("group").alias(group_col), "rate")),

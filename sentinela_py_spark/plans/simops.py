@@ -616,7 +616,7 @@ def centroid_row_of(cents: DataFrame) -> DataFrame:
     return cents.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cell_id"), F.col("centroid")))
-        ).alias("cents")
+        ).alias("__cents")
     )
 
 
@@ -651,17 +651,17 @@ def _assign_with_row(
     defined and deterministic instead of propagating NaN through
     array_max."""
     sims = F.transform(
-        F.col("cents"),
+        F.col("__cents"),
         lambda c: F.nanvl(F.round(cosine(F.col(vec_col), c["centroid"]), 6), F.lit(-2.0)),
     )
-    best = F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast("int")
+    best = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
     return (
         e.crossJoin(F.broadcast(cents_row))
-        .withColumn("sims", sims)
+        .withColumn("__sims", sims)
         .select(
             id_col,
             vec_col,
-            F.element_at(F.col("cents"), best)["cell_id"].alias("cell_id"),
+            F.element_at(F.col("__cents"), best)["cell_id"].alias("cell_id"),
         )
     )
 
@@ -747,7 +747,7 @@ def ivf_probe_cells(
     return 1, an inconsistent comparator with undefined sort order."""
     cents_row = _centroid_row(e, n_cells, centroid_source)
     sims = F.transform(
-        F.col("cents"),
+        F.col("__cents"),
         lambda c: F.struct(
             F.nanvl(
                 F.round(cosine(F.col("embedding"), c["centroid"]), 6), F.lit(-2.0)
@@ -758,8 +758,8 @@ def ivf_probe_cells(
     ranked = F.array_sort(sims, _sim_comparator)
     return (
         e.crossJoin(F.broadcast(cents_row))
-        .withColumn("probe", F.explode(F.slice(ranked, 1, nprobe)))
-        .select("vec_id", "embedding", F.col("probe.cell_id").alias("cell_id"))
+        .withColumn("__probe", F.explode(F.slice(ranked, 1, nprobe)))
+        .select("vec_id", "embedding", F.col("__probe.cell_id").alias("cell_id"))
     )
 
 
@@ -827,16 +827,28 @@ COARSE_K = 20
 # proves stage-wise; q_ann_ivf_topk composes them with the cell routing).
 
 
+def _guarded_cos_sql(raw_cos: str) -> str:
+    """DuckDB twin of the Spark side's ``nanvl(round(cos, 6), -2.0)``
+    zero-norm guard: a 0-norm vector's cosine is NaN in Spark but NULL in
+    DuckDB (double 0/0 → NULL), and unguarded DuckDB would rank NULL
+    FIRST under ORDER BY DESC while Spark ranks the −2.0 last — the
+    assignment twins must agree even on degenerate inputs."""
+    return f"COALESCE((CASE WHEN isnan({raw_cos}) THEN -2.0 ELSE ROUND({raw_cos}, 6) END), -2.0)"
+
+
 def _assigned_sql(cents_rel: str, src: str = "embeddings", rn_pred: str = "rn = 1") -> str:
     """Argmax-cosine cell assignment of ``src`` against codebook relation
     ``cents_rel`` — `rn_pred` generalizes to ``rn <= nprobe`` for the
     multi-cell probe twin (`ivf_probe_cells`)."""
+    raw = (
+        f"{_DOT_SQL.format(a='e.embedding', b='c.centroid')}"
+        f" / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='c.centroid')}))"
+    )
     return f"""
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='c.centroid')}
-                   / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='c.centroid')})), 6) DESC,
+                 ORDER BY {_guarded_cos_sql(raw)} DESC,
                    c.cell_id) AS rn
         FROM {src} e CROSS JOIN {cents_rel} c
       ) WHERE {rn_pred}
@@ -1013,20 +1025,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("cos_sim_r"),
         F.col("rnk").alias("rank"),
     )
-    t_assigned = index["t_assigned"]
-    t_q = t_assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
-    )
-    t_c, _taudit = capped_cell_candidates(
-        t_assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS)
-    )
-    trained = _ivf_search(
-        t_q,
-        t_c.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
-        ),
-        "trained",
-    )
+    trained = _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
     np2 = _ivf_nprobe2_arm(e, cand=index["cand"])
     return (
         flat.unionByName(pq)
@@ -1124,15 +1123,27 @@ _TRAINED_CODEBOOKS: dict[str, tuple[list, list]] = {}
 
 def _train_codebooks(e: DataFrame) -> tuple[list, list]:
     """One full un-memoized training run: IVF centroids (cosine k-means)
-    + PQ codewords (per-subspace L2 k-means)."""
+    + PQ codewords (per-subspace L2 k-means). Both inits are prefixes of
+    the SAME md5 ranking, so the seed scan runs once and feeds both."""
     from sentinela_py_spark.functions.kmeans import (
         KMEANS_ITERS,
         kmeans_centroids_local,
+        kmeans_seed_centroids,
         pq_train_codebooks_local,
     )
 
-    cents = kmeans_centroids_local(e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM)
-    books = pq_train_codebooks_local(e, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, dim=EMB_DIM)
+    rows = kmeans_seed_centroids(e, max(N_CELLS, PQ_K)).collect()
+    ranked = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(rows, key=lambda r: r["cell_id"])
+    ]
+    cents = kmeans_centroids_local(
+        e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM,
+        seeds=[(i, ranked[i]) for i in range(N_CELLS)],
+    )
+    books = pq_train_codebooks_local(
+        e, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, dim=EMB_DIM, seed_vectors=ranked
+    )
     return cents, books
 
 

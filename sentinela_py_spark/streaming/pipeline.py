@@ -694,6 +694,8 @@ def decontamination_screen_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_hits: int = 1,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> None:
     """One micro-batch of train/eval decontamination AT INGEST — the
     deployment shape `plans.textops.q_decontamination` documents (the
@@ -710,12 +712,20 @@ def decontamination_screen_batch(
     keep the quarantine precision acceptable, and re-screen the flagged
     slice with the exact join offline (it is tiny by construction).
 
+    ``m_bits``/``n_hashes`` MUST match the geometry ``bloom_row`` was
+    built with (None → the library defaults) — a probe at the wrong
+    modulus lands bits in the wrong words and silently breaks the
+    no-false-negative guarantee, which is why `run_decontamination_stream`
+    owns both build and probe and threads one geometry through.
+
     Writes are epoch-keyed overwrites (``accepted/epoch=N``,
     ``flagged/epoch=N`` with the per-doc hit count), so a
     checkpoint-replayed batch reproduces its first attempt."""
-    from sentinela_py_spark.functions.bloom import bloom_contains
+    from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_contains
     from sentinela_py_spark.functions.text_stats import word_shingles
 
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
+    n_hashes = BLOOM_K if n_hashes is None else n_hashes
     b = (
         batch.withColumnRenamed(id_col, "doc_id")
         .withColumnRenamed(text_col, "text")
@@ -728,7 +738,7 @@ def decontamination_screen_batch(
     )
     hits = (
         grams.crossJoin(F.broadcast(bloom_row))
-        .filter(bloom_contains(F.col("g"), F.col("bloom")))
+        .filter(bloom_contains(F.col("g"), F.col("bloom"), n_hashes, m_bits))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
@@ -754,26 +764,38 @@ def run_decontamination_stream(
     text_col: str = "text",
     max_files_per_trigger: int = 1,
     min_hits: int = 1,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
 ):
     """Streaming train/eval decontamination: the eval split's 5-gram
     Bloom filter is built ONCE (the amortized one-shot cost
     q_decontamination's bench note prices) and every incoming micro-batch
     probes it map-only — the third ingest screen beside the MinHash and
     embedding dedup streams, closing the loop on the "runs on every
-    ingest batch" deployment claim with running code."""
-    from sentinela_py_spark.functions.bloom import bloom_build
+    ingest batch" deployment claim with running code.
+
+    ``m_bits``/``n_hashes`` size the filter (None → library defaults;
+    compute them with `functions.bloom.plan_bloom_config` from the eval
+    gram count and FP target) — build and probe share the ONE geometry
+    here, the only safe way to dial it."""
+    from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_build
     from sentinela_py_spark.functions.text_stats import word_shingles
 
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
+    n_hashes = BLOOM_K if n_hashes is None else n_hashes
     eval_grams = eval_docs.select(
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), k=5))
         ).alias("key")
     )
-    bloom_row = bloom_build(eval_grams).localCheckpoint(eager=True)
+    bloom_row = bloom_build(
+        eval_grams, n_hashes=n_hashes, m_bits=m_bits
+    ).localCheckpoint(eager=True)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         decontamination_screen_batch(
-            batch, bloom_row, epoch_id, state_dir, id_col, text_col, min_hits
+            batch, bloom_row, epoch_id, state_dir, id_col, text_col, min_hits,
+            m_bits=m_bits, n_hashes=n_hashes,
         )
 
     reader = spark.readStream

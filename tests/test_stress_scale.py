@@ -409,7 +409,8 @@ def test_embedding_dedup_stream_at_corpus_scale(spark, tmp_path):
         return (int.from_bytes(b[:4], "big") / 2**32 - 0.5) * 2 * scale
 
     # batch 1: corpus + a 600-copy NEAR-identical template flood (tiny
-    # perturbation: same LSH bucket, cosine ~1) — 600 >> cap=128, so the
+    # perturbation: same LSH bucket, cosine ~1) — the flood bucket holds
+    # ~725 rows (600 flood + its share of base) >> cap=256, so the
     # within-batch self-join cap must engage and audit
     template = [1.0] + [0.0] * (dim - 1)
     flood = [
