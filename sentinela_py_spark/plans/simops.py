@@ -1209,12 +1209,44 @@ def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedicated per-arm builders (NOT method_arm filters of the 4-arm
+# union): the union's construction cost — every arm's expression trees,
+# built via py4j — lands in whatever arm is being timed, which poisoned
+# the r4→r5 flat-arm comparison (~+0.7 s of other arms' build). Each
+# builder assembles ONLY its own subtree over the shared stored index.
+def _ivf_arm_builder(arm: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+        index = _ivf_index(e, sf_dir)
+        if arm == "flat":
+            return _ivf_flat_arm(e, cand=index["cand"])
+        if arm == "trained":
+            return _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
+        if arm == "nprobe2":
+            return _ivf_nprobe2_arm(e, cand=index["cand"])
+        from sentinela_py_spark.functions.vectors import ivf_pq_topk
+
+        cents, _books = _trained_codebooks(e, sf_dir)
+        return ivf_pq_topk(
+            e,
+            e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+            k=TOP_K,
+            coarse_k=COARSE_K,
+            n_cells=N_CELLS,
+            dim=EMB_DIM,
+            centroids=cents,
+            encoded_corpus=index["pq_cand"],
+        )
+
+    return build
+
+
 register_arms(
     "q_ann_ivf_topk",
-    flat=_method_arm("q_ann_ivf_topk", "flat"),
-    pq=_method_arm("q_ann_ivf_topk", "pq"),
-    trained=_method_arm("q_ann_ivf_topk", "trained"),
-    nprobe2=_method_arm("q_ann_ivf_topk", "nprobe2"),
+    flat=_ivf_arm_builder("flat"),
+    pq=_ivf_arm_builder("pq"),
+    trained=_ivf_arm_builder("trained"),
+    nprobe2=_ivf_arm_builder("nprobe2"),
     training=_ivf_training_probe,
 )
 
