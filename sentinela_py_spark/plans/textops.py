@@ -1161,14 +1161,28 @@ def _bpe_encode_word_sql(var: str) -> str:
     return f"string_split(trim({expr}, chr(1)||chr(2)), chr(2)||chr(1))"
 
 
+# Tokenizer-fertility quality band: chars/token of healthy fixture text
+# under _BPE_FIXED_MERGES sits at ~1.42 median (measured 1.26-1.97 at
+# sf0.01); text compressing far outside the band is degenerate for this
+# tokenizer (boilerplate/repetition compresses too well, noise/foreign
+# script too poorly) — the CCNet/Gopher-style fertility filter.
+BPE_CPT_LO = 1.30
+BPE_CPT_HI = 1.60
+
+
 @register(
     "q_bpe_encode",
     oracle=f"""
     SELECT doc_id,
            array_to_string(toks, chr(31)) AS bpe_tokens,
-           len(toks) AS n_tokens
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6) END AS chars_per_token,
+           CASE WHEN len(toks) = 0 THEN FALSE
+                ELSE ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6)
+                       BETWEEN {BPE_CPT_LO} AND {BPE_CPT_HI} END AS fertility_keep
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              flatten(list_transform(
                list_filter(string_split(COALESCE(text, ''), ' '), w -> len(w) > 0),
                w -> {_bpe_encode_word_sql('w')}
@@ -1181,9 +1195,11 @@ def _bpe_encode_word_sql(var: str) -> str:
         "tokenize: BPE encode — broadcast-merge-table leftmost-greedy replay "
         "(operators/bpe.py bpe_encode, the map-only inference path of the "
         "distributed Sennrich trainer bpe_train); oracle = chained "
-        "sentinel-delimited replace() per word in rank order"
+        "sentinel-delimited replace() per word in rank order; + tokenizer-"
+        "fertility quality signal (chars/token band — the CCNet/Gopher-style "
+        "filter a curation pass applies after tokenization)"
     ),
-    tags=("text", "tokenize"),
+    tags=("text", "tokenize", "curation"),
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword encoding of every document under a FIXED literal merge
@@ -1191,13 +1207,31 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode replays it corpus-wide, map-only, no shuffle). Tokens are
     re-joined with the unit separator (0x1f — absent from the corpus) so
     the value-hash comparison covers token identity AND order; n_tokens
-    is the sequence length a packing/budgeting stage would consume."""
+    is the sequence length a packing/budgeting stage would consume.
+
+    ``chars_per_token`` is the tokenizer-FERTILITY quality signal (rounded
+    6dp before the band compare so the keep verdict is engine-exact) and
+    ``fertility_keep`` the filter verdict — text far outside the band
+    compresses abnormally for this tokenizer and is dropped by
+    CCNet/Gopher-style curation. Zero-token docs get NULL ratio and a
+    False verdict in both engines (Spark's x/0 is ±Inf, DuckDB's NULL —
+    never compare them)."""
     from sentinela_py_spark.operators.bpe import bpe_encode
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     enc = bpe_encode(d, _BPE_FIXED_MERGES, text_col="text", out_col="toks")
+    n_tokens = F.size("toks")
+    cpt = F.when(
+        n_tokens > 0,
+        F.round(F.col("n_chars").cast("double") / n_tokens.cast("double"), 6),
+    )
+    keep = F.when(
+        n_tokens > 0, (cpt >= BPE_CPT_LO) & (cpt <= BPE_CPT_HI)
+    ).otherwise(F.lit(False))
     return enc.select(
         "doc_id",
         F.concat_ws("\x1f", F.col("toks")).alias("bpe_tokens"),
-        F.size("toks").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
+        cpt.alias("chars_per_token"),
+        keep.alias("fertility_keep"),
     ).orderBy("doc_id")
