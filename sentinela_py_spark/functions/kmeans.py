@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "KMEANS_ITERS",
     "KMEANS_SCALE",
+    "IvfSizing",
+    "plan_ivf_config",
     "kmeans_seed_centroids",
     "quantized_mean_centroids",
     "kmeans_centroids",
@@ -110,6 +112,59 @@ def quantized_mean_centroids(
         ]
     )
     return agg.select(*key_cols, centroid.alias("centroid"), "n")
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IvfSizing:
+    """Output of ``plan_ivf_config`` — a concrete IVF deployment."""
+
+    n_cells: int
+    expected_occupancy: float  # n / n_cells — the per-probe candidate scan
+    train_rows: int  # k-means training-sample size (~rows_per_cell·k)
+    train_frac: float  # feed to training_sample / kmeans_centroids_local
+    scan_fraction: float  # nprobe·occupancy / n — the I/O the layout saves
+
+
+def plan_ivf_config(
+    n_vectors: int,
+    target_cell_size: int,
+    nprobe: int = 1,
+    train_rows_per_cell: int = 256,
+) -> IvfSizing:
+    """Compute n_cells and the training-sample size for a corpus instead
+    of the 8-cell registry demo constant — completing the planner family
+    beside `plans.simops.plan_lsh_config`, `functions.bloom
+    .plan_bloom_config` and `plans.textops.plan_cms_config`:
+
+    - **occupancy** fixes the cell count: a probe scans its cell(s), so
+      ``n_cells = round(n / target_cell_size)`` bounds per-query
+      candidate work at nprobe·target (FAISS's guideline n_cells ≈ √n is
+      this with target = √n);
+    - **training** needs only ~``train_rows_per_cell``·k vectors (k-means
+      quality saturates there — the FAISS default trains on ≤256·k), so
+      ``train_frac`` is that over n, the value `kmeans_centroids_local`
+      takes;
+    - ``scan_fraction`` states the payoff: the fraction of the corpus a
+      query touches (with the cell-partitioned `vectors.write_ann_index`
+      layout, also the fraction of files opened).
+
+    Example (tests pin it): n=10^9, target 10^4 → 10^5 cells, train on
+    ~25.6M vectors (2.6%), a query scans 10^-5 of the corpus per probe."""
+    if n_vectors <= 0 or target_cell_size <= 0:
+        raise ValueError("n_vectors and target_cell_size must be positive")
+    n_cells = max(1, round(n_vectors / target_cell_size))
+    train_rows = min(n_vectors, train_rows_per_cell * n_cells)
+    occupancy = n_vectors / n_cells
+    return IvfSizing(
+        n_cells=n_cells,
+        expected_occupancy=occupancy,
+        train_rows=train_rows,
+        train_frac=train_rows / n_vectors,
+        scan_fraction=min(1.0, nprobe * occupancy / n_vectors),
+    )
 
 
 def training_sample(

@@ -278,3 +278,19 @@ def test_cell_cap_bounds_hot_cell_with_audit(spark):
 
 def test_ivf_max_cell_size_default_sane():
     assert IVF_MAX_CELL_SIZE >= 1024
+
+
+def test_plan_ivf_config_pins_the_deployment_example():
+    from sentinela_py_spark.functions.kmeans import plan_ivf_config
+
+    s = plan_ivf_config(10**9, 10**4)
+    assert s.n_cells == 10**5
+    assert s.expected_occupancy == 10**4
+    assert s.train_rows == 256 * 10**5  # 25.6M — FAISS's ~256/cell guideline
+    assert 0.02 < s.train_frac < 0.03
+    assert s.scan_fraction == 10**-5
+    # small-corpus degeneracies: never more cells than rows, train_frac <= 1
+    tiny = plan_ivf_config(100, 10)
+    assert tiny.n_cells == 10 and tiny.train_rows == 100 and tiny.train_frac == 1.0
+    wide = plan_ivf_config(10**9, 10**4, nprobe=4)
+    assert wide.scan_fraction == 4 * 10**-5
