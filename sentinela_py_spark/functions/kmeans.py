@@ -38,6 +38,8 @@ training run; the fixture-scale demo uses the same algebra.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -114,9 +116,6 @@ def quantized_mean_centroids(
     return agg.select(*key_cols, centroid.alias("centroid"), "n")
 
 
-from dataclasses import dataclass
-
-
 @dataclass(frozen=True)
 class IvfSizing:
     """Output of ``plan_ivf_config`` — a concrete IVF deployment."""
@@ -153,8 +152,10 @@ def plan_ivf_config(
 
     Example (tests pin it): n=10^9, target 10^4 → 10^5 cells, train on
     ~25.6M vectors (2.6%), a query scans 10^-5 of the corpus per probe."""
-    if n_vectors <= 0 or target_cell_size <= 0:
-        raise ValueError("n_vectors and target_cell_size must be positive")
+    if min(n_vectors, target_cell_size, nprobe, train_rows_per_cell) <= 0:
+        raise ValueError(
+            "n_vectors, target_cell_size, nprobe and train_rows_per_cell must be positive"
+        )
     n_cells = max(1, round(n_vectors / target_cell_size))
     train_rows = min(n_vectors, train_rows_per_cell * n_cells)
     occupancy = n_vectors / n_cells

@@ -1002,22 +1002,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test-pinned, so the cap-free oracles see identical rows); on real
     data it bounds the per-cell scan the same way the LSH bucket cap
     bounds band joins."""
-    from sentinela_py_spark.functions.vectors import ivf_pq_topk
-
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    cents, _books = _trained_codebooks(e, sf_dir)
     index = _ivf_index(e, sf_dir)
     flat = _ivf_flat_arm(e, cand=index["cand"])
-    pq = ivf_pq_topk(
-        e,
-        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
-        k=TOP_K,
-        coarse_k=COARSE_K,
-        n_cells=N_CELLS,
-        dim=EMB_DIM,
-        centroids=cents,
-        encoded_corpus=index["pq_cand"],
-    ).select(
+    pq = _ivf_pq_arm(e, sf_dir, index).select(
         F.lit("pq").alias("method"),
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1209,12 +1197,36 @@ def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFrame:
+    """The trained IVF-PQ search over the stored index — the ONE
+    definition both the registered pq arm and its bench builder use (a
+    second call site drifting from the oracle-checked one would make the
+    bench time a different plan than correctness checks)."""
+    from sentinela_py_spark.functions.vectors import ivf_pq_topk
+
+    index = _ivf_index(e, sf_dir) if index is None else index
+    cents, _books = _trained_codebooks(e, sf_dir)
+    return ivf_pq_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+        k=TOP_K,
+        coarse_k=COARSE_K,
+        n_cells=N_CELLS,
+        dim=EMB_DIM,
+        centroids=cents,
+        encoded_corpus=index["pq_cand"],
+    )
+
+
 # Dedicated per-arm builders (NOT method_arm filters of the 4-arm
 # union): the union's construction cost — every arm's expression trees,
 # built via py4j — lands in whatever arm is being timed, which poisoned
 # the r4→r5 flat-arm comparison (~+0.7 s of other arms' build). Each
 # builder assembles ONLY its own subtree over the shared stored index.
 def _ivf_arm_builder(arm: str):
+    if arm not in ("flat", "trained", "nprobe2", "pq"):
+        raise ValueError(f"unknown q_ann_ivf_topk arm {arm!r}")
+
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
         index = _ivf_index(e, sf_dir)
@@ -1224,19 +1236,7 @@ def _ivf_arm_builder(arm: str):
             return _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
         if arm == "nprobe2":
             return _ivf_nprobe2_arm(e, cand=index["cand"])
-        from sentinela_py_spark.functions.vectors import ivf_pq_topk
-
-        cents, _books = _trained_codebooks(e, sf_dir)
-        return ivf_pq_topk(
-            e,
-            e.filter(F.col("vec_id") < N_QUERY_VECTORS),
-            k=TOP_K,
-            coarse_k=COARSE_K,
-            n_cells=N_CELLS,
-            dim=EMB_DIM,
-            centroids=cents,
-            encoded_corpus=index["pq_cand"],
-        )
+        return _ivf_pq_arm(e, sf_dir, index)
 
     return build
 

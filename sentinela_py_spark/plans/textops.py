@@ -1177,9 +1177,10 @@ BPE_CPT_HI = 1.60
            array_to_string(toks, chr(31)) AS bpe_tokens,
            len(toks) AS n_tokens,
            CASE WHEN len(toks) = 0 THEN NULL
-                ELSE ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6) END AS chars_per_token,
+                ELSE floor(CAST(n_chars AS DOUBLE) * 1000000.0 / len(toks) + 0.5) / 1000000.0
+                END AS chars_per_token,
            CASE WHEN len(toks) = 0 THEN FALSE
-                ELSE ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6)
+                ELSE floor(CAST(n_chars AS DOUBLE) * 1000000.0 / len(toks) + 0.5) / 1000000.0
                        BETWEEN {BPE_CPT_LO} AND {BPE_CPT_HI} END AS fertility_keep
     FROM (
       SELECT doc_id, n_chars,
@@ -1209,13 +1210,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value-hash comparison covers token identity AND order; n_tokens
     is the sequence length a packing/budgeting stage would consume.
 
-    ``chars_per_token`` is the tokenizer-FERTILITY quality signal (rounded
-    6dp before the band compare so the keep verdict is engine-exact) and
+    ``chars_per_token`` is the tokenizer-FERTILITY quality signal and
     ``fertility_keep`` the filter verdict — text far outside the band
     compresses abnormally for this tokenizer and is dropped by
-    CCNet/Gopher-style curation. Zero-token docs get NULL ratio and a
-    False verdict in both engines (Spark's x/0 is ±Inf, DuckDB's NULL —
-    never compare them)."""
+    CCNet/Gopher-style curation. The ratio is quantized to 6dp via
+    ``floor(x·10⁶ + 0.5)/10⁶``, NOT round(): exact 7th-decimal halves
+    are reachable from integer ratios (641/640 = 1.0015625) and Spark's
+    HALF_UP-on-shortest-string disagrees with DuckDB's scaled-binary
+    round there — the same hazard functions/kmeans.py documents; the
+    floor form runs three IEEE-exact ops on identical operands. Both
+    engines yield NULL ratio and a False verdict for zero-token docs
+    (the division is guarded on both sides, never evaluated)."""
     from sentinela_py_spark.operators.bpe import bpe_encode
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -1223,7 +1228,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size("toks")
     cpt = F.when(
         n_tokens > 0,
-        F.round(F.col("n_chars").cast("double") / n_tokens.cast("double"), 6),
+        F.floor(
+            F.col("n_chars").cast("double") * F.lit(1e6) / n_tokens.cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
     )
     keep = F.when(
         n_tokens > 0, (cpt >= BPE_CPT_LO) & (cpt <= BPE_CPT_HI)
