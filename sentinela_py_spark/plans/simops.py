@@ -909,9 +909,9 @@ def _pqt_sql() -> str:
     tranked AS ({_cell_ranked_sql('tq', 'tc')}),
     q2 AS (
       SELECT vec_id AS query_id, embedding AS qv, cell_id
-      FROM ({_assigned_sql('cents', src=f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECTORS})', rn_pred='rn <= 2')})
+      FROM ({_assigned_sql('km_cents', src=f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECTORS})', rn_pred='rn <= 2')})
     ),
-    npranked AS ({_cell_ranked_sql('q2', 'c')}),
+    npranked AS ({_cell_ranked_sql('q2', 'tc')}),
     {_pqt_sql()},
     pq_cand AS (
       SELECT a.vec_id, a.embedding, a.cell_id, r.deq
@@ -1014,7 +1014,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("rank"),
     )
     trained = _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
-    np2 = _ivf_nprobe2_arm(e, cand=index["cand"])
+    np2 = _ivf_nprobe2_arm(e, sf_dir, index)
     return (
         flat.unionByName(pq)
         .unionByName(trained)
@@ -1235,7 +1235,7 @@ def _ivf_arm_builder(arm: str):
         if arm == "trained":
             return _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
         if arm == "nprobe2":
-            return _ivf_nprobe2_arm(e, cand=index["cand"])
+            return _ivf_nprobe2_arm(e, sf_dir, index)
         return _ivf_pq_arm(e, sf_dir, index)
 
     return build
@@ -1251,23 +1251,26 @@ register_arms(
 )
 
 
-def _ivf_nprobe2_arm(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
-    """q_ann_ivf_topk's nprobe=2 arm: corpus cells from the argmax
-    assignment, query side exploded to its 2 nearest cells
-    (`ivf_probe_cells` — the recall dial, previously pytest-only). The
+def _ivf_nprobe2_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFrame:
+    """q_ann_ivf_topk's nprobe=2 arm over the TRAINED codebook: corpus
+    cells from the stored index, query side exploded to its 2 nearest
+    trained centroids (`probe_cells_literal` — the recall dial,
+    previously pytest-only, now demonstrated on the deployed index so
+    the placeholder codebook survives only as the flat baseline). The
     flat search has no coarse-cut, so unlike the PQ path there is no
     coarse_k∝nprobe coupling to compensate — the wider pool feeds the
     exact top-k directly."""
-    probes = ivf_probe_cells(
-        e.filter(F.col("vec_id") < N_QUERY_VECTORS), N_CELLS, nprobe=2, centroid_source=e
+    index = _ivf_index(e, sf_dir) if index is None else index
+    cents, _books = _trained_codebooks(e, sf_dir)
+    probes = probe_cells_literal(
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS), cents, nprobe=2
     )
     q = probes.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
     )
-    if cand is None:
-        cand, _audit = capped_cell_candidates(
-            ivf_assign(e).filter(F.col("vec_id") >= N_QUERY_VECTORS)
-        )
+    cand, _audit = capped_cell_candidates(
+        index["t_assigned"].filter(F.col("vec_id") >= N_QUERY_VECTORS)
+    )
     c = cand.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
     )
