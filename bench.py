@@ -224,48 +224,49 @@ def main() -> None:
     mid, last = calibration.get("middle"), calibration.get("last")
     if mid and last and min(mid, last) > 0:
         calibration["post_warmup_drift"] = round(max(mid, last) / min(mid, last), 3)
-        calibration["note"] = (
-            "first includes the session-long JIT ramp (monotone first>middle>last); "
-            "use post_warmup_drift as the ambient-variance bound"
-        )
 
     timed = {k: v for k, v in timings.items() if v is not None}
-    total = round(sum(timed.values()), 3)
+    total = round(sum(timed.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # The driver records a bounded tail window of stdout (~2.6 KB); the r5
+    # line grew to ~2.7 KB and the official artifact recorded `parsed:
+    # null` (r5 judge finding #1). The emitted line must stay < 2 KB:
+    # 2dp timings, compact separators, data-first key order (value,
+    # queries, arms, calibration — commentary clips before data if a
+    # future line DOES outgrow the window), and the arm-superset caveats
+    # live in BENCH_NOTES.md at the repo root instead of the line.
+    def _r2(v):
+        return None if v is None else round(v, 2)
+
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "arms": arm_timings,
-        # Arm rows whose timing is a SUPERSET of a sibling arm's work —
-        # cross-round readers must not attribute the whole row to the
-        # named component (r4 ADVICE: the caveat lived only in a source
-        # comment, invisible to judges reading the JSON alone).
-        "arm_notes": {
-            "q_top_token_per_lang.cms": (
-                "contains the exact arm's grouped-map winners (the sketch is "
-                "probed with them); sketch build+probe cost = cms - exact"
-            ),
-            "q_ann_ivf_topk.training": (
-                "one full un-memoized offline index build: codebook training "
-                "(IVF + PQ k-means) plus the corpus encode; the search arms "
-                "read a per-corpus memoized index (stored-index semantics), "
-                "so their rows are search-only cost"
-            ),
-            "q_sequence_packing.curated_build": (
-                "one full un-memoized curation pipeline run (dedup groups -> "
-                "survivor -> decontaminate -> quality -> mixture); the "
-                "curated arm packs the memoized pool, so its row is "
-                "packing-only cost"
-            ),
-        },
-        "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "queries": {k: _r2(v) for k, v in timings.items()},
+        "arms": {
+            q: {a: _r2(v) for a, v in arms.items()}
+            for q, arms in arm_timings.items()
+        },
+        "calibration": {
+            k: (_r2(v) if isinstance(v, float) else v)
+            for k, v in calibration.items()
+            if k != "note"
+        },
     }
     if errors:
         summary["errors"] = errors
-    print(json.dumps(summary))
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 2000:
+        # Never emit an unparseable artifact: shed the diagnostic arm rows
+        # (they remain on stderr) before the data rows.
+        print(f"bench line {len(line)}B >= 2KB; arms moved to stderr", file=sys.stderr)
+        print(json.dumps(summary["arms"], separators=(",", ":")), file=sys.stderr)
+        summary["arms"] = {}
+        line = json.dumps(summary, separators=(",", ":"))
+    print(f"bench line bytes: {len(line)}", file=sys.stderr)
+    print(line)
     spark.stop()
     # Exit 0 while the perf signal is still meaningful (>= half the queries
     # timed); a majority-broken run should flag loudly.

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_uniform", "temperature_rates", "mixture_sample"]
+__all__ = ["md5_uniform", "md5_uniform_sql", "temperature_rates", "mixture_sample"]
 
 _HEX8 = float(16**8)
 
