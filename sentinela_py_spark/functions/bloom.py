@@ -80,7 +80,16 @@ def plan_bloom_config(
         raise ValueError(f"target_fp must be in (0, 1), got {target_fp}")
     m_opt = -n_keys * math.log(target_fp) / (math.log(2.0) ** 2)
     m_bits = 1 << max(3, math.ceil(math.log2(m_opt)))
+    # The k clamp can cost rate: when the optimal k exceeds max_hashes
+    # (tight targets) and the power-of-two rounding of m added little
+    # slack, the clamped k misses the target by up to ~10% (r5 ADVICE).
+    # The sizing CONTRACT is fp_rate <= target_fp, so double m until the
+    # clamped k meets it — each doubling roughly squares the per-hash
+    # miss probability, so this terminates in a few steps.
     k = max(1, min(max_hashes, round(m_bits / n_keys * math.log(2.0))))
+    while bloom_fp_rate(n_keys, m_bits, k) > target_fp:
+        m_bits <<= 1
+        k = max(1, min(max_hashes, round(m_bits / n_keys * math.log(2.0))))
     # k beyond 4 costs a second salted digest per key (see _positions);
     # prefer k=4 whenever it still meets the target.
     if k > 4 and bloom_fp_rate(n_keys, m_bits, 4) <= target_fp:

@@ -191,13 +191,14 @@ def training_sample(
 
 
 def training_sample_sql(train_frac: float, id_col: str = "vec_id") -> str:
-    """DuckDB twin of ``training_sample`` as a WHERE predicate."""
+    """DuckDB twin of ``training_sample`` as a WHERE predicate — the
+    variate renders through the shared `operators.sampling
+    .md5_uniform_sql` (one engine-pair-sensitive idiom, one rendering)."""
+    from sentinela_py_spark.operators.sampling import md5_uniform_sql
+
     if train_frac == 1.0:
         return "TRUE"
-    return (
-        f"(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
-        f" / 4294967296.0 < {float(train_frac)!r})"
-    )
+    return f"({md5_uniform_sql(id_col)} < {float(train_frac)!r})"
 
 
 def kmeans_centroids_local(

@@ -39,6 +39,20 @@ def md5_uniform(key_col: str) -> F.Column:
     )
 
 
+def md5_uniform_sql(id_expr: str) -> str:
+    """The DuckDB rendering of `md5_uniform` — parenthesized, so callers
+    can compare it against a threshold directly. The '0x'||substr(md5..)
+    idiom is engine-pair-sensitive (it must yield the SAME variate as the
+    Spark conv(substring(md5..)) definition above, bit for bit); every
+    oracle that needs the variate renders through this ONE helper instead
+    of repeating the literal (`functions.kmeans.training_sample_sql`, the
+    curation mixture oracles)."""
+    return (
+        f"(CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0)"
+    )
+
+
 def temperature_rates(df: DataFrame, group_col: str, alpha: float, budget: int) -> DataFrame:
     """(group, n, rate): per-group acceptance rates targeting ``budget``
     total rows in expectation, with group shares ∝ n_g^alpha.

@@ -30,7 +30,11 @@ from sentinela_py_spark.operators.dedup import (
     connected_components,
     minhash_candidate_pairs,
 )
-from sentinela_py_spark.operators.sampling import mixture_sample, temperature_rates
+from sentinela_py_spark.operators.sampling import (
+    md5_uniform_sql,
+    mixture_sample,
+    temperature_rates,
+)
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
 from sentinela_py_spark.plans.registry import (
     method_arm as _method_arm,
@@ -289,8 +293,7 @@ _GRAMS_SQL = """
     ),
     samp AS (
       SELECT p.doc_id, p.text FROM pool p JOIN rates r USING (lang)
-      WHERE CAST(concat('0x', substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0 < r.rate
+      WHERE {md5_uniform_sql('p.doc_id')} < r.rate
     ),
     {_packing_arm_sql('samp', 'c')}
     SELECT 'all_docs' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
@@ -468,8 +471,7 @@ register_arms(
     samp AS (
       SELECT d.lang AS grp, d.doc_id, d.n_chars
       FROM documents d JOIN rates r ON d.lang = r.grp
-      WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0 < r.rate
+      WHERE {md5_uniform_sql('d.doc_id')} < r.rate
     )
     SELECT r.grp AS lang, r.n, r.rate,
            CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,

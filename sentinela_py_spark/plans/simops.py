@@ -1101,12 +1101,28 @@ def _ivf_flat_arm(
 
 
 # Trained codebooks are a pure function of the corpus (deterministic
-# init, fixed iterations), so one training per sf_dir serves every arm,
-# bench rep, and correctness run — deployment semantics: FAISS trains a
-# codebook once and serves searches against it. The bench `training` arm
-# calls _train_codebooks directly, bypassing this memo, so training cost
-# stays a measured number instead of vanishing into the first rep.
-_TRAINED_CODEBOOKS: dict[str, tuple[list, list]] = {}
+# init, fixed iterations), so one training per (session, sf_dir) serves
+# every arm, bench rep, and correctness run — deployment semantics:
+# FAISS trains a codebook once and serves searches against it. The bench
+# `training` arm calls _train_codebooks directly, bypassing this memo,
+# so training cost stays a measured number instead of vanishing into the
+# first rep. Keyed by (applicationId, sf_dir) like _IVF_INDEX — an
+# sf_dir-only key served stale codebooks when fixture data was
+# regenerated at the same path within one process (r5 ADVICE).
+_TRAINED_CODEBOOKS: dict[tuple[str, str], tuple[list, list]] = {}
+
+
+def clear_index_memos() -> None:
+    """Evict every module-level index memo (trained codebooks, the
+    encoded IVF index, and plans.curation's memoized pool). Memos pin
+    DataFrames under stopped sessions' applicationIds for the process
+    lifetime otherwise — call on session teardown (the test fixture
+    does) or after regenerating fixture data in place."""
+    from sentinela_py_spark.plans import curation
+
+    _TRAINED_CODEBOOKS.clear()
+    _IVF_INDEX.clear()
+    curation._CURATED_POOL.clear()
 
 
 def _train_codebooks(e: DataFrame) -> tuple[list, list]:
@@ -1136,9 +1152,10 @@ def _train_codebooks(e: DataFrame) -> tuple[list, list]:
 
 
 def _trained_codebooks(e: DataFrame, sf_dir: str) -> tuple[list, list]:
-    if sf_dir not in _TRAINED_CODEBOOKS:
-        _TRAINED_CODEBOOKS[sf_dir] = _train_codebooks(e)
-    return _TRAINED_CODEBOOKS[sf_dir]
+    key = (e.sparkSession.sparkContext.applicationId, sf_dir)
+    if key not in _TRAINED_CODEBOOKS:
+        _TRAINED_CODEBOOKS[key] = _train_codebooks(e)
+    return _TRAINED_CODEBOOKS[key]
 
 
 # The stored ANN index, as a real vector lake lays it out: cell

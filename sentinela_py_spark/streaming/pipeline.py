@@ -726,10 +726,16 @@ def decontamination_screen_batch(
 
     m_bits = BLOOM_BITS if m_bits is None else m_bits
     n_hashes = BLOOM_K if n_hashes is None else n_hashes
+    # In-batch duplicate doc_ids collapse to a DETERMINISTIC survivor
+    # (min md5(text) per id), not dropDuplicates' partition-order pick: a
+    # checkpoint replay of a batch carrying one doc_id with two texts
+    # must write the same accepted/flagged content as the first attempt
+    # or the epoch-overwrite replay guarantee is hollow (r5 ADVICE).
     b = (
         batch.withColumnRenamed(id_col, "doc_id")
         .withColumnRenamed(text_col, "text")
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.min_by("text", F.md5("text")).alias("text"))
         .localCheckpoint(eager=True)
     )
     grams = b.select(

@@ -20,4 +20,9 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = build_session(app_name="sentinela-tests", shuffle_partitions=8)
     yield s
+    # Release DataFrames the module-level index memos pin under this
+    # session's applicationId (stale-entry/leak guard — r5 ADVICE).
+    from sentinela_py_spark.plans.simops import clear_index_memos
+
+    clear_index_memos()
     s.stop()

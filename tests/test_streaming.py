@@ -438,3 +438,34 @@ def test_decontamination_stream_flags_eval_overlap(spark, tmp_path):
     # allow at most 2 of 20
     b2_ids = {i for i, _ in clean[10:]}
     assert len(b2_ids & accepted) >= len(b2_ids) - 2
+
+
+def test_decontamination_screen_duplicate_survivor_is_deterministic(spark, tmp_path):
+    """A micro-batch carrying ONE doc_id with TWO texts must write the
+    same accepted content however the batch is ordered or partitioned —
+    the survivor is min-md5(text) per id, not dropDuplicates' partition-
+    order pick, or a checkpoint replay could write different content
+    than the first attempt (r5 ADVICE)."""
+    import os
+
+    from sentinela_py_spark.functions.bloom import bloom_build
+    from sentinela_py_spark.streaming.pipeline import decontamination_screen_batch
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+    ]
+    # pick the md5-min text explicitly so the assertion is self-contained
+    import hashlib
+
+    want = min(texts, key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    bloom_row = bloom_build(
+        spark.createDataFrame([("nope-never-matches",)], "key string")
+    )
+    for tag, rows in (("fwd", [(7, texts[0]), (7, texts[1])]),
+                      ("rev", [(7, texts[1]), (7, texts[0])])):
+        state = str(tmp_path / f"state-{tag}")
+        batch = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+        decontamination_screen_batch(batch, bloom_row, epoch_id=0, state_dir=state)
+        got = spark.read.parquet(os.path.join(state, "accepted")).collect()
+        assert [(r["doc_id"], r["text"]) for r in got] == [(7, want)], tag
