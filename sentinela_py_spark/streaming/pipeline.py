@@ -247,7 +247,7 @@ def dedup_batch_against_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
-) -> None:
+) -> DataFrame:
     """One micro-batch of near-dup rejection at ingest (the foreachBatch
     body of `run_incremental_dedup_stream`, exposed for direct testing).
 
@@ -386,7 +386,8 @@ def dedup_batch_against_corpus(
     rejects = rejects.localCheckpoint(eager=True)
     accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
     # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
-    accepted.withColumnRenamed("doc_id", id_col).write.mode("overwrite").parquet(
+    accepted_out = accepted.withColumnRenamed("doc_id", id_col)
+    accepted_out.write.mode("overwrite").parquet(
         os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
     )
     b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col).write.mode(
@@ -395,6 +396,7 @@ def dedup_batch_against_corpus(
     bands.join(accepted.select("doc_id"), "doc_id", "left_semi").write.mode(
         "overwrite"
     ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+    return accepted_out
 
 
 def run_incremental_dedup_stream(
@@ -446,7 +448,7 @@ def embedding_dedup_batch_against_corpus(
     vec_col: str = "embedding",
     threshold: float | None = None,
     max_bucket_size: int | None = None,
-) -> None:
+) -> DataFrame:
     """One micro-batch of embedding near-dup rejection at ingest — the
     SemDeDup-at-ingest shape: LSH buckets generate candidates, TRUE COSINE
     confirms them (bucket collision alone would false-reject ~1/2^P of all
@@ -633,7 +635,8 @@ def embedding_dedup_batch_against_corpus(
     accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
 
     # 4. idempotent epoch-keyed writes
-    accepted.withColumnRenamed("vec_id", id_col).write.mode("overwrite").parquet(
+    accepted_out = accepted.withColumnRenamed("vec_id", id_col)
+    accepted_out.write.mode("overwrite").parquet(
         os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
     )
     b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col).write.mode(
@@ -642,6 +645,7 @@ def embedding_dedup_batch_against_corpus(
     bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi").write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+    return accepted_out
 
 
 def run_embedding_dedup_stream(
@@ -696,7 +700,7 @@ def decontamination_screen_batch(
     min_hits: int = 1,
     m_bits: int | None = None,
     n_hashes: int | None = None,
-) -> None:
+) -> DataFrame:
     """One micro-batch of train/eval decontamination AT INGEST — the
     deployment shape `plans.textops.q_decontamination` documents (the
     Bloom screen "runs on every ingest batch"): each document's distinct
@@ -727,15 +731,25 @@ def decontamination_screen_batch(
     m_bits = BLOOM_BITS if m_bits is None else m_bits
     n_hashes = BLOOM_K if n_hashes is None else n_hashes
     # In-batch duplicate doc_ids collapse to a DETERMINISTIC survivor
-    # (min md5(text) per id), not dropDuplicates' partition-order pick: a
-    # checkpoint replay of a batch carrying one doc_id with two texts
+    # (min md5(text) per id, ties among identical texts broken by the
+    # row's remaining columns), not dropDuplicates' partition-order pick:
+    # a checkpoint replay of a batch carrying one doc_id with two texts
     # must write the same accepted/flagged content as the first attempt
     # or the epoch-overwrite replay guarantee is hollow (r5 ADVICE).
+    # Non-text columns (e.g. the embedding when this screen runs inside
+    # `composed_ingest_batch`) ride through untouched.
+    renamed = batch.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
+        text_col, "text"
+    )
+    others = [c for c in renamed.columns if c != "doc_id"]
+    surv_key = F.struct(
+        F.md5(F.col("text")),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in others]))),
+    )
     b = (
-        batch.withColumnRenamed(id_col, "doc_id")
-        .withColumnRenamed(text_col, "text")
-        .groupBy("doc_id")
-        .agg(F.min_by("text", F.md5("text")).alias("text"))
+        renamed.groupBy("doc_id")
+        .agg(F.min_by(F.struct(*others), surv_key).alias("__r"))
+        .select("doc_id", *[F.col(f"__r.{c}").alias(c) for c in others])
         .localCheckpoint(eager=True)
     )
     grams = b.select(
@@ -750,13 +764,14 @@ def decontamination_screen_batch(
         .filter(F.col("n_hits") >= min_hits)
     )
     flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
-    accepted = b.join(hits, "doc_id", "left_anti").select("doc_id", "text")
+    accepted = b.join(hits, "doc_id", "left_anti")
     flagged.write.mode("overwrite").parquet(
         os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
     )
     accepted.write.mode("overwrite").parquet(
         os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
     )
+    return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed("text", text_col)
 
 
 def run_decontamination_stream(
@@ -846,4 +861,138 @@ def view_click_attribution_stream(
         F.col("c.user_id").alias("user_id"),
         F.col("v.ts").alias("view_ts"),
         F.col("c.ts").alias("click_ts"),
+    )
+
+
+def composed_ingest_batch(
+    batch: DataFrame,
+    bloom_row: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    min_hits: int = 1,
+    max_bucket_size: int | None = None,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """One micro-batch of the COMPOSED ingest pipeline — the streaming
+    twin of `plans.curation._curated_pool`'s batch composition: the three
+    ingest screens chained in ONE foreachBatch body, each seeing only the
+    previous screen's survivors:
+
+        train/eval decontamination   (5-gram Bloom probe — map-only)
+      → MinHash near-dup rejection   (text; vs batch + the band store)
+      → embedding near-dup rejection (vectors; vs batch + the vec index)
+
+    Decontamination runs FIRST: it is the cheapest screen (a broadcast
+    Bloom probe, no persistent state) and — more importantly — running
+    it ahead of the dedup screens keeps contaminated content out of the
+    band store and vector index entirely, so a contaminated doc can
+    never become a dedup survivor that later clean near-dups are
+    rejected against. Each screen keeps its OWN documented state layout
+    under a subdir (``decontam/``, ``minhash/``, ``embedding/``); the
+    stores accumulate only rows that survived every screen before them.
+    Final survivors — the embedding screen's accepted frame, carrying
+    every input column — land in ``accepted/epoch=N``; per-screen
+    reasons stay queryable in the screens' own ``flagged``/``rejected``
+    state.
+
+    Plan shape: no Exchange beyond the three screens' own — the chain is
+    pure DataFrame handoff (each screen's accepted frame feeds the next;
+    no re-read, no reconciliation join). Replay safety is inherited:
+    every screen's write is an epoch-keyed overwrite and every store
+    read excludes the current epoch, so a checkpoint-replayed batch
+    reproduces its first attempt — including the composed ``accepted``
+    (test-pinned)."""
+    a1 = decontamination_screen_batch(
+        batch,
+        bloom_row,
+        epoch_id,
+        os.path.join(state_dir, "decontam"),
+        id_col=id_col,
+        text_col=text_col,
+        min_hits=min_hits,
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    )
+    a2 = dedup_batch_against_corpus(
+        a1,
+        epoch_id,
+        os.path.join(state_dir, "minhash"),
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket_size=max_bucket_size,
+    )
+    final = embedding_dedup_batch_against_corpus(
+        a2,
+        epoch_id,
+        os.path.join(state_dir, "embedding"),
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )  # backed by the screen's own eager checkpoint
+    final.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    )
+    return final
+
+
+def run_composed_ingest_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    eval_docs: DataFrame,
+    schema=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    max_files_per_trigger: int = 1,
+    min_hits: int = 1,
+    max_bucket_size: int | None = None,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
+):
+    """The composed streaming-ingest flagship: ONE stream of
+    (id, text, embedding) rows runs all three ingest screens per
+    micro-batch (`composed_ingest_batch`) — the shape a training-data
+    lake actually deploys (one firehose, every screen, one checkpoint)
+    rather than three parallel single-screen streams with divergent
+    progress. The eval Bloom filter is built ONCE up front (eager
+    localCheckpoint, exactly as `run_decontamination_stream`); geometry
+    is threaded through build and probe."""
+    from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_build
+    from sentinela_py_spark.functions.text_stats import word_shingles
+
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
+    n_hashes = BLOOM_K if n_hashes is None else n_hashes
+    eval_grams = eval_docs.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k=5))).alias("key")
+    )
+    bloom_row = bloom_build(
+        eval_grams, n_hashes=n_hashes, m_bits=m_bits
+    ).localCheckpoint(eager=True)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        composed_ingest_batch(
+            batch, bloom_row, epoch_id, state_dir,
+            id_col=id_col, text_col=text_col, vec_col=vec_col,
+            threshold=threshold, min_hits=min_hits,
+            max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "composed"))
+        .trigger(availableNow=True)
+        .start()
     )

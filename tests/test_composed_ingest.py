@@ -1,0 +1,178 @@
+"""The composed streaming-ingest flagship: ONE stream runs all three
+ingest screens per micro-batch (decontamination → MinHash dedup →
+embedding dedup), chained in a single foreachBatch — the streaming twin
+of the batch `plans.curation._curated_pool` composition. Pins:
+
+- end-to-end screen routing (each defect class caught by ITS screen,
+  reasons queryable in that screen's own state);
+- store hygiene (contaminated/duplicate content never enters the band
+  store or vector index);
+- stream ≡ batch parity (streaming the corpus in epochs with ascending
+  ids keeps exactly the rows one composed batch over everything keeps);
+- crash-replay determinism (re-running an epoch reproduces its first
+  attempt bit for bit — every store read excludes the live epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.streaming.pipeline import (
+    composed_ingest_batch,
+    run_composed_ingest_stream,
+)
+
+DIM = 64
+THRESHOLD = 0.9
+
+EVAL_TEXT = "carbon dioxide capture requires novel sorbent materials at industrial scale"
+
+UNIQ = [
+    "spark shuffles partition data across the executor fleet tonight",
+    "catalyst rewrites logical plans into efficient physical operators",
+    "arrow batches stream pandas frames between jvm and python",
+    "watermarks bound state growth for late arriving event data",
+    "broadcast joins ship the small side to every executor core",
+]
+
+
+def _e(i: int) -> list[float]:
+    v = [0.0] * DIM
+    v[i] = 1.0
+    return v
+
+
+# (doc_id, text, embedding) — ids ascend in stream order, so the
+# incremental min-id survivor matches the single-batch min-id survivor.
+BATCH1 = [
+    (1, UNIQ[0], _e(0)),   # accepted
+    (2, EVAL_TEXT, _e(1)),  # decontam: verbatim eval content
+    (3, UNIQ[0], _e(2)),   # minhash: exact text copy of 1 (within batch)
+    (4, UNIQ[1], _e(0)),   # embedding: exact vector copy of 1 (within batch)
+    (5, UNIQ[2], _e(3)),   # accepted
+]
+BATCH2 = [
+    (10, UNIQ[0], _e(4)),  # minhash: text dup vs corpus doc 1
+    (11, UNIQ[3], _e(0)),  # embedding: vector dup vs corpus doc 1
+    (12, EVAL_TEXT, _e(5)),  # decontam again (filter is permanent)
+    (13, UNIQ[4], _e(6)),  # accepted
+]
+ACCEPT_IDS = {1, 5, 13}
+
+
+def _eval_docs(spark):
+    return spark.createDataFrame([(9000, EVAL_TEXT)], "doc_id long, text string")
+
+
+def _bloom_row(spark):
+    from sentinela_py_spark.functions.bloom import bloom_build
+    from sentinela_py_spark.functions.text_stats import word_shingles
+
+    grams = _eval_docs(spark).select(
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("key")
+    )
+    return bloom_build(grams).localCheckpoint(eager=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+
+
+def _read_ids(spark, path) -> set[int]:
+    return {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").collect()}
+
+
+def test_composed_stream_routes_each_defect_to_its_screen(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("b1.json", BATCH1), ("b2.json", BATCH2)):
+        with open(src / name, "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "embedding": emb}) + "\n")
+
+    state = str(tmp_path / "state")
+    q = run_composed_ingest_stream(
+        spark, str(src), str(tmp_path / "ckpt"), state,
+        eval_docs=_eval_docs(spark),
+        schema="doc_id long, text string, embedding array<double>",
+        threshold=THRESHOLD,
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    # composed accepted: survivors of ALL screens, with every input column
+    accepted = spark.read.parquet(os.path.join(state, "accepted"))
+    # every input column survives (plus the epoch partition directory)
+    assert {"doc_id", "text", "embedding"} <= set(accepted.columns)
+    assert _read_ids(spark, os.path.join(state, "accepted")) == ACCEPT_IDS
+
+    # each defect class lands in ITS screen's state with the right reason
+    flagged = _read_ids(spark, os.path.join(state, "decontam", "flagged"))
+    assert flagged == {2, 12}
+    mh = {
+        r["doc_id"]: (r["matched_doc"], r["reason"])
+        for r in spark.read.parquet(os.path.join(state, "minhash", "rejected"))
+        .select("doc_id", "matched_doc", "reason").collect()
+    }
+    assert mh == {3: (1, "within_batch"), 10: (1, "vs_corpus")}
+    em = {
+        r["doc_id"]: (r["matched_vec"], r["reason"])
+        for r in spark.read.parquet(os.path.join(state, "embedding", "rejected"))
+        .select("doc_id", "matched_vec", "reason").collect()
+    }
+    assert em == {4: (1, "within_batch"), 11: (1, "vs_corpus")}
+
+    # store hygiene: the band store and vector index hold ONLY composed
+    # survivors — no contaminated or duplicate content ever entered them
+    assert _read_ids(spark, os.path.join(state, "minhash", "bands")) <= ACCEPT_IDS | {4, 11}
+    # (4/11 pass the text screen, so their bands are stored; vectors are not:)
+    idx = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(state, "embedding", "index"))
+        .select("vec_id").collect()
+    }
+    assert idx == ACCEPT_IDS
+
+
+def test_composed_stream_equals_composed_batch(spark, tmp_path):
+    """Stream ≡ batch parity: streaming the corpus in two epochs (ids
+    ascending) accepts exactly the rows ONE composed batch over all rows
+    accepts — incremental vs-corpus rejection and single-batch min-id
+    survivor election agree when arrival order matches id order."""
+    state = str(tmp_path / "batch-state")
+    bloom = _bloom_row(spark)
+    out = composed_ingest_batch(
+        _df(spark, BATCH1 + BATCH2), bloom, 0, state, threshold=THRESHOLD
+    )
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == ACCEPT_IDS
+
+    # and epoch-by-epoch (the stream's exact per-batch calls) agrees
+    state2 = str(tmp_path / "epoch-state")
+    composed_ingest_batch(_df(spark, BATCH1), bloom, 0, state2, threshold=THRESHOLD)
+    composed_ingest_batch(_df(spark, BATCH2), bloom, 1, state2, threshold=THRESHOLD)
+    assert _read_ids(spark, os.path.join(state2, "accepted")) == ACCEPT_IDS
+
+
+def test_composed_replay_reproduces_first_attempt(spark, tmp_path):
+    """Crash-replay: epoch 1's writes landed but its offset never
+    committed; the re-run must reproduce the first attempt exactly (no
+    self-matching against its own epoch's store writes, same survivor
+    rows bit for bit)."""
+    state = str(tmp_path / "state")
+    bloom = _bloom_row(spark)
+    composed_ingest_batch(_df(spark, BATCH1), bloom, 0, state, threshold=THRESHOLD)
+
+    def snapshot():
+        rows = spark.read.parquet(os.path.join(state, "accepted")).collect()
+        return sorted((r["doc_id"], r["text"], tuple(r["embedding"])) for r in rows)
+
+    composed_ingest_batch(_df(spark, BATCH2), bloom, 1, state, threshold=THRESHOLD)
+    first = snapshot()
+    composed_ingest_batch(_df(spark, BATCH2), bloom, 1, state, threshold=THRESHOLD)
+    assert snapshot() == first
+    assert {d for d, _, _ in first} == ACCEPT_IDS
