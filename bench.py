@@ -60,6 +60,18 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #   q_region_head_nation     -> q_revenue_per_nation (region_head column;
 #                               broadcast self-join, zero extra shuffles)
 #   q_ann_ivf_topk           += pq arm (the composed IVF-PQ layout)
+# Round-6 arm additions (no slot changes):
+#   q_ngram_jaccard_pairs    += span arm (substring-level shared-passage
+#                               dedup, operators/dedup.shared_span_pairs
+#                               — Lee-et-al repeated-substring removal);
+#                               the r1-comparable work is the `jaccard`
+#                               arm row, the headline number now carries
+#                               both arms
+#   q_ann_ivf_topk           pq arm retrained on RESIDUALS (vec − cell
+#                               centroid, FAISS IVFPQ) and served from
+#                               the PERSISTED cell-partitioned parquet
+#                               index; KMEANS_ITERS 2 → 8 re-prices the
+#                               `training` arm
 # Round-5 arm additions (no slot changes):
 #   q_ann_ivf_topk           += trained + nprobe2 arms; pq arm retrained
 #                               (k-means codebooks); `training` arm times

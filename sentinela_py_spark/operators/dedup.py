@@ -325,3 +325,98 @@ def connected_components(
     ).select(
         "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
     )
+
+
+# Substring-span guard: grams whose document frequency exceeds this are
+# boilerplate (site templates, license headers flooding a corpus) — each
+# such gram contributes ~df^2/2 match rows to the position join, so one
+# viral template must not set the join size. 64 never bites at fixture
+# scale (max observed df is 3 at sf0.01 — test-pinned, so the cap-free
+# oracle sees identical rows) and bounds a degenerate gram's pair output
+# at ~2k rows at deployment; dropped grams land in the audit frame.
+DEFAULT_MAX_GRAM_DF = 64
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span_words: int = 12,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+) -> tuple[DataFrame, DataFrame | None]:
+    """SUBSTRING-level shared spans between otherwise-distinct documents
+    — the remaining member of the LLM dedup family beside doc-level
+    exact/MinHash/SimHash/semantic dedup (Lee et al.'s repeated-substring
+    removal, approximated with the engine's inverted-index algebra
+    instead of a suffix array):
+
+    1. each doc explodes to positioned k-word grams (`word_shingles` +
+       posexplode; gram text folds to xxhash64 immediately, so the
+       self-join shuffles fixed-width longs — the q_ngram_jaccard_pairs
+       treatment);
+    2. the gram equi-join across documents (doc_a < doc_b) yields match
+       positions (pa, pb) — cost ∝ true gram collisions, never |docs|²;
+    3. matches on one ALIGNMENT DIAGONAL (pa − pb constant) with
+       consecutive pa form a maximal shared span: the islands-and-gaps
+       trick (run_id = pa − row_number over the diagonal) groups each
+       run in one window pass, and a run of L consecutive k-grams is a
+       shared span of L + k − 1 words.
+
+    Returns ``(spans, audit)``: spans as (doc_a, doc_b, a_start, b_start,
+    span_words) — 1-based word offsets, spans of at least
+    ``min_span_words`` words — and the hot-gram audit (grams dropped by
+    ``max_gram_df``, with their document frequency; None when uncapped).
+    Every stage is a shuffle on uniform keys (gram hash, then the pair
+    diagonal), so the operator scales like the other inverted-index
+    dedup joins at 100 TB."""
+    from pyspark.sql import Window as W
+
+    grams = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), k=k)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("gram"),
+        )
+    )
+    audit = None
+    if max_gram_df is not None:
+        # one partial-aggregated shuffle on the gram hash (countDistinct
+        # expands to (gram, doc) internally but needs no separate
+        # distinct pass), then an anti-join that reuses the same key
+        doc_freq = grams.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        audit = doc_freq.filter(F.col("df") > max_gram_df)
+        grams = grams.join(audit.select("gram"), "gram", "left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    diag = F.col("pa") - F.col("pb")
+    w = W.partitionBy("doc_a", "doc_b", diag).orderBy("pa")
+    runs = m.withColumn("diag", diag).withColumn(
+        "run_id", F.col("pa") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).alias("span_words"),
+        )
+        .filter(F.col("span_words") >= min_span_words)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_words")
+    )
+    return spans, audit

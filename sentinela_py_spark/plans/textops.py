@@ -229,9 +229,17 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Substring-span arm constants (operators/dedup.shared_span_pairs): seed
+# gram length and the minimum reported span, in words. 8/12 put the
+# single-isolated-gram case (8 words) under the report floor, so every
+# reported span is a genuine multi-gram run.
+SPAN_K = 8
+MIN_SPAN_WORDS = 12
+
+
 @register(
     "q_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH shingles AS (
       SELECT DISTINCT doc_id, shingle
       FROM (
@@ -250,24 +258,80 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingles a JOIN shingles b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ),
+    spang AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(string_split(text,' '), i, i+{SPAN_K}-1), ' ') AS gram
+      FROM documents,
+           UNNEST(generate_series(1, greatest(len(string_split(text,' ')) - {SPAN_K} + 1, 0))) AS t(i)
+    ),
+    spanm AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM spang a JOIN spang b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    spanruns AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run_id
+      FROM spanm
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MIN(pa) AS INT) AS a_start, CAST(MIN(pb) AS INT) AS b_start,
+             COUNT(*) + {SPAN_K} - 1 AS span_words
+      FROM spanruns GROUP BY doc_a, doc_b, diag, run_id
+      HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
     )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    SELECT 'jaccard' AS method, doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS score,
+           CAST(NULL AS INT) AS a_start, CAST(NULL AS INT) AS b_start,
+           CAST(NULL AS BIGINT) AS span_words
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.8
-    ORDER BY doc_a, doc_b
+    UNION ALL
+    SELECT 'span' AS method, doc_a, doc_b, CAST(NULL AS DOUBLE) AS score,
+           a_start, b_start, span_words
+    FROM spans
+    ORDER BY method, doc_a, doc_b, a_start, b_start
     """,
-    survey_ref="dedup: n-gram Jaccard near-duplicate detection",
+    survey_ref=(
+        "dedup: n-gram Jaccard near-duplicate detection; + span arm: substring-level "
+        "shared-passage dedup (Lee-et-al repeated-substring removal via the "
+        "inverted-index diagonal-run algebra, operators/dedup.shared_span_pairs)"
+    ),
     tags=("dedup",),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs. The shingle equi-join makes
-    candidate generation proportional to shared shingles (inverted-index
-    join), not |docs|² — the exact-threshold complement of MinHash-LSH.
-    Jaccard is a ratio of integers → bit-identical across engines."""
+    """Pair-level duplicate EVIDENCE over the documents table, two arms
+    tagged by ``method`` (both pure inverted-index algebra — candidate
+    cost ∝ true gram collisions, never |docs|²):
+
+    - ``jaccard``: 3-gram shingle Jaccard near-dup pairs at ≥ 0.8 — the
+      exact-threshold complement of MinHash-LSH; a ratio of integers, so
+      bit-identical across engines;
+    - ``span``: SUBSTRING-level shared passages between otherwise-
+      distinct documents (`operators/dedup.shared_span_pairs` — the
+      Lee-et-al repeated-substring member of the dedup family): maximal
+      runs of aligned shared 8-word grams, reported as (a_start,
+      b_start, span_words) for every span of ≥ 12 words. The hot-gram
+      df guard is armed but provably never bites at fixture scale
+      (tests pin it), so the cap-free oracle sees identical rows."""
+    from sentinela_py_spark.operators.dedup import shared_span_pairs
+
     d = load_table(spark, sf_dir, "documents")
+    spans, _audit = shared_span_pairs(
+        d, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
+    )
+    span_arm = spans.select(
+        F.lit("span").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("score"),
+        F.col("a_start").cast("int").alias("a_start"),
+        F.col("b_start").cast("int").alias("b_start"),
+        "span_words",
+    )
     # slice+zip_with shingles (functions/text_stats.py): ~6x faster than a
     # transform(sequence)+subscript pipeline and ANSI-safe on <3-token docs.
     shingle_list = word_shingles(F.col("text"), k=3)
@@ -298,10 +362,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
+    jac_arm = (
+        common.select(
+            F.lit("jaccard").alias("method"),
+            "doc_a",
+            "doc_b",
+            jac.alias("score"),
+            F.lit(None).cast("int").alias("a_start"),
+            F.lit(None).cast("int").alias("b_start"),
+            F.lit(None).cast("bigint").alias("span_words"),
+        )
+        .filter(F.col("score") >= 0.8)
+    )
+    return jac_arm.unionByName(span_arm).orderBy(
+        "method", "doc_a", "doc_b", "a_start", "b_start"
     )
 
 
@@ -1043,6 +1117,11 @@ register_arms(
     "q_decontamination",
     exact=_method_arm("q_decontamination", "exact"),
     bloom=_method_arm("q_decontamination", "bloom"),
+)
+register_arms(
+    "q_ngram_jaccard_pairs",
+    jaccard=_method_arm("q_ngram_jaccard_pairs", "jaccard"),
+    span=_method_arm("q_ngram_jaccard_pairs", "span"),
 )
 register_arms(
     "q_dedup_digests",

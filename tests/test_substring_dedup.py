@@ -1,0 +1,112 @@
+"""Substring-level shared-span dedup (operators/dedup.shared_span_pairs
+— the Lee-et-al repeated-substring member of the LLM dedup family, and
+the span arm of q_ngram_jaccard_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.dedup import (
+    DEFAULT_MAX_GRAM_DF,
+    shared_span_pairs,
+)
+from sentinela_py_spark.tables import load_table
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+# a 15-word passage planted into two otherwise-unrelated documents
+PASSAGE = (
+    "the quick brown fox vaulted the mossy gate while seven anxious "
+    "badgers watched from below"
+)
+PREFIX_A = "alpha bravo charlie delta echo"  # 5 words -> passage at pos 6
+PREFIX_B = "foxtrot golf hotel india juliet kilo lima"  # 7 words -> pos 8
+SUFFIX_A = "november oscar papa quebec romeo sierra"
+SUFFIX_B = "tango uniform victor whiskey xray yankee zulu"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_passage_recovered_exactly(spark):
+    d = _docs(
+        spark,
+        [
+            (1, f"{PREFIX_A} {PASSAGE} {SUFFIX_A}"),
+            (2, f"{PREFIX_B} {PASSAGE} {SUFFIX_B}"),
+            (3, "completely unrelated text with no shared content whatsoever today"),
+        ],
+    )
+    spans, audit = shared_span_pairs(d, k=8, min_span_words=12)
+    rows = spans.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 1-based word offsets: passage starts after the 5/7-word prefixes
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["a_start"] == 6 and r["b_start"] == 8
+    assert r["span_words"] == 15
+
+
+def test_sub_threshold_overlap_not_reported(spark):
+    """An isolated shared 8-gram (span = k = 8 < min 12) stays silent —
+    every reported span is a genuine multi-gram run."""
+    eight = "one two three four five six seven eight"
+    d = _docs(
+        spark,
+        [
+            (1, f"{PREFIX_A} {eight} {SUFFIX_A}"),
+            (2, f"{PREFIX_B} {eight} {SUFFIX_B}"),
+        ],
+    )
+    spans, _ = shared_span_pairs(d, k=8, min_span_words=12)
+    assert spans.count() == 0
+
+
+def test_two_disjoint_spans_stay_separate(spark):
+    """Two shared passages separated by unshared text report as TWO
+    spans, not one merged blob (the diagonal-run grouping splits on the
+    position gap)."""
+    p2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    d = _docs(
+        spark,
+        [
+            (1, f"{PASSAGE} {SUFFIX_A} {p2}"),
+            (2, f"{PASSAGE} {SUFFIX_B} {p2}"),
+        ],
+    )
+    spans, _ = shared_span_pairs(d, k=8, min_span_words=12)
+    got = sorted((r["a_start"], r["b_start"], r["span_words"]) for r in spans.collect())
+    assert got == [(1, 1, 15), (22, 23, 12)]
+
+
+def test_hot_gram_guard_drops_boilerplate_with_audit(spark):
+    """A gram flooding > max_gram_df documents (the site-template case)
+    is excluded from the position join and lands in the audit with its
+    document frequency — never silently."""
+    boiler = "all rights reserved by the example corporation of wherever"
+    rows = [(i, f"unique lead {i} marker {boiler} trailing words {i}") for i in range(10)]
+    d = _docs(spark, rows)
+    spans_uncapped, audit0 = shared_span_pairs(d, k=8, min_span_words=9, max_gram_df=None)
+    assert audit0 is None
+    assert spans_uncapped.count() > 0  # the boilerplate pairs up uncapped
+    spans, audit = shared_span_pairs(d, k=8, min_span_words=9, max_gram_df=4)
+    assert spans.count() == 0  # every shared gram was boilerplate
+    audit_rows = audit.collect()
+    assert audit_rows and all(r["df"] == 10 for r in audit_rows)
+
+
+def test_guard_never_bites_at_fixture_scale(spark):
+    """The registered arm's cap-free oracle is sound: no gram in the
+    sf0.01 documents table reaches DEFAULT_MAX_GRAM_DF."""
+    d = load_table(spark, SF_ORACLE, "documents")
+    _spans, audit = shared_span_pairs(d)
+    assert audit is not None and audit.count() == 0
+    # and the arm itself produces the probed span population
+    from sentinela_py_spark.plans import QUERIES
+    from sentinela_py_spark.plans.registry import _ensure_loaded
+
+    _ensure_loaded()
+    out = QUERIES["q_ngram_jaccard_pairs"].spark(spark, SF_ORACLE)
+    n_span = out.filter(F.col("method") == "span").count()
+    assert n_span == 24  # pinned from the duckdb probe of the fixture
