@@ -420,3 +420,56 @@ def shared_span_pairs(
         .select("doc_a", "doc_b", "a_start", "b_start", "span_words")
     )
     return spans, audit
+
+
+def remove_shared_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the Lee-et-al treatment to `shared_span_pairs` output:
+    every duplicated passage keeps its FIRST occurrence (the doc_a side —
+    doc_a < doc_b by construction) and is cut from the doc_b side, so
+    the corpus retains each repeated substring exactly once while both
+    documents' unique content survives (doc-level dedup would discard
+    one whole document to achieve less).
+
+    Mechanics: the doc_b-side cut intervals [b_start, b_start +
+    span_words) aggregate per doc (a tiny shuffle — one row per reported
+    span), broadcast-join back to the corpus, and the rebuild is pure
+    map-side column algebra: each word keeps its 1-based position via a
+    zip_with against a sequence, survives iff NO cut interval covers it
+    (the per-word `exists` probe makes overlapping cuts compose without
+    any interval-merge pass), and the survivors re-join with single
+    spaces. Docs with no cuts pass through byte-identical."""
+    cuts = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.struct(
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("span_words")).alias("e"),
+            ).alias("cut"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("cut").alias("cuts"))
+    )
+    joined = docs.join(F.broadcast(cuts), id_col, "left")
+    words = F.split(F.col(text_col), " ")
+    posed = F.zip_with(
+        words,
+        F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
+        lambda w, p: F.struct(w.alias("w"), p.alias("p")),
+    )
+    cts = F.coalesce(F.col("cuts"), F.array())
+    kept = F.filter(
+        posed,
+        lambda x: ~F.exists(cts, lambda c: (x["p"] >= c["s"]) & (x["p"] < c["e"])),
+    )
+    cleaned = F.array_join(F.transform(kept, lambda x: x["w"]), " ")
+    return joined.select(
+        id_col,
+        F.when(F.col("cuts").isNull(), F.col(text_col))
+        .otherwise(cleaned)
+        .alias(text_col),
+    )

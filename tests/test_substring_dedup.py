@@ -96,6 +96,55 @@ def test_hot_gram_guard_drops_boilerplate_with_audit(spark):
     assert audit_rows and all(r["df"] == 10 for r in audit_rows)
 
 
+def test_remove_shared_spans_keeps_first_occurrence(spark):
+    """The Lee-et-al treatment: the doc_b-side copy of every reported
+    span is cut (keep-first policy — doc_a < doc_b), both docs' unique
+    content survives, and span-free docs pass through byte-identical."""
+    from sentinela_py_spark.operators.dedup import remove_shared_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, f"{PREFIX_A} {PASSAGE} {SUFFIX_A}"),
+            (2, f"{PREFIX_B} {PASSAGE} {SUFFIX_B}"),
+            (3, "completely unrelated text with no shared content whatsoever today"),
+        ],
+    )
+    spans, _ = shared_span_pairs(d, k=8, min_span_words=12)
+    cleaned = {r["doc_id"]: r["text"] for r in remove_shared_spans(d, spans).collect()}
+    assert cleaned[1] == f"{PREFIX_A} {PASSAGE} {SUFFIX_A}"  # first copy kept
+    assert cleaned[2] == f"{PREFIX_B} {SUFFIX_B}"  # second copy cut, rest intact
+    assert cleaned[3] == "completely unrelated text with no shared content whatsoever today"
+
+
+def test_remove_shared_spans_overlapping_cuts_compose(spark):
+    """Overlapping cut intervals on one doc compose without an explicit
+    interval merge — a word survives iff NO cut covers it. Doc 3 shares
+    span X with doc 1 and span Y with doc 2 where X and Y overlap inside
+    doc 3; the union of both intervals is removed, exactly once."""
+    from sentinela_py_spark.operators.dedup import remove_shared_spans
+
+    # doc 3 = first 12 words of PASSAGE context shared with 1, last 12
+    # with 2, overlapping in the middle
+    p = PASSAGE.split()  # 15 words
+    d = _docs(
+        spark,
+        [
+            (1, f"{PREFIX_A} {' '.join(p[:12])} {SUFFIX_A}"),
+            (2, f"{PREFIX_B} {' '.join(p[3:])} {SUFFIX_B}"),
+            (3, PASSAGE),
+        ],
+    )
+    spans, _ = shared_span_pairs(d, k=8, min_span_words=12)
+    # doc 3 is doc_b in both pairs: cuts [1,13) and [4,16) → union [1,16)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["b_start"], r["span_words"]) for r in spans.collect()
+    )
+    assert got == [(1, 3, 1, 12), (2, 3, 4, 12)]
+    cleaned = {r["doc_id"]: r["text"] for r in remove_shared_spans(d, spans).collect()}
+    assert cleaned[3] == ""  # the whole 15-word doc was covered by the union
+
+
 def test_guard_never_bites_at_fixture_scale(spark):
     """The registered arm's cap-free oracle is sound: no gram in the
     sf0.01 documents table reaches DEFAULT_MAX_GRAM_DF."""
