@@ -1132,15 +1132,25 @@ _TRAINED_CODEBOOKS: dict[tuple[str, str], tuple[list, list]] = {}
 
 def clear_index_memos() -> None:
     """Evict every module-level index memo (trained codebooks, the
-    encoded IVF index, and plans.curation's memoized pool). Memos pin
-    DataFrames under stopped sessions' applicationIds for the process
-    lifetime otherwise — call on session teardown (the test fixture
-    does) or after regenerating fixture data in place."""
+    encoded IVF index, and plans.curation's memoized pool) and delete
+    the temp-dir parquet stores this process wrote. Memos pin DataFrames
+    under stopped sessions' applicationIds for the process lifetime
+    otherwise — call on session teardown (the test fixture does) or
+    after regenerating fixture data in place."""
+    import shutil
+
     from sentinela_py_spark.plans import curation
 
     _TRAINED_CODEBOOKS.clear()
     _IVF_INDEX.clear()
     curation._CURATED_POOL.clear()
+    while _ANN_STORES:
+        shutil.rmtree(_ANN_STORES.pop(), ignore_errors=True)
+
+
+# Paths of persisted-index stores written by THIS process (appId-scoped
+# names, so no cross-process collision) — removed by clear_index_memos.
+_ANN_STORES: list[str] = []
 
 
 def _train_codebooks(e: DataFrame) -> tuple[list, list]:
@@ -1235,6 +1245,7 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
             f"sentinela-ann-{key[0]}-{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
         )
         write_ann_index(pq_cand, store)
+        _ANN_STORES.append(store)
         _IVF_INDEX[key] = {
             "cand": cand.localCheckpoint(eager=False),
             "t_assigned": t_assigned.localCheckpoint(eager=False),

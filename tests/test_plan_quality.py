@@ -94,10 +94,16 @@ def test_text_profile_prunes_columns(spark):
 
 def test_jaccard_is_inverted_index_equi_join(spark):
     # the shingle self-join must hash on the shingle key (inverted index);
-    # a nested-loop pair enumeration is the O(n²) all-pairs shape
+    # a nested-loop pair enumeration is the O(n²) all-pairs shape — and
+    # the same contract holds for the span arm's positioned-gram join
+    # and its df-guard anti-join (all equi on the xxhash64 gram key)
     plan = _plan(spark, "q_ngram_jaccard_pairs")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the span arm's gram text folds to a long BEFORE any exchange: no
+    # multi-word gram string may be a shuffle key (xxhash64 appears in
+    # the projection feeding the joins)
+    assert "xxhash64" in plan
 
 
 def test_arrow_paths_prune_before_python(spark):
