@@ -296,7 +296,9 @@ def ivf_residuals(
     from sentinela_py_spark.plans.simops import assign_cells_literal
 
     assigned = assign_cells_literal(e, cents, id_col=id_col, vec_col=vec_col)
-    lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
+    from sentinela_py_spark.functions.litutil import fast_lit
+
+    lit = fast_lit([[float(x) for x in v] for _, v in sorted(cents)], 2)
     c = F.element_at(lit, (F.col("cell_id") + 1).cast("int"))
     return assigned.select(
         id_col,
@@ -390,10 +392,13 @@ def pq_train_codebooks_local(
         ).alias("ms"),
     ).select(id_col, F.col("ms.m").alias("m"), F.col("ms.sub").alias("sub"))
 
+    from sentinela_py_spark.functions.litutil import fast_lit
+
     for _ in range(iters):
         # per-subspace codebook as one literal array-of-arrays each, the
-        # subspace's book picked by m — all map-side
-        cw_lit = F.array(*[F.lit(book) for book in books])
+        # subspace's book picked by m — all map-side; fast_lit: one JSON
+        # parse per iteration instead of ~1k py4j element conversions
+        cw_lit = fast_lit([[list(w) for w in book] for book in books], 3)
         dists = F.transform(
             F.element_at(cw_lit, F.col("m") + 1),
             lambda cw: F.round(_l2sq(F.col("sub"), cw), 9),

@@ -1,0 +1,50 @@
+"""Fast nested-array double literals.
+
+``F.lit(nested_python_list)`` converts element-by-element over py4j:
+~0.6 s of DRIVER time per ~1000 doubles, paid at every DataFrame *build*
+— the ANN family's codebook/LUT literals are rebuilt per search
+construction, and the Lloyd training loop rebuilds its codebook literal
+every iteration, so this conversion cost multiplies. Routing the same
+values through ONE JSON string + ``from_json`` is a single py4j call
+(~0.1 s for the same table), and Catalyst constant-folds JsonToStructs
+of a foldable input, so the physical plan carries the IDENTICAL folded
+ArrayData literal — bit-equal to the ``F.lit`` form, including negative
+zero and subnormals (json round-trips doubles through repr's
+shortest-form exactly; pinned in tests/test_vectors.py).
+
+Only finite doubles are expressible: ``json.dumps`` would emit bare
+``NaN``/``Infinity`` tokens that ``from_json`` treats as malformed and
+silently NULLs — ``fast_lit`` rejects them loudly instead.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["fast_lit"]
+
+
+def _check_finite(value) -> None:
+    if isinstance(value, list):
+        for v in value:
+            _check_finite(v)
+    else:
+        f = float(value)
+        if not math.isfinite(f):
+            raise ValueError(
+                "fast_lit carries doubles through JSON, which cannot "
+                f"represent non-finite values (got {value!r}); use F.lit"
+            )
+
+
+def fast_lit(value: list, depth: int) -> Column:
+    """A foldable ``array<...array<double>>`` literal (``depth`` nesting
+    levels) built from one JSON string instead of per-element py4j
+    conversion. Drop-in for ``F.lit(value)`` on finite nested lists."""
+    _check_finite(value)
+    schema = "array<" * depth + "double" + ">" * depth
+    return F.from_json(F.lit(json.dumps(value)), schema)

@@ -29,9 +29,13 @@ __all__ = [
     "pq_codebook_seeds",
     "pq_reconstruct",
     "pq_reconstruct_vecs",
+    "pq_codes_vecs",
     "pq_residual_reconstruct_vecs",
+    "pq_residual_codes",
     "pq_refine_topk",
     "ivf_pq_topk",
+    "adc_tables",
+    "ivf_pq_adc_topk",
     "write_ann_index",
     "read_ann_index",
 ]
@@ -226,6 +230,43 @@ def pq_reconstruct_vecs(vec: Column, seed_vecs: Column, m: int = PQ_M, dim: int 
     )
 
 
+def pq_codes_vecs(vec: Column, seed_vecs: Column, m: int = PQ_M, dim: int = 64) -> Column:
+    """array<int>: the PQ CODES of ``vec`` — per subspace, the index of
+    the codeword slice minimizing squared L2 (9dp-rounded, ties to the
+    lowest codeword id), in subspace order. This is the argmin of
+    `pq_reconstruct_vecs` with the reconstruction left out: the M-small-
+    int column a vector lake actually persists (M bytes/vector at K ≤
+    256), against which ADC search (`ivf_pq_adc_topk`) runs without ever
+    rebuilding a float vector. DuckDB twin: the ``pqt_codes`` relation of
+    `functions.kmeans.pq_train_sql` (same round, same tie-break)."""
+    d = dim // m
+
+    def _code(mi):
+        dists = F.transform(
+            seed_vecs, lambda s: F.round(_sub_l2sq(vec, s, mi * d + 1, d), 9)
+        )
+        return F.transform(
+            F.array(dists),
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("int"),
+        ).getItem(0)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _code)
+
+
+def pq_residual_codes(
+    vec: Column, cent: Column, seed_vecs: Column, m: int = PQ_M, dim: int = 64
+) -> Column:
+    """array<int>: the IVF-PQ stored form — codes of the RESIDUAL
+    ``vec − centroid(cell)`` against codewords trained on residuals
+    (`pq_residual_reconstruct_vecs`'s argmin, reconstruction omitted).
+    The residual let-binds through a 1-element transform for the same
+    CollapseProject reason as the reconstruct twin."""
+    resid = F.zip_with(vec, cent, lambda x, c: x.cast("double") - c.cast("double"))
+    return F.transform(
+        F.array(resid), lambda rv: pq_codes_vecs(rv, seed_vecs, m, dim)
+    ).getItem(0)
+
+
 def pq_residual_reconstruct_vecs(
     vec: Column, cent: Column, seed_vecs: Column, m: int = PQ_M, dim: int = 64
 ) -> Column:
@@ -376,7 +417,9 @@ def ivf_pq_topk(
                 pq_reconstruct(F.col("embedding"), F.col("seeds"), m, dim).alias("deq"),
             )
         else:
-            seed_vecs = F.lit([[float(x) for x in v] for v in codeword_vecs])
+            from sentinela_py_spark.functions.litutil import fast_lit
+
+            seed_vecs = fast_lit([[float(x) for x in v] for v in codeword_vecs], 2)
             cand = assigned.select(
                 "vec_id",
                 "embedding",
@@ -419,6 +462,188 @@ def ivf_pq_topk(
         .withColumn("rnk", F.row_number().over(exact_w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cell_id", "cosine", "rnk")
+    )
+
+
+def adc_tables(
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+) -> tuple[list[list[list[float]]], list[list[float]], list[float]]:
+    """Driver-side ADC lookup tables from the collected codebooks — the
+    candidate-independent half of FAISS's precomputed-tables IVFPQ search
+    (faiss IndexIVFPQ.use_precomputed_table; the residual reconstruction
+    ``centroid + codeword`` makes ‖recon‖² and ⟨·,·⟩ decomposable into
+    per-(cell, subspace, codeword) terms):
+
+    - ``t2[cell][m][j]`` = ⟨centroid_sub(cell, m), codeword(m, j)⟩ — the
+      centroid-residual cross term;
+    - ``t3[m][j]``       = ‖codeword(m, j)‖²;
+    - ``cn[cell]``       = ‖centroid(cell)‖².
+
+    Sizes are cells·M·K + M·K + cells doubles — codebook-scale, inlined
+    as literals next to the centroids themselves. Every entry is a
+    left-to-right double fold over the SAME collected codebook values
+    both engines hold bit-identically (tests/test_kmeans.py), so scores
+    assembled from these literals stay oracle-exact: Python's sequential
+    ``acc += x*y`` is the identical IEEE sequence to the engines'
+    ordered ``list_sum(list_transform(...))`` / ``F.aggregate`` folds."""
+    cvecs = [[float(x) for x in v] for _, v in sorted(centroids)]
+    m = len(books)
+    d = len(books[0][0])
+
+    def _dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    t2 = [
+        [[_dot(c[mi * d : (mi + 1) * d], w) for w in books[mi]] for mi in range(m)]
+        for c in cvecs
+    ]
+    t3 = [[_dot(w, w) for w in books[mi]] for mi in range(m)]
+    cn = [_dot(c, c) for c in cvecs]
+    return t2, t3, cn
+
+
+def ivf_pq_adc_topk(
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    k: int,
+    coarse_k: int,
+    m: int = PQ_M,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION — the coarse pass
+    never rebuilds a float vector and never reads one:
+
+    1. each query computes, MAP-SIDE on the tiny query frame, its
+       per-subspace lookup table ``lut[m][j] = ⟨q_sub(m), codeword(m,
+       j)⟩`` (M·K sub-dots) plus ⟨q, centroid(cell)⟩ and ‖q‖;
+    2. the coarse pass scans ``index_codes`` — (id, cell_id, codes), the
+       M-byte column of the stored index and NOTHING else (at 100 TB
+       this is the difference between scanning M bytes and dim·8 bytes
+       per candidate) — and scores each candidate with 3·M array lookups
+       and adds: cos(q, recon) falls out of the identity ``⟨q, c + r⟩ =
+       ⟨q,c⟩ + Σₘ lut[m][codeₘ]`` and ``‖c + r‖² = cn[cell] +
+       2·Σₘ t2[cell][m][codeₘ] + Σₘ t3[m][codeₘ]`` (`adc_tables`);
+    3. the ``coarse_k`` survivors (broadcast — k·|queries| rows) join
+       back to ``index_vecs`` on (cell_id, id) for the exact re-rank —
+       the only pass that touches float vectors, partition-pruned to the
+       probed cells and column-pruned to (id, cell, vector).
+
+    ``index_codes`` / ``index_vecs`` may be the same `read_ann_index`
+    frame read twice — passing two fresh reads keeps the two scans'
+    column pruning independent (asserted in tests/test_plan_quality).
+    Scores are identical to the reconstruct-then-cosine path up to
+    float addition order (the ranking agreement is test-pinned); the
+    arm's oracle mirrors the ADC algebra itself, so correctness does not
+    lean on that agreement. Output: (query_id, vec_id, cell_id, cosine,
+    rnk) with exact cosines, like `ivf_pq_topk`."""
+    from pyspark.sql import Window as W
+
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.plans.simops import (
+        assign_cells_literal,
+        cosine,
+        dot_product,
+        l2_norm_sq,
+    )
+
+    d = dim // m
+    t2, t3, cn = adc_tables(centroids, books)
+    # one JSON parse per table instead of ~2700 py4j element conversions
+    # per search BUILD (fast_lit folds to the identical literal)
+    t2_lit, t3_lit, cn_lit = fast_lit(t2, 3), fast_lit(t3, 2), fast_lit(cn, 1)
+    books_lit = fast_lit([[[float(x) for x in w] for w in book] for book in books], 3)
+    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
+
+    qcent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
+    qlut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: F.transform(
+            F.element_at(books_lit, (mi + 1).cast("int")),
+            lambda w: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), mi * d + 1, d),
+                    w,
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    qs = F.broadcast(
+        assign_cells_literal(queries, centroids, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "cell_id",
+            dot_product(F.col(vec_col), qcent).alias("qdotc"),
+            F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"),
+            qlut.alias("lut"),
+        )
+    )
+
+    def _msum(term):
+        """Σ over subspaces of a per-(m, code) lookup — ascending-m fold,
+        the order the oracle's list(v ORDER BY m) reproduces."""
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mi: acc + term(mi),
+        )
+
+    def _code_at(mi):
+        return (F.element_at(F.col("codes"), (mi + 1).cast("int")) + 1).cast("int")
+
+    lsum = _msum(
+        lambda mi: F.element_at(
+            F.element_at(F.col("lut"), (mi + 1).cast("int")), _code_at(mi)
+        )
+    )
+    t2sum = _msum(
+        lambda mi: F.element_at(
+            F.element_at(
+                F.element_at(t2_lit, (F.col("cell_id") + 1).cast("int")),
+                (mi + 1).cast("int"),
+            ),
+            _code_at(mi),
+        )
+    )
+    t3sum = _msum(
+        lambda mi: F.element_at(
+            F.element_at(t3_lit, (mi + 1).cast("int")), _code_at(mi)
+        )
+    )
+    rnorm = F.sqrt(
+        F.element_at(cn_lit, (F.col("cell_id") + 1).cast("int"))
+        + F.lit(2.0) * t2sum
+        + t3sum
+    )
+    coarse_w = W.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col(id_col))
+    survivors = (
+        index_codes.select(id_col, "cell_id", "codes")
+        .join(qs, "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adc_cos", F.round((F.col("qdotc") + lsum) / (F.col("qn") * rnorm), 6))
+        .withColumn("crnk", F.row_number().over(coarse_w))
+        .filter(F.col("crnk") <= coarse_k)
+        .select("query_id", id_col, "cell_id", "qvec")
+    )
+    exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        index_vecs.select(id_col, "cell_id", vec_col)
+        .join(F.broadcast(survivors), [id_col, "cell_id"])
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("qvec")), 6))
+        .withColumn("rnk", F.row_number().over(exact_w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cell_id", "cosine", "rnk")
     )
 
 

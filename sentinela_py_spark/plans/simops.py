@@ -695,11 +695,15 @@ def assign_cells_literal(
     and first-maximum (= lowest cell id) tie-break as the frame path.
 
     The centroid matrix enters the plan as ONE nested array literal
-    (``F.lit([[...], ...])``), not k·dim CreateArray nodes — at k=8,
+    (`functions.litutil.fast_lit` — a single JSON parse that folds to
+    the identical literal), not k·dim CreateArray nodes — at k=8,
     dim=64 the node-by-node form costs ~1 s of driver-side analysis per
-    assignment, which the Lloyd loop pays every iteration."""
+    assignment, which the Lloyd loop pays every iteration (and even
+    element-wise ``F.lit`` conversion costs ~0.2 s of py4j per build)."""
+    from sentinela_py_spark.functions.litutil import fast_lit
+
     cents = sorted(cents)
-    vecs = F.lit([[float(x) for x in vec] for _cid, vec in cents])
+    vecs = fast_lit([[float(x) for x in vec] for _cid, vec in cents], 2)
     ids = F.lit([int(cid) for cid, _vec in cents])
     sims = F.transform(
         vecs, lambda c: F.nanvl(F.round(cosine(F.col(vec_col), c), 6), F.lit(-2.0))
@@ -787,8 +791,10 @@ def probe_cells_literal(
     (same nested-array-literal inlining, same NaN guard, same
     comparator). Closes the trained-codebook nprobe>1 gap: the recall
     dial no longer requires the placeholder codebook."""
+    from sentinela_py_spark.functions.litutil import fast_lit
+
     cents = sorted(cents)
-    vecs = F.lit([[float(x) for x in v] for _cid, v in cents])
+    vecs = fast_lit([[float(x) for x in v] for _cid, v in cents], 2)
     ids = F.lit([int(cid) for cid, _v in cents])
     sims = F.zip_with(
         vecs,
@@ -904,6 +910,82 @@ def _pqt_sql() -> str:
     return pq_train_sql(PQ_M, PQ_K, KMEANS_ITERS, EMB_DIM, src="pq_resid", prefix="pqt")
 
 
+def _adc_sql() -> str:
+    """DuckDB twin of the ADC search (`functions.vectors.ivf_pq_adc_topk`
+    + `adc_tables`) as chained CTEs over the km/pqt relations: the three
+    lookup tables (cell norms, centroid·codeword cross terms, codeword
+    norms) and the per-query subspace table are each an ordered
+    ``list_sum`` fold over the SAME codebook doubles the Spark literals
+    hold; per-candidate sums force ascending-m order with ``list(v ORDER
+    BY m)`` to match the Spark side's ascending-m ``F.aggregate``."""
+    d = _PQ_D
+    dot_qc = _DOT_SQL.format(a="a.embedding", b="c.centroid")
+    nq = _NORMSQ_SQL.format(a="a.embedding")
+    refine_cos = (
+        f"ROUND({_DOT_SQL.format(a='e.embedding', b='q.qv')}"
+        f" / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='q.qv')})), 6)"
+    )
+    return f"""adc_cn AS (
+      SELECT cell_id, {_NORMSQ_SQL.format(a='centroid')} AS v FROM km_cents
+    ),
+    adc_t3 AS (
+      SELECT m, cw, list_sum(list_transform(generate_series(1, {d}),
+               i -> CAST(t.sub[i] AS DOUBLE) * CAST(t.sub[i] AS DOUBLE))) AS v
+      FROM pqt_cents t
+    ),
+    adc_t2 AS (
+      SELECT k.cell_id, t.m, t.cw,
+             list_sum(list_transform(generate_series(1, {d}),
+               i -> CAST(k.centroid[t.m*{d}+i] AS DOUBLE) * CAST(t.sub[i] AS DOUBLE))) AS v
+      FROM km_cents k CROSS JOIN pqt_cents t
+    ),
+    adc_q AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, a.embedding AS qv, a.cell_id,
+             {dot_qc} AS qdotc, SQRT({nq}) AS qn
+      FROM tassigned a JOIN km_cents c USING (cell_id)
+      WHERE a.vec_id < {N_QUERY_VECTORS}
+    ),
+    adc_qlut AS MATERIALIZED (
+      SELECT q.query_id, t.m, t.cw,
+             list_sum(list_transform(generate_series(1, {d}),
+               i -> CAST(q.qv[t.m*{d}+i] AS DOUBLE) * CAST(t.sub[i] AS DOUBLE))) AS v
+      FROM adc_q q CROSS JOIN pqt_cents t
+    ),
+    adc_parts AS (
+      SELECT q.query_id, k.vec_id, q.cell_id, q.qdotc, q.qn,
+             list_sum(list(ql.v ORDER BY k.m)) AS lsum,
+             list_sum(list(t2.v ORDER BY k.m)) AS t2sum,
+             list_sum(list(t3.v ORDER BY k.m)) AS t3sum
+      FROM pqt_codes k
+      JOIN tassigned c ON k.vec_id = c.vec_id
+      JOIN adc_q q ON q.cell_id = c.cell_id AND k.vec_id <> q.query_id
+      JOIN adc_qlut ql ON ql.query_id = q.query_id AND ql.m = k.m AND ql.cw = k.cw
+      JOIN adc_t2 t2 ON t2.cell_id = c.cell_id AND t2.m = k.m AND t2.cw = k.cw
+      JOIN adc_t3 t3 ON t3.m = k.m AND t3.cw = k.cw
+      GROUP BY q.query_id, k.vec_id, q.cell_id, q.qdotc, q.qn
+    ),
+    adc_coarse AS (
+      SELECT query_id, vec_id, cell_id FROM (
+        SELECT p.query_id, p.vec_id, p.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 ROUND((p.qdotc + p.lsum) / (p.qn * SQRT(n.v + 2*p.t2sum + p.t3sum)), 6) DESC,
+                 p.vec_id) AS crnk
+        FROM adc_parts p JOIN adc_cn n ON p.cell_id = n.cell_id
+      ) WHERE crnk <= {COARSE_K}
+    ),
+    adc_arm AS (
+      SELECT query_id, vec_id AS neighbor_id, cell_id, cos_sim_r, rank FROM (
+        SELECT a.query_id, a.vec_id, a.cell_id,
+               {refine_cos} AS cos_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+                 {refine_cos} DESC, a.vec_id) AS rank
+        FROM adc_coarse a
+        JOIN embeddings e ON a.vec_id = e.vec_id
+        JOIN adc_q q ON a.query_id = q.query_id
+      ) WHERE rank <= {TOP_K}
+    )"""
+
+
 @register(
     "q_ann_ivf_topk",
     oracle=f"""
@@ -956,12 +1038,16 @@ def _pqt_sql() -> str:
                  vec_id) AS rank
         FROM pq_coarse WHERE crnk <= {COARSE_K}
       ) WHERE rank <= {TOP_K}
-    )
+    ),
+    {_adc_sql()}
     SELECT 'flat' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM ranked WHERE rank <= {TOP_K}
     UNION ALL
     SELECT 'pq' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM pq_arm
+    UNION ALL
+    SELECT 'adc' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM adc_arm
     UNION ALL
     SELECT 'trained' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM tranked WHERE rank <= {TOP_K}
@@ -973,14 +1059,16 @@ def _pqt_sql() -> str:
     survey_ref=(
         "similarity: IVF-cell ANN (broadcast centroid assignment) — flat arm (exact "
         "in-cell cosine, placeholder codebook), pq arm (the COMPOSED IVF-PQ layout of "
-        "functions/vectors.ivf_pq_topk), trained arm (deterministic distributed "
-        "k-means codebook — functions/kmeans.py, the FAISS-style deployment path), "
-        "nprobe2 arm (multi-cell probe recall dial, ivf_probe_cells at nprobe=2)"
+        "functions/vectors.ivf_pq_topk), adc arm (precomputed-table ADC search over "
+        "the stored codes column — functions/vectors.ivf_pq_adc_topk), trained arm "
+        "(deterministic distributed k-means codebook — functions/kmeans.py, the "
+        "FAISS-style deployment path), nprobe2 arm (multi-cell probe recall dial, "
+        "ivf_probe_cells at nprobe=2)"
     ),
     tags=("similarity", "sketch"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, four arms tagged by ``method``:
+    """IVF ANN, five arms tagged by ``method``:
 
     - ``flat``: exact cosine over every candidate in the query's cell
       (query vectors excluded from the candidate side), PLACEHOLDER
@@ -995,6 +1083,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       semantics, mirrored by the oracle. (The placeholder-codebook PQ
       layout remains stage-wise proven in q_quantized_refine_topk; here
       the composed search runs what a deployment runs.);
+    - ``adc``: the same trained residual-PQ index searched by
+      ASYMMETRIC DISTANCE COMPUTATION (`functions/vectors
+      .ivf_pq_adc_topk` — FAISS's precomputed-table IVFPQ): the coarse
+      pass scans ONLY the stored M-int ``codes`` column (no ``deq``, no
+      float vectors — column pruning makes PQ's bytes-per-vector promise
+      an I/O fact, asserted in tests/test_plan_quality) and scores each
+      candidate with 3·PQ_M lookup-table reads; the refine pass fetches
+      vectors for the COARSE_K survivors through a second, partition-
+      and column-pruned read of the same store;
     - ``trained``: trained-centroid IVF-flat — k-means centroids
       (functions/kmeans.py: md5-ranked init, fixed Lloyd iterations,
       integer-exact means), then the same flat search. Trained centroids
@@ -1023,18 +1120,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     index = _ivf_index(e, sf_dir)
     flat = _ivf_flat_arm(e, cand=index["cand"])
-    pq = _ivf_pq_arm(e, sf_dir, index).select(
-        F.lit("pq").alias("method"),
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "cell_id",
-        F.col("cosine").alias("cos_sim_r"),
-        F.col("rnk").alias("rank"),
-    )
+
+    def _as_arm(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_id",
+            F.col("cosine").alias("cos_sim_r"),
+            F.col("rnk").alias("rank"),
+        )
+
+    pq = _as_arm(_ivf_pq_arm(e, sf_dir, index), "pq")
+    adc = _as_arm(_ivf_adc_arm(e, sf_dir, index), "adc")
     trained = _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
     np2 = _ivf_nprobe2_arm(e, sf_dir, index)
     return (
         flat.unionByName(pq)
+        .unionByName(adc)
         .unionByName(trained)
         .unionByName(np2)
         .orderBy("method", "query_id", "rank")
@@ -1197,7 +1300,10 @@ _IVF_INDEX: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
     from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-    from sentinela_py_spark.functions.vectors import pq_residual_reconstruct_vecs
+    from sentinela_py_spark.functions.vectors import (
+        pq_residual_codes,
+        pq_residual_reconstruct_vecs,
+    )
 
     spark = e.sparkSession
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1207,22 +1313,26 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
             ivf_assign(e).filter(F.col("vec_id") >= N_QUERY_VECTORS)
         )
         t_assigned = assign_cells_literal(e, cents)
-        seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
-        cent_lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
+        from sentinela_py_spark.functions.litutil import fast_lit
+
+        seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
+        cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(cents)], 2)
         t_for_pq, _a3 = capped_cell_candidates(t_assigned)  # cap BEFORE encode
         # RESIDUAL encode (FAISS IVFPQ): deq = centroid + PQ(vec − centroid),
-        # against codewords trained on residuals (_train_codebooks).
+        # against codewords trained on residuals (_train_codebooks); codes
+        # = the argmin ids themselves — the M-byte column ADC search scans
+        # (deq stays beside it as the reconstruct-baseline representation).
+        row_cent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
         pq_cand = t_for_pq.select(
             "vec_id",
             "embedding",
             "cell_id",
             pq_residual_reconstruct_vecs(
-                F.col("embedding"),
-                F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
-                seed_vecs,
-                PQ_M,
-                EMB_DIM,
+                F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
             ).alias("deq"),
+            pq_residual_codes(
+                F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
+            ).alias("codes"),
         )
         # The PQ index frame is PERSISTED through the real lake layout —
         # `vectors.write_ann_index` (parquet partitioned by cell_id) —
@@ -1250,6 +1360,14 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
             "cand": cand.localCheckpoint(eager=False),
             "t_assigned": t_assigned.localCheckpoint(eager=False),
             "pq_cand": read_ann_index(spark, store),
+            # the adc arm's TWO independent reads of the same store
+            # (codes-only coarse scan, vector-fetch refine scan) — two
+            # frames so each scan prunes its own columns; opened once
+            # here so per-search cost excludes file listing, like every
+            # other arm's memoized input
+            "adc_codes": read_ann_index(spark, store),
+            "adc_vecs": read_ann_index(spark, store),
+            "store": store,
         }
     return _IVF_INDEX[key]
 
@@ -1257,26 +1375,33 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
 def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench arm: time the FULL offline index build, memo bypassed —
     codebook training (IVF + residual-PQ k-means) plus the corpus encode
-    (cell id + residual PQ reconstruction per vector, the frame a vector
-    lake writes). Materializing the returned frame IS the encode pass."""
+    (cell id, residual PQ reconstruction AND the M-int codes column per
+    vector — the frame a vector lake writes, matching `_ivf_index`'s
+    store exactly). Materializing the returned frame IS the encode
+    pass."""
     from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-    from sentinela_py_spark.functions.vectors import pq_residual_reconstruct_vecs
+    from sentinela_py_spark.functions.vectors import (
+        pq_residual_codes,
+        pq_residual_reconstruct_vecs,
+    )
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, books = _train_codebooks(e)
-    seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
-    cent_lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
+    from sentinela_py_spark.functions.litutil import fast_lit
+
+    seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
+    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(cents)], 2)
+    row_cent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
     encoded, _audit = capped_cell_candidates(assign_cells_literal(e, cents))
     return encoded.select(
         "vec_id",
         "cell_id",
         pq_residual_reconstruct_vecs(
-            F.col("embedding"),
-            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
-            seed_vecs,
-            PQ_M,
-            EMB_DIM,
+            F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
         ).alias("deq"),
+        pq_residual_codes(
+            F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
+        ).alias("codes"),
     )
 
 
@@ -1301,13 +1426,38 @@ def _ivf_pq_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFra
     )
 
 
-# Dedicated per-arm builders (NOT method_arm filters of the 4-arm
+def _ivf_adc_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFrame:
+    """The ADC search arm — `functions.vectors.ivf_pq_adc_topk` over the
+    stored index's CODES column: the coarse pass scans (vec_id, cell_id,
+    codes) and scores by lookup-table sums (3·PQ_M element_at + adds per
+    candidate — no reconstruction, no float-vector read); the refine
+    pass is a second, independently column-pruned read of the same store
+    fetching vectors for the COARSE_K survivors only. The deployment
+    search FAISS calls precomputed-table IVFPQ."""
+    index = _ivf_index(e, sf_dir) if index is None else index
+    cents, books = _trained_codebooks(e, sf_dir)
+    from sentinela_py_spark.functions.vectors import ivf_pq_adc_topk
+
+    return ivf_pq_adc_topk(
+        index["adc_codes"],
+        index["adc_vecs"],
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+        cents,
+        books,
+        k=TOP_K,
+        coarse_k=COARSE_K,
+        m=PQ_M,
+        dim=EMB_DIM,
+    )
+
+
+# Dedicated per-arm builders (NOT method_arm filters of the 5-arm
 # union): the union's construction cost — every arm's expression trees,
 # built via py4j — lands in whatever arm is being timed, which poisoned
 # the r4→r5 flat-arm comparison (~+0.7 s of other arms' build). Each
 # builder assembles ONLY its own subtree over the shared stored index.
 def _ivf_arm_builder(arm: str):
-    if arm not in ("flat", "trained", "nprobe2", "pq"):
+    if arm not in ("flat", "trained", "nprobe2", "pq", "adc"):
         raise ValueError(f"unknown q_ann_ivf_topk arm {arm!r}")
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,6 +1469,8 @@ def _ivf_arm_builder(arm: str):
             return _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
         if arm == "nprobe2":
             return _ivf_nprobe2_arm(e, sf_dir, index)
+        if arm == "adc":
+            return _ivf_adc_arm(e, sf_dir, index)
         return _ivf_pq_arm(e, sf_dir, index)
 
     return build
@@ -1328,6 +1480,7 @@ register_arms(
     "q_ann_ivf_topk",
     flat=_ivf_arm_builder("flat"),
     pq=_ivf_arm_builder("pq"),
+    adc=_ivf_arm_builder("adc"),
     trained=_ivf_arm_builder("trained"),
     nprobe2=_ivf_arm_builder("nprobe2"),
     training=_ivf_training_probe,

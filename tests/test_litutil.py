@@ -1,0 +1,58 @@
+"""fast_lit: the JSON-routed nested-array literal must be BIT-equal to
+the element-wise F.lit form (it replaces F.lit in every codebook/LUT
+build), fold out of the physical plan, and reject non-finite values
+loudly instead of letting from_json NULL them silently."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.litutil import fast_lit
+
+# adversarial doubles: shortest-repr round-trip edge cases, negative
+# zero, subnormal, huge magnitude, many-digit mantissas
+GNARLY = [
+    [3.141592653589793, -0.0, 2.0**-1040, 1e300],
+    [-0.49999999999999994, 0.1 + 0.2, 1.7976931348623157e308, 5e-324],
+]
+
+
+class TestFastLit:
+    def test_bit_equal_to_f_lit(self, spark):
+        df = spark.range(1).select(
+            fast_lit(GNARLY, 2).alias("a"), F.lit(GNARLY).alias("b")
+        )
+        row = df.select(
+            F.expr(
+                "forall(zip_with(flatten(a), flatten(b),"
+                " (x, y) -> x = y OR (x <=> y)), p -> p)"
+            ).alias("eq"),
+            # = misses the -0.0 vs 0.0 distinction — compare raw bits too
+            F.expr(
+                "forall(zip_with(flatten(a), flatten(b),"
+                " (x, y) -> CAST(x AS STRING) = CAST(y AS STRING)), p -> p)"
+            ).alias("str_eq"),
+        ).collect()[0]
+        assert row["eq"] and row["str_eq"]
+
+    def test_folds_out_of_the_plan(self, spark):
+        df = spark.range(10).select(
+            F.element_at(F.element_at(fast_lit(GNARLY, 2), 1), 2).alias("v")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "from_json" not in plan
+        assert df.distinct().collect()[0]["v"] == -0.0
+
+    def test_three_level_nesting(self, spark):
+        t = [[[1.5, 2.5], [3.5, 4.5]], [[5.5, 6.5], [7.5, 8.5]]]
+        got = spark.range(1).select(fast_lit(t, 3).alias("t")).collect()[0]["t"]
+        assert [[list(w) for w in b] for b in got] == t
+
+    def test_rejects_non_finite(self):
+        with pytest.raises(ValueError, match="non-finite"):
+            fast_lit([[1.0, math.nan]], 2)
+        with pytest.raises(ValueError, match="non-finite"):
+            fast_lit([math.inf], 1)

@@ -358,3 +358,165 @@ class TestStoredIndex:
             .toString()
         )
         assert "dynamicpruning" in search_plan.lower()
+
+
+class TestAdcSearch:
+    @pytest.fixture()
+    def trained_store(self, spark, tmp_path):
+        """A residual-PQ index written through the lake layout: trained
+        centroids + residual codewords, deq AND codes columns — the
+        store both search styles (reconstruct-coarse, ADC) read."""
+        from sentinela_py_spark.functions.kmeans import (
+            ivf_residuals,
+            kmeans_centroids_local,
+            pq_stitch_codewords,
+            pq_train_codebooks_local,
+        )
+        from sentinela_py_spark.functions.vectors import (
+            pq_residual_codes,
+            pq_residual_reconstruct_vecs,
+            write_ann_index,
+        )
+        from sentinela_py_spark.plans.simops import assign_cells_literal
+
+        e = load_table(spark, SF_DIR, "embeddings")
+        cents = kmeans_centroids_local(e, 8, dim=64)
+        resid = ivf_residuals(e, cents)
+        books = pq_train_codebooks_local(resid, m=8, k=16, dim=64)
+        seed_vecs = F.lit([[float(x) for x in v] for v in pq_stitch_codewords(books)])
+        cent_lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
+        row_cent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
+        encoded = assign_cells_literal(e, cents).select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            pq_residual_reconstruct_vecs(
+                F.col("embedding"), row_cent, seed_vecs, 8, 64
+            ).alias("deq"),
+            pq_residual_codes(F.col("embedding"), row_cent, seed_vecs, 8, 64).alias(
+                "codes"
+            ),
+        )
+        path = str(tmp_path / "adc_index")
+        write_ann_index(encoded, path)
+        return e, cents, books, path
+
+    def test_codes_reconstruct_to_stored_deq_exactly(self, spark, trained_store):
+        """codes are the argmin ids of the SAME encode that produced deq:
+        centroid + stitched-codeword lookup by code must equal the stored
+        deq bit for bit — the stored M-int column carries the full
+        reconstruction information."""
+        from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+        from sentinela_py_spark.functions.vectors import read_ann_index
+
+        e, cents, books, path = trained_store
+        stitched = F.lit(
+            [[float(x) for x in v] for v in pq_stitch_codewords(books)]
+        )
+        cent_lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
+        d = 64 // 8
+        rebuilt = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda mi: F.zip_with(
+                    F.slice(
+                        F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+                        mi * d + 1,
+                        d,
+                    ),
+                    F.slice(
+                        F.element_at(
+                            stitched,
+                            (F.element_at(F.col("codes"), (mi + 1).cast("int")) + 1).cast(
+                                "int"
+                            ),
+                        ),
+                        mi * d + 1,
+                        d,
+                    ),
+                    lambda c, w: c.cast("double") + w.cast("double"),
+                ),
+            )
+        )
+        bad = (
+            read_ann_index(spark, path)
+            .select("vec_id", F.col("deq"), rebuilt.alias("rebuilt"))
+            .filter(F.col("deq") != F.col("rebuilt"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_adc_ranking_agrees_with_reconstructed_search(self, spark, trained_store):
+        """ADC scores differ from reconstruct-then-cosine only in float
+        addition order; on the fixture corpus the 6dp-rounded rankings
+        agree exactly (the arm's own oracle carries correctness — this
+        pins that the two search styles describe the same index)."""
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            ivf_pq_topk,
+            read_ann_index,
+        )
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+        via_deq = ivf_pq_topk(
+            e,
+            queries,
+            k=5,
+            coarse_k=20,
+            centroids=cents,
+            encoded_corpus=read_ann_index(spark, path),
+        ).collect()
+        via_adc = ivf_pq_adc_topk(
+            read_ann_index(spark, path),
+            read_ann_index(spark, path),
+            queries,
+            cents,
+            books,
+            k=5,
+            coarse_k=20,
+        ).collect()
+        key = lambda rows: sorted(  # noqa: E731
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in rows
+        )
+        assert key(via_adc) == key(via_deq)
+
+    def test_adc_coarse_scan_never_reads_float_vectors(self, spark, trained_store):
+        """The I/O contract: the ADC coarse pass scans (vec_id, codes) +
+        the cell partition column ONLY — no embedding, no deq. The refine
+        scan reads (vec_id, embedding) and never codes or deq. Two
+        independent reads of one store, each column-pruned to its role."""
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            read_ann_index,
+        )
+
+        e, cents, books, path = trained_store
+        plan = (
+            ivf_pq_adc_topk(
+                read_ann_index(spark, path),
+                read_ann_index(spark, path),
+                e.filter(F.col("vec_id") < 3),
+                cents,
+                books,
+                k=5,
+                coarse_k=20,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # identify the two store scans by their projected columns (the
+        # Location path is truncated in toString): the coarse scan
+        # projects codes, the refine scan projects embedding + the
+        # cell_id partition column (the raw-table query scan has no
+        # cell_id)
+        scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        codes_scans = [ln for ln in scans if "codes#" in ln]
+        vec_scans = [ln for ln in scans if "embedding#" in ln and "cell_id#" in ln]
+        assert codes_scans and vec_scans
+        for ln in codes_scans:
+            assert "embedding#" not in ln and "deq#" not in ln
+        for ln in vec_scans:
+            assert "codes#" not in ln and "deq#" not in ln
