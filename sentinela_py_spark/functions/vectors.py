@@ -30,6 +30,7 @@ __all__ = [
     "pq_reconstruct",
     "pq_reconstruct_vecs",
     "pq_codes_vecs",
+    "pq_codes_reconstruct",
     "pq_residual_reconstruct_vecs",
     "pq_residual_codes",
     "pq_refine_topk",
@@ -265,6 +266,37 @@ def pq_residual_codes(
     return F.transform(
         F.array(resid), lambda rv: pq_codes_vecs(rv, seed_vecs, m, dim)
     ).getItem(0)
+
+
+def pq_codes_reconstruct(
+    codes: Column, cent: Column, seed_vecs: Column, m: int = PQ_M, dim: int = 64
+) -> Column:
+    """array<double>: rebuild the residual-PQ reconstruction ``centroid +
+    codeword(codeₘ)`` from a STORED codes column — pure element lookups
+    (no argmin), the read-side half of the codes-only index layout.
+    Bit-identical to `pq_residual_reconstruct_vecs` of the original
+    vector (same codeword picked, same one IEEE add per element —
+    test-pinned), so a store can persist M small ints instead of dim
+    doubles and searches that want the reconstruction derive it as a
+    map-side projection riding the scan."""
+    d = dim // m
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.zip_with(
+                F.slice(cent, mi * d + 1, d),
+                F.slice(
+                    F.element_at(
+                        seed_vecs,
+                        (F.element_at(codes, (mi + 1).cast("int")) + 1).cast("int"),
+                    ),
+                    mi * d + 1,
+                    d,
+                ),
+                lambda c, w: c.cast("double") + w.cast("double"),
+            ),
+        )
+    )
 
 
 def pq_residual_reconstruct_vecs(
@@ -648,16 +680,20 @@ def ivf_pq_adc_topk(
 
 
 def write_ann_index(encoded: DataFrame, path: str) -> None:
-    """Persist an encoded IVF(-PQ) index frame (vec_id, embedding,
-    cell_id, deq — e.g. `ivf_pq_topk`'s corpus side or
-    `plans.simops._ivf_index`'s `pq_cand`) as parquet PARTITIONED BY
+    """Persist an encoded IVF(-PQ) index frame as parquet PARTITIONED BY
     cell_id — the physical lake layout where the IVF promise becomes an
     I/O guarantee: a query probing nprobe cells reads nprobe directories
     and Spark never opens the rest (static partition pruning for literal
     cell filters, dynamic partition pruning for the broadcast cell join —
-    asserted in tests/test_vectors.py). One write task per cell keeps
-    files cell-clustered; at 10^5+ cells add a second shard key inside
-    hot cells (`operators.scale.write_partitioned`'s maxRecordsPerFile
+    asserted in tests/test_vectors.py). The MINIMAL deployment frame is
+    (vec_id, embedding, cell_id, codes) — raw vector as the refine-pass
+    cold column, M small ints as the coarse representation; a stored
+    `deq` column is a second copy of the corpus at scale, so searches
+    that want the reconstruction derive it read-side
+    (`pq_codes_reconstruct`). Any extra columns ride along untouched.
+    One write task per cell keeps files cell-clustered; at 10^5+ cells
+    add a second shard key inside hot cells
+    (`operators.scale.write_partitioned`'s maxRecordsPerFile
     treatment)."""
     encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
         "cell_id"

@@ -214,7 +214,12 @@ def plan_lsh_config(
 
 
 def _signed_dot(vec: Column, plane: list[int]) -> Column:
-    lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    from sentinela_py_spark.functions.litutil import fast_lit
+
+    # one folded literal per plane, not dim F.lit py4j calls (lsh_bucket
+    # sums N_PLANES of these per call site — the per-element form cost
+    # ~0.2 s of driver time per bucket expression)
+    lit_plane = fast_lit([float(x) for x in plane], 1)
     prods = F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -1300,10 +1305,7 @@ _IVF_INDEX: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
     from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-    from sentinela_py_spark.functions.vectors import (
-        pq_residual_codes,
-        pq_residual_reconstruct_vecs,
-    )
+    from sentinela_py_spark.functions.vectors import pq_residual_codes
 
     spark = e.sparkSession
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1318,18 +1320,19 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
         seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
         cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(cents)], 2)
         t_for_pq, _a3 = capped_cell_candidates(t_assigned)  # cap BEFORE encode
-        # RESIDUAL encode (FAISS IVFPQ): deq = centroid + PQ(vec − centroid),
-        # against codewords trained on residuals (_train_codebooks); codes
-        # = the argmin ids themselves — the M-byte column ADC search scans
-        # (deq stays beside it as the reconstruct-baseline representation).
+        # RESIDUAL encode (FAISS IVFPQ), stored in its MINIMAL form: the
+        # M-int codes of PQ(vec − centroid) against codewords trained on
+        # residuals (_train_codebooks), beside the raw vector (the refine
+        # pass's cold column). The reconstruction deq = centroid +
+        # codeword(code) is NOT persisted — at deployment scale a stored
+        # deq column is a second copy of the corpus; searches that want
+        # it derive it read-side by pure lookup (pq_codes_reconstruct,
+        # bit-identical to the write-time fused form — test-pinned).
         row_cent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
         pq_cand = t_for_pq.select(
             "vec_id",
             "embedding",
             "cell_id",
-            pq_residual_reconstruct_vecs(
-                F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
-            ).alias("deq"),
             pq_residual_codes(
                 F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
             ).alias("codes"),
@@ -1356,10 +1359,24 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
         )
         write_ann_index(pq_cand, store)
         _ANN_STORES.append(store)
+        from sentinela_py_spark.functions.vectors import pq_codes_reconstruct
+
+        # the pq (reconstruct-coarse) arm derives deq from the stored
+        # codes as a map-side lookup riding the scan
+        pq_view = read_ann_index(spark, store).withColumn(
+            "deq",
+            pq_codes_reconstruct(
+                F.col("codes"),
+                F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+                seed_vecs,
+                PQ_M,
+                EMB_DIM,
+            ),
+        )
         _IVF_INDEX[key] = {
             "cand": cand.localCheckpoint(eager=False),
             "t_assigned": t_assigned.localCheckpoint(eager=False),
-            "pq_cand": read_ann_index(spark, store),
+            "pq_cand": pq_view,
             # the adc arm's TWO independent reads of the same store
             # (codes-only coarse scan, vector-fetch refine scan) — two
             # frames so each scan prunes its own columns; opened once
@@ -1375,20 +1392,16 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
 def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench arm: time the FULL offline index build, memo bypassed —
     codebook training (IVF + residual-PQ k-means) plus the corpus encode
-    (cell id, residual PQ reconstruction AND the M-int codes column per
-    vector — the frame a vector lake writes, matching `_ivf_index`'s
-    store exactly). Materializing the returned frame IS the encode
+    (cell id + the M-int residual codes per vector — exactly the frame
+    `_ivf_index` writes; the reconstruction is read-side lookup, not a
+    stored column). Materializing the returned frame IS the encode
     pass."""
     from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-    from sentinela_py_spark.functions.vectors import (
-        pq_residual_codes,
-        pq_residual_reconstruct_vecs,
-    )
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.functions.vectors import pq_residual_codes
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, books = _train_codebooks(e)
-    from sentinela_py_spark.functions.litutil import fast_lit
-
     seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
     cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(cents)], 2)
     row_cent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
@@ -1396,9 +1409,6 @@ def _ivf_training_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.select(
         "vec_id",
         "cell_id",
-        pq_residual_reconstruct_vecs(
-            F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
-        ).alias("deq"),
         pq_residual_codes(
             F.col("embedding"), row_cent, seed_vecs, PQ_M, EMB_DIM
         ).alias("codes"),

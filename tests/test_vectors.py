@@ -403,40 +403,27 @@ class TestAdcSearch:
 
     def test_codes_reconstruct_to_stored_deq_exactly(self, spark, trained_store):
         """codes are the argmin ids of the SAME encode that produced deq:
-        centroid + stitched-codeword lookup by code must equal the stored
-        deq bit for bit — the stored M-int column carries the full
-        reconstruction information."""
+        `pq_codes_reconstruct` (read-side lookup stitch over the stored
+        codes) must equal the write-time fused reconstruction bit for bit
+        — the M-int column carries the full reconstruction information,
+        so the deployment store never persists deq."""
         from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-        from sentinela_py_spark.functions.vectors import read_ann_index
+        from sentinela_py_spark.functions.vectors import (
+            pq_codes_reconstruct,
+            read_ann_index,
+        )
 
         e, cents, books, path = trained_store
         stitched = F.lit(
             [[float(x) for x in v] for v in pq_stitch_codewords(books)]
         )
         cent_lit = F.lit([[float(x) for x in v] for _, v in sorted(cents)])
-        d = 64 // 8
-        rebuilt = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda mi: F.zip_with(
-                    F.slice(
-                        F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
-                        mi * d + 1,
-                        d,
-                    ),
-                    F.slice(
-                        F.element_at(
-                            stitched,
-                            (F.element_at(F.col("codes"), (mi + 1).cast("int")) + 1).cast(
-                                "int"
-                            ),
-                        ),
-                        mi * d + 1,
-                        d,
-                    ),
-                    lambda c, w: c.cast("double") + w.cast("double"),
-                ),
-            )
+        rebuilt = pq_codes_reconstruct(
+            F.col("codes"),
+            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+            stitched,
+            8,
+            64,
         )
         bad = (
             read_ann_index(spark, path)
