@@ -39,6 +39,7 @@ __all__ = [
     "ivf_pq_adc_topk",
     "write_ann_index",
     "read_ann_index",
+    "read_ann_index_tree",
 ]
 
 _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
@@ -706,3 +707,14 @@ def read_ann_index(spark, path: str) -> DataFrame:
     the bigint the search algebra expects)."""
     df = spark.read.parquet(path)
     return df.withColumn("cell_id", F.col("cell_id").cast("bigint"))
+
+
+def read_ann_index_tree(spark, path: str) -> DataFrame:
+    """Read an EPOCH-PARTITIONED index tree (`streaming.pipeline
+    .ann_index_append_batch`'s ``{path}/epoch=N/cell_id=C`` layout —
+    offline base + streamed appends) as one search-ready frame: epoch is
+    dropped (it exists for replay idempotence, not for search) and
+    cell_id keeps its partition-column role, so probe-side partition
+    pruning holds across every epoch."""
+    df = spark.read.parquet(path)
+    return df.drop("epoch").withColumn("cell_id", F.col("cell_id").cast("bigint"))

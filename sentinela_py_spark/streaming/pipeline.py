@@ -996,3 +996,96 @@ def run_composed_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_append_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int | None = None,
+    dim: int = 64,
+) -> None:
+    """One micro-batch of ANN index MAINTENANCE — the streaming half of
+    the vector lake (FAISS ``IndexIVF.add``: the codebook trains offline
+    ONCE; arriving vectors encode against the FROZEN centroids/codewords
+    and append to the store; a drifting corpus re-trains and rebuilds
+    offline, never in the ingest path):
+
+    1. each vector is assigned its cell and residual-PQ codes MAP-SIDE
+       against the frozen driver-resident codebook (`assign_cells_literal`
+       + `pq_residual_codes` — zero shuffles; the encode rides the batch
+       scan);
+    2. the encoded rows land at ``{index_dir}/epoch=N`` partitioned by
+       cell_id — the SAME minimal (id, vector, cell, codes) frame the
+       offline builder writes, nested one epoch level up. The write is an
+       epoch-keyed OVERWRITE, so a checkpoint-replayed batch reproduces
+       its first attempt instead of duplicating rows;
+    3. readers (`functions.vectors.read_ann_index_tree`) see base + every
+       appended epoch as one frame, and cell_id stays a partition column
+       at the second directory level, so probe-side partition pruning
+       holds across epochs exactly as on the flat layout.
+    """
+    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.functions.vectors import PQ_M, pq_residual_codes
+    from sentinela_py_spark.plans.simops import assign_cells_literal
+
+    m = PQ_M if m is None else m
+    seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
+    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
+    assigned = assign_cells_literal(batch, centroids, id_col=id_col, vec_col=vec_col)
+    encoded = assigned.select(
+        id_col,
+        vec_col,
+        "cell_id",
+        pq_residual_codes(
+            F.col(vec_col),
+            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+            seed_vecs,
+            m,
+            dim,
+        ).alias("codes"),
+    )
+    encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+
+
+def run_ann_index_maintenance_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    schema=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+):
+    """Incremental vector-index ingest: every micro-batch encodes against
+    the frozen codebook and appends to the epoch-partitioned index tree —
+    semantics, replay safety, and layout on `ann_index_append_batch`.
+    Compose AFTER the ingest screens (dedup/decontamination): index what
+    survived, so the store never carries rows the curation pipeline
+    already rejected."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        ann_index_append_batch(
+            batch, epoch_id, index_dir, centroids, books, id_col, vec_col
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "annindex"))
+        .trigger(availableNow=True)
+        .start()
+    )

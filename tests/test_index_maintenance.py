@@ -1,0 +1,164 @@
+"""Streaming ANN index maintenance: arriving vectors encode against the
+FROZEN codebook and append to the epoch-partitioned index tree — the
+FAISS IndexIVF.add contract. Pins: stream ≡ batch encode parity,
+checkpoint-replay idempotence, search-through-the-tree equality with a
+flat offline store, partition pruning across epochs, and the real
+availableNow stream wiring."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.vectors import (
+    ivf_pq_adc_topk,
+    read_ann_index,
+    read_ann_index_tree,
+    write_ann_index,
+)
+from sentinela_py_spark.streaming.pipeline import (
+    ann_index_append_batch,
+    run_ann_index_maintenance_stream,
+)
+from sentinela_py_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+M = 8
+K = 16
+
+
+@pytest.fixture(scope="module")
+def codebook(spark):
+    """A frozen deterministic codebook (first-8 centroids, first-16
+    codeword slices) — maintenance semantics don't depend on codebook
+    quality, so the test skips the k-means run."""
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    cents = [(i, vecs[i]) for i in range(8)]
+    d = DIM // M
+    books = [[v[mi * d : (mi + 1) * d] for v in vecs[:K]] for mi in range(M)]
+    return cents, books
+
+
+def _slice(spark, lo, hi):
+    return (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id", "embedding")
+    )
+
+
+def _rowset(df):
+    return sorted(
+        (r["vec_id"], int(r["cell_id"]), tuple(r["codes"])) for r in df.collect()
+    )
+
+
+class TestIndexMaintenance:
+    def test_appends_match_batch_encode_and_replay_is_idempotent(
+        self, spark, codebook, tmp_path
+    ):
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 100), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 100, 150), 1, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 150, 200), 2, tree, cents, books)
+
+        got = read_ann_index_tree(spark, tree)
+        # stream ≡ batch: the tree equals one batch encode of the union
+        flat = str(tmp_path / "flat")
+        ann_index_append_batch(_slice(spark, 0, 200), 0, flat, cents, books)
+        want = read_ann_index_tree(spark, flat)
+        assert _rowset(got) == _rowset(want)
+
+        # checkpoint replay: re-running an epoch overwrites, never dupes
+        before = _rowset(got)
+        ann_index_append_batch(_slice(spark, 150, 200), 2, tree, cents, books)
+        assert _rowset(read_ann_index_tree(spark, tree)) == before
+
+    def test_search_through_tree_equals_flat_store(self, spark, codebook, tmp_path):
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 120), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
+        flat = str(tmp_path / "flat")
+        write_ann_index(
+            read_ann_index_tree(spark, tree), flat
+        )  # same rows, offline layout
+        queries = _slice(spark, 0, 3)
+
+        def run(codes_df, vecs_df):
+            return sorted(
+                (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+                for r in ivf_pq_adc_topk(
+                    codes_df, vecs_df, queries, cents, books, k=5, coarse_k=20
+                ).collect()
+            )
+
+        assert run(
+            read_ann_index_tree(spark, tree), read_ann_index_tree(spark, tree)
+        ) == run(read_ann_index(spark, flat), read_ann_index(spark, flat))
+
+    def test_tree_prunes_on_cell_across_epochs(self, spark, codebook, tmp_path):
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 100), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 100, 160), 1, tree, cents, books)
+        plan = (
+            read_ann_index_tree(spark, tree)
+            .filter(F.col("cell_id") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+        assert "cell_id" in plan.split("PartitionFilters:")[1][:200]
+
+    def test_available_now_stream_drains_into_tree(self, spark, codebook, tmp_path):
+        cents, books = codebook
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = _slice(spark, 0, 60).collect()
+        for i, chunk in enumerate([rows[:30], rows[30:]]):
+            with open(src / f"batch{i}.jsonl", "w") as f:
+                for r in chunk:
+                    f.write(
+                        json.dumps(
+                            {
+                                "vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["embedding"]],
+                            }
+                        )
+                        + "\n"
+                    )
+        tree = str(tmp_path / "tree")
+        q = run_ann_index_maintenance_stream(
+            spark,
+            str(src),
+            str(tmp_path / "ckpt"),
+            tree,
+            cents,
+            books,
+            schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        q.awaitTermination(120)
+        got = read_ann_index_tree(spark, tree)
+        assert sorted(r["vec_id"] for r in got.collect()) == sorted(
+            r["vec_id"] for r in rows
+        )
+        # every appended epoch landed cell-partitioned
+        epochs = [p for p in os.listdir(tree) if p.startswith("epoch=")]
+        assert len(epochs) >= 1
+        for ep in epochs:
+            assert any(
+                p.startswith("cell_id=") for p in os.listdir(os.path.join(tree, ep))
+            )
