@@ -549,6 +549,7 @@ def ivf_pq_adc_topk(
     coarse_k: int,
     m: int = PQ_M,
     dim: int = 64,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -573,6 +574,11 @@ def ivf_pq_adc_topk(
     ``index_codes`` / ``index_vecs`` may be the same `read_ann_index`
     frame read twice — passing two fresh reads keeps the two scans'
     column pruning independent (asserted in tests/test_plan_quality).
+    ``nprobe`` composes with the recall dial exactly as on `ivf_pq_topk`
+    (each query explodes to its nprobe nearest cells; the per-query LUT
+    is cell-independent and the ⟨q, centroid⟩ term is already per
+    (query, cell) row; scale ``coarse_k`` with nprobe — the same
+    k_factor coupling).
     Scores are identical to the reconstruct-then-cosine path up to
     float addition order (the ranking agreement is test-pinned); the
     arm's oracle mirrors the ADC algebra itself, so correctness does not
@@ -586,6 +592,7 @@ def ivf_pq_adc_topk(
         cosine,
         dot_product,
         l2_norm_sq,
+        probe_cells_literal,
     )
 
     d = dim // m
@@ -612,8 +619,15 @@ def ivf_pq_adc_topk(
             ),
         ),
     )
+    q_cells = (
+        assign_cells_literal(queries, centroids, id_col=id_col, vec_col=vec_col)
+        if nprobe == 1
+        else probe_cells_literal(
+            queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+    )
     qs = F.broadcast(
-        assign_cells_literal(queries, centroids, id_col=id_col, vec_col=vec_col).select(
+        q_cells.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             "cell_id",

@@ -507,3 +507,41 @@ class TestAdcSearch:
             assert "embedding#" not in ln and "deq#" not in ln
         for ln in vec_scans:
             assert "codes#" not in ln and "deq#" not in ln
+
+    def test_adc_composes_with_nprobe(self, spark, trained_store):
+        """The ADC coarse algebra is per-(query, cell) by construction, so
+        the nprobe recall dial composes: at nprobe=2 (coarse_k scaled by
+        the k_factor coupling) the ADC ranking equals the reconstruct-
+        coarse search's at the same settings."""
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            ivf_pq_topk,
+            read_ann_index,
+        )
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+        via_deq = ivf_pq_topk(
+            e,
+            queries,
+            k=5,
+            coarse_k=40,
+            nprobe=2,
+            centroids=cents,
+            encoded_corpus=read_ann_index(spark, path),
+        ).collect()
+        via_adc = ivf_pq_adc_topk(
+            read_ann_index(spark, path),
+            read_ann_index(spark, path),
+            queries,
+            cents,
+            books,
+            k=5,
+            coarse_k=40,
+            nprobe=2,
+        ).collect()
+        key = lambda rows: sorted(  # noqa: E731
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in rows
+        )
+        assert key(via_adc) == key(via_deq)
