@@ -573,7 +573,8 @@ def ivf_pq_adc_topk(
 
     ``index_codes`` / ``index_vecs`` may be the same `read_ann_index`
     frame read twice — passing two fresh reads keeps the two scans'
-    column pruning independent (asserted in tests/test_plan_quality).
+    column pruning independent (asserted in tests/test_vectors.py::
+    TestAdcSearch::test_adc_coarse_scan_never_reads_float_vectors).
     ``nprobe`` composes with the recall dial exactly as on `ivf_pq_topk`
     (each query explodes to its nprobe nearest cells; the per-query LUT
     is cell-independent and the ⟨q, centroid⟩ term is already per

@@ -1082,8 +1082,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       under the TRAINED codebooks with RESIDUAL encoding — k-means cell
       routing, candidates coarse-ranked on ``centroid + PQ(vec −
       centroid)`` against per-subspace codewords trained on residuals
-      (the FAISS IVFPQ construction; PQ_M bytes/vector is all the cell
-      scan touches at 100 TB), COARSE_K survivors re-ranked exactly.
+      (the FAISS IVFPQ construction; the store persists the M-int codes
+      and this arm derives the reconstruction as a map-side lookup
+      riding the scan), COARSE_K survivors re-ranked exactly.
       Candidates exclude only the query itself — generic-corpus
       semantics, mirrored by the oracle. (The placeholder-codebook PQ
       layout remains stage-wise proven in q_quantized_refine_topk; here
