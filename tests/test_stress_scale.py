@@ -473,3 +473,85 @@ def test_embedding_dedup_stream_at_corpus_scale(spark, tmp_path):
     # fresh directions are orthogonal to the corpus: none rejected vs it
     fresh_ids = {i for i, _ in fresh}
     assert len(accepted & fresh_ids) >= len(fresh_ids) // 2
+
+
+def test_ivf_adc_search_at_10x_scale(spark):
+    """The ADC search path at 10× the bench corpus (20k 64-dim vectors,
+    clustered): codes-only encode + lookup-table coarse + exact refine
+    must reproduce the in-cell exact top-5 EXACTLY when coarse_k spans
+    the largest cell (the ADC coarse stage can then never evict an
+    in-cell winner — the same construction test_ivf_pq_matches_in_cell
+    _search pins at 1× for the reconstruct path). Both legs scale with
+    cell occupancy, not corpus²: the coarse pass touches 24 lookups per
+    candidate, the refine only the coarse_k survivors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from sentinela_py_spark.functions.vectors import ivf_pq_adc_topk
+    from sentinela_py_spark.plans.simops import assign_cells_literal, cosine
+
+    rng = np.random.RandomState(11)
+    n, dim, n_clusters = 20_000, 64, 12
+    centers = rng.normal(size=(n_clusters, dim)) * 2.0
+    vecs = centers[np.arange(n) % n_clusters] + rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    e = spark.createDataFrame(pdf).repartition(32)
+
+    # frozen codebook: first-8 cents, first-16 codeword slices (quality
+    # is irrelevant — the equality below holds under ANY codebook)
+    first = [list(map(float, v)) for v in vecs[:16]]
+    cents = [(i, first[i]) for i in range(8)]
+    books = [[v[mi * 8 : (mi + 1) * 8] for v in first] for mi in range(8)]
+
+    # encode through the maintenance batch path (codes-only store shape)
+    assigned = assign_cells_literal(e, cents)
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+    from sentinela_py_spark.functions.vectors import pq_residual_codes
+
+    seed_vecs = fast_lit(pq_stitch_codewords(books), 2)
+    cent_lit = fast_lit([v for _, v in sorted(cents)], 2)
+    store = assigned.select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        pq_residual_codes(
+            F.col("embedding"),
+            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+            seed_vecs,
+            8,
+            64,
+        ).alias("codes"),
+    ).localCheckpoint(eager=True)
+
+    max_cell = store.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
+    got = {
+        (r["query_id"], r["rnk"], r["vec_id"])
+        for r in ivf_pq_adc_topk(
+            store,
+            store,
+            e.filter(F.col("vec_id") < 3),
+            cents,
+            books,
+            k=5,
+            coarse_k=int(max_cell),
+        ).collect()
+    }
+
+    qs = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "cell_id"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    want = {
+        (r["query_id"], r["rnk"], r["vec_id"])
+        for r in assigned.join(F.broadcast(qs), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("qvec")), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert got == want
