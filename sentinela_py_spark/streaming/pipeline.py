@@ -877,6 +877,9 @@ def composed_ingest_batch(
     max_bucket_size: int | None = None,
     m_bits: int | None = None,
     n_hashes: int | None = None,
+    index_dir: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
@@ -886,6 +889,9 @@ def composed_ingest_batch(
         train/eval decontamination   (5-gram Bloom probe — map-only)
       → MinHash near-dup rejection   (text; vs batch + the band store)
       → embedding near-dup rejection (vectors; vs batch + the vec index)
+      → [optional] ANN index append  (frozen-codebook encode of the
+        survivors into the cell-partitioned search tree — pass
+        ``index_dir`` + ``centroids`` + ``books`` to arm it)
 
     Decontamination runs FIRST: it is the cheapest screen (a broadcast
     Bloom probe, no persistent state) and — more importantly — running
@@ -938,6 +944,12 @@ def composed_ingest_batch(
     final.write.mode("overwrite").parquet(
         os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
     )
+    if index_dir is not None:
+        # index what survived EVERY screen: the searchable vector tree
+        # can never serve content the curation chain rejected
+        ann_index_append_batch(
+            final, epoch_id, index_dir, centroids, books, id_col=id_col, vec_col=vec_col
+        )
     return final
 
 
@@ -957,6 +969,9 @@ def run_composed_ingest_stream(
     max_bucket_size: int | None = None,
     m_bits: int | None = None,
     n_hashes: int | None = None,
+    index_dir: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ):
     """The composed streaming-ingest flagship: ONE stream of
     (id, text, embedding) rows runs all three ingest screens per
@@ -965,7 +980,10 @@ def run_composed_ingest_stream(
     rather than three parallel single-screen streams with divergent
     progress. The eval Bloom filter is built ONCE up front (eager
     localCheckpoint, exactly as `run_decontamination_stream`); geometry
-    is threaded through build and probe."""
+    is threaded through build and probe. Pass ``index_dir`` +
+    ``centroids`` + ``books`` to arm the ANN index-maintenance tail:
+    each micro-batch's survivors are frozen-codebook-encoded and
+    appended to the searchable tree (`ann_index_append_batch`)."""
     from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_build
     from sentinela_py_spark.functions.text_stats import word_shingles
 
@@ -984,6 +1002,7 @@ def run_composed_ingest_stream(
             id_col=id_col, text_col=text_col, vec_col=vec_col,
             threshold=threshold, min_hits=min_hits,
             max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
+            index_dir=index_dir, centroids=centroids, books=books,
         )
 
     reader = spark.readStream

@@ -176,3 +176,53 @@ def test_composed_replay_reproduces_first_attempt(spark, tmp_path):
     composed_ingest_batch(_df(spark, BATCH2), bloom, 1, state, threshold=THRESHOLD)
     assert snapshot() == first
     assert {d for d, _, _ in first} == ACCEPT_IDS
+
+
+def test_composed_index_tail_serves_only_survivors(spark, tmp_path):
+    """The optional fourth stage: arming the ANN index-maintenance tail
+    makes every micro-batch's SURVIVORS searchable (frozen-codebook
+    encode into the cell-partitioned tree) while rejected/contaminated
+    content never enters the index — and a replayed epoch overwrites
+    instead of duplicating."""
+    from sentinela_py_spark.functions.vectors import (
+        ivf_pq_adc_topk,
+        read_ann_index_tree,
+    )
+
+    state = str(tmp_path / "state")
+    index = str(tmp_path / "index")
+    bloom = _bloom_row(spark)
+    # frozen demo codebook over the test's one-hot embedding space
+    cents = [(i, _e(i)) for i in range(8)]
+    d = DIM // 8
+    books = [[_e(j)[mi * d : (mi + 1) * d] for j in range(16)] for mi in range(8)]
+
+    for epoch, rows in ((0, BATCH1), (1, BATCH2)):
+        composed_ingest_batch(
+            _df(spark, rows), bloom, epoch, state, threshold=THRESHOLD,
+            index_dir=index, centroids=cents, books=books,
+        )
+    tree = read_ann_index_tree(spark, index)
+    assert {r["doc_id"] for r in tree.select("doc_id").collect()} == ACCEPT_IDS
+
+    # replay epoch 1: the tree is unchanged (epoch-keyed overwrite)
+    composed_ingest_batch(
+        _df(spark, BATCH2), bloom, 1, state, threshold=THRESHOLD,
+        index_dir=index, centroids=cents, books=books,
+    )
+    assert {r["doc_id"] for r in read_ann_index_tree(spark, index).select("doc_id").collect()} == ACCEPT_IDS
+
+    # the tree is SEARCHABLE: a survivor's own vector finds it top-1
+    probe = _df(spark, [(999, "probe", _e(0))])
+    hits = ivf_pq_adc_topk(
+        read_ann_index_tree(spark, index),
+        read_ann_index_tree(spark, index),
+        probe,
+        cents,
+        books,
+        k=1,
+        coarse_k=5,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).collect()
+    assert hits and hits[0]["doc_id"] == 1  # doc 1 carries _e(0)
