@@ -514,7 +514,14 @@ def adc_tables(
     - ``cn[cell]``       = ‖centroid(cell)‖².
 
     Sizes are cells·M·K + M·K + cells doubles — codebook-scale, inlined
-    as literals next to the centroids themselves. Every entry is a
+    as literals next to the centroids themselves. Scale boundary: only
+    ``t2`` grows with the cell count, and at the `plan_ivf_config`
+    deployment regime (10⁵ cells × M·K) it reaches ~10⁸ doubles — past
+    literal inlining. There, ship ``t2`` as a broadcast (cell_id, m, j,
+    v) frame and fold the per-candidate term through the broadcast hash
+    join on cell_id instead (``t3``/``cn``/the per-query LUT stay
+    literal at any scale) — the exact boundary FAISS's
+    ``use_precomputed_table`` flag manages. Every entry is a
     left-to-right double fold over the SAME collected codebook values
     both engines hold bit-identically (tests/test_kmeans.py), so scores
     assembled from these literals stay oracle-exact: Python's sequential
