@@ -82,7 +82,7 @@ def plan_bloom_config(
     m_bits = 1 << max(3, math.ceil(math.log2(m_opt)))
     # The k clamp can cost rate: when the optimal k exceeds max_hashes
     # (tight targets) and the power-of-two rounding of m added little
-    # slack, the clamped k misses the target by up to ~10% (r5 ADVICE).
+    # headroom, the clamped k misses the target by up to ~10% (r5 ADVICE).
     # The sizing CONTRACT is fp_rate <= target_fp, so double m until the
     # clamped k meets it — each doubling roughly squares the per-hash
     # miss probability, so this terminates in a few steps.
