@@ -14,7 +14,13 @@ shortest-form exactly; pinned in tests/test_vectors.py).
 
 Only finite doubles are expressible: ``json.dumps`` would emit bare
 ``NaN``/``Infinity`` tokens that ``from_json`` treats as malformed and
-silently NULLs — ``fast_lit`` rejects them loudly instead.
+silently NULLs — ``fast_lit`` rejects them loudly instead. The same
+loud-rejection contract covers SHAPE: ``from_json`` also silently NULLs
+when the JSON's nesting disagrees with the declared schema (a scalar
+where the schema expects an array, or vice versa), so ``fast_lit``
+verifies the value's nesting matches ``depth`` exactly — lists at every
+level above ``depth``, scalars at level ``depth`` — before building the
+column.
 """
 
 from __future__ import annotations
@@ -28,23 +34,38 @@ from pyspark.sql import functions as F
 __all__ = ["fast_lit"]
 
 
-def _check_finite(value) -> None:
-    if isinstance(value, list):
-        for v in value:
-            _check_finite(v)
-    else:
+def _check_shape(value, depth: int) -> None:
+    """Finiteness AND nesting: every path through ``value`` must bottom
+    out at a finite scalar exactly ``depth`` list levels down — a
+    mismatched depth would make ``from_json`` return NULL silently, the
+    exact failure mode this module promises to reject loudly."""
+    if depth == 0:
+        if isinstance(value, (list, tuple)):
+            raise ValueError(
+                "fast_lit: value nests deeper than the declared depth "
+                f"(found a list where the schema expects a double: {value!r})"
+            )
         f = float(value)
         if not math.isfinite(f):
             raise ValueError(
                 "fast_lit carries doubles through JSON, which cannot "
                 f"represent non-finite values (got {value!r}); use F.lit"
             )
+    else:
+        if not isinstance(value, (list, tuple)):
+            raise ValueError(
+                "fast_lit: value is shallower than the declared depth "
+                f"(found scalar {value!r} with {depth} array level(s) "
+                "still expected)"
+            )
+        for v in value:
+            _check_shape(v, depth - 1)
 
 
 def fast_lit(value: list, depth: int) -> Column:
     """A foldable ``array<...array<double>>`` literal (``depth`` nesting
     levels) built from one JSON string instead of per-element py4j
     conversion. Drop-in for ``F.lit(value)`` on finite nested lists."""
-    _check_finite(value)
+    _check_shape(value, depth)
     schema = "array<" * depth + "double" + ">" * depth
     return F.from_json(F.lit(json.dumps(value)), schema)

@@ -369,7 +369,21 @@ def shared_span_pairs(
     ``max_gram_df``, with their document frequency; None when uncapped).
     Every stage is a shuffle on uniform keys (gram hash, then the pair
     diagonal), so the operator scales like the other inverted-index
-    dedup joins at 100 TB."""
+    dedup joins at 100 TB.
+
+    Collision exposure: the join key is xxhash64(gram), so two DISTINCT
+    grams colliding in 64 bits would synthesize a false match position —
+    and a run of them, a false span that `remove_shared_spans` would
+    then cut from genuine content. The registered oracle joins on the
+    raw gram STRING, so oracle parity doubles as a collision audit at
+    fixture scale (exactly as q_decontamination documents for its gram
+    screen); at deployment scale the exposure is the birthday bound on
+    the corpus's distinct-gram count (~2^32 grams for even odds of ONE
+    colliding pair, which still needs aligned neighbors to reach
+    ``min_span_words``) — and a false span ≥ 12 words requires ≥ 5
+    consecutive colliding grams on one diagonal, vanishingly unlikely
+    even there. Deployments cutting irreplaceable content can confirm
+    span text equality before applying cuts."""
     from pyspark.sql import Window as W
 
     grams = (
@@ -436,13 +450,14 @@ def remove_shared_spans(
     one whole document to achieve less).
 
     Mechanics: the doc_b-side cut intervals [b_start, b_start +
-    span_words) aggregate per doc (a tiny shuffle — one row per reported
-    span), broadcast-join back to the corpus, and the rebuild is pure
-    map-side column algebra: each word keeps its 1-based position via a
-    zip_with against a sequence, survives iff NO cut interval covers it
-    (the per-word `exists` probe makes overlapping cuts compose without
-    any interval-merge pass), and the survivors re-join with single
-    spaces. Docs with no cuts pass through byte-identical."""
+    span_words) aggregate per doc (one row per doc-with-cuts), join back
+    to the corpus on the id, and the rebuild is pure map-side column
+    algebra: each word keeps its 1-based position via a zip_with against
+    a sequence, survives iff NO cut interval covers it (the per-word
+    `exists` probe makes overlapping cuts compose without any
+    interval-merge pass), and the survivors re-join with single spaces.
+    Docs with no cuts pass through byte-identical; non-text columns ride
+    through untouched."""
     cuts = (
         spans.select(
             F.col("doc_b").alias(id_col),
@@ -454,7 +469,12 @@ def remove_shared_spans(
         .groupBy(id_col)
         .agg(F.collect_list("cut").alias("cuts"))
     )
-    joined = docs.join(F.broadcast(cuts), id_col, "left")
+    # Plain equi join on the id — NOT a forced broadcast: on the
+    # high-duplication corpora this operator exists for, the cuts frame
+    # is proportional to the duplicated half of the corpus, so assuming
+    # it fits in driver/executor memory is a scale-killer. AQE picks
+    # broadcast on its own whenever cuts is genuinely small.
+    joined = docs.join(cuts, id_col, "left")
     words = F.split(F.col(text_col), " ")
     posed = F.zip_with(
         words,
@@ -467,8 +487,10 @@ def remove_shared_spans(
         lambda x: ~F.exists(cts, lambda c: (x["p"] >= c["s"]) & (x["p"] < c["e"])),
     )
     cleaned = F.array_join(F.transform(kept, lambda x: x["w"]), " ")
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
     return joined.select(
         id_col,
+        *others,
         F.when(F.col("cuts").isNull(), F.col(text_col))
         .otherwise(cleaned)
         .alias(text_col),

@@ -56,3 +56,19 @@ class TestFastLit:
             fast_lit([[1.0, math.nan]], 2)
         with pytest.raises(ValueError, match="non-finite"):
             fast_lit([math.inf], 1)
+
+    def test_rejects_depth_mismatch(self):
+        # Shallower than declared: from_json would NULL the whole literal
+        with pytest.raises(ValueError, match="shallower"):
+            fast_lit([1.0, 2.0], 2)
+        # Deeper than declared: likewise a silent NULL without the check
+        with pytest.raises(ValueError, match="deeper"):
+            fast_lit([[1.0], [2.0]], 1)
+        # Ragged nesting: one branch at the wrong depth is still a reject
+        with pytest.raises(ValueError, match="deeper|shallower"):
+            fast_lit([[1.0], 2.0], 2)
+
+    def test_empty_lists_at_intermediate_levels_pass(self, spark):
+        # [] carries no scalars to verify — legal at any level above depth
+        got = spark.range(1).select(fast_lit([[], [1.5]], 2).alias("t")).collect()[0]["t"]
+        assert [list(x) for x in got] == [[], [1.5]]

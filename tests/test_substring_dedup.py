@@ -145,6 +145,26 @@ def test_remove_shared_spans_overlapping_cuts_compose(spark):
     assert cleaned[3] == ""  # the whole 15-word doc was covered by the union
 
 
+def test_remove_shared_spans_passes_other_columns_through(spark):
+    """Non-text columns (lang, embedding, ...) survive the cut untouched
+    — the curation chain threads full rows through the span stage."""
+    from sentinela_py_spark.operators.dedup import remove_shared_spans
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", f"{PREFIX_A} {PASSAGE} {SUFFIX_A}"),
+            (2, "pt", f"{PREFIX_B} {PASSAGE} {SUFFIX_B}"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    spans, _ = shared_span_pairs(d, k=8, min_span_words=12)
+    out = remove_shared_spans(d, spans)
+    assert out.columns == ["doc_id", "lang", "text"]
+    got = {r["doc_id"]: (r["lang"], r["text"]) for r in out.collect()}
+    assert got[1] == ("en", f"{PREFIX_A} {PASSAGE} {SUFFIX_A}")
+    assert got[2] == ("pt", f"{PREFIX_B} {SUFFIX_B}")
+
+
 def test_guard_never_bites_at_fixture_scale(spark):
     """The registered arm's cap-free oracle is sound: no gram in the
     sf0.01 documents table reaches DEFAULT_MAX_GRAM_DF."""
