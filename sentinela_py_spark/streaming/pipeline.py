@@ -240,6 +240,29 @@ def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
     return store.filter(F.col("epoch") != exclude_epoch).drop("epoch")
 
 
+def _collapse_duplicate_ids(renamed: DataFrame, id_field: str, content_key) -> DataFrame:
+    """In-batch duplicate ids collapse to a DETERMINISTIC survivor — the
+    min_by election shared by all three ingest screens: survivor = the
+    row minimizing (``content_key``, md5 of the remaining columns' JSON),
+    NOT dropDuplicates' partition-order pick. A checkpoint replay of a
+    batch carrying one id with two payloads must write the same
+    accepted/rejected/store content as the first attempt or the
+    epoch-overwrite replay guarantee is hollow (r5/r6 ADVICE — the fix
+    first landed on the decontamination screen, then was factored here
+    for the MinHash and embedding screens). Columns other than the id
+    ride through untouched, in their original order."""
+    others = [c for c in renamed.columns if c != id_field]
+    surv_key = F.struct(
+        content_key,
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in others]))),
+    )
+    return (
+        renamed.groupBy(id_field)
+        .agg(F.min_by(F.struct(*others), surv_key).alias("__r"))
+        .select(id_field, *[F.col(f"__r.{c}").alias(c) for c in others])
+    )
+
+
 def dedup_batch_against_corpus(
     batch: DataFrame,
     epoch_id: int,
@@ -272,7 +295,10 @@ def dedup_batch_against_corpus(
        the matched doc and reason. Every write is an epoch-keyed
        overwrite and the store read EXCLUDES the current epoch, so a
        checkpoint-replayed batch reproduces its first attempt bit for bit
-       instead of self-matching (see `_read_band_store`).
+       instead of self-matching (see `_read_band_store`); in-batch
+       duplicate IDS collapse through the deterministic
+       `_collapse_duplicate_ids` election first, so the replay guarantee
+       holds even for a batch carrying one doc_id with two texts.
 
     Skew guards (the two joins where one hot (band, sig) — a boilerplate
     template flooding the firehose — would otherwise blow up one task):
@@ -300,11 +326,12 @@ def dedup_batch_against_corpus(
     spark = batch.sparkSession
     bands_dir = os.path.join(state_dir, "bands")
 
-    b = (
-        batch.withColumnRenamed(id_col, "doc_id")
-        .dropDuplicates(["doc_id"])
-        .localCheckpoint(eager=True)
-    )
+    # deterministic in-batch id collapse (NOT dropDuplicates — replay
+    # must reproduce the first attempt even when one doc_id arrives with
+    # two different texts; see _collapse_duplicate_ids)
+    b = _collapse_duplicate_ids(
+        batch.withColumnRenamed(id_col, "doc_id"), "doc_id", F.md5(F.col(text_col))
+    ).localCheckpoint(eager=True)
     # 1. exact-copy collapse (uniform md5 key — no skew at any copy count)
     rep_of = (
         b.select("doc_id", F.md5(F.col(text_col)).alias("__th"))
@@ -474,7 +501,10 @@ def embedding_dedup_batch_against_corpus(
        ``index/epoch=N``; accepted/rejected rows land beside it. All
        writes are epoch-keyed overwrites and the index read EXCLUDES the
        current epoch, so a checkpoint-replayed batch reproduces its first
-       attempt instead of self-matching (see `_read_band_store`).
+       attempt instead of self-matching (see `_read_band_store`);
+       in-batch duplicate IDS collapse through the deterministic
+       `_collapse_duplicate_ids` election first, so the replay guarantee
+       holds even for a batch carrying one vec_id with two vectors.
 
     Skew guards: unlike the MinHash stream, the cross-corpus probe here
     needs the full candidate set (true cosine against EACH stored vector,
@@ -503,12 +533,14 @@ def embedding_dedup_batch_against_corpus(
     spark = batch.sparkSession
     index_dir = os.path.join(state_dir, "index")
 
-    b = (
-        batch.withColumnRenamed(id_col, "vec_id")
-        .withColumnRenamed(vec_col, "embedding")
-        .dropDuplicates(["vec_id"])
-        .localCheckpoint(eager=True)
-    )
+    # deterministic in-batch id collapse (NOT dropDuplicates — replay
+    # must reproduce the first attempt even when one vec_id arrives with
+    # two different vectors; see _collapse_duplicate_ids)
+    b = _collapse_duplicate_ids(
+        batch.withColumnRenamed(id_col, "vec_id").withColumnRenamed(vec_col, "embedding"),
+        "vec_id",
+        F.md5(F.to_json(F.col("embedding"))),
+    ).localCheckpoint(eager=True)
     # 1. exact-copy collapse (bitwise array equality — no hash collisions)
     rep_of = (
         b.withColumn("rep", F.min("vec_id").over(Window.partitionBy("embedding")))
@@ -730,28 +762,17 @@ def decontamination_screen_batch(
 
     m_bits = BLOOM_BITS if m_bits is None else m_bits
     n_hashes = BLOOM_K if n_hashes is None else n_hashes
-    # In-batch duplicate doc_ids collapse to a DETERMINISTIC survivor
-    # (min md5(text) per id, ties among identical texts broken by the
-    # row's remaining columns), not dropDuplicates' partition-order pick:
-    # a checkpoint replay of a batch carrying one doc_id with two texts
-    # must write the same accepted/flagged content as the first attempt
-    # or the epoch-overwrite replay guarantee is hollow (r5 ADVICE).
-    # Non-text columns (e.g. the embedding when this screen runs inside
-    # `composed_ingest_batch`) ride through untouched.
+    # Deterministic in-batch id collapse (min md5(text) per id, ties
+    # among identical texts broken by the row's remaining columns) — see
+    # _collapse_duplicate_ids, the shared survivor election of all three
+    # screens (r5 ADVICE). Non-text columns (e.g. the embedding when this
+    # screen runs inside `composed_ingest_batch`) ride through untouched.
     renamed = batch.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
         text_col, "text"
     )
-    others = [c for c in renamed.columns if c != "doc_id"]
-    surv_key = F.struct(
-        F.md5(F.col("text")),
-        F.md5(F.to_json(F.struct(*[F.col(c) for c in others]))),
-    )
-    b = (
-        renamed.groupBy("doc_id")
-        .agg(F.min_by(F.struct(*others), surv_key).alias("__r"))
-        .select("doc_id", *[F.col(f"__r.{c}").alias(c) for c in others])
-        .localCheckpoint(eager=True)
-    )
+    b = _collapse_duplicate_ids(
+        renamed, "doc_id", F.md5(F.col("text"))
+    ).localCheckpoint(eager=True)
     grams = b.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),

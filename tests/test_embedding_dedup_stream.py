@@ -65,6 +65,47 @@ def test_restart_and_replay_safety(spark, tmp_path):
     assert rej == {3: (1, "vs_corpus")}
 
 
+def test_duplicate_id_batch_replays_deterministically(spark, tmp_path):
+    """One vec_id arriving with TWO different vectors: the survivor is
+    the min-md5(to_json(embedding)) election (_collapse_duplicate_ids),
+    not a partition-order pick — a crash-replay seeing the same rows in
+    a different arrival order and partitioning writes byte-identical
+    accepted content AND vector-index content (r6 ADVICE)."""
+    from sentinela_py_spark.streaming.pipeline import (
+        embedding_dedup_batch_against_corpus,
+    )
+
+    state = str(tmp_path / "state")
+    va = [1.0] + [0.0] * (DIM - 1)
+    vb = [0.0, 1.0] + [0.0] * (DIM - 2)
+    vc = [0.0, 0.0, 1.0] + [0.0] * (DIM - 3)
+    schema = "vec_id long, embedding array<float>"
+    batch = spark.createDataFrame([(1, va), (1, vb), (2, vc)], schema)
+    embedding_dedup_batch_against_corpus(batch, 0, state, threshold=THRESHOLD)
+
+    def snapshot():
+        acc = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(os.path.join(state, "accepted")).collect()
+        )
+        idx = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(os.path.join(state, "index"))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        return acc, idx
+
+    first_acc, first_idx = snapshot()
+    assert [vid for vid, _ in first_acc] == [1, 2]
+    # the elected id-1 vector is the same row everywhere (accepted ≡ index)
+    assert first_idx == first_acc
+    # crash-replay: same rows, reversed order, different partitioning
+    replay = spark.createDataFrame([(2, vc), (1, vb), (1, va)], schema).repartition(5)
+    embedding_dedup_batch_against_corpus(replay, 0, state, threshold=THRESHOLD)
+    assert snapshot() == (first_acc, first_idx)
+
+
 def test_embedding_dedup_stream_end_to_end(spark, dirs):
     src, ckpt, state = dirs
     base = [

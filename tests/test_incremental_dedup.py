@@ -106,6 +106,46 @@ class TestReplaySafety:
         bands = spark.read.parquet(os.path.join(state, "bands"))
         assert sorted(set(r["doc_id"] for r in bands.collect())) == [1, 2]
 
+    def test_duplicate_id_batch_replays_deterministically(self, spark, tmp_path):
+        """One doc_id arriving with TWO texts: the survivor is the
+        min-md5(text) election (_collapse_duplicate_ids), not a
+        partition-order pick — so a crash-replay seeing the same rows in
+        a different arrival order and partitioning writes byte-identical
+        accepted content AND band-store content (r6 ADVICE)."""
+        import hashlib
+
+        from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+
+        state = str(tmp_path / "state")
+        ta, tb = UNIQ[0], UNIQ[1]
+        expect = min((hashlib.md5(t.encode()).hexdigest(), t) for t in (ta, tb))[1]
+        batch = spark.createDataFrame(
+            [(1, ta), (1, tb), (2, UNIQ[2])], ["doc_id", "text"]
+        )
+        dedup_batch_against_corpus(batch, 0, state)
+
+        def snapshot():
+            acc = sorted(
+                (r["doc_id"], r["text"])
+                for r in spark.read.parquet(os.path.join(state, "accepted")).collect()
+            )
+            bands = sorted(
+                tuple(r)
+                for r in spark.read.parquet(os.path.join(state, "bands"))
+                .drop("epoch")
+                .collect()
+            )
+            return acc, bands
+
+        first_acc, first_bands = snapshot()
+        assert first_acc == [(1, expect), (2, UNIQ[2])]
+        # crash-replay: same rows, reversed order, different partitioning
+        replay = spark.createDataFrame(
+            [(2, UNIQ[2]), (1, tb), (1, ta)], ["doc_id", "text"]
+        ).repartition(5)
+        dedup_batch_against_corpus(replay, 0, state)
+        assert snapshot() == (first_acc, first_bands)
+
     def test_chain_rejects_point_at_survivor(self, spark, tmp_path):
         """Candidate chain 1-2, 2-3 (via identical text): every reject's
         matched_doc must be the ACCEPTED survivor, never another reject."""
