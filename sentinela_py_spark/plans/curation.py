@@ -36,6 +36,7 @@ from sentinela_py_spark.operators.sampling import (
     temperature_rates,
 )
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
+from sentinela_py_spark.plans.textops import MIN_SPAN_WORDS, SPAN_K
 from sentinela_py_spark.plans.registry import (
     method_arm as _method_arm,
     register,
@@ -230,13 +231,62 @@ def _packing_arm_sql(src: str, t: str) -> str:
     )"""
 
 
-_GRAMS_SQL = """
-      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_eval,
+def _gram5_sql(src: str, where: str = "") -> str:
+    """Per-doc word 5-grams of relation ``src`` (q_decontamination's
+    exact-screen gram stream, parameterized by source)."""
+    return f"""
+      SELECT doc_id,
              UNNEST(list_transform(
                generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
                i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
-      FROM documents
+      FROM {src} {where}
 """
+
+
+# The span-cut stage of the curated pipeline, as DuckDB CTEs over the
+# ``pool0`` relation (doc_id, lang, text): the same positioned-gram /
+# diagonal-run algebra as q_ngram_jaccard_pairs' span arm, followed by
+# the keep-first-occurrence cut replay (operators/dedup.
+# remove_shared_spans): per doc_b, word positions covered by any
+# [b_start, b_start + span_words) interval are removed and the survivors
+# re-join with single spaces. Hub CTEs referenced more than once are
+# MATERIALIZED (DuckDB inlines CTEs by default; see the kmeans chains).
+_SPAN_CUT_SQL = f"""
+    spang AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(string_split(text,' '), i, i+{SPAN_K}-1), ' ') AS gram
+      FROM pool0,
+           UNNEST(generate_series(1, greatest(len(string_split(text,' ')) - {SPAN_K} + 1, 0))) AS t(i)
+    ),
+    spanruns AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run_id
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM spang a JOIN spang b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      )
+    ),
+    cutlists AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS cuts
+      FROM (
+        SELECT doc_b AS doc_id, MIN(pb) AS s, MIN(pb) + COUNT(*) + {SPAN_K} - 1 AS e
+        FROM spanruns GROUP BY doc_a, doc_b, diag, run_id
+        HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
+      ) GROUP BY doc_id
+    ),
+    cutpool AS MATERIALIZED (
+      SELECT p.doc_id, p.lang,
+             CASE WHEN c.doc_id IS NULL THEN p.text ELSE
+               array_to_string(
+                 list_transform(
+                   list_filter(
+                     generate_series(1, greatest(len(string_split(p.text,' ')), 1)),
+                     pp -> len(list_filter(c.cuts, ct -> pp >= ct.s AND pp < ct.e)) = 0),
+                   pp -> string_split(p.text,' ')[pp]),
+                 ' ')
+             END AS text
+      FROM pool0 p LEFT JOIN cutlists c USING (doc_id)
+    )"""
 
 
 @register(
@@ -264,26 +314,33 @@ _GRAMS_SQL = """
     labels AS (SELECT doc_id, MIN(label) AS group_id FROM reach GROUP BY doc_id),
     scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
     surv AS (
-      SELECT doc_id, quality FROM (
-        SELECT l.doc_id, s.quality,
+      SELECT doc_id FROM (
+        SELECT l.doc_id,
                ROW_NUMBER() OVER (PARTITION BY l.group_id
                                   ORDER BY s.quality DESC, l.doc_id) AS rn
         FROM labels l JOIN scored s USING (doc_id)
       ) WHERE rn = 1
     ),
-    grams AS ({_GRAMS_SQL}),
-    flagged AS (
-      SELECT DISTINCT t.doc_id
-      FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_eval) t
-      JOIN (SELECT DISTINCT gram FROM grams WHERE is_eval) e USING (gram)
-    ),
-    pool AS (
+    pool0 AS MATERIALIZED (
       SELECT d.doc_id, d.lang, d.text
       FROM surv v JOIN documents d USING (doc_id)
-      LEFT JOIN flagged f USING (doc_id)
-      WHERE v.quality >= 0.5
-        AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) >= '1a'
-        AND f.doc_id IS NULL
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) >= '1a'
+    ),
+    {_SPAN_CUT_SQL},
+    evalg AS (
+      SELECT DISTINCT gram FROM ({_gram5_sql(
+          'documents',
+          "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'")})
+    ),
+    flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM ({_gram5_sql('cutpool')}) t
+      JOIN evalg e USING (gram)
+    ),
+    pool AS MATERIALIZED (
+      SELECT c.doc_id, c.lang, c.text
+      FROM cutpool c LEFT JOIN flagged f USING (doc_id)
+      WHERE f.doc_id IS NULL AND ({_QUALITY_SQL}) >= 0.5
     ),
     counts AS (SELECT lang, COUNT(*) AS n FROM pool GROUP BY lang),
     tot AS (SELECT SUM(pow(n, {MIX_ALPHA})) AS total_w FROM counts),
@@ -307,9 +364,10 @@ _GRAMS_SQL = """
         "curation: token-budget sequence packing (per-shard greedy cumulative "
         "assignment into ~fixed-token training sequences) — all_docs arm; "
         "curated arm = the composed END-TO-END pre-training pipeline "
-        "(MinHash-LSH dedup groups → quality-aware survivor → train/eval "
-        "decontamination → quality filter → temperature-mixture sampling → "
-        "packing), every stage the same oracle-green component it is standalone"
+        "(MinHash-LSH dedup groups → quality-aware survivor → substring-level "
+        "shared-span cut → train/eval decontamination → quality filter → "
+        "temperature-mixture sampling → packing), every stage the same "
+        "oracle-green component it is standalone"
     ),
     tags=("curation", "window", "dedup", "pipeline"),
 )
@@ -335,14 +393,21 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       pre-training run executes, each stage an operator that is already
       oracle-green standalone, chained on one corpus: MinHash-LSH pairs →
       connected components → quality-aware survivor per group
-      (q_dedup_groups) → drop the held-out eval split and every train doc
-      sharing a 5-gram with it (q_decontamination's exact screen) → keep
-      quality ≥ 0.5 → temperature-mixture sample to ~CURATED_BUDGET
-      docs (q_mixture_sample) → pack the survivors. Plan shape: the
-      stages compose as ONE DataFrame graph — the corpus is scanned once
-      per stage family, every stage's join is on doc_id or a broadcast
-      rate table, and the only iterative piece (connected components)
-      runs over the candidate-pair edge subgraph, not the corpus."""
+      (q_dedup_groups) → drop the held-out eval split → cut every
+      passage repeated across surviving train docs down to its first
+      occurrence (the Lee-et-al substring-level span stage —
+      q_ngram_jaccard_pairs' span arm composed; runs BEFORE the quality
+      filter so boilerplate can't inflate quality scores or token
+      budgets, see `_curated_pool`) → drop every train doc sharing a
+      5-gram of its CUT text with the eval split (q_decontamination's
+      exact screen) → keep cut-text quality ≥ 0.5 → temperature-mixture
+      sample to ~CURATED_BUDGET docs (q_mixture_sample) → pack the
+      survivors. Plan shape: the stages compose as ONE DataFrame graph —
+      the corpus is scanned once per stage family, every stage's join is
+      on doc_id or a broadcast rate table, and the only iterative piece
+      (connected components) runs over the candidate-pair edge subgraph,
+      not the corpus; the span stage's joins shuffle fixed-width gram
+      hashes and one row per doc-with-cuts."""
     d = load_table(spark, sf_dir, "documents")
     all_docs = _packed_sequences(d.select("doc_id", "text"), "all_docs")
     curated = _packed_sequences(_curated_pool_cached(d, sf_dir), "curated")
@@ -401,15 +466,36 @@ def _packed_sequences(docs: DataFrame, method: str) -> DataFrame:
 
 
 def _curated_pool(d: DataFrame) -> DataFrame:
-    """The curated arm's document pool: dedup-survive → decontaminate →
-    quality-filter → temperature-mix, all deterministic and
-    oracle-checkable (see q_sequence_packing)."""
+    """The curated arm's document pool: dedup-survive → span-cut →
+    decontaminate → quality-filter → temperature-mix, all deterministic
+    and oracle-checkable (see q_sequence_packing).
+
+    Stage order rationale (Lee et al.): the substring-level shared-span
+    cut runs BEFORE the quality filter and the token-budget packing, so
+    a boilerplate passage repeated across documents can neither inflate
+    a doc's quality verdict nor spend training-sequence budget twice —
+    and before the decontamination gram screen, so the screen judges the
+    text that will actually be trained on. It runs AFTER doc-level
+    survivor election (over the survivors only): detecting spans across
+    the full corpus would let a passage whose only other copy lives in
+    an already-discarded near-dup be cut from the surviving document —
+    deleting that content from the corpus entirely instead of keeping
+    one copy. Eval docs are dropped before the span stage for the same
+    one-directional reason: held-out text must not shape training text
+    (overlap with eval is the decontamination screen's job, which drops
+    the whole doc rather than cutting it)."""
     from sentinela_py_spark.functions.text_stats import word_shingles
+    from sentinela_py_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_span_pairs,
+    )
 
     digest = F.md5(F.col("doc_id").cast("string"))
     is_eval = F.substring(digest, 1, 2) < "1a"
 
-    # 1. dedup groups → quality-aware survivor (q_dedup_groups algebra)
+    # 1. dedup groups → quality-aware survivor (q_dedup_groups algebra;
+    # the election judges RAW text — the retention policy compares the
+    # near-dup copies as they arrived)
     edges = minhash_candidate_pairs(d).select("doc_a", "doc_b")
     labels = connected_components(d, edges)
     scored = d.select("doc_id", quality_score("text").cast("double").alias("quality"))
@@ -420,29 +506,39 @@ def _curated_pool(d: DataFrame) -> DataFrame:
     surv = (
         members.groupBy("group_id")
         .agg(best)
-        .select((-F.col("b.neg_id")).alias("doc_id"), F.col("b.q").alias("quality"))
+        .select((-F.col("b.neg_id")).alias("doc_id"))
     )
 
-    # 2. decontamination screen (q_decontamination's exact arm): flag
-    # train docs sharing any 5-gram with the held-out eval split
-    grams = d.select(
-        "doc_id",
-        is_eval.alias("is_eval"),
-        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
+    # 2. the train pool: survivors minus the held-out eval split
+    pool0 = surv.join(d.select("doc_id", "lang", "text"), "doc_id").filter(~is_eval)
+
+    # 3. substring-level shared-span cut (Lee et al. — the span arm's
+    # operators, composed): every passage repeated across surviving
+    # train docs keeps its first occurrence only
+    spans, _audit = shared_span_pairs(pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS)
+    cut = remove_shared_spans(pool0, spans)
+
+    # 4. decontamination screen (q_decontamination's exact arm) over the
+    # CUT text: flag train docs sharing any 5-gram with the eval split
+    eval_g = (
+        d.filter(is_eval)
+        .select(F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"))
+        .select(F.xxhash64("g").alias("gram"))
+        .distinct()
     )
-    train_g = grams.filter(~F.col("is_eval")).select("doc_id", F.xxhash64("g").alias("gram"))
-    eval_g = grams.filter(F.col("is_eval")).select(F.xxhash64("g").alias("gram")).distinct()
+    train_g = cut.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gram"))
     flagged = train_g.join(eval_g, "gram", "left_semi").select("doc_id").distinct()
 
-    # 3. quality + eval + contamination filters over the survivors
-    pool = (
-        surv.filter(F.col("quality") >= 0.5)
-        .join(d.select("doc_id", "lang", "text"), "doc_id")
-        .filter(~is_eval)
-        .join(flagged, "doc_id", "left_anti")
+    # 5. quality filter over the CUT text (what will actually be trained
+    # on — a repeated passage no longer pads the verdict)
+    pool = cut.join(flagged, "doc_id", "left_anti").filter(
+        quality_score("text").cast("double") >= 0.5
     )
 
-    # 4. temperature-mixture sample (q_mixture_sample algebra: rates
+    # 6. temperature-mixture sample (q_mixture_sample algebra: rates
     # rounded to 6dp BEFORE the md5-threshold membership)
     rates = temperature_rates(pool, "lang", alpha=MIX_ALPHA, budget=CURATED_BUDGET).withColumn(
         "rate", F.round("rate", 6)
