@@ -36,6 +36,7 @@ __all__ = [
     "pq_refine_topk",
     "ivf_pq_topk",
     "adc_tables",
+    "adc_t2_mode",
     "ivf_pq_adc_topk",
     "write_ann_index",
     "read_ann_index",
@@ -501,7 +502,8 @@ def ivf_pq_topk(
 def adc_tables(
     centroids: list[tuple[int, list[float]]],
     books: list[list[list[float]]],
-) -> tuple[list[list[list[float]]], list[list[float]], list[float]]:
+    with_t2: bool = True,
+) -> tuple[list[list[list[float]]] | None, list[list[float]], list[float]]:
     """Driver-side ADC lookup tables from the collected codebooks — the
     candidate-independent half of FAISS's precomputed-tables IVFPQ search
     (faiss IndexIVFPQ.use_precomputed_table; the residual reconstruction
@@ -513,15 +515,17 @@ def adc_tables(
     - ``t3[m][j]``       = ‖codeword(m, j)‖²;
     - ``cn[cell]``       = ‖centroid(cell)‖².
 
-    Sizes are cells·M·K + M·K + cells doubles — codebook-scale, inlined
-    as literals next to the centroids themselves. Scale boundary: only
-    ``t2`` grows with the cell count, and at the `plan_ivf_config`
-    deployment regime (10⁵ cells × M·K) it reaches ~10⁸ doubles — past
-    literal inlining. There, ship ``t2`` as a broadcast (cell_id, m, j,
-    v) frame and fold the per-candidate term through the broadcast hash
-    join on cell_id instead (``t3``/``cn``/the per-query LUT stay
-    literal at any scale) — the exact boundary FAISS's
-    ``use_precomputed_table`` flag manages. Every entry is a
+    Sizes are cells·M·K + M·K + cells doubles — ``t3``/``cn`` stay
+    literal-inlined at any cell count (M·K and 1 double per cell), but
+    ``t2`` grows as cells·M·K and at the `plan_ivf_config` deployment
+    regime (10⁵ cells × M·K) reaches ~10⁸ doubles — past literal
+    inlining. `ivf_pq_adc_topk` crosses that boundary automatically
+    (`adc_t2_mode`): above `ADC_T2_LITERAL_MAX` entries it skips the
+    driver-side t2 entirely (``with_t2=False`` here returns ``(None,
+    t3, cn)``) and instead derives a broadcast ``(cell_id, t2c[m][j])``
+    frame IN SPARK, folded through the coarse pass's cell join — the
+    exact boundary FAISS's ``use_precomputed_table`` flag manages.
+    Every entry is a
     left-to-right double fold over the SAME collected codebook values
     both engines hold bit-identically (tests/test_kmeans.py), so scores
     assembled from these literals stay oracle-exact: Python's sequential
@@ -537,13 +541,41 @@ def adc_tables(
             acc += float(x) * float(y)
         return acc
 
-    t2 = [
-        [[_dot(c[mi * d : (mi + 1) * d], w) for w in books[mi]] for mi in range(m)]
-        for c in cvecs
-    ]
+    t2 = (
+        [
+            [[_dot(c[mi * d : (mi + 1) * d], w) for w in books[mi]] for mi in range(m)]
+            for c in cvecs
+        ]
+        if with_t2
+        else None
+    )
     t3 = [[_dot(w, w) for w in books[mi]] for mi in range(m)]
     cn = [_dot(c, c) for c in cvecs]
     return t2, t3, cn
+
+
+# cells·M·K doubles beyond which ivf_pq_adc_topk ships t2 as a broadcast
+# frame instead of a plan literal. 2^18 doubles ≈ 2 MB of values (≈ 5 MB
+# as fast_lit's JSON text) — comfortably inside literal inlining; one
+# step past it (2048 cells at M·K = 128) the t2 literal dominates the
+# plan, and at the plan_ivf_config regime (10⁵ cells) it would be ~10⁸
+# doubles. The broadcast path costs one extra (tiny, cell-keyed) hash
+# join, so the guard errs toward literals only while they're genuinely
+# cheap.
+ADC_T2_LITERAL_MAX = 2**18
+
+
+def adc_t2_mode(n_cells: int, m: int = PQ_M, k: int = PQ_K, mode: str = "auto") -> str:
+    """Resolve how `ivf_pq_adc_topk` ships the cell-dependent ADC table:
+    ``"literal"`` (inline cells·M·K doubles in the plan) below
+    `ADC_T2_LITERAL_MAX` entries, ``"broadcast"`` (a Spark-derived
+    (cell_id, t2c) frame folded through the cell join) above it.
+    Explicit ``mode="literal"``/``"broadcast"`` overrides the guard."""
+    if mode != "auto":
+        if mode not in ("literal", "broadcast"):
+            raise ValueError(f"t2_mode must be auto|literal|broadcast, got {mode!r}")
+        return mode
+    return "literal" if n_cells * m * k <= ADC_T2_LITERAL_MAX else "broadcast"
 
 
 def ivf_pq_adc_topk(
@@ -559,6 +591,7 @@ def ivf_pq_adc_topk(
     nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    t2_mode: str = "auto",
 ) -> DataFrame:
     """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION — the coarse pass
     never rebuilds a float vector and never reads one:
@@ -591,7 +624,24 @@ def ivf_pq_adc_topk(
     float addition order (the ranking agreement is test-pinned); the
     arm's oracle mirrors the ADC algebra itself, so correctness does not
     lean on that agreement. Output: (query_id, vec_id, cell_id, cosine,
-    rnk) with exact cosines, like `ivf_pq_topk`."""
+    rnk) with exact cosines, like `ivf_pq_topk`.
+
+    ``t2_mode`` picks how the cell-dependent table ships (`adc_t2_mode`;
+    default auto-crosses at `ADC_T2_LITERAL_MAX` = cells·M·K entries):
+    "literal" inlines t2 in the plan next to the codebooks; "broadcast"
+    never materializes t2 on the driver at all — a (cell_id, t2c[m][j])
+    frame is DERIVED IN SPARK from a cells-row centroid frame and the
+    (codebook-scale) codeword literal, then broadcast-hash-joined into
+    the coarse pass on cell_id, so the per-candidate term is one
+    array lookup either way. The derivation uses the same left-to-right
+    `F.aggregate(zip_with(...))` fold as `adc_tables`' Python ``acc +=
+    x*y``, so both forms score bit-identically (test-pinned). ``t3``
+    (M·K) and the per-query LUT stay literal at any cell count. The
+    remaining cells-sized literals — ``cn`` (1 double/cell) and the
+    centroid family in the query-side assignment (cells·dim, a factor
+    M·K/dim smaller than t2) — are the next boundary out; they ride the
+    k-row query frame, not the corpus scan, and would move to the same
+    broadcast-frame form if cell counts outgrow them."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.functions.litutil import fast_lit
@@ -604,10 +654,11 @@ def ivf_pq_adc_topk(
     )
 
     d = dim // m
-    t2, t3, cn = adc_tables(centroids, books)
+    mode = adc_t2_mode(len(centroids), m, len(books[0]), t2_mode)
+    t2, t3, cn = adc_tables(centroids, books, with_t2=(mode == "literal"))
     # one JSON parse per table instead of ~2700 py4j element conversions
     # per search BUILD (fast_lit folds to the identical literal)
-    t2_lit, t3_lit, cn_lit = fast_lit(t2, 3), fast_lit(t3, 2), fast_lit(cn, 1)
+    t3_lit, cn_lit = fast_lit(t3, 2), fast_lit(cn, 1)
     books_lit = fast_lit([[[float(x) for x in w] for w in book] for book in books], 3)
     cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
 
@@ -662,12 +713,40 @@ def ivf_pq_adc_topk(
             F.element_at(F.col("lut"), (mi + 1).cast("int")), _code_at(mi)
         )
     )
+    if mode == "literal":
+        t2_lit = fast_lit(t2, 3)
+        t2_df = None
+        t2_cell = F.element_at(t2_lit, (F.col("cell_id") + 1).cast("int"))
+    else:
+        # t2 never touches the driver: derive (cell_id, t2c[m][j]) from a
+        # cells-row centroid frame + the codebook literal with the SAME
+        # ordered fold adc_tables runs in Python (bit-identical), then
+        # broadcast it through the coarse pass's cell join below.
+        spark = queries.sparkSession
+        cents_df = spark.createDataFrame(
+            [(int(ci), [float(x) for x in v]) for ci, v in sorted(centroids)],
+            "cell_id bigint, cent array<double>",
+        )
+        t2c = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.transform(
+                F.element_at(books_lit, (mi + 1).cast("int")),
+                lambda w: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("cent"), mi * d + 1, d),
+                        w,
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+        t2_df = cents_df.select("cell_id", t2c.alias("t2c"))
+        t2_cell = F.col("t2c")
     t2sum = _msum(
         lambda mi: F.element_at(
-            F.element_at(
-                F.element_at(t2_lit, (F.col("cell_id") + 1).cast("int")),
-                (mi + 1).cast("int"),
-            ),
+            F.element_at(t2_cell, (mi + 1).cast("int")),
             _code_at(mi),
         )
     )
@@ -682,10 +761,11 @@ def ivf_pq_adc_topk(
         + t3sum
     )
     coarse_w = W.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col(id_col))
+    coarse = index_codes.select(id_col, "cell_id", "codes").join(qs, "cell_id")
+    if t2_df is not None:
+        coarse = coarse.join(F.broadcast(t2_df), "cell_id")
     survivors = (
-        index_codes.select(id_col, "cell_id", "codes")
-        .join(qs, "cell_id")
-        .filter(F.col(id_col) != F.col("query_id"))
+        coarse.filter(F.col(id_col) != F.col("query_id"))
         .withColumn("adc_cos", F.round((F.col("qdotc") + lsum) / (F.col("qn") * rnorm), 6))
         .withColumn("crnk", F.row_number().over(coarse_w))
         .filter(F.col("crnk") <= coarse_k)

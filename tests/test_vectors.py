@@ -545,3 +545,99 @@ class TestAdcSearch:
             for r in rows
         )
         assert key(via_adc) == key(via_deq)
+
+    def test_adc_t2_guard_crosses_at_deployment_cell_counts(self):
+        """The auto guard inlines t2 while it's codebook-scale and ships
+        it as a broadcast frame past ADC_T2_LITERAL_MAX entries — in
+        particular at the plan_ivf_config regime (10^5 cells) whose
+        ~10^8-double t2 is past literal inlining."""
+        from sentinela_py_spark.functions.vectors import (
+            ADC_T2_LITERAL_MAX,
+            adc_t2_mode,
+        )
+
+        assert adc_t2_mode(8, 8, 16) == "literal"
+        assert adc_t2_mode(100_000, 8, 16) == "broadcast"
+        boundary = ADC_T2_LITERAL_MAX // (8 * 16)
+        assert adc_t2_mode(boundary, 8, 16) == "literal"
+        assert adc_t2_mode(boundary + 1, 8, 16) == "broadcast"
+        # explicit modes override the guard; junk is rejected loudly
+        assert adc_t2_mode(100_000, 8, 16, mode="literal") == "literal"
+        assert adc_t2_mode(8, 8, 16, mode="broadcast") == "broadcast"
+        with pytest.raises(ValueError):
+            adc_t2_mode(8, 8, 16, mode="inline")
+
+    def test_adc_broadcast_t2_bit_identical_to_literal(self, spark, trained_store):
+        """The broadcast form derives t2 in Spark with the same ordered
+        fold adc_tables runs in Python, so the two forms must return
+        BIT-identical rows — same survivors, same cosines, same ranks."""
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            read_ann_index,
+        )
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+
+        def run(t2_mode):
+            return sorted(
+                (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+                for r in ivf_pq_adc_topk(
+                    read_ann_index(spark, path),
+                    read_ann_index(spark, path),
+                    queries,
+                    cents,
+                    books,
+                    k=5,
+                    coarse_k=20,
+                    t2_mode=t2_mode,
+                ).collect()
+            )
+
+        lit_rows = run("literal")
+        assert lit_rows and run("broadcast") == lit_rows
+
+    def test_adc_auto_engages_broadcast_past_the_guard(
+        self, spark, trained_store, monkeypatch
+    ):
+        """Auto mode actually switches: with the guard forced below the
+        fixture's cell count, the default path must (a) broadcast-join
+        the derived t2 frame (the session-created centroid frame appears
+        as a local scan in the physical plan — no literal-mode plan has
+        one) and (b) still return the literal path's exact rows."""
+        from sentinela_py_spark.functions import vectors as V
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+
+        def build(**kw):
+            return V.ivf_pq_adc_topk(
+                V.read_ann_index(spark, path),
+                V.read_ann_index(spark, path),
+                queries,
+                cents,
+                books,
+                k=5,
+                coarse_k=20,
+                **kw,
+            )
+
+        want = sorted(
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in build(t2_mode="literal").collect()
+        )
+        def has_local_scan(plan):
+            return "LocalTableScan" in plan or "ExistingRDD" in plan
+
+        plan_lit = build()._jdf.queryExecution().executedPlan().toString()
+        assert not has_local_scan(plan_lit)  # auto == literal today
+
+        monkeypatch.setattr(V, "ADC_T2_LITERAL_MAX", 0)
+        auto = build()
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert has_local_scan(plan)
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in auto.collect()
+        )
+        assert got == want
