@@ -18,6 +18,10 @@ the driver corpus.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +45,10 @@ __all__ = [
     "write_ann_index",
     "read_ann_index",
     "read_ann_index_tree",
+    "write_ann_index_tree_base",
+    "tree_compacted_through",
+    "compact_ann_index_tree",
+    "rebuild_ann_index_tree",
 ]
 
 _LEVELS = 255  # int8 code points (codes stored shifted to [-128, 127])
@@ -812,11 +820,150 @@ def read_ann_index(spark, path: str) -> DataFrame:
 
 
 def read_ann_index_tree(spark, path: str) -> DataFrame:
-    """Read an EPOCH-PARTITIONED index tree (`streaming.pipeline
-    .ann_index_append_batch`'s ``{path}/epoch=N/cell_id=C`` layout —
-    offline base + streamed appends) as one search-ready frame: epoch is
-    dropped (it exists for replay idempotence, not for search) and
-    cell_id keeps its partition-column role, so probe-side partition
-    pruning holds across every epoch."""
+    """Read an EPOCH-PARTITIONED index tree (``{path}/epoch=E/cell_id=C``)
+    as one search-ready frame: epoch is dropped (it exists for replay
+    idempotence, not for search) and cell_id keeps its partition-column
+    role, so probe-side partition pruning holds across every epoch.
+
+    The tree layout is epoch-partitioned ALL the way down — the offline
+    base is itself an epoch-level entry (`write_ann_index_tree_base`
+    puts it at ``epoch=-1``, below any streaming epoch id), streamed
+    appends land at ``epoch=N`` (`streaming.pipeline
+    .ann_index_append_batch`), and `compact_ann_index_tree` folds
+    epochs back into a fresh base. A FLAT `write_ann_index` layout
+    (``{path}/cell_id=C`` at the root) must NOT be mixed under the same
+    root as epoch dirs: parquet partition discovery requires one
+    consistent directory depth, and the mix fails loudly at read time.
+    Use the flat layout for batch-only stores and the tree layout the
+    moment a stream appends."""
     df = spark.read.parquet(path)
     return df.drop("epoch").withColumn("cell_id", F.col("cell_id").cast("bigint"))
+
+
+# The offline base's epoch id. Streaming epoch ids are Spark-assigned
+# non-negative monotonic ints, so -1 sorts below every possible append
+# and can never collide with one.
+ANN_TREE_BASE_EPOCH = -1
+
+
+def write_ann_index_tree_base(encoded: DataFrame, path: str) -> None:
+    """Write an encoded IVF(-PQ) frame as the OFFLINE BASE of an index
+    tree: ``{path}/epoch=-1/cell_id=C``, the same minimal (id, vector,
+    cell, codes) frame and one-file-per-cell clustering as
+    `write_ann_index`, nested one epoch level down so streamed appends
+    (``epoch=N``) and the base share one consistent partition-discovery
+    depth (the flat layout and the tree layout must never mix under one
+    root — see `read_ann_index_tree`)."""
+    encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(path, f"epoch={ANN_TREE_BASE_EPOCH}"))
+
+
+def _tree_marker_path(path: str) -> str:
+    # underscore prefix: parquet partition discovery skips the file
+    return os.path.join(path, "_compaction.json")
+
+
+def tree_compacted_through(path: str) -> int | None:
+    """Highest streaming epoch folded into the tree's base by
+    `compact_ann_index_tree` / `rebuild_ann_index_tree` (None if the
+    tree was never compacted). `ann_index_append_batch` consults this to
+    no-op a checkpoint-replayed epoch whose rows already live in the
+    base — without it, replay-after-compaction would re-create the
+    epoch dir and double every row it carries."""
+    try:
+        with open(_tree_marker_path(path)) as f:
+            return int(json.load(f)["through_epoch"])
+    except FileNotFoundError:
+        return None
+
+
+def _tree_epochs(path: str) -> list[int]:
+    return sorted(
+        int(p.split("=", 1)[1])
+        for p in os.listdir(path)
+        if p.startswith("epoch=")
+    )
+
+
+def _swap_tree_root(path: str, tmp: str, through_epoch: int) -> None:
+    """Publish a rewritten tree: stamp the marker, then swap directories.
+    On a local/HDFS-like FS this is two renames — a reader racing the
+    swap can lose, which is acceptable for an OFFLINE maintenance job
+    run in a quiet window; on an object store, publish a new versioned
+    root and flip a pointer instead (same code shape, no rename)."""
+    with open(_tree_marker_path(tmp), "w") as f:
+        json.dump({"through_epoch": through_epoch}, f)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact_ann_index_tree(spark, path: str) -> int:
+    """Fold every epoch of an index tree into a fresh offline base — the
+    maintenance half of the streaming-append story. One epoch per
+    micro-batch is the classic small-files spiral: a cell probed by
+    every query accumulates one file per epoch forever, and at
+    micro-batch cadence the per-cell file count (and with it open-file
+    and footer-read cost per probe) grows without bound. Compaction
+    rewrites the tree as ``epoch=-1`` with ONE file per cell (the same
+    clustering the offline builder produces), stamps ``_compaction.json``
+    with the highest epoch folded in, and swaps the root. Searches see
+    identical rows before and after (test-pinned); a checkpoint-replayed
+    append of a folded epoch no-ops against the marker. Returns the
+    ``through_epoch`` stamped. Run it on the maintenance cadence that
+    keeps per-cell file counts flat (e.g. every K epochs)."""
+    epochs = _tree_epochs(path)
+    if not epochs:
+        raise ValueError(f"not an index tree (no epoch= dirs): {path}")
+    prior = tree_compacted_through(path)
+    through = max(max(epochs), prior if prior is not None else ANN_TREE_BASE_EPOCH)
+    tmp = path + ".compact-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    # the parquet write fully materializes the read before the old root
+    # is touched, so the swap never races its own input
+    write_ann_index_tree_base(read_ann_index_tree(spark, path), tmp)
+    _swap_tree_root(path, tmp, through)
+    return through
+
+
+def rebuild_ann_index_tree(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dim: int = 64,
+) -> int:
+    """Re-encode an index tree against NEW codebooks and swap — the
+    offline retrain-rebuild that `ann_index_append_batch`'s frozen-
+    codebook contract defers to when the corpus drifts (FAISS: train a
+    new IndexIVF, re-add the vectors, swap the index). Only the RAW
+    vector column is trusted input: cells and codes are recomputed
+    map-side against the new centroids/codewords (the same encode the
+    append path runs), the result lands as a one-file-per-cell
+    ``epoch=-1`` base, and the marker advances past every existing epoch
+    so replayed appends encoded under the OLD codebook can never leak
+    into the rebuilt store. Returns the stamped ``through_epoch``.
+    Searches through the rebuilt tree equal a fresh one-shot encode of
+    the same vectors (test-pinned)."""
+    from sentinela_py_spark.streaming.pipeline import encode_ann_batch
+
+    epochs = _tree_epochs(path)
+    if not epochs:
+        raise ValueError(f"not an index tree (no epoch= dirs): {path}")
+    prior = tree_compacted_through(path)
+    through = max(max(epochs), prior if prior is not None else ANN_TREE_BASE_EPOCH)
+    raw = read_ann_index_tree(spark, path).select(id_col, vec_col)
+    tmp = path + ".rebuild-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_ann_index_tree_base(
+        encode_ann_batch(raw, centroids, books, id_col, vec_col, m, dim), tmp
+    )
+    _swap_tree_root(path, tmp, through)
+    return through

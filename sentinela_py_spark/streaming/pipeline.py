@@ -1038,6 +1038,45 @@ def run_composed_ingest_stream(
     )
 
 
+def encode_ann_batch(
+    batch: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """MAP-SIDE IVF-PQ encode of raw vectors against a frozen driver-
+    resident codebook: cell assignment (`assign_cells_literal`) +
+    residual-PQ codes (`pq_residual_codes`) — zero shuffles, the encode
+    rides the input scan. The single encode definition shared by the
+    streaming append path (`ann_index_append_batch`) and the offline
+    retrain-rebuild (`functions.vectors.rebuild_ann_index_tree`), so
+    'stream ≡ batch encode' holds by construction."""
+    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.functions.vectors import PQ_M, pq_residual_codes
+    from sentinela_py_spark.plans.simops import assign_cells_literal
+
+    m = PQ_M if m is None else m
+    seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
+    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
+    assigned = assign_cells_literal(batch, centroids, id_col=id_col, vec_col=vec_col)
+    return assigned.select(
+        id_col,
+        vec_col,
+        "cell_id",
+        pq_residual_codes(
+            F.col(vec_col),
+            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
+            seed_vecs,
+            m,
+            dim,
+        ).alias("codes"),
+    )
+
+
 def ann_index_append_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -1061,35 +1100,26 @@ def ann_index_append_batch(
        scan);
     2. the encoded rows land at ``{index_dir}/epoch=N`` partitioned by
        cell_id — the SAME minimal (id, vector, cell, codes) frame the
-       offline builder writes, nested one epoch level up. The write is an
+       offline builder writes (`write_ann_index_tree_base` nests the
+       base at ``epoch=-1`` in the same layout). The write is an
        epoch-keyed OVERWRITE, so a checkpoint-replayed batch reproduces
-       its first attempt instead of duplicating rows;
+       its first attempt instead of duplicating rows — and an epoch
+       already folded into the base by `compact_ann_index_tree` /
+       `rebuild_ann_index_tree` (the ``_compaction.json`` marker) is
+       SKIPPED outright, so replay stays idempotent across compactions;
     3. readers (`functions.vectors.read_ann_index_tree`) see base + every
        appended epoch as one frame, and cell_id stays a partition column
        at the second directory level, so probe-side partition pruning
        holds across epochs exactly as on the flat layout.
     """
-    from sentinela_py_spark.functions.kmeans import pq_stitch_codewords
-    from sentinela_py_spark.functions.litutil import fast_lit
-    from sentinela_py_spark.functions.vectors import PQ_M, pq_residual_codes
-    from sentinela_py_spark.plans.simops import assign_cells_literal
+    from sentinela_py_spark.functions.vectors import tree_compacted_through
 
-    m = PQ_M if m is None else m
-    seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
-    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
-    assigned = assign_cells_literal(batch, centroids, id_col=id_col, vec_col=vec_col)
-    encoded = assigned.select(
-        id_col,
-        vec_col,
-        "cell_id",
-        pq_residual_codes(
-            F.col(vec_col),
-            F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int")),
-            seed_vecs,
-            m,
-            dim,
-        ).alias("codes"),
-    )
+    through = tree_compacted_through(index_dir)
+    if through is not None and epoch_id <= through:
+        # this epoch's rows already live in the compacted/rebuilt base;
+        # re-writing the epoch dir would double them
+        return
+    encoded = encode_ann_batch(batch, centroids, books, id_col, vec_col, m, dim)
     encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))

@@ -162,3 +162,159 @@ class TestIndexMaintenance:
             assert any(
                 p.startswith("cell_id=") for p in os.listdir(os.path.join(tree, ep))
             )
+
+
+def _cell_file_counts(tree: str) -> dict[str, int]:
+    """parquet data files per cell_id value, summed across every epoch."""
+    counts: dict[str, int] = {}
+    for ep in os.listdir(tree):
+        if not ep.startswith("epoch="):
+            continue
+        for cd in os.listdir(os.path.join(tree, ep)):
+            if not cd.startswith("cell_id="):
+                continue
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(tree, ep, cd))
+                if f.endswith(".parquet")
+            )
+            counts[cd] = counts.get(cd, 0) + n
+    return counts
+
+
+class TestTreeCompaction:
+    def test_compaction_preserves_search_and_flattens_files(
+        self, spark, codebook, tmp_path
+    ):
+        from sentinela_py_spark.functions.vectors import (
+            compact_ann_index_tree,
+            tree_compacted_through,
+        )
+
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 100), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 100, 150), 1, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 150, 200), 2, tree, cents, books)
+        queries = _slice(spark, 0, 3)
+
+        def search():
+            return sorted(
+                (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+                for r in ivf_pq_adc_topk(
+                    read_ann_index_tree(spark, tree),
+                    read_ann_index_tree(spark, tree),
+                    queries,
+                    cents,
+                    books,
+                    k=5,
+                    coarse_k=20,
+                ).collect()
+            )
+
+        before_rows = _rowset(read_ann_index_tree(spark, tree))
+        before_search = search()
+        # the small-files spiral this job exists for: some cell already
+        # carries more than one file across the three epochs
+        assert max(_cell_file_counts(tree).values()) > 1
+
+        assert compact_ann_index_tree(spark, tree) == 2
+        assert tree_compacted_through(tree) == 2
+        assert _rowset(read_ann_index_tree(spark, tree)) == before_rows
+        assert search() == before_search
+        # one epoch dir (the base), exactly one file per cell
+        assert [p for p in os.listdir(tree) if p.startswith("epoch=")] == ["epoch=-1"]
+        assert set(_cell_file_counts(tree).values()) == {1}
+
+    def test_replayed_append_after_compaction_is_idempotent(
+        self, spark, codebook, tmp_path
+    ):
+        from sentinela_py_spark.functions.vectors import compact_ann_index_tree
+
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 120), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
+        compact_ann_index_tree(spark, tree)
+        before = _rowset(read_ann_index_tree(spark, tree))
+
+        # a checkpoint-replayed folded epoch must no-op, not double rows
+        ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
+        assert _rowset(read_ann_index_tree(spark, tree)) == before
+        assert not os.path.exists(os.path.join(tree, "epoch=1"))
+
+        # the stream moves on: a NEW epoch past the marker still appends
+        ann_index_append_batch(_slice(spark, 200, 230), 2, tree, cents, books)
+        after = _rowset(read_ann_index_tree(spark, tree))
+        assert len(after) == len(before) + 30
+        assert set(before) < set(after)
+
+    def test_offline_base_enters_tree_as_epoch_level_entry(
+        self, spark, codebook, tmp_path
+    ):
+        """The base and the appends share one partition-discovery depth:
+        write_ann_index_tree_base puts the offline build at epoch=-1, an
+        append lands beside it, and the combined tree reads as one frame
+        with cell pruning intact (a FLAT base under the same root would
+        fail parquet discovery outright)."""
+        from sentinela_py_spark.functions.vectors import write_ann_index_tree_base
+        from sentinela_py_spark.streaming.pipeline import encode_ann_batch
+
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        write_ann_index_tree_base(
+            encode_ann_batch(_slice(spark, 0, 150), cents, books), tree
+        )
+        ann_index_append_batch(_slice(spark, 150, 200), 0, tree, cents, books)
+
+        got = read_ann_index_tree(spark, tree)
+        flat = str(tmp_path / "flat")
+        ann_index_append_batch(_slice(spark, 0, 200), 0, flat, cents, books)
+        assert _rowset(got) == _rowset(read_ann_index_tree(spark, flat))
+        plan = (
+            got.filter(F.col("cell_id") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+        assert "cell_id" in plan.split("PartitionFilters:")[1][:200]
+
+    def test_rebuild_reencodes_against_new_codebooks(self, spark, codebook, tmp_path):
+        from sentinela_py_spark.functions.vectors import (
+            rebuild_ann_index_tree,
+            tree_compacted_through,
+        )
+        from sentinela_py_spark.streaming.pipeline import encode_ann_batch
+
+        cents, books = codebook
+        tree = str(tmp_path / "tree")
+        ann_index_append_batch(_slice(spark, 0, 120), 0, tree, cents, books)
+        ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
+
+        # a drifted-corpus retrain: different centroids AND codewords
+        rows = (
+            load_table(spark, SF_DIR, "embeddings")
+            .filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 50 + K))
+            .orderBy("vec_id")
+            .collect()
+        )
+        vecs = [[float(x) for x in r["embedding"]] for r in rows]
+        cents_b = [(i, vecs[i]) for i in range(8)]
+        d = DIM // M
+        books_b = [[v[mi * d : (mi + 1) * d] for v in vecs[:K]] for mi in range(M)]
+
+        assert rebuild_ann_index_tree(spark, tree, cents_b, books_b) == 1
+        assert tree_compacted_through(tree) == 1
+
+        # the rebuilt store IS the one-shot encode of the raw vectors
+        # under the NEW codebook — cells and codes recomputed, not copied
+        want = _rowset(encode_ann_batch(_slice(spark, 0, 200), cents_b, books_b))
+        assert _rowset(read_ann_index_tree(spark, tree)) == want
+
+        # an old-codebook replayed epoch can never leak into the rebuilt
+        # store; the next fresh epoch encodes under whatever the caller
+        # passes (the maintenance stream now carries the new codebook)
+        before = _rowset(read_ann_index_tree(spark, tree))
+        ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
+        assert _rowset(read_ann_index_tree(spark, tree)) == before
