@@ -1136,18 +1136,34 @@ def run_ann_index_maintenance_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
 ):
     """Incremental vector-index ingest: every micro-batch encodes against
     the frozen codebook and appends to the epoch-partitioned index tree —
     semantics, replay safety, and layout on `ann_index_append_batch`.
     Compose AFTER the ingest screens (dedup/decontamination): index what
     survived, so the store never carries rows the curation pipeline
-    already rejected."""
+    already rejected.
+
+    ``compact_every=K`` runs `compact_ann_index_tree` after every K-th
+    epoch, INSIDE the foreachBatch (serialized with the appends, so the
+    swap never races its own writer) — the self-bounding deployment
+    shape: per-cell file counts stay O(K) forever instead of growing one
+    file per micro-batch. Crash-replay composes: a replayed epoch whose
+    rows were already folded no-ops against the marker, and re-running
+    the compaction itself is idempotent (folding an already-folded tree
+    rewrites the same base). External readers should search between
+    maintenance windows or through a snapshot — the root swap is two
+    renames, not atomic (see `_swap_tree_root`)."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        from sentinela_py_spark.functions.vectors import compact_ann_index_tree
+
         ann_index_append_batch(
             batch, epoch_id, index_dir, centroids, books, id_col, vec_col
         )
+        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            compact_ann_index_tree(batch.sparkSession, index_dir)
 
     reader = spark.readStream
     if schema is not None:

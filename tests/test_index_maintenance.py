@@ -318,3 +318,45 @@ class TestTreeCompaction:
         before = _rowset(read_ann_index_tree(spark, tree))
         ann_index_append_batch(_slice(spark, 120, 200), 1, tree, cents, books)
         assert _rowset(read_ann_index_tree(spark, tree)) == before
+
+    def test_stream_self_compacts_on_cadence(self, spark, codebook, tmp_path):
+        """compact_every=2: the availableNow stream drains 4 one-file
+        micro-batches, folding the tree after epochs 1 and 3 — the final
+        store holds every row, bounded at one file per cell."""
+        from sentinela_py_spark.functions.vectors import tree_compacted_through
+
+        cents, books = codebook
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = _slice(spark, 0, 80).collect()
+        for i in range(4):
+            with open(src / f"batch{i}.jsonl", "w") as f:
+                for r in rows[i * 20 : (i + 1) * 20]:
+                    f.write(
+                        json.dumps(
+                            {
+                                "vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["embedding"]],
+                            }
+                        )
+                        + "\n"
+                    )
+        tree = str(tmp_path / "tree")
+        q = run_ann_index_maintenance_stream(
+            spark,
+            str(src),
+            str(tmp_path / "ckpt"),
+            tree,
+            cents,
+            books,
+            schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+            compact_every=2,
+        )
+        q.awaitTermination(180)
+        got = read_ann_index_tree(spark, tree)
+        assert sorted(r["vec_id"] for r in got.collect()) == sorted(
+            r["vec_id"] for r in rows
+        )
+        assert [p for p in os.listdir(tree) if p.startswith("epoch=")] == ["epoch=-1"]
+        assert set(_cell_file_counts(tree).values()) == {1}
+        assert tree_compacted_through(tree) == 3
