@@ -121,6 +121,8 @@ def svm_weights(
         ]
         row = features.agg(*terms, F.count("*").alias("n")).collect()[0]
         n = row["n"]
+        if n == 0:
+            raise ValueError("svm_weights: empty feature frame")
         w = [w[j] - eta_t * (lam * w[j] + row[f"g{j}"] / n) for j in range(len(w))]
     return w
 

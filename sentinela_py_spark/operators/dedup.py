@@ -457,7 +457,7 @@ def remove_shared_spans(
     `exists` probe makes overlapping cuts compose without any
     interval-merge pass), and the survivors re-join with single spaces.
     Docs with no cuts pass through byte-identical; non-text columns ride
-    through untouched."""
+    through untouched, every column in its original position."""
     cuts = (
         spans.select(
             F.col("doc_b").alias(id_col),
@@ -487,11 +487,11 @@ def remove_shared_spans(
         lambda x: ~F.exists(cts, lambda c: (x["p"] >= c["s"]) & (x["p"] < c["e"])),
     )
     cleaned = F.array_join(F.transform(kept, lambda x: x["w"]), " ")
-    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    cut_text = (
+        F.when(F.col("cuts").isNull(), F.col(text_col)).otherwise(cleaned).alias(text_col)
+    )
+    # rebuild the select list from docs.columns so the output schema is
+    # positionally identical to the input (text_col replaced in place)
     return joined.select(
-        id_col,
-        *others,
-        F.when(F.col("cuts").isNull(), F.col(text_col))
-        .otherwise(cleaned)
-        .alias(text_col),
+        *[cut_text if c == text_col else F.col(c) for c in docs.columns]
     )
