@@ -102,8 +102,16 @@ def svm_weights(
     (pinned by tests against a pure-Python replay AND the
     `svm_weights_sql` DuckDB chain).
 
+    Raises ``ValueError`` on an empty feature frame — even at
+    ``iters=0``, where the loop body would otherwise never see it. The
+    row count cannot change across iterations (the frame is fixed), so
+    it is taken ONCE up front and reused by every update.
+
     The feature frame is scanned ``iters`` times — localCheckpoint it
     when its lineage is expensive (the call sites do)."""
+    n = features.count()
+    if n == 0:
+        raise ValueError("svm_weights: empty feature frame")
     w = [0.0] * len(feature_cols)
     for t in range(iters):
         eta_t = eta / (1.0 + decay * t)
@@ -119,10 +127,7 @@ def svm_weights(
             ).alias(f"g{j}")
             for j, c in enumerate(feature_cols)
         ]
-        row = features.agg(*terms, F.count("*").alias("n")).collect()[0]
-        n = row["n"]
-        if n == 0:
-            raise ValueError("svm_weights: empty feature frame")
+        row = features.agg(*terms).collect()[0]
         w = [w[j] - eta_t * (lam * w[j] + row[f"g{j}"] / n) for j in range(len(w))]
     return w
 
@@ -147,7 +152,13 @@ def svm_weights_sql(
     the identical DECIMAL(28,15) terms over the identical 6dp-rounded
     features, and each iteration's update line renders its η_t (and λ)
     via ``repr`` so the SQL literals are the exact doubles the Python
-    loop used."""
+    loop used.
+
+    Defined only for a NON-EMPTY ``{prefix}_feat`` — the chain has no
+    empty-input guard (``g/n`` with n=0 would yield NULL weights), by
+    design: `svm_weights` raises ``ValueError`` on an empty frame
+    before any SQL twin could be compared, so the engines never diverge
+    on that degenerate input."""
     d = len(feature_exprs)
     feats = ", ".join(f"{e} AS x{j}" for j, e in enumerate(feature_exprs))
     parts = [

@@ -92,6 +92,16 @@ class TestSvmTraining:
         row = con.execute(f"WITH {chain} SELECT w0, w1, w2 FROM t_w").fetchone()
         assert list(row) == svm_weights(_frame(spark), COLS)
 
+    def test_empty_frame_raises_even_at_zero_iters(self, spark):
+        """The empty-frame guard is hoisted before the loop: it fires
+        ONCE (no per-iteration recount) and even at iters=0, where the
+        loop body would never see the frame — an empty corpus must
+        never silently yield all-zero weights."""
+        empty = _frame(spark).where(F.lit(False))
+        for iters in (0, 3):
+            with pytest.raises(ValueError, match="empty feature frame"):
+                svm_weights(empty, COLS, iters=iters)
+
     def test_learned_model_separates(self, spark):
         """Sanity: on separable clouds the fixed schedule converges to a
         real separator — high sign agreement, both classes predicted."""
