@@ -467,10 +467,185 @@ def exact_neardup_pairs(e: DataFrame) -> DataFrame:
 _VEC_SPLIT_SQL = "substr(md5(CAST({v} AS VARCHAR)), 1, 1) < '8'"
 
 
+def _guarded_cos_sql(raw_cos: str) -> str:
+    """DuckDB twin of the Spark side's ``nanvl(round(cos, 6), -2.0)``
+    zero-norm guard: a 0-norm vector's cosine is NaN in Spark but NULL in
+    DuckDB (double 0/0 → NULL), and unguarded DuckDB would rank NULL
+    FIRST under ORDER BY DESC while Spark ranks the −2.0 last — the
+    assignment twins must agree even on degenerate inputs."""
+    return f"COALESCE((CASE WHEN isnan({raw_cos}) THEN -2.0 ELSE ROUND({raw_cos}, 6) END), -2.0)"
+
+
+def _assigned_sql(cents_rel: str, src: str = "embeddings", rn_pred: str = "rn = 1") -> str:
+    """Argmax-cosine cell assignment of ``src`` against codebook relation
+    ``cents_rel`` — `rn_pred` generalizes to ``rn <= nprobe`` for the
+    multi-cell probe twin (`ivf_probe_cells`)."""
+    raw = (
+        f"{_DOT_SQL.format(a='e.embedding', b='c.centroid')}"
+        f" / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='c.centroid')}))"
+    )
+    return f"""
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_guarded_cos_sql(raw)} DESC,
+                   c.cell_id) AS rn
+        FROM {src} e CROSS JOIN {cents_rel} c
+      ) WHERE {rn_pred}
+"""
+
+
+_ASSIGNED_SQL = _assigned_sql("cents")
+
+
+def _km_sql() -> str:
+    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_cents_sql
+
+    return kmeans_cents_sql(
+        N_CELLS,
+        KMEANS_ITERS,
+        EMB_DIM,
+        prefix="km",
+        dot_sql_fmt=_DOT_SQL,
+        normsq_sql_fmt=_NORMSQ_SQL,
+    )
+
+
+def semantic_neardup_pairs(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = NEARDUP_COS,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with TRAINED k-means centroids (the same
+    deterministic codebook the IVF arms search under — map-only literal
+    argmax assignment, `assign_cells_literal`), then compare pairs
+    WITHIN a cluster only. The cluster id is the join key, so candidate
+    work scales with cell occupancy, never |corpus|² — same contract as
+    the LSH bucket join, but the partitioning is DATA-ADAPTIVE: trained
+    centroids track the corpus's semantic modes, so near-dups that
+    random hyperplanes split across buckets land in one cell (and cells
+    stay balanced where LSH buckets go hot — tests/test_kmeans.py's
+    clustered-corpus proof).
+
+    Rides the hot-cell occupancy guard (`capped_cell_candidates`, cap
+    never bites at fixture scale — test-pinned, so the cap-free oracle
+    sees identical rows). True cosine on within-cell pairs only; the
+    NaN guard mirrors the assignment's (zero-norm → −2.0, below any
+    threshold) so a degenerate vector is dropped identically by Spark
+    (where NaN compares GREATER than any number) and DuckDB (NULL).
+
+    Pass ``assigned`` to reuse an existing (vec_id, embedding, cell_id)
+    assignment frame across consumers (`semdedup_prune` does)."""
+    assigned = assign_cells_literal(e, cents) if assigned is None else assigned
+    kept, _audit = capped_cell_candidates(assigned)
+    # Both self-join sides scan this frame; Spark shares no subtrees
+    # across join sides, so without the lazy checkpoint the cap pipeline
+    # (window + rebalance shuffles) would run twice.
+    s = kept.select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
+    ).localCheckpoint(eager=False)
+    a = s.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"), F.col("cell_id").alias("cell"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"), F.col("cell_id").alias("cell"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.nanvl(F.round(cos, 6), F.lit(-2.0)).alias("cos_sim_r"),
+        )
+        .filter(F.col("cos_sim_r") >= threshold)
+    )
+
+
+def semdedup_prune(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = NEARDUP_COS,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup's keep-policy over the within-cluster pairs: connect the
+    ε-graph into groups (`operators.dedup.connected_components` — the
+    same min-label propagation the MinHash pipeline uses), then KEEP the
+    one member per group with the LOWEST cosine to its cluster centroid
+    (the paper's retention rule — low-centroid-similarity examples are
+    the least redundant with the cluster's mode; arXiv:2303.09540 §3),
+    tie-broken on vec_id. Returns ``(survivors, pruned)``:
+
+    - survivors: (vec_id, group_id) — singletons keep themselves;
+    - pruned: (vec_id, group_id, keep_id) — every evicted member with
+      the representative it lost to (the audit trail a 100 TB curation
+      run keeps).
+
+    Scale shape: one map-only assignment, the bounded within-cell pair
+    join, O(diameter) label sweeps over the ε-subgraph only, one
+    group-keyed min_by aggregate, one join back. The centroid-cosine
+    scoring is a map-side literal lookup (element_at over the inlined
+    codebook) — no join against a centroid table."""
+    from sentinela_py_spark.functions.litutil import fast_lit
+    from sentinela_py_spark.operators.dedup import connected_components
+
+    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
+    pairs = semantic_neardup_pairs(e, cents, threshold, assigned=assigned)
+    comp = connected_components(
+        assigned.select("vec_id"),
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
+        id_col="vec_id",
+    ).select(F.col("doc_id").alias("vec_id"), "group_id")
+    cents_sorted = sorted(cents)
+    vecs = fast_lit([[float(x) for x in v] for _cid, v in cents_sorted], 2)
+    ids = F.lit([int(cid) for cid, _v in cents_sorted])
+    cvec = F.element_at(vecs, F.array_position(ids, F.col("cell_id")).cast("int"))
+    csim = F.nanvl(F.round(cosine(F.col("embedding"), cvec), 6), F.lit(-2.0))
+    scored = (
+        assigned.join(comp, "vec_id")
+        .select("vec_id", "group_id", csim.alias("centroid_sim"))
+    )
+    keepers = scored.groupBy("group_id").agg(
+        F.min_by("vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))).alias(
+            "keep_id"
+        )
+    )
+    labeled = scored.join(keepers, "group_id")
+    survivors = labeled.filter(F.col("vec_id") == F.col("keep_id")).select(
+        "vec_id", "group_id"
+    )
+    pruned = labeled.filter(F.col("vec_id") != F.col("keep_id")).select(
+        "vec_id", "group_id", "keep_id"
+    )
+    return survivors, pruned
+
+
 @register(
     "q_embedding_neardup",
     oracle=f"""
-    WITH bucketed AS (
+    WITH {_km_sql()},
+    sem_assigned AS MATERIALIZED ({_assigned_sql('km_cents')}),
+    sem AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id,
+             SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
+      FROM sem_assigned
+    ),
+    sem_pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             COALESCE((CASE WHEN isnan(
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
+             ) THEN -2.0 ELSE ROUND(
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 6
+             ) END), -2.0) AS cos_sim_r
+      FROM sem a JOIN sem b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
              SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
       FROM embeddings
@@ -503,13 +678,18 @@ _VEC_SPLIT_SQL = "substr(md5(CAST({v} AS VARCHAR)), 1, 1) < '8'"
     FROM pairs WHERE cos_sim_r >= {NEARDUP_COS}
     UNION ALL
     SELECT 'corpus_probe' AS method, vec_a, vec_b, cos_sim_r FROM probe_hits
+    UNION ALL
+    SELECT 'semantic' AS method, vec_a, vec_b, cos_sim_r
+    FROM sem_pairs WHERE cos_sim_r >= {NEARDUP_COS}
     ORDER BY method, vec_a, vec_b
     """,
     survey_ref=(
         "dedup: embedding-cosine near-duplicate pairs via hyperplane-LSH bucket equi-join "
         "(multi-probe Hamming<=1) — the 100 TB path; exact twin = exact_neardup_pairs "
         "(tests); corpus_probe arm = batch twin of the streaming embedding-index probe "
-        "(streaming/pipeline.py embedding_dedup_batch_against_corpus step 3)"
+        "(streaming/pipeline.py embedding_dedup_batch_against_corpus step 3); semantic "
+        "arm = SemDeDup candidate generation (within-k-means-cluster pairs under the "
+        "trained IVF codebook; keep-policy in semdedup_prune)"
     ),
     tags=("dedup", "similarity", "sketch"),
 )
@@ -535,7 +715,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``corpus_probe``: dedup-at-ingest as batch algebra — the md5-split
       'accepted' half is the bucket-keyed index, the rest the incoming
       batch; each probe multi-probes the index and TRUE cosine confirms
-      (`embedding_cross_corpus_candidates`, the streaming probe's twin)."""
+      (`embedding_cross_corpus_candidates`, the streaming probe's twin);
+    - ``semantic``: SemDeDup candidate generation (Abbas et al. 2023) —
+      within-TRAINED-k-means-cluster pairs under the memoized IVF
+      codebook (`semantic_neardup_pairs`): the data-adaptive partitioning
+      member of the family, sharing the offline training the bench's
+      ``training`` arm prices. The keep-policy (lowest centroid-cosine
+      survivor per ε-group) is `semdedup_prune`, test-verified."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     bucketed = bucketed_embeddings(e, PLANES).localCheckpoint(eager=False)
     all_pairs = embedding_neardup_pairs(e, planes=PLANES, threshold=NEARDUP_COS, bucketed=bucketed)
@@ -543,6 +729,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_hits = embedding_cross_corpus_candidates(
         bucketed.filter(~split), bucketed.filter(split)
     )
+    cents, _books = _trained_codebooks(e, sf_dir)
+    sem_pairs = semantic_neardup_pairs(e, cents)
     return (
         all_pairs.select(F.lit("all_pairs").alias("method"), "vec_a", "vec_b", "cos_sim_r")
         .unionByName(
@@ -550,7 +738,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("corpus_probe").alias("method"), "vec_a", "vec_b", "cos_sim_r"
             )
         )
+        .unionByName(
+            sem_pairs.select(
+                F.lit("semantic").alias("method"), "vec_a", "vec_b", "cos_sim_r"
+            )
+        )
         .orderBy("method", "vec_a", "vec_b")
+    )
+
+
+def _semantic_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated semantic-arm bench builder — constructs only the
+    within-cluster pair join (codebook from the per-corpus memo), so the
+    arm's timing never pays the other arms' expression-build cost."""
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    cents, _books = _trained_codebooks(e, sf_dir)
+    return semantic_neardup_pairs(e, cents).select(
+        F.lit("semantic").alias("method"), "vec_a", "vec_b", "cos_sim_r"
     )
 
 
@@ -558,6 +762,7 @@ register_arms(
     "q_embedding_neardup",
     all_pairs=_method_arm("q_embedding_neardup", "all_pairs"),
     corpus_probe=_method_arm("q_embedding_neardup", "corpus_probe"),
+    semantic=_semantic_arm,
 )
 
 
@@ -838,37 +1043,6 @@ COARSE_K = 20
 # proves stage-wise; q_ann_ivf_topk composes them with the cell routing).
 
 
-def _guarded_cos_sql(raw_cos: str) -> str:
-    """DuckDB twin of the Spark side's ``nanvl(round(cos, 6), -2.0)``
-    zero-norm guard: a 0-norm vector's cosine is NaN in Spark but NULL in
-    DuckDB (double 0/0 → NULL), and unguarded DuckDB would rank NULL
-    FIRST under ORDER BY DESC while Spark ranks the −2.0 last — the
-    assignment twins must agree even on degenerate inputs."""
-    return f"COALESCE((CASE WHEN isnan({raw_cos}) THEN -2.0 ELSE ROUND({raw_cos}, 6) END), -2.0)"
-
-
-def _assigned_sql(cents_rel: str, src: str = "embeddings", rn_pred: str = "rn = 1") -> str:
-    """Argmax-cosine cell assignment of ``src`` against codebook relation
-    ``cents_rel`` — `rn_pred` generalizes to ``rn <= nprobe`` for the
-    multi-cell probe twin (`ivf_probe_cells`)."""
-    raw = (
-        f"{_DOT_SQL.format(a='e.embedding', b='c.centroid')}"
-        f" / (SQRT({_NORMSQ_SQL.format(a='e.embedding')}) * SQRT({_NORMSQ_SQL.format(a='c.centroid')}))"
-    )
-    return f"""
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT e.vec_id, e.embedding, c.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_guarded_cos_sql(raw)} DESC,
-                   c.cell_id) AS rn
-        FROM {src} e CROSS JOIN {cents_rel} c
-      ) WHERE {rn_pred}
-"""
-
-
-_ASSIGNED_SQL = _assigned_sql("cents")
-
-
 def _cell_ranked_sql(q_rel: str, c_rel: str) -> str:
     """In-cell exact-cosine ranking of a (query_id, qv, cell_id) relation
     against a (neighbor_id, cv, cell_id) relation — the flat-search body
@@ -883,19 +1057,6 @@ def _cell_ranked_sql(q_rel: str, c_rel: str) -> str:
                                 ORDER BY {cos} DESC, neighbor_id) AS rank
       FROM {q_rel} JOIN {c_rel} ON {q_rel}.cell_id = {c_rel}.cell_id
 """
-
-def _km_sql() -> str:
-    from sentinela_py_spark.functions.kmeans import KMEANS_ITERS, kmeans_cents_sql
-
-    return kmeans_cents_sql(
-        N_CELLS,
-        KMEANS_ITERS,
-        EMB_DIM,
-        prefix="km",
-        dot_sql_fmt=_DOT_SQL,
-        normsq_sql_fmt=_NORMSQ_SQL,
-    )
-
 
 def _resid_sql() -> str:
     """The residual frame the PQ chain trains and encodes on: every

@@ -1,0 +1,186 @@
+"""SemDeDup (`plans.simops.semantic_neardup_pairs` / `semdedup_prune`):
+within-trained-cluster near-dup candidates plus the paper's
+lowest-centroid-cosine keep-policy (Abbas et al. 2023). Pins: the pair
+arm equals the exact quadratic twin restricted to same-cell pairs; the
+keep-policy matches a pure-Python replay; survivors + pruned partition
+the corpus; transitive ε-groups collapse to one survivor."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.functions.kmeans import kmeans_centroids_local
+from sentinela_py_spark.plans.simops import (
+    NEARDUP_COS,
+    assign_cells_literal,
+    exact_neardup_pairs,
+    semantic_neardup_pairs,
+    semdedup_prune,
+)
+
+DIM = 8
+K = 4
+
+
+def _noise(i: int, j: int, scale: float = 0.02) -> float:
+    b = hashlib.md5(f"semnoise-{i}-{j}".encode()).digest()
+    return (int.from_bytes(b[:4], "big") / 2**32 - 0.5) * 2 * scale
+
+
+def _corpus_rows(n_per_mode: int = 12, modes: int = 4) -> list[tuple[int, list[float]]]:
+    """``modes`` tight semantic modes (axis directions) of ``n_per_mode``
+    near-identical vectors each — every within-mode pair is a near-dup,
+    every cross-mode pair is near-orthogonal."""
+    rows = []
+    vid = 0
+    for m in range(modes):
+        for _ in range(n_per_mode):
+            vec = [1.0 if j == m else _noise(vid, j) for j in range(DIM)]
+            rows.append((vid, vec))
+            vid += 1
+    return rows
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cents(spark, rows):
+    return kmeans_centroids_local(_frame(spark, rows), K, dim=DIM)
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+class TestSemanticPairs:
+    def test_pairs_equal_exact_twin_restricted_to_same_cell(self, spark):
+        """The semantic arm IS the exact quadratic join filtered to
+        same-cluster pairs — precision 1.0 by construction, the miss set
+        exactly the cross-cell pairs."""
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        cents = _cents(spark, rows)
+        cell = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_cells_literal(e, cents).collect()
+        }
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim_r"]
+            for r in exact_neardup_pairs(e).collect()
+        }
+        want = {
+            p: c for p, c in exact.items() if cell[p[0]] == cell[p[1]]
+        }
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim_r"]
+            for r in semantic_neardup_pairs(e, cents).collect()
+        }
+        assert got == want
+
+    def test_full_recall_on_tight_modes(self, spark):
+        """On a corpus whose near-dup structure IS its cluster structure
+        (the SemDeDup premise), trained centroids put every ε-pair in one
+        cell: recall vs the exact twin is 1.0."""
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        exact = {(r["vec_a"], r["vec_b"]) for r in exact_neardup_pairs(e).collect()}
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in semantic_neardup_pairs(e, _cents(spark, rows)).collect()
+        }
+        assert exact and got == exact
+
+
+class TestSemdedupPrune:
+    def test_keep_policy_matches_python_replay(self, spark):
+        """Per ε-group the survivor is the member with the LOWEST rounded
+        cosine to its cell centroid, tie-broken on vec_id — replayed
+        exactly in pure Python."""
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        cents = _cents(spark, rows)
+        survivors, pruned = semdedup_prune(e, cents)
+        got_keep = {r["vec_id"] for r in survivors.collect()}
+
+        cell = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_cells_literal(e, cents).collect()
+        }
+        cmap = dict(cents)
+        vec = dict(rows)
+        # group = connected components of the same-cell ε-graph
+        pairs = [
+            (a, b)
+            for i, (a, va) in enumerate(rows)
+            for b, vb in rows[i + 1:]
+            if cell[a] == cell[b] and round(_cos(va, vb), 6) >= NEARDUP_COS
+        ]
+        parent = {v: v for v, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict[int, list[int]] = {}
+        for v, _ in rows:
+            groups.setdefault(find(v), []).append(v)
+        want_keep = {
+            min(members, key=lambda v: (round(_cos(vec[v], cmap[cell[v]]), 6), v))
+            for members in groups.values()
+        }
+        assert got_keep == want_keep
+
+    def test_survivors_and_pruned_partition_the_corpus(self, spark):
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        survivors, pruned = semdedup_prune(e, _cents(spark, rows))
+        s = {r["vec_id"] for r in survivors.collect()}
+        p = {r["vec_id"] for r in pruned.collect()}
+        assert s & p == set()
+        assert s | p == {vid for vid, _ in rows}
+
+    def test_pruned_rows_point_at_their_group_survivor(self, spark):
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        survivors, pruned = semdedup_prune(e, _cents(spark, rows))
+        keep_of_group = {r["group_id"]: r["vec_id"] for r in survivors.collect()}
+        for r in pruned.collect():
+            assert r["keep_id"] == keep_of_group[r["group_id"]]
+
+    def test_transitive_group_collapses_to_one_survivor(self, spark):
+        """a~b and b~c connect a-c even when cos(a,c) < τ — the ε-graph's
+        connected component is the dedup unit, exactly like the MinHash
+        pipeline's."""
+        base = [1.0] + [0.0] * (DIM - 1)
+
+        def rot(theta):
+            v = list(base)
+            v[0], v[1] = math.cos(theta), math.sin(theta)
+            return v
+
+        # adjacent links at cos 0.8 > τ=0.4; the chain's ends sit at
+        # cos(2t) = 2·0.8²−1 = 0.28 < τ — linked only transitively
+        t = math.acos(0.8)
+        rows = [(0, rot(0.0)), (1, rot(t)), (2, rot(2 * t)), (3, [0.0] * (DIM - 1) + [1.0])]
+        assert _cos(rows[0][1], rows[2][1]) < NEARDUP_COS  # ends not directly linked
+        e = _frame(spark, rows)
+        # K=1: everything in one cell — the test isolates ε-graph
+        # transitivity from cell placement (the orthogonal singleton 3
+        # shares the cell but links to nothing)
+        cents = kmeans_centroids_local(e, 1, dim=DIM)
+        survivors, pruned = semdedup_prune(e, cents)
+        s = {r["vec_id"] for r in survivors.collect()}
+        groups = {r["group_id"] for r in pruned.collect()}
+        assert len(s & {0, 1, 2}) == 1 and 3 in s  # chain collapsed, singleton kept
+        assert len(groups) == 1
