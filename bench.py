@@ -202,12 +202,18 @@ def main() -> None:
     # and the loop moves on — the summary JSON is ALWAYS emitted (round 2
     # shipped zero timings because a single AnalysisException aborted the
     # whole loop).
+    # The calibration probe INTERLEAVES every CAL_EVERY queries (r7
+    # verdict: the single mid-run probe under-detected a sustained
+    # ~1.2-1.3x background load that inflated a whole round's artifact —
+    # probes[] makes session-long ambient drift visible per window).
+    CAL_EVERY = 8
+    probes: list[float | None] = []
     timings: dict[str, float | None] = {}
     arm_timings: dict[str, dict[str, float | None]] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
-        if i == len(HEADLINE) // 2:
-            calibration["middle"] = _calibrate(spark, sf_dir)
+        if i and i % CAL_EVERY == 0:
+            probes.append(_calibrate(spark, sf_dir))
         q = QUERIES[name]
         t, err = _time_df(lambda: q.spark(spark, sf_dir))
         timings[name] = t
@@ -223,19 +229,25 @@ def main() -> None:
                 errors[f"{name}.{arm}"] = aerr
                 print(f"{name}.{arm} failed: {aerr}", file=sys.stderr)
 
+    # "middle" stays the cross-round-comparable name: the probe nearest
+    # the run's midpoint, now drawn from the interleaved series.
+    calibration["middle"] = probes[len(probes) // 2] if probes else None
+    calibration["probes"] = probes
     calibration["last"] = _calibrate(spark, sf_dir)
-    cal_vals = [v for v in calibration.values() if v]
+    cal_vals = [v for v in (first, *probes, calibration["last"]) if v]
     if len(cal_vals) >= 2 and min(cal_vals) > 0:
         calibration["drift_ratio"] = round(max(cal_vals) / min(cal_vals), 3)
     # Measured behavior of this workload (r5): the first probe stays
     # elevated even after ~18 discarded reps — the JVM keeps JIT-tiering
     # across the WHOLE session as dozens of distinct queries compile, so
-    # first>middle>last is a monotone ramp, not probe noise.
-    # post_warmup_drift (middle vs last) is the ambient-variance number
-    # cross-round regression verdicts should rest on.
-    mid, last = calibration.get("middle"), calibration.get("last")
-    if mid and last and min(mid, last) > 0:
-        calibration["post_warmup_drift"] = round(max(mid, last) / min(mid, last), 3)
+    # a first>rest monotone ramp is warmup, not probe noise.
+    # post_warmup_drift — max/min across the POST-FIRST probe series
+    # (interleaved + last; r9: was middle-vs-last, which a sustained
+    # background load could sit between undetected) — is the
+    # ambient-variance number cross-round regression verdicts rest on.
+    post = [v for v in (*probes, calibration["last"]) if v]
+    if len(post) >= 2 and min(post) > 0:
+        calibration["post_warmup_drift"] = round(max(post) / min(post), 3)
 
     timed = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(timed.values()), 2)
@@ -262,7 +274,11 @@ def main() -> None:
             for q, arms in arm_timings.items()
         },
         "calibration": {
-            k: (_r2(v) if isinstance(v, float) else v)
+            k: (
+                [_r2(x) for x in v]
+                if isinstance(v, list)
+                else _r2(v) if isinstance(v, float) else v
+            )
             for k, v in calibration.items()
             if k != "note"
         },

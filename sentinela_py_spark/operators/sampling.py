@@ -15,10 +15,18 @@ the whole mix is a single corpus scan at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_uniform", "md5_uniform_sql", "temperature_rates", "mixture_sample"]
+__all__ = [
+    "md5_uniform",
+    "md5_uniform_sql",
+    "temperature_rates",
+    "mixture_sample",
+    "dsir_log_weights",
+    "gumbel_topk",
+    "DSIR_BUCKETS",
+]
 
 _HEX8 = float(16**8)
 
@@ -97,4 +105,100 @@ def mixture_sample(
         )
         .filter(u < F.col("rate"))
         .drop("rate")
+    )
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) --- hashed-n-gram importance weights toward a target
+# distribution, then Gumbel top-k resampling. Where temperature mixing
+# reweights GROUPS by size alone, DSIR reweights individual DOCUMENTS by
+# how target-like their content is — the published method for "select
+# raw web data that looks like the high-quality reference corpus".
+
+DSIR_BUCKETS = 512
+
+
+def _md5_bucket(gram: Column, buckets: int) -> Column:
+    """Hash a gram into one of ``buckets`` bins — md5-derived so DuckDB
+    reproduces it bit-for-bit (`('0x'||substr(md5(g),1,8))::BIGINT %
+    B`). At 100 TB swap in xxhash64 for the Spark side's speed and keep
+    the oracle on a sample; md5 here keeps the whole path cross-engine
+    checkable."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, log_w): per-document importance log-weights log p̂(x)/q̂(x)
+    under two add-1-smoothed hashed-n-gram bag models — p̂ fit on the
+    rows where ``target_pred`` holds (the target/reference slice), q̂ on
+    the WHOLE corpus (the raw distribution). Features are unigrams ∪
+    word-bigrams hashed into ``buckets`` bins (the paper's hashed n-gram
+    generative model; bucketing caps model size at B counts however
+    large the vocabulary).
+
+    Determinism/scale shape: one gram explode → bucket map; corpus
+    bucket counts are ONE B-row aggregate broadcast back; the per-doc
+    weight is Σ_b c_doc[b]·lr[b] with lr rounded to 6dp and the products
+    summed as DECIMAL(28,15) — order-insensitive, bit-identical in
+    DuckDB. No driver collect anywhere: totals ride a one-row broadcast
+    cross join."""
+    from sentinela_py_spark.functions.text_stats import tokens, word_shingles
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(tokens(F.col(text_col)), word_shingles(F.col(text_col), k=2))
+        ).alias("gram"),
+        target_pred.cast("long").alias("is_t"),
+    )
+    bc = grams.select(
+        id_col, _md5_bucket(F.col("gram"), buckets).alias("bucket"), "is_t"
+    ).localCheckpoint(eager=False)  # scanned twice: corpus counts + per-doc counts
+    raw = bc.groupBy("bucket").agg(
+        F.count("*").alias("nq"), F.sum("is_t").alias("nt")
+    )
+    tot = raw.agg(F.sum("nq").alias("tq"), F.sum("nt").alias("tt"))
+    lr = raw.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("nt") + 1).cast("double") / (F.col("tt") + buckets))
+            - F.log((F.col("nq") + 1).cast("double") / (F.col("tq") + buckets)),
+            6,
+        ).alias("lr"),
+    )
+    dcnt = bc.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
+    return dcnt.join(F.broadcast(lr), "bucket").groupBy(id_col).agg(
+        F.round(
+            F.sum((F.col("c") * F.col("lr")).cast("decimal(28,15)")).cast("double"), 6
+        ).alias("log_w")
+    )
+
+
+def gumbel_topk(
+    weighted: DataFrame, k: int, id_col: str = "doc_id", w_col: str = "log_w"
+) -> DataFrame:
+    """Top-``k`` rows under perturbed log-weights — sampling WITHOUT
+    replacement ∝ softmax(log_w) via the Gumbel-top-k trick: key =
+    −ln(−ln u) + log_w with u the content-keyed md5 uniform (shifted by
+    half a step so u ∈ (0,1) and both logs stay finite), take the k
+    largest keys. Deterministic across runs/engines/partitionings; ties
+    break on id after 6dp rounding. The plan is a TakeOrdered top-k —
+    never a global sort of the corpus."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_HEX8)
+    key = F.round(F.round(-F.log(-F.log(u)), 6) + F.col(w_col), 6)
+    return (
+        weighted.select(id_col, key.alias("gkey"))
+        .orderBy(F.col("gkey").desc(), F.col(id_col))
+        .limit(k)
     )

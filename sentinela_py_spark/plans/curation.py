@@ -31,12 +31,18 @@ from sentinela_py_spark.operators.dedup import (
     minhash_candidate_pairs,
 )
 from sentinela_py_spark.operators.sampling import (
+    DSIR_BUCKETS,
     md5_uniform_sql,
     mixture_sample,
     temperature_rates,
 )
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
-from sentinela_py_spark.plans.textops import MIN_SPAN_WORDS, SPAN_K
+from sentinela_py_spark.plans.textops import (
+    MIN_SPAN_WORDS,
+    SPAN_K,
+    qr_chain_sql,
+    qr_model_scores,
+)
 from sentinela_py_spark.plans.registry import (
     method_arm as _method_arm,
     register,
@@ -337,10 +343,16 @@ _SPAN_CUT_SQL = f"""
       FROM ({_gram5_sql('cutpool')}) t
       JOIN evalg e USING (gram)
     ),
-    pool AS MATERIALIZED (
+    scr AS MATERIALIZED (
       SELECT c.doc_id, c.lang, c.text
       FROM cutpool c LEFT JOIN flagged f USING (doc_id)
-      WHERE f.doc_id IS NULL AND ({_QUALITY_SQL}) >= 0.5
+      WHERE f.doc_id IS NULL
+    ),
+    {qr_chain_sql('scr', 'pq_')},
+    pool AS MATERIALIZED (
+      SELECT s.doc_id, s.lang, s.text
+      FROM scr s JOIN pq_scores m USING (doc_id)
+      WHERE m.svm_score > 0 AND ({_QUALITY_SQL}) >= 0.5
     ),
     counts AS (SELECT lang, COUNT(*) AS n FROM pool GROUP BY lang),
     tot AS (SELECT SUM(pow(n, {MIX_ALPHA})) AS total_w FROM counts),
@@ -365,7 +377,9 @@ _SPAN_CUT_SQL = f"""
         "assignment into ~fixed-token training sequences) — all_docs arm; "
         "curated arm = the composed END-TO-END pre-training pipeline "
         "(MinHash-LSH dedup groups → quality-aware survivor → substring-level "
-        "shared-span cut → train/eval decontamination → quality filter → "
+        "shared-span cut → train/eval decontamination → rule + MODEL quality "
+        "gate (the trained linear-SVM filter of q_quality_rules, trained on "
+        "the screened pool, full descent replayed in the oracle) → "
         "temperature-mixture sampling → packing), every stage the same "
         "oracle-green component it is standalone"
     ),
@@ -400,7 +414,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       filter so boilerplate can't inflate quality scores or token
       budgets, see `_curated_pool`) → drop every train doc sharing a
       5-gram of its CUT text with the eval split (q_decontamination's
-      exact screen) → keep cut-text quality ≥ 0.5 → temperature-mixture
+      exact screen) → keep cut-text quality ≥ 0.5 AND model-keep (the
+      q_quality_rules linear SVM trained on the screened pool's own
+      rule features, svm_score > 0 — the DCLM-style classifier gate;
+      the oracle replays the full descent via qr_chain_sql) →
+      temperature-mixture
       sample to ~CURATED_BUDGET docs (q_mixture_sample) → pack the
       survivors. Plan shape: the stages compose as ONE DataFrame graph —
       the corpus is scanned once per stage family, every stage's join is
@@ -465,10 +483,16 @@ def _packed_sequences(docs: DataFrame, method: str) -> DataFrame:
     )
 
 
-def _curated_pool(d: DataFrame) -> DataFrame:
+def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     """The curated arm's document pool: dedup-survive → span-cut →
-    decontaminate → quality-filter → temperature-mix, all deterministic
-    and oracle-checkable (see q_sequence_packing).
+    decontaminate → rule+model quality gate → temperature-mix, all
+    deterministic and oracle-checkable (see q_sequence_packing).
+
+    ``checkpoint=False`` skips the stage-4/5 boundary checkpoint so the
+    WHOLE pipeline is one visible plan — the plan-census tool pins that
+    graph (a checkpoint truncates lineage, which is right for execution
+    and wrong for topology auditing); execution semantics are unchanged
+    either way.
 
     Stage order rationale (Lee et al.): the substring-level shared-span
     cut runs BEFORE the quality filter and the token-budget packing, so
@@ -532,9 +556,22 @@ def _curated_pool(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.xxhash64("g").alias("gram"))
     flagged = train_g.join(eval_g, "gram", "left_semi").select("doc_id").distinct()
 
-    # 5. quality filter over the CUT text (what will actually be trained
-    # on — a repeated passage no longer pads the verdict)
-    pool = cut.join(flagged, "doc_id", "left_anti").filter(
+    # 5. quality gate over the CUT text (what will actually be trained
+    # on — a repeated passage no longer pads the verdict): the rule
+    # threshold AND the model-based filter (q_quality_rules' linear SVM,
+    # trained on the SCREENED pool's own rule-feature frame — weak
+    # labels from the repetition/entropy rules, scored back as a
+    # literal-weight projection; `plans.textops.qr_model_scores`). The
+    # eager checkpoint materializes stages 1–4 once: the model's three
+    # feature arms plus the SVM_ITERS gradient scans would otherwise
+    # each replay the dedup + span-cut lineage.
+    screened = cut.join(flagged, "doc_id", "left_anti")
+    if checkpoint:
+        screened = screened.localCheckpoint(eager=True)
+    model_keep = (
+        qr_model_scores(screened).filter(F.col("svm_score") > 0).select("doc_id")
+    )
+    pool = screened.join(model_keep, "doc_id", "left_semi").filter(
         quality_score("text").cast("double") >= 0.5
     )
 
@@ -554,6 +591,12 @@ register_arms(
 )
 
 
+# DSIR constants: hashed-n-gram bucket count and the resample size (the
+# same 200-doc target as the temperature arm, so the two selection
+# policies are directly comparable row-for-row in the bench).
+DSIR_K = MIX_BUDGET
+
+
 @register(
     "q_mixture_sample",
     oracle=f"""
@@ -568,8 +611,54 @@ register_arms(
       SELECT d.lang AS grp, d.doc_id, d.n_chars
       FROM documents d JOIN rates r ON d.lang = r.grp
       WHERE {md5_uniform_sql('d.doc_id')} < r.rate
+    ),
+    dgrams AS (
+      SELECT doc_id,
+             UNNEST(list_concat(string_split(text, ' '),
+               list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               ))) AS gram,
+             CASE WHEN ({_QUALITY_SQL}) = 1.0 THEN 1 ELSE 0 END AS is_t
+      FROM documents
+    ),
+    dbuck AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket,
+             is_t
+      FROM dgrams
+    ),
+    draw AS MATERIALIZED (
+      SELECT bucket, COUNT(*) AS nq, SUM(is_t) AS nt FROM dbuck GROUP BY bucket
+    ),
+    dtot AS (SELECT SUM(nq) AS tq, SUM(nt) AS tt FROM draw),
+    dlr AS (
+      SELECT bucket,
+             ROUND(LN(CAST(nt + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+                 - LN(CAST(nq + 1 AS DOUBLE) / (tq + {DSIR_BUCKETS})), 6) AS lr
+      FROM draw CROSS JOIN dtot
+    ),
+    dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dbuck GROUP BY doc_id, bucket),
+    dlogw AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(c * lr AS DECIMAL(28,15))) AS DOUBLE), 6) AS log_w
+      FROM dcnt JOIN dlr USING (bucket) GROUP BY doc_id
+    ),
+    dsel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROUND(ROUND(-LN(-LN(
+                 (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0)), 6) + log_w, 6) AS gkey
+        FROM dlogw
+      ) ORDER BY gkey DESC, doc_id LIMIT {DSIR_K}
+    ),
+    dsirs AS (
+      SELECT d.lang AS grp, COUNT(*) AS n_sampled, MIN(d.doc_id) AS first_sampled_doc,
+             SUM(d.n_chars) AS sampled_chars
+      FROM dsel s JOIN documents d USING (doc_id) GROUP BY d.lang
     )
-    SELECT r.grp AS lang, r.n, r.rate,
+    SELECT 'temperature' AS method, r.grp AS lang, r.n, r.rate,
            CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
            s.first_sampled_doc,
            CAST(COALESCE(s.sampled_chars, 0) AS BIGINT) AS sampled_chars
@@ -578,24 +667,51 @@ register_arms(
              SUM(n_chars) AS sampled_chars
       FROM samp GROUP BY grp
     ) s ON r.grp = s.grp
-    ORDER BY lang
+    UNION ALL
+    SELECT 'dsir' AS method, c.grp AS lang, c.n,
+           ROUND(CAST(COALESCE(ds.n_sampled, 0) AS DOUBLE) / c.n, 6) AS rate,
+           CAST(COALESCE(ds.n_sampled, 0) AS BIGINT) AS n_sampled,
+           ds.first_sampled_doc,
+           CAST(COALESCE(ds.sampled_chars, 0) AS BIGINT) AS sampled_chars
+    FROM counts c LEFT JOIN dsirs ds ON c.grp = ds.grp
+    ORDER BY method, lang
     """,
     survey_ref=(
-        "curation: temperature-mixture sampling — per-group rates ∝ n^alpha (alpha=0.5 "
-        "up-weights tail languages), md5-threshold membership per row — operators/sampling.py"
+        "curation: data mixing/selection, two arms — temperature-mixture sampling "
+        "(per-group rates ∝ n^alpha, alpha=0.5 up-weights tail languages, "
+        "md5-threshold membership per row — operators/sampling.py) and DSIR "
+        "importance resampling (Xie et al. 2023: hashed unigram+bigram bag models "
+        "target-vs-raw, add-1 smoothed, per-doc log-likelihood-ratio weights, "
+        "Gumbel top-k without replacement — dsir_log_weights/gumbel_topk)"
     ),
     tags=("curation", "sampling"),
 )
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted data mixing, per-language summary: group
-    acceptance rates target MIX_BUDGET total rows with shares ∝ n^0.5
-    (the multilingual-mix up-weighting of tail languages), membership is
-    the same md5-threshold Bernoulli as q_train_split — stable across
-    runs, engines, partitionings. Rates are rounded to 6dp BEFORE the
-    membership comparison so the accept/reject boundary is bit-identical
-    on both engines (pow/sum float noise cannot flip a row). The rate
-    table is one tiny aggregate broadcast into a map-only filter — one
-    corpus scan at any scale."""
+    """Data mixing/selection, per-language summary rows, two arms tagged
+    by ``method``:
+
+    - ``temperature``: group acceptance rates target MIX_BUDGET total
+      rows with shares ∝ n^0.5 (the multilingual-mix up-weighting of
+      tail languages), membership the same md5-threshold Bernoulli as
+      q_train_split — stable across runs, engines, partitionings. Rates
+      round to 6dp BEFORE the membership comparison so the
+      accept/reject boundary is bit-identical on both engines. The rate
+      table is one tiny aggregate broadcast into a map-only filter —
+      one corpus scan at any scale.
+    - ``dsir``: DSIR importance resampling (Xie et al. 2023) toward the
+      high-quality slice (rule quality = 1.0 is the target
+      distribution): per-doc log p̂/q̂ weights under add-1-smoothed
+      hashed unigram+bigram bag models (`dsir_log_weights` — B-row
+      broadcast likelihood-ratio table, decimal-summed per-doc fold),
+      then DSIR_K docs drawn WITHOUT replacement by Gumbel top-k
+      (`gumbel_topk` — a TakeOrdered top-k, never a global sort). Where
+      the temperature arm reweights whole language groups, DSIR scores
+      each document's content against the reference distribution — the
+      selected set's ``rate`` column reports the realized per-language
+      acceptance fraction."""
+    from sentinela_py_spark.functions.text_stats import quality_score
+    from sentinela_py_spark.operators.sampling import dsir_log_weights, gumbel_topk
+
     d = load_table(spark, sf_dir, "documents")
     rates = temperature_rates(d, "lang", alpha=MIX_ALPHA, budget=MIX_BUDGET).withColumn(
         "rate", F.round("rate", 6)
@@ -609,10 +725,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
-    return (
+    temp_arm = (
         rates.select(F.col("group").alias("lang"), "n", "rate")
         .join(samp_agg, "lang", "left")
         .select(
+            F.lit("temperature").alias("method"),
             "lang",
             "n",
             "rate",
@@ -620,8 +737,46 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_sampled_doc",
             F.coalesce("sampled_chars", F.lit(0)).cast("long").alias("sampled_chars"),
         )
-        .orderBy("lang")
     )
+
+    logw = dsir_log_weights(d, quality_score("text").cast("double") == 1.0)
+    sel = gumbel_topk(logw, DSIR_K)
+    dsir_agg = (
+        sel.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("first_sampled_doc"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    dsir_arm = counts.join(dsir_agg, "lang", "left").select(
+        F.lit("dsir").alias("method"),
+        "lang",
+        "n",
+        F.round(
+            F.coalesce("n_sampled", F.lit(0)).cast("double") / F.col("n"), 6
+        ).alias("rate"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        "first_sampled_doc",
+        F.coalesce("sampled_chars", F.lit(0)).cast("long").alias("sampled_chars"),
+    )
+    return temp_arm.unionByName(dsir_arm).orderBy("method", "lang")
+
+
+def _mixture_arm(method: str):
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return q_mixture_sample(spark, sf_dir).filter(F.col("method") == method)
+
+    return arm
+
+
+register_arms(
+    "q_mixture_sample",
+    temperature=_mixture_arm("temperature"),
+    dsir=_mixture_arm("dsir"),
+)
 
 
 def _lang_hits_sql(lang: str) -> str:

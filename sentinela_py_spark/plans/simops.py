@@ -889,11 +889,35 @@ def assign_cells(
     return _assign_with_row(e, centroid_row_of(cents), id_col, vec_col)
 
 
+# Literal-inlining boundary for the cells·dim centroid matrix — the
+# assignment analog of functions/vectors.ADC_T2_LITERAL_MAX (same
+# boundary class: a plan literal is rebuilt into every query tree and
+# re-shipped with every task binary, fine at 2¹⁸ doubles ≈ 2 MB, absurd
+# at the plan_ivf_config deployment regime of 10⁵ cells × 64 dims =
+# 6.4·10⁶). Past it the assignment auto-routes through the broadcast
+# (cell_id, centroid) FRAME path (`assign_cells`) — one broadcast
+# exchange instead of a plan-embedded matrix, bit-identical scores.
+ASSIGN_LITERAL_MAX = 2**18
+
+
+def assign_literal_mode(n_cells: int, dim: int, mode: str = "auto") -> str:
+    """Resolve how `assign_cells_literal` ships the codebook:
+    ``"literal"`` (inline cells·dim doubles in the plan) at or below
+    `ASSIGN_LITERAL_MAX` entries, ``"broadcast"`` (the `assign_cells`
+    one-row broadcast frame) above it. Explicit mode overrides."""
+    if mode != "auto":
+        if mode not in ("literal", "broadcast"):
+            raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+        return mode
+    return "literal" if n_cells * dim <= ASSIGN_LITERAL_MAX else "broadcast"
+
+
 def assign_cells_literal(
     e: DataFrame,
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """(id, vec, cell_id): the same argmax-cosine assignment as
     `assign_cells`, but against DRIVER-RESIDENT centroids inlined as
@@ -909,10 +933,23 @@ def assign_cells_literal(
     the identical literal), not k·dim CreateArray nodes — at k=8,
     dim=64 the node-by-node form costs ~1 s of driver-side analysis per
     assignment, which the Lloyd loop pays every iteration (and even
-    element-wise ``F.lit`` conversion costs ~0.2 s of py4j per build)."""
+    element-wise ``F.lit`` conversion costs ~0.2 s of py4j per build).
+
+    Past `ASSIGN_LITERAL_MAX` cells·dim entries the auto guard
+    (`assign_literal_mode`) reroutes through the broadcast-frame path
+    (`assign_cells`) instead — same argmax, same NaN guard, same
+    tie-break, bit-identical assignments (test-pinned at a forced
+    boundary), but the codebook rides ONE broadcast exchange rather
+    than being re-embedded in every plan tree."""
     from sentinela_py_spark.functions.litutil import fast_lit
 
     cents = sorted(cents)
+    if assign_literal_mode(len(cents), len(cents[0][1]), mode) == "broadcast":
+        cents_df = e.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in v]) for cid, v in cents],
+            "cell_id long, centroid array<double>",
+        )
+        return assign_cells(e, cents_df, id_col, vec_col)
     vecs = fast_lit([[float(x) for x in vec] for _cid, vec in cents], 2)
     ids = F.lit([int(cid) for cid, _vec in cents])
     sims = F.transform(

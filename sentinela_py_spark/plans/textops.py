@@ -927,29 +927,31 @@ _QR_SCORE_SQL = (
 )
 
 
-def _qr_svm_chain() -> str:
+def qr_chain_sql(src: str, p: str) -> str:
+    """The q_quality_rules rule-feature + trained-model CTE chain over
+    ANY (doc_id, text) relation ``src``, every CTE name prefixed with
+    ``p`` so several instances can share one WITH list (no leading WITH;
+    embed inside one). Ends at ``{p}scores`` (doc_id, svm_score) — the
+    6dp-rounded trained-on-this-relation linear-SVM score, the DuckDB
+    twin of `qr_model_scores`. q_quality_rules instantiates it over
+    ``documents``; the composed curation oracle (plans/curation.py)
+    instantiates it over the screened pool to replay the model gate."""
     from sentinela_py_spark.functions.linear_model import svm_weights_sql
 
-    return svm_weights_sql("qr_x", "doc_id", _QR_FEATS, "y", prefix="qrsvm")
-
-
-@register(
-    "q_quality_rules",
-    oracle=f"""
-    WITH tf AS (
+    return f"""{p}tf AS (
       SELECT doc_id, term, COUNT(*) AS n_t
-      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM {src})
       GROUP BY doc_id, term
     ),
-    uni AS (
+    {p}uni AS (
       SELECT doc_id,
              CAST(SUM(n_t) AS BIGINT) AS n_tokens,
              COUNT(*) AS n_distinct_terms,
              CAST(MAX(n_t) AS BIGINT) AS top_tf,
              CAST(SUM(CAST(n_t * LN(n_t) AS DECIMAL(28,15))) AS DOUBLE) AS s_nlogn
-      FROM tf GROUP BY doc_id
+      FROM {p}tf GROUP BY doc_id
     ),
-    bg AS (
+    {p}bg AS (
       SELECT doc_id, bigram, COUNT(*) AS n_b
       FROM (
         SELECT doc_id,
@@ -957,38 +959,38 @@ def _qr_svm_chain() -> str:
                  generate_series(1, len(string_split(text, ' ')) - 1),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
                )) AS bigram
-        FROM documents
+        FROM {src}
       )
       GROUP BY doc_id, bigram
     ),
-    bi AS (
+    {p}bi AS (
       SELECT doc_id, CAST(MAX(n_b) AS BIGINT) AS top_bf, CAST(SUM(n_b) AS BIGINT) AS n_bigrams
-      FROM bg GROUP BY doc_id
+      FROM {p}bg GROUP BY doc_id
     ),
-    cbg AS (
+    {p}cbg AS (
       SELECT doc_id,
              UNNEST(list_transform(generate_series(1, len(text) - 1),
                                    i -> substr(text, i, 2))) AS cb
-      FROM documents
+      FROM {src}
     ),
-    cmodel AS (
-      SELECT cb, COUNT(*) AS cnt, substr(cb, 1, 1) AS ctx FROM cbg GROUP BY cb
+    {p}cmodel AS (
+      SELECT cb, COUNT(*) AS cnt, substr(cb, 1, 1) AS ctx FROM {p}cbg GROUP BY cb
     ),
-    cctx AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM cmodel GROUP BY ctx),
-    cv AS (SELECT COUNT(*) AS v FROM cmodel),
-    clogp AS (
-      SELECT m.cb, ROUND(LN(CAST(m.cnt + 1 AS DOUBLE) / (c.ctx_cnt + cv.v)), 6) AS logp
-      FROM cmodel m JOIN cctx c USING (ctx) CROSS JOIN cv
+    {p}cctx AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM {p}cmodel GROUP BY ctx),
+    {p}cv AS (SELECT COUNT(*) AS v FROM {p}cmodel),
+    {p}clogp AS (
+      SELECT m.cb, ROUND(LN(CAST(m.cnt + 1 AS DOUBLE) / (c.ctx_cnt + {p}cv.v)), 6) AS logp
+      FROM {p}cmodel m JOIN {p}cctx c USING (ctx) CROSS JOIN {p}cv
     ),
-    lm AS (
-      SELECT cbg.doc_id,
+    {p}lm AS (
+      SELECT {p}cbg.doc_id,
              ROUND(CAST(SUM(CAST(s.logp AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
                  AS char_lm_logprob
-      FROM cbg JOIN clogp s USING (cb)
-      GROUP BY cbg.doc_id
+      FROM {p}cbg JOIN {p}clogp s USING (cb)
+      GROUP BY {p}cbg.doc_id
     ),
-    qr_feat AS MATERIALIZED (
-      SELECT uni.doc_id, n_tokens, n_distinct_terms,
+    {p}feat AS MATERIALIZED (
+      SELECT {p}uni.doc_id, n_tokens, n_distinct_terms,
              ROUND(CAST(n_distinct_terms AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
              ROUND(LN(n_tokens) - s_nlogn / n_tokens, 6) AS entropy,
              ROUND(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_term_fraction,
@@ -997,24 +999,31 @@ def _qr_svm_chain() -> str:
              (CAST(top_tf AS DOUBLE) / n_tokens > 0.30
               OR CAST(COALESCE(top_bf, 0) AS DOUBLE) / GREATEST(COALESCE(n_bigrams, 0), 1) > 0.18)
                  AS repetitive,
-             lm.char_lm_logprob
-      FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
-               LEFT JOIN lm ON uni.doc_id = lm.doc_id
+             {p}lm.char_lm_logprob
+      FROM {p}uni LEFT JOIN {p}bi ON {p}uni.doc_id = {p}bi.doc_id
+               LEFT JOIN {p}lm ON {p}uni.doc_id = {p}lm.doc_id
     ),
-    qr_x AS MATERIALIZED (
+    {p}x AS MATERIALIZED (
       SELECT *, {_QR_FEATURE_SQL},
              {_QR_LABEL_SQL} AS y
-      FROM qr_feat
+      FROM {p}feat
     ),
-    {_qr_svm_chain()}
-    SELECT doc_id, n_tokens, n_distinct_terms, distinct_ratio, entropy,
+    {svm_weights_sql(f"{p}x", "doc_id", _QR_FEATS, "y", prefix=f"{p}svm")},
+    {p}scores AS (
+      SELECT x.doc_id, ROUND({_QR_SCORE_SQL}, 6) AS svm_score
+      FROM {p}x x CROSS JOIN {p}svm_w qw
+    )"""
+
+
+@register(
+    "q_quality_rules",
+    oracle=f"""
+    WITH {qr_chain_sql('documents', 'qr_')}
+    SELECT f.doc_id, n_tokens, n_distinct_terms, distinct_ratio, entropy,
            top_term_fraction, top_bigram_fraction, repetitive,
-           char_lm_logprob, svm_score, (svm_score > 0) AS model_keep
-    FROM (
-      SELECT x.*, ROUND({_QR_SCORE_SQL}, 6) AS svm_score
-      FROM qr_x x CROSS JOIN qrsvm_w qw
-    )
-    ORDER BY doc_id
+           char_lm_logprob, s.svm_score, (s.svm_score > 0) AS model_keep
+    FROM qr_feat f JOIN qr_scores s ON f.doc_id = s.doc_id
+    ORDER BY f.doc_id
     """,
     survey_ref=(
         "text analysis: token-distribution entropy (quality/diversity score) + "
@@ -1140,11 +1149,23 @@ def _qr_model_cols(feats: DataFrame) -> DataFrame:
     )
 
 
-def _qr_trainable(d: DataFrame) -> DataFrame:
+def _qr_trainable(d: DataFrame, labels: DataFrame | None = None) -> DataFrame:
     """Feature frame (localCheckpointed: the GD loop scans it ITERS
     times and the token pipeline above it must price ONCE) + model
-    columns + the weak label mirroring `_QR_LABEL_SQL`."""
-    return _qr_model_cols(_qr_features(d).localCheckpoint(eager=True)).withColumn(
+    columns + the label.
+
+    ``labels`` (doc_id, y with y DOUBLE ±1.0) swaps the weak-label
+    bootstrap for EXTERNAL supervision — the deployment path the
+    module note promises (curated positives, human judgments, an
+    LLM-labeled seed set): rows join on doc_id and unlabeled docs drop
+    from the TRAINING frame (scoring still covers every doc — the
+    score is a literal projection over the full feature frame). Default
+    ``None`` keeps the self-contained weak labels mirroring
+    `_QR_LABEL_SQL`."""
+    feats = _qr_model_cols(_qr_features(d).localCheckpoint(eager=True))
+    if labels is not None:
+        return feats.join(labels.select("doc_id", "y"), "doc_id")
+    return feats.withColumn(
         "y",
         F.when(
             (F.col("top_term_fraction") > 0.30)
@@ -1152,6 +1173,33 @@ def _qr_trainable(d: DataFrame) -> DataFrame:
             | (F.col("entropy") < _QR_ENTROPY_FLOOR),
             F.lit(-1.0),
         ).otherwise(F.lit(1.0)),
+    )
+
+
+def qr_model_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, svm_score): train q_quality_rules' weak-label linear SVM
+    on ``docs``' OWN rule-feature frame and score that same frame — the
+    composable form of the model-based quality filter the curated
+    pipeline gates on (`plans.curation._curated_pool` stage 5). One
+    eager feature checkpoint (the GD loop scans it SVM_ITERS times, so
+    the upstream text pipeline prices once), driver-resident weights,
+    and a literal-weight projection for the scores — identical
+    mechanics to the registered q_quality_rules surface. DuckDB twin:
+    `qr_chain_sql`'s ``{p}scores`` relation.
+
+    An EMPTY ``docs`` frame short-circuits to an empty scores frame
+    (training on nothing is undefined — `svm_weights` raises): a fully
+    deduplicated-away or fully decontaminated pool is a legitimate
+    pipeline state and must flow through as empty, exactly as the SQL
+    twin does (NULL weights → no positive scores)."""
+    from sentinela_py_spark.functions.linear_model import linear_score, svm_weights
+
+    t = _qr_trainable(docs).coalesce(4)
+    if t.isEmpty():
+        return t.select("doc_id", F.lit(0.0).alias("svm_score"))
+    w = svm_weights(t, _QR_FEATS)
+    return t.select(
+        "doc_id", F.round(linear_score(_QR_FEATS, w), 6).alias("svm_score")
     )
 
 

@@ -1004,7 +1004,31 @@ def run_composed_ingest_stream(
     is threaded through build and probe. Pass ``index_dir`` +
     ``centroids`` + ``books`` to arm the ANN index-maintenance tail:
     each micro-batch's survivors are frozen-codebook-encoded and
-    appended to the searchable tree (`ann_index_append_batch`)."""
+    appended to the searchable tree (`ann_index_append_batch`).
+
+    DESIGN DECISION — the substring-level span-cut screen
+    (`operators.dedup.remove_shared_spans`, stage 3 of the batch
+    `_curated_pool`) is deliberately BATCH-ONLY and absent here. The
+    three streaming screens are accept/reject verdicts: a rejected doc
+    leaves no trace downstream and an accepted doc enters the stores
+    byte-identical to its source, so replay and store hygiene are
+    per-doc idempotence arguments. Span cutting MUTATES accepted text,
+    which breaks that contract at ingest three ways: (1) the doc's
+    MinHash bands and embedding were computed from the UNCUT text, so
+    cutting after admission would desynchronize the dedup stores from
+    the corpus they index (future batches would probe against
+    signatures of text that no longer exists); (2) keep-first-occurrence
+    is order-dependent across the whole corpus — a passage's "first"
+    copy is only knowable against the full accepted set, so an
+    ingest-time cut would depend on arrival order and make replay
+    after reordering non-bit-identical; (3) a positioned-gram store
+    (the passage-level analog of the band store) would have to be
+    rewritten for every accepted doc rather than appended, turning the
+    screen's O(batch) state update into O(corpus). The deployment shape
+    is therefore: screens at ingest (this stream), passage cutting in
+    the periodic batch curation run (`plans.curation._curated_pool`),
+    where the full surviving pool is in scope and the cut is replayed
+    bit-for-bit by the registered oracle."""
     from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_build
     from sentinela_py_spark.functions.text_stats import word_shingles
 

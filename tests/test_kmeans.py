@@ -22,6 +22,7 @@ import math
 import os
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.functions.kmeans import (
@@ -314,6 +315,74 @@ def test_probe_cells_literal_matches_frame_path(spark):
             for r in probe_cells_literal(e, cents, nprobe=nprobe).collect()
         }
         assert lit == frame
+
+
+def test_assign_broadcast_mode_bit_identical_to_literal(spark):
+    """Past the literal guard the assignment rides the broadcast-frame
+    path — same argmax, NaN guard and tie-break, so the two modes must
+    return BIT-identical (vec_id, cell_id) assignments."""
+    from sentinela_py_spark.plans.simops import assign_cells_literal
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < N_CELLS).collect()
+    ]
+    lit = {
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells_literal(e, cents, mode="literal").collect()
+    }
+    bc = {
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells_literal(e, cents, mode="broadcast").collect()
+    }
+    assert lit == bc
+
+
+def test_assign_auto_guard_engages_at_forced_boundary(spark, monkeypatch):
+    """Force the boundary under the fixture's cells·dim and the auto
+    path must switch to the broadcast plan (a BroadcastExchange appears,
+    the plan-embedded literal matrix disappears) while returning the
+    same assignments."""
+    from sentinela_py_spark.plans import simops
+    from sentinela_py_spark.plans.simops import assign_cells_literal
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < N_CELLS).collect()
+    ]
+    want = {(r["vec_id"], r["cell_id"]) for r in assign_cells_literal(e, cents).collect()}
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastExchange" not in plan_of(assign_cells_literal(e, cents))
+    monkeypatch.setattr(simops, "ASSIGN_LITERAL_MAX", 1)
+    forced = assign_cells_literal(e, cents)
+    assert "BroadcastExchange" in plan_of(forced)
+    assert {(r["vec_id"], r["cell_id"]) for r in forced.collect()} == want
+
+
+def test_assign_guard_math_at_deployment_cell_counts():
+    """The guard inlines codebook-scale matrices and broadcasts past
+    ASSIGN_LITERAL_MAX — in particular at the plan_ivf_config regime
+    (10^5 cells × 64 dims = 6.4M doubles, past literal inlining)."""
+    from sentinela_py_spark.plans.simops import (
+        ASSIGN_LITERAL_MAX,
+        EMB_DIM,
+        assign_literal_mode,
+    )
+
+    assert assign_literal_mode(N_CELLS, EMB_DIM) == "literal"
+    assert assign_literal_mode(100_000, 64) == "broadcast"
+    boundary = ASSIGN_LITERAL_MAX // 64
+    assert assign_literal_mode(boundary, 64) == "literal"
+    assert assign_literal_mode(boundary + 1, 64) == "broadcast"
+    assert assign_literal_mode(100_000, 64, mode="literal") == "literal"
+    assert assign_literal_mode(N_CELLS, EMB_DIM, mode="broadcast") == "broadcast"
+    with pytest.raises(ValueError):
+        assign_literal_mode(8, 64, mode="inline")
 
 
 def test_cell_cap_never_bites_at_fixture_scale(spark):

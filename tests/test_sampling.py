@@ -62,3 +62,115 @@ class TestMixtureSample:
     def test_rate_one_keeps_all(self, spark, corpus):
         rates = temperature_rates(corpus, "lang", 0.0, 10_000)
         assert mixture_sample(corpus, rates, "lang", "doc_id").count() == 100
+
+
+class TestDsir:
+    """DSIR importance resampling (dsir_log_weights + gumbel_topk):
+    target-like documents must out-weigh off-target ones, the weights
+    must match a pure-Python replay of the hashed-bag algebra, and the
+    Gumbel draw must be deterministic and without replacement."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        # target slice: formal-ish docs built from the T vocabulary;
+        # raw remainder from the D vocabulary; one held-out doc per side
+        # (ids 98/99) NOT in the target predicate's slice definition
+        t_words = ["treaty", "clause", "annex", "protocol", "decree"]
+        d_words = ["lol", "omg", "meme", "pix", "vibe"]
+
+        def text(words, i):
+            return " ".join(words[(i + j) % len(words)] for j in range(12))
+
+        rows = (
+            [(i, text(t_words, i), True) for i in range(40)]
+            + [(i, text(d_words, i), False) for i in range(40, 98)]
+            + [(98, text(t_words, 7), False), (99, text(d_words, 3), False)]
+        )
+        return spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+
+    def test_target_like_docs_outweigh_off_target(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.operators.sampling import dsir_log_weights
+
+        w = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+        }
+        # the held-out target-vocabulary doc (98) scores far above the
+        # held-out raw-vocabulary doc (99) — content decides, not the label
+        assert w[98] > 0 > w[99]
+        assert min(w[i] for i in range(40)) > max(w[i] for i in range(40, 98))
+
+    def test_log_weights_match_python_replay(self, spark, docs):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.operators.sampling import (
+            DSIR_BUCKETS,
+            dsir_log_weights,
+        )
+
+        rows = docs.collect()
+        B = DSIR_BUCKETS
+
+        def buckets_of(text):
+            toks = text.split(" ")
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            return [
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams
+            ]
+
+        nq: dict[int, int] = {}
+        nt: dict[int, int] = {}
+        for r in rows:
+            for b in buckets_of(r["text"]):
+                nq[b] = nq.get(b, 0) + 1
+                if r["is_target"]:
+                    nt[b] = nt.get(b, 0) + 1
+        tq, tt = sum(nq.values()), sum(nt.values())
+        lr = {
+            b: round(
+                math.log((nt.get(b, 0) + 1) / (tt + B))
+                - math.log((nq[b] + 1) / (tq + B)),
+                6,
+            )
+            for b in nq
+        }
+        q = Decimal(1).scaleb(-15)
+        want = {}
+        for r in rows:
+            cnt: dict[int, int] = {}
+            for b in buckets_of(r["text"]):
+                cnt[b] = cnt.get(b, 0) + 1
+            s = sum(
+                (
+                    Decimal(c * lr[b]).quantize(q, rounding=ROUND_HALF_UP)
+                    for b, c in sorted(cnt.items())
+                ),
+                Decimal(0),
+            )
+            want[r["doc_id"]] = round(float(s), 6)
+        got = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+        }
+        assert got == want
+
+    def test_gumbel_topk_deterministic_without_replacement(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.operators.sampling import (
+            dsir_log_weights,
+            gumbel_topk,
+        )
+
+        w = dsir_log_weights(docs, F.col("is_target"))
+        a = [r["doc_id"] for r in gumbel_topk(w, 25).collect()]
+        b = [r["doc_id"] for r in gumbel_topk(w.repartition(13), 25).collect()]
+        assert len(a) == len(set(a)) == 25
+        assert sorted(a) == sorted(b)  # partitioning-invariant draw
+        # importance resampling works: the draw skews heavily target-like
+        assert sum(1 for i in a if i < 40 or i == 98) >= 20

@@ -71,13 +71,33 @@ def census_of(df) -> dict[str, int]:
 
 
 def build_census(spark, sf_dir: str = SF_DIR) -> dict[str, dict[str, int]]:
+    """Census every registered query AND every bench-arm callable
+    (``<query>.<arm>`` entries) — the arm builders are where the
+    memoized / checkpoint-hidden pipelines (codebook training, the
+    model arm, the curated build) expose their topology, which the
+    registered unions alone can't show (r7 VERDICT item #4). One
+    special entry, ``q_sequence_packing.curated_pool_graph``, pins the
+    composed curation pipeline's FULL pre-checkpoint graph: the
+    execution path truncates lineage at the stage-4/5 boundary, so the
+    arm entry's plan stops at that checkpoint scan — this one rebuilds
+    the pool with ``checkpoint=False`` to make stages 1–5 one auditable
+    plan."""
     from sentinela_py_spark.plans import QUERIES
-    from sentinela_py_spark.plans.registry import _ensure_loaded
+    from sentinela_py_spark.plans.curation import _curated_pool
+    from sentinela_py_spark.plans.registry import ARMS, _ensure_loaded
+    from sentinela_py_spark.tables import load_table
 
     _ensure_loaded()
-    return {
+    census = {
         name: census_of(q.spark(spark, sf_dir)) for name, q in sorted(QUERIES.items())
     }
+    for qname, arms in sorted(ARMS.items()):
+        for aname, fn in sorted(arms.items()):
+            census[f"{qname}.{aname}"] = census_of(fn(spark, sf_dir))
+    census["q_sequence_packing.curated_pool_graph"] = census_of(
+        _curated_pool(load_table(spark, sf_dir, "documents"), checkpoint=False)
+    )
+    return census
 
 
 def main() -> None:
