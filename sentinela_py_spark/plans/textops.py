@@ -12,7 +12,7 @@ MinHash-LSH banding uses at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.functions.text_stats import (
@@ -1102,12 +1102,110 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qr_features(d: DataFrame) -> DataFrame:
+def qr_frozen_model(d: DataFrame) -> dict:
+    """Offline quality-model training for INGEST-TIME scoring — the
+    FAISS-codebook semantics applied to the quality filter: train once
+    on a reference corpus, FREEZE, score every future micro-batch
+    map-side (`qr_score_frozen`; the streaming quality screen consumes
+    this). Returns driver-resident artifacts:
+
+    - ``weights``: the d+1 SVM weights (`svm_weights` on the corpus's
+      weak-labeled rule features, exactly the q_quality_rules path);
+    - ``clogp``: the char-bigram LM as (cb, logp) rows — |charset|²-
+      bounded, a few thousand entries;
+    - ``cctx``: per-context totals (ctx, ctx_cnt) for the add-1 backoff
+      on bigrams the training corpus never saw;
+    - ``v``: the model's vocabulary size (distinct bigrams).
+
+    All four are small by construction (the LM is char-level), so
+    shipping them to the driver costs what one broadcast costs and makes
+    the screen self-contained across micro-batches and restarts."""
+    from sentinela_py_spark.functions.linear_model import svm_weights
+
+    w = svm_weights(_qr_trainable(d).coalesce(4), _QR_FEATS)
+    cbg = d.select(F.explode(_char_bigrams(F.col("text"))).alias("cb"))
+    cmodel = (
+        cbg.groupBy("cb")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ctx", F.substring("cb", 1, 1))
+    )
+    cctx = cmodel.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    rows = (
+        cmodel.join(cctx, "ctx")
+        .select("cb", "ctx", "cnt", "ctx_cnt")
+        .collect()
+    )
+    v = len(rows)
+    clogp = [(r["cb"], round(math.log((r["cnt"] + 1) / (r["ctx_cnt"] + v)), 6)) for r in rows]
+    ctx_counts = sorted({(r["ctx"], r["ctx_cnt"]) for r in rows})
+    return {"weights": w, "clogp": clogp, "cctx": ctx_counts, "v": v}
+
+
+def qr_score_frozen(
+    batch: DataFrame, model: dict, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, quality, svm_score, model_keep): score a batch the model
+    never saw under the FROZEN artifacts of `qr_frozen_model` — the
+    rule-feature pipeline runs on the batch (per-doc aggregates), but
+    the char-LM probabilities and the SVM weights come from the offline
+    model, broadcast-joined/inlined rather than retrained. Char-bigrams
+    unseen at training back off to the add-1 unseen mass:
+    round(ln(1/(ctx_cnt+v)), 6) under a known context, round(ln(1/v), 6)
+    under an unknown one — finite, deterministic, and exactly the
+    probability the smoothed model assigns them."""
+    spark = batch.sparkSession
+    d = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    v = int(model["v"])
+    clogp_df = spark.createDataFrame(model["clogp"], "cb string, logp double")
+    cctx_df = spark.createDataFrame(model["cctx"], "ctx string, ctx_cnt long")
+    cbg = d.select("doc_id", F.explode(_char_bigrams(F.col("text"))).alias("cb"))
+    unseen_known_ctx = F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + v)), 6)
+    unseen_unknown_ctx = F.lit(round(math.log(1.0 / v), 6))
+    scored_cb = (
+        cbg.join(F.broadcast(clogp_df), "cb", "left")
+        .withColumn("ctx", F.substring("cb", 1, 1))
+        .join(F.broadcast(cctx_df), "ctx", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp"), unseen_known_ctx, unseen_unknown_ctx).alias(
+                "logp"
+            ),
+        )
+    )
+    lm = scored_cb.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("logp").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+        ).alias("char_lm_logprob")
+    )
+    from sentinela_py_spark.functions.linear_model import linear_score
+    from sentinela_py_spark.functions.text_stats import quality_score
+
+    x = _qr_model_cols(_qr_features(d, lm=lm))
+    svm = F.round(linear_score(_QR_FEATS, [float(w) for w in model["weights"]]), 6)
+    return (
+        x.join(d, "doc_id")
+        .select(
+            "doc_id",
+            quality_score("text").cast("double").alias("quality"),
+            svm.alias("svm_score"),
+        )
+        .withColumn("model_keep", F.col("svm_score") > 0)
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def _qr_features(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
     """The rule/feature frame (one row per doc, the pre-r7 query output):
-    unigram + bigram + char-LM arms joined on doc_id."""
+    unigram + bigram + char-LM arms joined on doc_id. ``lm`` overrides
+    the corpus-trained char-LM scores with an externally provided
+    (doc_id, char_lm_logprob) frame — the FROZEN-model ingest path
+    (`qr_score_frozen`) scores new docs under the offline model instead
+    of retraining on every batch."""
     uni = _qr_unigram(d)
     bi = _qr_bigram(d)
-    lm = _qr_charlm(d)
+    lm = _qr_charlm(d) if lm is None else lm
 
     top_bf = F.coalesce(F.col("top_bf"), F.lit(0)).cast("double")
     n_bg = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
@@ -1255,6 +1353,16 @@ def _qr_bigram(d: DataFrame) -> DataFrame:
     )
 
 
+def _char_bigrams(text: Column) -> Column:
+    """Character-bigram array of a text column — slice+zip_with (no
+    per-element substr), naturally empty for 0/1-char docs."""
+    chars = F.split(text, "")
+    n_cb = F.greatest(F.size(chars) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(chars, 1, n_cb), F.slice(chars, 2, n_cb), lambda a, b: F.concat(a, b)
+    )
+
+
 def _qr_charlm(d: DataFrame) -> DataFrame:
     """Char-bigram LM arm of q_quality_rules: train the add-1-smoothed
     corpus model (|charset|² rows, broadcast), score each doc by the
@@ -1265,12 +1373,7 @@ def _qr_charlm(d: DataFrame) -> DataFrame:
     materializing 1M+ tiny rows (measured: a localCheckpoint here costs
     +30% — the opposite trade from q_decontamination's md5-heavy
     grams)."""
-    chars = F.split(F.col("text"), "")
-    n_cb = F.greatest(F.size(chars) - 1, F.lit(0))
-    char_bigrams = F.zip_with(
-        F.slice(chars, 1, n_cb), F.slice(chars, 2, n_cb), lambda a, b: F.concat(a, b)
-    )
-    cbg = d.select("doc_id", F.explode(char_bigrams).alias("cb"))
+    cbg = d.select("doc_id", F.explode(_char_bigrams(F.col("text"))).alias("cb"))
     cmodel = (
         cbg.groupBy("cb")
         .agg(F.count("*").alias("cnt"))

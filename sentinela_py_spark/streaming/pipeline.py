@@ -885,6 +885,47 @@ def view_click_attribution_stream(
     )
 
 
+def quality_screen_batch(
+    batch: DataFrame,
+    model: dict,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rule_min: float = 0.5,
+) -> DataFrame:
+    """One micro-batch of the QUALITY screen at ingest — the streaming
+    twin of the curated pipeline's stage-5 gate, under FROZEN artifacts
+    (`plans.textops.qr_frozen_model`): the rule threshold AND the
+    offline-trained SVM's verdict, with the char-LM probabilities
+    broadcast from the frozen model rather than retrained per batch
+    (per-batch retraining would make a doc's verdict depend on its batch
+    cohort — nondeterministic under repartitioned replay, and wrong: the
+    reference distribution is the curated corpus, not whatever arrived
+    this minute). Exactly the frozen-codebook contract the ANN
+    maintenance tail uses; retrain offline and restart the stream to
+    rotate models, as `rebuild_ann_index_tree` rotates codebooks.
+
+    STATELESS across batches (no store to desynchronize): rejected rows
+    land at ``rejected/epoch=N`` with their scores (epoch-keyed
+    overwrite — replay-safe), survivors return with every input column
+    intact."""
+    from sentinela_py_spark.plans.textops import qr_score_frozen
+
+    verdict = qr_score_frozen(batch, model, id_col=id_col, text_col=text_col).select(
+        id_col,
+        "quality",
+        "svm_score",
+        ((F.col("quality") >= rule_min) & (F.col("svm_score") > 0)).alias("keep"),
+    )
+    joined = batch.join(verdict, id_col).localCheckpoint(eager=True)
+    rejected = joined.filter(~F.col("keep")).select(id_col, "quality", "svm_score")
+    rejected.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "rejected", f"epoch={epoch_id}")
+    )
+    return joined.filter(F.col("keep")).drop("quality", "svm_score", "keep")
+
+
 def composed_ingest_batch(
     batch: DataFrame,
     bloom_row: DataFrame,
@@ -901,6 +942,7 @@ def composed_ingest_batch(
     index_dir: str | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
+    quality_model: dict | None = None,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
@@ -908,6 +950,8 @@ def composed_ingest_batch(
     previous screen's survivors:
 
         train/eval decontamination   (5-gram Bloom probe — map-only)
+      → [optional] quality screen    (rule + FROZEN-model gate — pass
+        ``quality_model`` from `plans.textops.qr_frozen_model`)
       → MinHash near-dup rejection   (text; vs batch + the band store)
       → embedding near-dup rejection (vectors; vs batch + the vec index)
       → [optional] ANN index append  (frozen-codebook encode of the
@@ -919,9 +963,13 @@ def composed_ingest_batch(
     it ahead of the dedup screens keeps contaminated content out of the
     band store and vector index entirely, so a contaminated doc can
     never become a dedup survivor that later clean near-dups are
-    rejected against. Each screen keeps its OWN documented state layout
-    under a subdir (``decontam/``, ``minhash/``, ``embedding/``); the
-    stores accumulate only rows that survived every screen before them.
+    rejected against. The quality screen slots SECOND for the same
+    store-hygiene reason: junk the model would reject must never enter
+    the band store or vector index, where it could win a near-dup
+    election against a clean copy arriving later. Each screen keeps its
+    OWN documented state layout under a subdir (``decontam/``,
+    ``quality/``, ``minhash/``, ``embedding/``); the stores accumulate
+    only rows that survived every screen before them.
     Final survivors — the embedding screen's accepted frame, carrying
     every input column — land in ``accepted/epoch=N``; per-screen
     reasons stay queryable in the screens' own ``flagged``/``rejected``
@@ -945,6 +993,15 @@ def composed_ingest_batch(
         m_bits=m_bits,
         n_hashes=n_hashes,
     )
+    if quality_model is not None:
+        a1 = quality_screen_batch(
+            a1,
+            quality_model,
+            epoch_id,
+            os.path.join(state_dir, "quality"),
+            id_col=id_col,
+            text_col=text_col,
+        )
     a2 = dedup_batch_against_corpus(
         a1,
         epoch_id,
@@ -993,6 +1050,7 @@ def run_composed_ingest_stream(
     index_dir: str | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
+    quality_model: dict | None = None,
 ):
     """The composed streaming-ingest flagship: ONE stream of
     (id, text, embedding) rows runs all three ingest screens per
@@ -1004,7 +1062,10 @@ def run_composed_ingest_stream(
     is threaded through build and probe. Pass ``index_dir`` +
     ``centroids`` + ``books`` to arm the ANN index-maintenance tail:
     each micro-batch's survivors are frozen-codebook-encoded and
-    appended to the searchable tree (`ann_index_append_batch`).
+    appended to the searchable tree (`ann_index_append_batch`). Pass
+    ``quality_model`` (`plans.textops.qr_frozen_model`) to arm the
+    quality screen between decontamination and the dedup screens —
+    model trained offline, frozen for the stream's lifetime.
 
     DESIGN DECISION — the substring-level span-cut screen
     (`operators.dedup.remove_shared_spans`, stage 3 of the batch
@@ -1048,6 +1109,7 @@ def run_composed_ingest_stream(
             threshold=threshold, min_hits=min_hits,
             max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
             index_dir=index_dir, centroids=centroids, books=books,
+            quality_model=quality_model,
         )
 
     reader = spark.readStream

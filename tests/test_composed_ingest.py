@@ -226,3 +226,107 @@ def test_composed_index_tail_serves_only_survivors(spark, tmp_path):
         vec_col="embedding",
     ).collect()
     assert hits and hits[0]["doc_id"] == 1  # doc 1 carries _e(0)
+
+
+# --- the optional quality screen (frozen offline model) -----------------
+
+def _ref_corpus(spark):
+    """Reference corpus the frozen quality model trains on: 12 diverse
+    docs (25 tokens, entropy > the weak-label floor) + 2 repetitive ones
+    — the same separable shape as tests/test_curation_model_gate.py."""
+    def diverse(i):
+        return "the " + " ".join(f"ref{i}w{j}" for j in range(22)) + " of and"
+
+    rows = [(i, diverse(i)) for i in range(12)] + [
+        (50, " ".join(["the", "widget"] * 20)),
+        (51, " ".join(["the", "gizmo"] * 20)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _q_rows():
+    def diverse(tag):
+        return "the " + " ".join(f"{tag}x{j}" for j in range(22)) + " of and"
+
+    return [
+        (21, diverse("alpha"), _e(7)),                    # accepted
+        (22, " ".join(["the", "sprocket"] * 20), _e(8)),  # quality: rule-keep, model-reject
+        (23, diverse("beta"), _e(9)),                     # accepted
+    ]
+
+
+def test_quality_screen_rejects_junk_and_keeps_it_out_of_stores(spark, tmp_path):
+    """The frozen-model screen evicts a repetitive doc the RULES keep
+    (quality 1.0, svm_score <= 0), records its scores in the screen's
+    state, and the junk never reaches the band store or vector index."""
+    from sentinela_py_spark.plans.textops import qr_frozen_model
+
+    model = qr_frozen_model(_ref_corpus(spark))
+    state = str(tmp_path / "state")
+    out = composed_ingest_batch(
+        _df(spark, _q_rows()), _bloom_row(spark), 0, state,
+        threshold=THRESHOLD, quality_model=model,
+    )
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {21, 23}
+    rej = spark.read.parquet(os.path.join(state, "quality", "rejected")).collect()
+    assert {r["doc_id"] for r in rej} == {22}
+    assert rej[0]["quality"] >= 0.5  # the rules alone would have kept it
+    assert rej[0]["svm_score"] <= 0  # the model evicted it
+    # store hygiene: junk entered neither dedup store
+    assert _read_ids(spark, os.path.join(state, "minhash", "bands")) == {21, 23}
+    idx = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(state, "embedding", "index")).collect()
+    }
+    assert idx == {21, 23}
+
+
+def test_quality_screen_replay_reproduces_first_attempt(spark, tmp_path):
+    """Epoch-keyed overwrite: re-running the same epoch (checkpoint
+    replay) leaves bit-identical screen state and survivors."""
+    from sentinela_py_spark.plans.textops import qr_frozen_model
+
+    model = qr_frozen_model(_ref_corpus(spark))
+    state = str(tmp_path / "state")
+
+    def run():
+        out = composed_ingest_batch(
+            _df(spark, _q_rows()), _bloom_row(spark), 0, state,
+            threshold=THRESHOLD, quality_model=model,
+        )
+        return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+    first = run()
+    rej1 = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(state, "quality", "rejected")).collect()
+    )
+    assert run() == first
+    rej2 = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(state, "quality", "rejected")).collect()
+    )
+    assert rej1 == rej2
+
+
+def test_quality_screen_stream_wiring(spark, tmp_path):
+    """run_composed_ingest_stream with quality_model armed drains and
+    routes the junk doc to quality/rejected."""
+    from sentinela_py_spark.plans.textops import qr_frozen_model
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for doc_id, text, emb in _q_rows():
+            f.write(json.dumps({"doc_id": doc_id, "text": text, "embedding": emb}) + "\n")
+    state = str(tmp_path / "state")
+    q = run_composed_ingest_stream(
+        spark, str(src), str(tmp_path / "ckpt"), state,
+        eval_docs=_eval_docs(spark),
+        schema="doc_id long, text string, embedding array<double>",
+        threshold=THRESHOLD,
+        quality_model=qr_frozen_model(_ref_corpus(spark)),
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+    assert _read_ids(spark, os.path.join(state, "accepted")) == {21, 23}
+    assert _read_ids(spark, os.path.join(state, "quality", "rejected")) == {22}
