@@ -709,13 +709,14 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       each document's content against the reference distribution — the
       selected set's ``rate`` column reports the realized per-language
       acceptance fraction."""
-    from sentinela_py_spark.functions.text_stats import quality_score
-    from sentinela_py_spark.operators.sampling import dsir_log_weights, gumbel_topk
-
     # min-partitions guard: one ~0.5 MB parquet footer otherwise scans as
     # ONE task and the DSIR arm's md5-per-gram explode runs single-core
     # (measured 9.1 s → 2.0 s at sf0.1 from this line alone)
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return _temperature_arm(d).unionByName(_dsir_arm(d)).orderBy("method", "lang")
+
+
+def _temperature_arm(d: DataFrame) -> DataFrame:
     rates = temperature_rates(d, "lang", alpha=MIX_ALPHA, budget=MIX_BUDGET).withColumn(
         "rate", F.round("rate", 6)
     )
@@ -728,7 +729,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
-    temp_arm = (
+    return (
         rates.select(F.col("group").alias("lang"), "n", "rate")
         .join(samp_agg, "lang", "left")
         .select(
@@ -742,6 +743,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _dsir_arm(d: DataFrame) -> DataFrame:
+    from sentinela_py_spark.functions.text_stats import quality_score
+    from sentinela_py_spark.operators.sampling import dsir_log_weights, gumbel_topk
+
     logw = dsir_log_weights(d, quality_score("text").cast("double") == 1.0)
     sel = gumbel_topk(logw, DSIR_K)
     dsir_agg = (
@@ -754,7 +760,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
-    dsir_arm = counts.join(dsir_agg, "lang", "left").select(
+    return counts.join(dsir_agg, "lang", "left").select(
         F.lit("dsir").alias("method"),
         "lang",
         "n",
@@ -765,20 +771,23 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_sampled_doc",
         F.coalesce("sampled_chars", F.lit(0)).cast("long").alias("sampled_chars"),
     )
-    return temp_arm.unionByName(dsir_arm).orderBy("method", "lang")
 
 
-def _mixture_arm(method: str):
+def _mixture_arm(builder):
+    """Dedicated per-arm bench builders (NOT a union-filter of the
+    registered query — the filtered-union form charges every arm the
+    whole union's expression-build cost; r5 lesson, see bench header)."""
+
     def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return q_mixture_sample(spark, sf_dir).filter(F.col("method") == method)
+        return builder(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
 
     return arm
 
 
 register_arms(
     "q_mixture_sample",
-    temperature=_mixture_arm("temperature"),
-    dsir=_mixture_arm("dsir"),
+    temperature=_mixture_arm(_temperature_arm),
+    dsir=_mixture_arm(_dsir_arm),
 )
 
 

@@ -330,3 +330,25 @@ def test_quality_screen_stream_wiring(spark, tmp_path):
     assert q.awaitTermination(300), "stream did not drain"
     assert _read_ids(spark, os.path.join(state, "accepted")) == {21, 23}
     assert _read_ids(spark, os.path.join(state, "quality", "rejected")) == {22}
+
+
+def test_quality_screen_survives_all_rejected_batch(spark, tmp_path):
+    """A batch the quality screen fully rejects flows through as EMPTY —
+    the downstream dedup screens and the composed accepted write must
+    handle a zero-row survivor frame without error, and the stores stay
+    empty."""
+    from sentinela_py_spark.plans.textops import qr_frozen_model
+
+    model = qr_frozen_model(_ref_corpus(spark))
+    junk = [
+        (31, " ".join(["the", "cog"] * 20), _e(10)),
+        (32, " ".join(["the", "flange"] * 20), _e(11)),
+    ]
+    state = str(tmp_path / "state")
+    out = composed_ingest_batch(
+        _df(spark, junk), _bloom_row(spark), 0, state,
+        threshold=THRESHOLD, quality_model=model,
+    )
+    assert out.count() == 0
+    assert _read_ids(spark, os.path.join(state, "quality", "rejected")) == {31, 32}
+    assert _read_ids(spark, os.path.join(state, "accepted")) == set()

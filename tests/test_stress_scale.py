@@ -555,3 +555,40 @@ def test_ivf_adc_search_at_10x_scale(spark):
         .collect()
     }
     assert got == want
+
+
+def test_dsir_selection_at_50k_docs(spark):
+    """DSIR at 50k docs: the hashed-bag weight computation and the
+    Gumbel top-k stay distributed (no driver loop, no global sort) and
+    the selection SKEWS toward the target distribution — target-mode
+    docs are ~5% of the corpus but the vast majority of the draw. Also
+    pins partitioning invariance at scale (the decimal fold + TakeOrdered
+    promise)."""
+    from pyspark.sql import functions as F
+
+    from sentinela_py_spark.operators.sampling import dsir_log_weights, gumbel_topk
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20 == 0).alias("is_t"),  # 2.5k target docs
+    )
+    # target docs draw from a disjoint formal vocabulary; raw docs from a
+    # 200-word web vocabulary — deterministic, no Python row building
+    word = lambda tag, j: F.concat(F.lit(tag), ((F.col("doc_id") + j) % 200).cast("string"))  # noqa: E731
+    text_t = F.concat_ws(" ", *[word("formal", j) for j in range(12)])
+    text_r = F.concat_ws(" ", *[word("web", j) for j in range(12)])
+    docs = base.select(
+        "doc_id", "is_t", F.when(F.col("is_t"), text_t).otherwise(text_r).alias("text")
+    )
+    w = dsir_log_weights(docs, F.col("is_t"))
+    assert w.count() == n
+    sel = gumbel_topk(w, 1000)
+    picked = {r["doc_id"] for r in sel.collect()}
+    assert len(picked) == 1000
+    target_frac = sum(1 for i in picked if i % 20 == 0) / 1000
+    assert target_frac > 0.9  # 2.5k/50k corpus share -> the draw is ~all target
+    # partitioning invariance at scale
+    again = {r["doc_id"] for r in gumbel_topk(
+        dsir_log_weights(docs.repartition(7), F.col("is_t")), 1000).collect()}
+    assert again == picked
