@@ -37,6 +37,7 @@ from sentinela_py_spark.operators.sampling import (
     temperature_rates,
 )
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
+from sentinela_py_spark.plans.simops import semantic_retention_sql
 from sentinela_py_spark.plans.textops import (
     MIN_SPAN_WORDS,
     SPAN_K,
@@ -90,22 +91,31 @@ _QUALITY_SQL = """
                                   ORDER BY s.quality DESC, l.doc_id) AS rn
         FROM labels l JOIN scored s USING (doc_id)
       ) WHERE rn = 1
-    )
+    ),
+    {semantic_retention_sql()}
     SELECT 'labels' AS method, l.doc_id, l.group_id, s.quality
     FROM labels l JOIN scored s USING (doc_id)
     UNION ALL
     SELECT 'survivor' AS method, doc_id, group_id, quality FROM surv
+    UNION ALL
+    SELECT 'semantic' AS method, vec_id AS doc_id, group_id,
+           centroid_sim AS quality
+    FROM sem_surv
     ORDER BY method, doc_id
     """,
     survey_ref=(
         "dedup groups: MinHash-LSH pairs → connected components (min-label "
         "propagation) — labels arm; survivor arm = quality-aware retention "
-        "(keep the best-quality member per group, the FineWeb-style policy)"
+        "(keep the best-quality member per group, the FineWeb-style policy); "
+        "semantic arm = SemDeDup retention over embeddings (within-trained-"
+        "k-means-cluster ε-graph components, keep the LOWEST-centroid-cosine "
+        "member — plans/simops.semdedup_prune, driver-checked incl. the "
+        "k-means replay and the recursive ε-closure)"
     ),
-    tags=("dedup", "iterative", "curation"),
+    tags=("dedup", "iterative", "curation", "similarity"),
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP ids plus the retention decision, two arms:
+    """Near-dup GROUP ids plus the retention decision, three arms:
 
     - ``labels``: every document labelled with the min doc_id of its
       LSH-candidate connected component (singletons label themselves),
@@ -117,7 +127,15 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       latency; at curation time the better policy is keeping each
       cluster's best-quality copy (boilerplate-stripped originals beat
       scraped mirrors), and it is pure aggregation over the same labels —
-      one extra shuffle on group_id, no second corpus pass."""
+      one extra shuffle on group_id, no second corpus pass.
+    - ``semantic``: the SAME groups→retention shape over EMBEDDINGS —
+      SemDeDup's election (`plans.simops.semdedup_prune`): ε-graph
+      components within trained k-means cells, keep the
+      LOWEST-centroid-cosine member per group (the paper's
+      least-redundant-with-the-mode policy; ``quality`` carries that
+      retention score). The oracle replays the k-means chain, the
+      guarded-cosine assignment, the within-cell ε-pairs and the
+      recursive closure bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     edges = minhash_candidate_pairs(d).select("doc_a", "doc_b")
     labels = connected_components(d, edges)
@@ -142,7 +160,24 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             surv.select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
         )
+        .unionByName(_semantic_retention_arm(spark, sf_dir))
         .orderBy("method", "doc_id")
+    )
+
+
+def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic arm's frame (also the dedicated bench builder):
+    SemDeDup survivors under the per-corpus memoized codebook."""
+    from sentinela_py_spark.plans.simops import _trained_codebooks, semdedup_prune
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    cents, _books = _trained_codebooks(e, sf_dir)
+    survivors, _pruned = semdedup_prune(e, cents)
+    return survivors.select(
+        F.lit("semantic").alias("method"),
+        F.col("vec_id").alias("doc_id"),
+        "group_id",
+        F.col("centroid_sim").alias("quality"),
     )
 
 
@@ -150,6 +185,7 @@ register_arms(
     "q_dedup_groups",
     labels=_method_arm("q_dedup_groups", "labels"),
     survivor=_method_arm("q_dedup_groups", "survivor"),
+    semantic=_semantic_retention_arm,
 )
 
 

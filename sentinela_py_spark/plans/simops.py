@@ -569,6 +569,64 @@ def semantic_neardup_pairs(
     )
 
 
+def semantic_retention_sql() -> str:
+    """DuckDB twin of `semdedup_prune`'s survivor election as a CTE
+    chunk (no leading WITH; embed inside a WITH RECURSIVE list — the
+    ε-graph closure is recursive): the trained k-means chain →
+    assignment → within-cell ε-pairs → transitive closure → per-group
+    ARGMIN of centroid cosine (ties to the lowest vec_id). Ends at
+    ``sem_surv`` (vec_id, group_id, centroid_sim). The cap-free pair
+    join is sound because the hot-cell cap provably never bites at
+    fixture scale (tests/test_kmeans.py)."""
+    dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    cos_ab = f"{dot_ab} / (a.norm * b.norm)"
+    dot_ac = _DOT_SQL.format(a="a.embedding", b="c.centroid")
+    cos_ac = (
+        f"{dot_ac} / (SQRT({_NORMSQ_SQL.format(a='a.embedding')})"
+        f" * SQRT({_NORMSQ_SQL.format(a='c.centroid')}))"
+    )
+    return f"""{_km_sql()},
+    sem_assigned AS MATERIALIZED ({_assigned_sql('km_cents')}),
+    semn AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id,
+             SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
+      FROM sem_assigned
+    ),
+    sem_pairs AS MATERIALIZED (
+      SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               COALESCE((CASE WHEN isnan({cos_ab}) THEN -2.0
+                         ELSE ROUND({cos_ab}, 6) END), -2.0) AS cos_sim_r
+        FROM semn a JOIN semn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      ) WHERE cos_sim_r >= {NEARDUP_COS}
+    ),
+    sem_edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM sem_pairs
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM sem_pairs
+    ),
+    sem_reach(vec_id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.src, r.label FROM sem_reach r JOIN sem_edges e ON e.dst = r.vec_id
+    ),
+    sem_labels AS (
+      SELECT vec_id, MIN(label) AS group_id FROM sem_reach GROUP BY vec_id
+    ),
+    sem_csim AS (
+      SELECT a.vec_id, {_guarded_cos_sql(cos_ac)} AS centroid_sim
+      FROM sem_assigned a JOIN km_cents c USING (cell_id)
+    ),
+    sem_surv AS (
+      SELECT vec_id, group_id, centroid_sim FROM (
+        SELECT l.vec_id, l.group_id, s.centroid_sim,
+               ROW_NUMBER() OVER (PARTITION BY l.group_id
+                                  ORDER BY s.centroid_sim ASC, l.vec_id) AS rn
+        FROM sem_labels l JOIN sem_csim s USING (vec_id)
+      ) WHERE rn = 1
+    )"""
+
+
 def semdedup_prune(
     e: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -582,7 +640,9 @@ def semdedup_prune(
     the least redundant with the cluster's mode; arXiv:2303.09540 §3),
     tie-broken on vec_id. Returns ``(survivors, pruned)``:
 
-    - survivors: (vec_id, group_id) — singletons keep themselves;
+    - survivors: (vec_id, group_id, centroid_sim) — singletons keep
+      themselves; ``centroid_sim`` is the retention score (rounded
+      cosine to the cluster centroid) the election ran on;
     - pruned: (vec_id, group_id, keep_id) — every evicted member with
       the representative it lost to (the audit trail a 100 TB curation
       run keeps).
@@ -618,7 +678,7 @@ def semdedup_prune(
     )
     labeled = scored.join(keepers, "group_id")
     survivors = labeled.filter(F.col("vec_id") == F.col("keep_id")).select(
-        "vec_id", "group_id"
+        "vec_id", "group_id", "centroid_sim"
     )
     pruned = labeled.filter(F.col("vec_id") != F.col("keep_id")).select(
         "vec_id", "group_id", "keep_id"
