@@ -287,12 +287,27 @@ def main() -> None:
         summary["errors"] = errors
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) >= 2000:
-        # Never emit an unparseable artifact: shed the diagnostic arm rows
-        # (they remain on stderr) before the data rows.
-        print(f"bench line {len(line)}B >= 2KB; arms moved to stderr", file=sys.stderr)
-        print(json.dumps(summary["arms"], separators=(",", ":")), file=sys.stderr)
-        summary["arms"] = {}
-        line = json.dumps(summary, separators=(",", ":"))
+        # Never emit an unparseable artifact: shed arm GROUPS (cheapest
+        # first — the expensive training/build arms carry the diagnostic
+        # value) until the line fits; shed groups remain on stderr.
+        by_cost = sorted(
+            summary["arms"],
+            key=lambda q: max(
+                (v for v in summary["arms"][q].values() if v is not None), default=0.0
+            ),
+        )
+        shed = []
+        while len(line) >= 2000 and by_cost:
+            q = by_cost.pop(0)
+            shed.append(q)
+            print(
+                f"shed arm group {q}: "
+                f"{json.dumps(summary['arms'].pop(q), separators=(',', ':'))}",
+                file=sys.stderr,
+            )
+            line = json.dumps(summary, separators=(",", ":"))
+        if shed:
+            print(f"bench line over 2KB; shed {len(shed)} arm groups", file=sys.stderr)
     print(f"bench line bytes: {len(line)}", file=sys.stderr)
     print(line)
     spark.stop()

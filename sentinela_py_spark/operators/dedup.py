@@ -436,6 +436,111 @@ def shared_span_pairs(
     return spans, audit
 
 
+def intra_doc_repeat_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_span_words: int = 3,
+) -> DataFrame:
+    """WITHIN-document repeated passages — the intra-doc member of the
+    repetition family (`shared_span_pairs` finds passages shared ACROSS
+    documents; this finds a passage repeated INSIDE one document — the
+    boilerplate/navigation/degenerate-generation pattern the Gopher
+    repetition rules flag by short-n-gram fractions, here reported as
+    explicit positioned spans instead of one scalar ratio).
+
+    Same diagonal-run algebra as the cross-doc operator, restricted to
+    one document: positioned k-grams self-join on (doc_id, gram) with
+    ``pos_a < pos_b``; matches on one OFFSET diagonal (pb − pa constant)
+    with consecutive pa form a maximal repeat — a run of L aligned
+    grams is a repeated span of L + k − 1 words. Returns (doc_id,
+    a_start, b_start, span_words): 1-based word offsets of the FIRST
+    occurrence and the repeat. Defaults use 3-word grams (within-doc
+    repetition is short-phrase-scale; the cross-doc operator's k=8 is
+    tuned for quoted passages).
+
+    Scale: the join key includes doc_id, so bucket width is a gram's
+    multiplicity WITHIN one document (bounded by doc length) — no
+    corpus-frequency cap is needed, unlike the cross-doc join where a
+    boilerplate gram's document frequency concentrates a bucket. A
+    self-overlapping repeat ("x x x x") reports overlapping spans by
+    design; a cutter merges intervals (keep-first) exactly as
+    `remove_shared_spans` does for cross-doc spans."""
+    from pyspark.sql import Window as W
+
+    grams = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), k=k)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("gram"),
+        )
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    diag = F.col("pb") - F.col("pa")
+    w = W.partitionBy("doc_id", diag).orderBy("pa")
+    runs = m.withColumn("diag", diag).withColumn(
+        "run_id", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "diag", "run_id")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).alias("span_words"),
+        )
+        .filter(F.col("span_words") >= min_span_words)
+        .select("doc_id", "a_start", "b_start", "span_words")
+    )
+
+
+def remove_intra_doc_repeats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_span_words: int = 3,
+) -> DataFrame:
+    """Cut WITHIN-document repeated passages down to their first
+    occurrence: `intra_doc_repeat_spans` finds the repeats, and the
+    shared keep-first cutter (`remove_shared_spans`) removes every later
+    copy's interval [b_start, b_start + span_words) — the per-word
+    exists probe composes overlapping cuts, so degenerate periodic text
+    ("w w w w ...") collapses to its repeating unit's first copy.
+
+    Unlike the cross-doc cut, this transform is DOC-LOCAL: the verdict
+    depends only on the document itself — no corpus state, no arrival-
+    order dependence — so it is safe as an ingest-time normalizer
+    (streaming/pipeline.composed_ingest_batch's optional trim stage)
+    where cross-doc span cutting is deliberately batch-only. Docs with
+    no repeats pass through byte-identical; non-text columns ride
+    through untouched."""
+    spans = intra_doc_repeat_spans(
+        docs, id_col=id_col, text_col=text_col, k=k, min_span_words=min_span_words
+    )
+    return remove_shared_spans(
+        docs,
+        spans.select(F.col("doc_id").alias("doc_b"), "b_start", "span_words"),
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
 def remove_shared_spans(
     docs: DataFrame,
     spans: DataFrame,

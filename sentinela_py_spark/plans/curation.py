@@ -273,6 +273,103 @@ def _packing_arm_sql(src: str, t: str) -> str:
     )"""
 
 
+_BINFIT_SCHEMA = (
+    "shard long, seq_id long, n_docs long, seq_tokens long, "
+    "first_doc long, last_doc long"
+)
+
+
+def _binfit_bins(pdf):
+    """Per-shard sequential bin-close packing (one pandas group = one
+    shard): accumulate docs in doc_id order, CLOSE the bin when the next
+    doc would overflow ``SEQ_TOKEN_BUDGET`` — no truncation, the doc
+    moves wholly to the next sequence. Inherently sequential WITHIN a
+    shard (each bin boundary depends on every earlier one), which is
+    exactly why the shard is the parallelism unit; state is one
+    (seq, cum) pair. A doc longer than the budget gets a bin alone
+    (fill_ratio > 1 — flagged for splitting upstream, never silently
+    truncated here)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    bins: list[dict] = []
+    seq, cum = -1, 0
+    for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+        n = int(n)
+        if seq < 0 or cum + n > SEQ_TOKEN_BUDGET:
+            seq += 1
+            cum = 0
+            bins.append(
+                {"seq_id": seq, "n_docs": 0, "seq_tokens": 0,
+                 "first_doc": int(doc_id), "last_doc": int(doc_id)}
+            )
+        b = bins[-1]
+        b["n_docs"] += 1
+        b["seq_tokens"] += n
+        b["last_doc"] = int(doc_id)
+        cum += n
+    out = pd.DataFrame(bins)
+    out["shard"] = int(pdf["shard"].iloc[0])
+    return out[["shard", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"]]
+
+
+def _binfit_packed(docs: DataFrame) -> DataFrame:
+    """The ``binfit`` arm: padding-aware bin-close packing. The greedy
+    cumsum packer (`_packed_sequences`) TRUNCATES boundary-straddling
+    docs; this one never splits a doc, so ``fill_ratio`` ≤ 1 becomes the
+    true padding-efficiency audit (1 − fill = padded waste per
+    sequence) — the number a trainer actually pays for. fill_ratio is
+    derived Spark-side (F.round is HALF_UP like DuckDB's ROUND; Python
+    round is banker's — kept out of the pandas stage on purpose)."""
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % 16
+    toks = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    bins = toks.groupBy("shard").applyInPandas(_binfit_bins, _BINFIT_SCHEMA)
+    return bins.select(
+        F.lit("binfit").alias("method"),
+        "shard",
+        "seq_id",
+        "n_docs",
+        "seq_tokens",
+        "first_doc",
+        "last_doc",
+        F.round(F.col("seq_tokens").cast("double") / SEQ_TOKEN_BUDGET, 6).alias("fill_ratio"),
+    )
+
+
+# DuckDB twin of `_binfit_bins`: the bin-close recurrence as a recursive
+# CTE over row_number'd docs — all shards advance one doc per recursion
+# level, so depth = max docs per shard, width = shards.
+_BINFIT_SQL = f"""
+    btoks AS MATERIALIZED (
+      SELECT doc_id, {_SHARD_SQL} AS shard, len(string_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY {_SHARD_SQL} ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    brec(shard, rn, doc_id, n_tokens, seq_id, cum) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM btoks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN r.cum + t.n_tokens > {SEQ_TOKEN_BUDGET}
+                  THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.cum + t.n_tokens > {SEQ_TOKEN_BUDGET}
+                  THEN t.n_tokens ELSE r.cum + t.n_tokens END
+      FROM brec r JOIN btoks t ON t.shard = r.shard AND t.rn = r.rn + 1
+    ),
+    barm AS (
+      SELECT shard, seq_id, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+             ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {SEQ_TOKEN_BUDGET}, 6) AS fill_ratio
+      FROM brec GROUP BY 1, 2
+    )"""
+
+
 def _gram5_sql(src: str, where: str = "") -> str:
     """Per-doc word 5-grams of relation ``src`` (q_decontamination's
     exact-screen gram stream, parameterized by source)."""
@@ -287,9 +384,11 @@ def _gram5_sql(src: str, where: str = "") -> str:
 
 # The span-cut stage of the curated pipeline, as DuckDB CTEs over the
 # ``pool0`` relation (doc_id, lang, text): the same positioned-gram /
-# diagonal-run algebra as q_ngram_jaccard_pairs' span arm, followed by
-# the keep-first-occurrence cut replay (operators/dedup.
-# remove_shared_spans): per doc_b, word positions covered by any
+# diagonal-run algebra as q_ngram_jaccard_pairs' span arm — CROSS-doc
+# runs (spanruns) and WITHIN-doc runs (ispanruns, the intra arm's
+# algebra at the same 8-gram/12-word threshold) union their intervals —
+# followed by the keep-first-occurrence cut replay (operators/dedup.
+# remove_shared_spans): per doc, word positions covered by any
 # [b_start, b_start + span_words) interval are removed and the survivors
 # re-join with single spaces. Hub CTEs referenced more than once are
 # MATERIALIZED (DuckDB inlines CTEs by default; see the kmeans chains).
@@ -308,11 +407,24 @@ _SPAN_CUT_SQL = f"""
         FROM spang a JOIN spang b ON a.gram = b.gram AND a.doc_id < b.doc_id
       )
     ),
+    ispanruns AS (
+      SELECT doc_id, pb - pa AS diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run_id
+      FROM (
+        SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+        FROM spang a JOIN spang b
+          ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+      )
+    ),
     cutlists AS (
       SELECT doc_id, list(struct_pack(s := s, e := e)) AS cuts
       FROM (
         SELECT doc_b AS doc_id, MIN(pb) AS s, MIN(pb) + COUNT(*) + {SPAN_K} - 1 AS e
         FROM spanruns GROUP BY doc_a, doc_b, diag, run_id
+        HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
+        UNION ALL
+        SELECT doc_id, MIN(pb) AS s, MIN(pb) + COUNT(*) + {SPAN_K} - 1 AS e
+        FROM ispanruns GROUP BY doc_id, diag, run_id
         HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
       ) GROUP BY doc_id
     ),
@@ -400,9 +512,13 @@ _SPAN_CUT_SQL = f"""
       SELECT p.doc_id, p.text FROM pool p JOIN rates r USING (lang)
       WHERE {md5_uniform_sql('p.doc_id')} < r.rate
     ),
-    {_packing_arm_sql('samp', 'c')}
+    {_packing_arm_sql('samp', 'c')},
+    {_BINFIT_SQL}
     SELECT 'all_docs' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
     FROM aarm
+    UNION ALL
+    SELECT 'binfit' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
+    FROM barm
     UNION ALL
     SELECT 'curated' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
     FROM carm
@@ -411,6 +527,9 @@ _SPAN_CUT_SQL = f"""
     survey_ref=(
         "curation: token-budget sequence packing (per-shard greedy cumulative "
         "assignment into ~fixed-token training sequences) — all_docs arm; "
+        "binfit arm = padding-aware bin-close packing (never splits a doc; "
+        "fill_ratio <= 1 is the padded-waste audit; sequential recurrence per "
+        "shard as one pandas group, recursive-CTE oracle); "
         "curated arm = the composed END-TO-END pre-training pipeline "
         "(MinHash-LSH dedup groups → quality-aware survivor → substring-level "
         "shared-span cut → train/eval decontamination → rule + MODEL quality "
@@ -436,15 +555,27 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same expression as q_train_split). Per-sequence stats (doc count,
     token sum, fill ratio) are the lake's packing-efficiency audit.
 
-    Two arms:
+    Three arms:
 
     - ``all_docs``: the raw corpus packed as-is;
+    - ``binfit``: padding-aware bin-CLOSE packing of the same corpus
+      (`_binfit_packed`) — a doc that would straddle the boundary moves
+      wholly to the next sequence instead of being truncated, so
+      fill_ratio ≤ 1 is the true padded-waste audit. The recurrence
+      (each bin boundary depends on all earlier ones) is inherently
+      sequential within a shard, so it runs as ONE pandas group per
+      shard (the shard is the parallelism unit, the per-group state one
+      (seq, cum) pair); the oracle replays the same recurrence as a
+      recursive CTE. The two packers price the classic trade: greedy
+      cumsum fills every sequence but truncates straddlers; bin-close
+      wastes padding but never splits a document.
     - ``curated``: the COMPOSED end-to-end curation pipeline a real
       pre-training run executes, each stage an operator that is already
       oracle-green standalone, chained on one corpus: MinHash-LSH pairs →
       connected components → quality-aware survivor per group
       (q_dedup_groups) → drop the held-out eval split → cut every
-      passage repeated across surviving train docs down to its first
+      passage repeated across surviving train docs OR within one of
+      them down to its first
       occurrence (the Lee-et-al substring-level span stage —
       q_ngram_jaccard_pairs' span arm composed; runs BEFORE the quality
       filter so boilerplate can't inflate quality scores or token
@@ -465,7 +596,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     all_docs = _packed_sequences(d.select("doc_id", "text"), "all_docs")
     curated = _packed_sequences(_curated_pool_cached(d, sf_dir), "curated")
-    return all_docs.unionByName(curated).orderBy("method", "shard", "seq_id")
+    binfit = _binfit_packed(d.select("doc_id", "text"))
+    return (
+        all_docs.unionByName(binfit)
+        .unionByName(curated)
+        .orderBy("method", "shard", "seq_id")
+    )
 
 
 # The curated pool is a pure function of the corpus and, like a real
@@ -546,6 +682,7 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     the whole doc rather than cutting it)."""
     from sentinela_py_spark.functions.text_stats import word_shingles
     from sentinela_py_spark.operators.dedup import (
+        intra_doc_repeat_spans,
         remove_shared_spans,
         shared_span_pairs,
     )
@@ -572,11 +709,19 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     # 2. the train pool: survivors minus the held-out eval split
     pool0 = surv.join(d.select("doc_id", "lang", "text"), "doc_id").filter(~is_eval)
 
-    # 3. substring-level shared-span cut (Lee et al. — the span arm's
-    # operators, composed): every passage repeated across surviving
-    # train docs keeps its first occurrence only
+    # 3. substring-level span cut (Lee et al. — the span arm's
+    # operators, composed): every passage repeated ACROSS surviving
+    # train docs OR WITHIN one of them keeps its first occurrence only.
+    # Both repeat families share one threshold (8-gram runs ≥ 12 words),
+    # one positioned-gram stream, and one cutter — the intra spans just
+    # union their (doc, start, len) intervals into the cut list.
     spans, _audit = shared_span_pairs(pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS)
-    cut = remove_shared_spans(pool0, spans)
+    intra = intra_doc_repeat_spans(
+        pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
+    ).select(F.col("doc_id").alias("doc_b"), "b_start", "span_words")
+    cut = remove_shared_spans(
+        pool0, spans.select("doc_b", "b_start", "span_words").unionByName(intra)
+    )
 
     # 4. decontamination screen (q_decontamination's exact arm) over the
     # CUT text: flag train docs sharing any 5-gram with the eval split
@@ -622,6 +767,7 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
 register_arms(
     "q_sequence_packing",
     all_docs=_method_arm("q_sequence_packing", "all_docs"),
+    binfit=_method_arm("q_sequence_packing", "binfit"),
     curated=_method_arm("q_sequence_packing", "curated"),
     curated_build=_curated_build_probe,
 )

@@ -236,6 +236,14 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8
 MIN_SPAN_WORDS = 12
 
+# Intra-doc repetition granularity: within-document repeats are
+# short-phrase-scale (navigation chrome, degenerate generations), so the
+# positioned-gram arm runs at 3-word grams and reports any repeat of at
+# least one full gram — the positioned complement of the Gopher
+# dup-n-gram RATIOS already in q_quality_rules.
+INTRA_K = 3
+MIN_INTRA_SPAN_WORDS = 3
+
 
 @register(
     "q_ngram_jaccard_pairs",
@@ -280,6 +288,28 @@ MIN_SPAN_WORDS = 12
              COUNT(*) + {SPAN_K} - 1 AS span_words
       FROM spanruns GROUP BY doc_a, doc_b, diag, run_id
       HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
+    ),
+    ig AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(string_split(text,' '), i, i+{INTRA_K}-1), ' ') AS gram
+      FROM documents,
+           UNNEST(generate_series(1, greatest(len(string_split(text,' ')) - {INTRA_K} + 1, 0))) AS t(i)
+    ),
+    iruns AS (
+      SELECT doc_id, pb - pa AS diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run_id
+      FROM (
+        SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+        FROM ig a JOIN ig b
+          ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+      )
+    ),
+    ispans AS (
+      SELECT doc_id,
+             CAST(MIN(pa) AS INT) AS a_start, CAST(MIN(pb) AS INT) AS b_start,
+             COUNT(*) + {INTRA_K} - 1 AS span_words
+      FROM iruns GROUP BY doc_id, diag, run_id
+      HAVING COUNT(*) + {INTRA_K} - 1 >= {MIN_INTRA_SPAN_WORDS}
     )
     SELECT 'jaccard' AS method, doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS score,
@@ -293,12 +323,19 @@ MIN_SPAN_WORDS = 12
     SELECT 'span' AS method, doc_a, doc_b, CAST(NULL AS DOUBLE) AS score,
            a_start, b_start, span_words
     FROM spans
+    UNION ALL
+    SELECT 'intra' AS method, doc_id AS doc_a, doc_id AS doc_b,
+           CAST(NULL AS DOUBLE) AS score, a_start, b_start, span_words
+    FROM ispans
     ORDER BY method, doc_a, doc_b, a_start, b_start
     """,
     survey_ref=(
         "dedup: n-gram Jaccard near-duplicate detection; + span arm: substring-level "
         "shared-passage dedup (Lee-et-al repeated-substring removal via the "
-        "inverted-index diagonal-run algebra, operators/dedup.shared_span_pairs)"
+        "inverted-index diagonal-run algebra, operators/dedup.shared_span_pairs); "
+        "+ intra arm: WITHIN-document repeated passages (same diagonal-run algebra "
+        "restricted to one doc — the positioned complement of the Gopher "
+        "short-n-gram repetition ratios, operators/dedup.intra_doc_repeat_spans)"
     ),
     tags=("dedup",),
 )
@@ -316,12 +353,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       runs of aligned shared 8-word grams, reported as (a_start,
       b_start, span_words) for every span of ≥ 12 words. The hot-gram
       df guard is armed but provably never bites at fixture scale
-      (tests pin it), so the cap-free oracle sees identical rows."""
-    from sentinela_py_spark.operators.dedup import shared_span_pairs
+      (tests pin it), so the cap-free oracle sees identical rows.
+    - ``intra``: WITHIN-document repeated passages (`operators/dedup.
+      intra_doc_repeat_spans`) — the same diagonal-run algebra
+      restricted to one document (join key includes doc_id, so no
+      corpus-frequency cap is needed), at 3-word grams: boilerplate
+      and degenerate repetition INSIDE a page, reported as positioned
+      (first occurrence, repeat) spans with doc_a = doc_b."""
+    from sentinela_py_spark.operators.dedup import (
+        intra_doc_repeat_spans,
+        shared_span_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     spans, _audit = shared_span_pairs(
         d, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
+    )
+    intra_arm = intra_doc_repeat_spans(
+        d, k=INTRA_K, min_span_words=MIN_INTRA_SPAN_WORDS
+    ).select(
+        F.lit("intra").alias("method"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("a_start").cast("int").alias("a_start"),
+        F.col("b_start").cast("int").alias("b_start"),
+        "span_words",
     )
     span_arm = spans.select(
         F.lit("span").alias("method"),
@@ -374,7 +431,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 0.8)
     )
-    return jac_arm.unionByName(span_arm).orderBy(
+    return jac_arm.unionByName(span_arm).unionByName(intra_arm).orderBy(
         "method", "doc_a", "doc_b", "a_start", "b_start"
     )
 
@@ -388,6 +445,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_POS_SQL = (
     "(CAST(concat('0x', substr(md5({g}), 1 + 8 * CAST({i} AS INT), 8)) AS BIGINT) % 65536)"
 )
+
+# Fuzzy decontamination verification threshold: whole-document 3-gram
+# Jaccard ≥ 0.8 between a training doc and an eval doc — the published
+# fuzzy-overlap screen (Llama/PaLM-style eval-contamination reports use
+# near-dup similarity where exact n-gram screens miss lightly-edited
+# copies). 0.8 matches q_ngram_jaccard_pairs' near-dup bar, so the two
+# surfaces agree on what "the same document" means.
+FUZZY_DECON_JACCARD = 0.8
+
+_EVAL_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 2) < '1a'"
+
+
+def _fuzzy_decon_sql() -> str:
+    """DuckDB CTE chunk for the fuzzy decontamination arm (no leading
+    WITH): replays MinHash signatures + LSH banding (plans/dedupops
+    builders — the same algebra q_minhash_pairs hash-checks), joins
+    train bands against eval bands, then verifies candidates by exact
+    whole-doc 3-gram Jaccard. Ends at ``fver``/``fcnt``."""
+    from sentinela_py_spark.plans.dedupops import _SHINGLES_SQL, _band_sql, _minhash_sig_sql
+
+    t_is_eval = _EVAL_SPLIT_SQL.format(d="t.doc_id")
+    e_is_eval = _EVAL_SPLIT_SQL.format(d="e.doc_id")
+    return f"""sigs AS ({_minhash_sig_sql()}),
+    mbands AS ({_band_sql()}),
+    fshing AS ({_SHINGLES_SQL}),
+    fsizes AS (SELECT doc_id, COUNT(*) AS n FROM fshing GROUP BY doc_id),
+    fcand AS (
+      SELECT DISTINCT t.doc_id AS t_doc, e.doc_id AS e_doc
+      FROM mbands t JOIN mbands e ON t.band = e.band AND t.sig = e.sig
+      WHERE NOT ({t_is_eval}) AND ({e_is_eval})
+    ),
+    fver AS (
+      SELECT c.t_doc, c.e_doc, COUNT(*) AS n_common
+      FROM fcand c
+      JOIN fshing a ON a.doc_id = c.t_doc
+      JOIN fshing b ON b.doc_id = c.e_doc AND b.shingle = a.shingle
+      JOIN fsizes sa ON sa.doc_id = c.t_doc
+      JOIN fsizes sb ON sb.doc_id = c.e_doc
+      GROUP BY c.t_doc, c.e_doc
+      HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(sa.n) + MIN(sb.n) - COUNT(*))
+             >= {FUZZY_DECON_JACCARD}
+    ),
+    fcnt AS (SELECT t_doc, COUNT(*) AS n_cand FROM fcand GROUP BY t_doc)"""
 
 
 @register(
@@ -420,7 +520,8 @@ _BLOOM_POS_SQL = (
         GROUP BY p.doc_id, p.gram
         HAVING COUNT(*) = 4
       ) GROUP BY doc_id
-    )
+    ),
+    {_fuzzy_decon_sql()}
     SELECT 'exact' AS method, t.doc_id AS doc_id,
            COUNT(DISTINCT t.gram) AS n_shared_ngrams,
            COUNT(DISTINCT e.doc_id) AS n_eval_docs,
@@ -431,6 +532,13 @@ _BLOOM_POS_SQL = (
     SELECT 'bloom' AS method, doc_id, n AS n_shared_ngrams,
            CAST(NULL AS BIGINT) AS n_eval_docs, CAST(NULL AS BIGINT) AS n_pairs
     FROM bloom_flags
+    UNION ALL
+    SELECT 'fuzzy' AS method, v.t_doc AS doc_id,
+           MAX(v.n_common) AS n_shared_ngrams,
+           COUNT(DISTINCT v.e_doc) AS n_eval_docs,
+           MIN(f.n_cand) AS n_pairs
+    FROM fver v JOIN fcnt f ON f.t_doc = v.t_doc
+    GROUP BY v.t_doc
     ORDER BY method, doc_id
     """,
     survey_ref=(
@@ -438,13 +546,15 @@ _BLOOM_POS_SQL = (
         "word 5-grams with the held-out split (the q_train_split membership key); "
         "'bloom' arm = the same screen through a broadcast m-bit Bloom filter "
         "(functions/bloom.py — the 100 TB path when the eval gram set outgrows "
-        "an exact broadcast)"
+        "an exact broadcast); 'fuzzy' arm = whole-document MinHash-LSH overlap "
+        "with the eval split verified at 3-gram Jaccard >= 0.8 (the near-dup "
+        "contamination screen exact n-grams miss on lightly-edited copies)"
     ),
     tags=("dedup", "curation"),
 )
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: which train docs leak eval content?
-    Two arms over one gram scan, each tagged:
+    Three arms, each tagged:
 
     - ``exact``: inverted-index equi-join of train and eval 5-grams
       (folded to xxhash64 before the shuffle — fixed-width keys); cost
@@ -461,6 +571,21 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       not a regression: in deployment the filter is built once per eval
       set and amortized over every ingest batch, where the probe side is
       the map-only cost that matters.
+    - ``fuzzy``: whole-DOCUMENT contamination the gram screens miss —
+      a lightly-edited eval copy shares few exact 5-grams but stays a
+      near-duplicate. Train-side MinHash band signatures join eval-side
+      bands (the q_minhash_pairs inverted index, restricted across the
+      split instead of a self-join), candidates are verified by exact
+      3-gram Jaccard ≥ ``FUZZY_DECON_JACCARD``, and each flagged train
+      doc reports its largest shingle overlap (``n_shared_ngrams`` —
+      3-grams here, 5-grams in the exact arm), matched eval docs
+      (``n_eval_docs``) and its band-candidate count pre-verification
+      (``n_pairs`` — the screen's funnel). Candidate cost ∝ true band
+      collisions; the hot-bucket cap path (`operators/scale.cap_buckets`)
+      applies unchanged if a degenerate signature concentrates a bucket
+      at corpus scale. Banding recall at the 0.8 bar is the standard
+      S-curve (≥ 98% at 4×4); the oracle replays the SAME banding, so
+      the check is exact, not recall-dependent.
 
     The eval split is the same deterministic md5-membership predicate
     q_train_split verifies (first digest byte < 0x1a ~ 10.2%), so the
@@ -519,7 +644,76 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n_pairs"),
         )
     )
-    return exact.unionByName(bloom_arm).orderBy("method", "doc_id")
+    return (
+        exact.unionByName(bloom_arm)
+        .unionByName(_fuzzy_decon_arm(d))
+        .orderBy("method", "doc_id")
+    )
+
+
+def _fuzzy_decon_arm(d: DataFrame) -> DataFrame:
+    """The fuzzy arm's frame: train×eval MinHash band collisions verified
+    at whole-doc 3-gram Jaccard ≥ ``FUZZY_DECON_JACCARD``. Shingles fold
+    to xxhash64 before the verify join (fixed-width shuffle keys, as
+    q_ngram_jaccard_pairs — the string-joining oracle doubles as the
+    collision audit)."""
+    from sentinela_py_spark.operators.dedup import lsh_band_signatures, minhash_signatures
+
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    # the signature aggregation feeds BOTH split sides — materialize it
+    # once (the q_minhash_pairs treatment) or the md5-heavy build runs
+    # twice; likewise the windowed shingle frame below feeds both join
+    # sides of the verify
+    bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+    cand = (
+        bands.filter(~is_eval)
+        .alias("t")
+        .join(bands.filter(is_eval).alias("e"), ["band", "sig"])
+        .select(F.col("t.doc_id").alias("t_doc"), F.col("e.doc_id").alias("e_doc"))
+        .distinct()
+    )
+    sizes_w = W.partitionBy("doc_id")
+    shingles = (
+        ensure_min_partitions(d)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(F.col("text"), k=3), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .distinct()
+        .withColumn("n_sh", F.count("*").over(sizes_w))
+        .localCheckpoint(eager=False)
+    )
+    st = shingles.select(F.col("doc_id").alias("t_doc"), "sh", F.col("n_sh").alias("n_t"))
+    se = shingles.select(F.col("doc_id").alias("e_doc"), "sh", F.col("n_sh").alias("n_e"))
+    verified = (
+        cand.join(st, "t_doc")
+        .join(se, ["e_doc", "sh"])
+        .groupBy("t_doc", "e_doc")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_t").alias("n_t"),
+            F.first("n_e").alias("n_e"),
+        )
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_t") + F.col("n_e") - F.col("n_common"))
+            >= FUZZY_DECON_JACCARD
+        )
+    )
+    flagged = verified.groupBy("t_doc").agg(
+        F.max("n_common").alias("n_shared_ngrams"),
+        F.count_distinct("e_doc").alias("n_eval_docs"),
+    )
+    cand_counts = cand.groupBy("t_doc").agg(F.count("*").alias("n_pairs"))
+    return flagged.join(cand_counts, "t_doc").select(
+        F.lit("fuzzy").alias("method"),
+        F.col("t_doc").alias("doc_id"),
+        "n_shared_ngrams",
+        "n_eval_docs",
+        "n_pairs",
+    )
 
 
 # Count-Min sketch geometry: CMS_D md5-seeded hash rows × CMS_W counters.
@@ -1440,11 +1634,13 @@ register_arms(
     "q_decontamination",
     exact=_method_arm("q_decontamination", "exact"),
     bloom=_method_arm("q_decontamination", "bloom"),
+    fuzzy=_method_arm("q_decontamination", "fuzzy"),
 )
 register_arms(
     "q_ngram_jaccard_pairs",
     jaccard=_method_arm("q_ngram_jaccard_pairs", "jaccard"),
     span=_method_arm("q_ngram_jaccard_pairs", "span"),
+    intra=_method_arm("q_ngram_jaccard_pairs", "intra"),
 )
 register_arms(
     "q_dedup_digests",

@@ -943,13 +943,21 @@ def composed_ingest_batch(
     centroids: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
     quality_model: dict | None = None,
+    trim_repeats: dict | None = None,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
     ingest screens chained in ONE foreachBatch body, each seeing only the
     previous screen's survivors:
 
-        train/eval decontamination   (5-gram Bloom probe — map-only)
+        [optional] repetition trim   (WITHIN-doc repeated-passage cut —
+        a doc-local NORMALIZER, not a screen: pass ``trim_repeats``
+        kwargs for `operators.dedup.remove_intra_doc_repeats`, e.g.
+        ``{"k": 3, "min_span_words": 12}``; runs FIRST so every
+        downstream signature, gram, and store is computed from the
+        text that will actually be kept — the byte-identical-admission
+        contract holds because the trim applies BEFORE admission)
+      → train/eval decontamination   (5-gram Bloom probe — map-only)
       → [optional] quality screen    (rule + FROZEN-model gate — pass
         ``quality_model`` from `plans.textops.qr_frozen_model`)
       → MinHash near-dup rejection   (text; vs batch + the band store)
@@ -981,7 +989,15 @@ def composed_ingest_batch(
     every screen's write is an epoch-keyed overwrite and every store
     read excludes the current epoch, so a checkpoint-replayed batch
     reproduces its first attempt — including the composed ``accepted``
-    (test-pinned)."""
+    (test-pinned). The trim stage preserves all of this: it is a pure
+    per-document function of the batch row (no store, no epoch state),
+    so a replayed batch trims identically."""
+    if trim_repeats is not None:
+        from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
+
+        batch = remove_intra_doc_repeats(
+            batch, id_col=id_col, text_col=text_col, **trim_repeats
+        )
     a1 = decontamination_screen_batch(
         batch,
         bloom_row,
@@ -1051,6 +1067,7 @@ def run_composed_ingest_stream(
     centroids: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
     quality_model: dict | None = None,
+    trim_repeats: dict | None = None,
 ):
     """The composed streaming-ingest flagship: ONE stream of
     (id, text, embedding) rows runs all three ingest screens per
@@ -1067,7 +1084,12 @@ def run_composed_ingest_stream(
     quality screen between decontamination and the dedup screens —
     model trained offline, frozen for the stream's lifetime.
 
-    DESIGN DECISION — the substring-level span-cut screen
+    Pass ``trim_repeats`` (kwargs for `operators.dedup.
+    remove_intra_doc_repeats`) to arm the WITHIN-doc repetition trim as
+    a stage-0 normalizer — doc-local, so it respects every contract the
+    cross-doc cut (below) breaks.
+
+    DESIGN DECISION — the CROSS-document substring-level span-cut screen
     (`operators.dedup.remove_shared_spans`, stage 3 of the batch
     `_curated_pool`) is deliberately BATCH-ONLY and absent here. The
     three streaming screens are accept/reject verdicts: a rejected doc
@@ -1089,7 +1111,11 @@ def run_composed_ingest_stream(
     is therefore: screens at ingest (this stream), passage cutting in
     the periodic batch curation run (`plans.curation._curated_pool`),
     where the full surviving pool is in scope and the cut is replayed
-    bit-for-bit by the registered oracle."""
+    bit-for-bit by the registered oracle. The WITHIN-doc trim is the
+    deliberate exception: its verdict depends only on the document
+    itself (no store, no arrival order), it runs BEFORE any signature
+    is computed, and a replayed batch trims identically — every
+    argument above is about corpus-coupled state, none applies."""
     from sentinela_py_spark.functions.bloom import BLOOM_BITS, BLOOM_K, bloom_build
     from sentinela_py_spark.functions.text_stats import word_shingles
 
@@ -1109,7 +1135,7 @@ def run_composed_ingest_stream(
             threshold=threshold, min_hits=min_hits,
             max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
             index_dir=index_dir, centroids=centroids, books=books,
-            quality_model=quality_model,
+            quality_model=quality_model, trim_repeats=trim_repeats,
         )
 
     reader = spark.readStream

@@ -110,3 +110,30 @@ def test_plan_cms_config_roundtrips_the_registered_constants():
     tight = plan_cms_config(epsilon=0.01, delta=1e-9)
     assert tight.depth == 4 and tight.delta == 2**-4
     assert tight.width == 200
+
+
+def test_fuzzy_decon_arm_flags_edited_copies_not_phrase_overlap(spark):
+    """The fuzzy arm is a whole-document screen: a lightly-edited eval
+    copy (one word changed, 3-gram Jaccard ~0.85) is flagged, while a doc
+    that merely quotes a 5-word eval phrase (exact-arm territory) is not.
+    Doc ids are chosen on the registered md5 split: 6 is eval, 0-2 train."""
+    from sentinela_py_spark.plans.textops import _fuzzy_decon_arm
+
+    eval_words = [f"w{i}" for i in range(40)]
+    edited = list(eval_words)
+    edited[20] = "CHANGED"  # kills 3 shingles -> jaccard 35/41 ~ 0.854
+    quoting = [f"u{i}" for i in range(30)] + eval_words[5:10]  # one shared 5-gram
+    docs = spark.createDataFrame(
+        [
+            (6, " ".join(eval_words)),   # md5('6')[:2] < '1a' -> eval side
+            (0, " ".join(edited)),       # train: near-dup of the eval doc
+            (1, " ".join(quoting)),      # train: phrase overlap only
+            (2, " ".join(f"v{i}" for i in range(35))),  # train: unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    rows = _fuzzy_decon_arm(docs).collect()
+    flagged = {r["doc_id"]: r for r in rows}
+    assert set(flagged) == {0}
+    assert flagged[0]["n_shared_ngrams"] == 35  # common 3-gram shingles
+    assert flagged[0]["n_eval_docs"] == 1 and flagged[0]["n_pairs"] >= 1

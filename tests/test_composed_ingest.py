@@ -352,3 +352,62 @@ def test_quality_screen_survives_all_rejected_batch(spark, tmp_path):
     assert out.count() == 0
     assert _read_ids(spark, os.path.join(state, "quality", "rejected")) == {31, 32}
     assert _read_ids(spark, os.path.join(state, "accepted")) == set()
+
+
+REPEAT_PASSAGE = (
+    "the quick brown fox vaulted the mossy gate while seven anxious "
+    "badgers watched from below"
+)  # 15 words
+
+
+def test_trim_stage_cuts_repeats_and_stores_see_trimmed_text(spark, tmp_path):
+    """The stage-0 repetition trim is a NORMALIZER: the accepted store
+    holds the trimmed text, and — because the trim runs before any
+    signature — the band store indexes the trimmed text too: a later doc
+    equal to the TRIMMED text is rejected as a corpus duplicate."""
+    trim = {"k": 3, "min_span_words": 15}
+    prefix = "alpha bravo charlie delta echo"
+    mid = "november oscar papa quebec romeo sierra"
+    repeated = f"{prefix} {REPEAT_PASSAGE} {mid} {REPEAT_PASSAGE}"
+    trimmed = f"{prefix} {REPEAT_PASSAGE} {mid}"
+
+    state = str(tmp_path / "state")
+    bloom = _bloom_row(spark)
+    out0 = composed_ingest_batch(
+        _df(spark, [(20, repeated, _e(7))]), bloom, 0, state,
+        threshold=THRESHOLD, trim_repeats=trim,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out0.select("doc_id", "text").collect()}
+    assert rows == {20: trimmed}
+
+    composed_ingest_batch(
+        _df(spark, [(21, trimmed, _e(8))]), bloom, 1, state,
+        threshold=THRESHOLD, trim_repeats=trim,
+    )
+    mh = {
+        r["doc_id"]: (r["matched_doc"], r["reason"])
+        for r in spark.read.parquet(os.path.join(state, "minhash", "rejected"))
+        .select("doc_id", "matched_doc", "reason").collect()
+    }
+    assert mh == {21: (20, "vs_corpus")}
+
+
+def test_trim_stage_replay_is_idempotent(spark, tmp_path):
+    trim = {"k": 3, "min_span_words": 15}
+    repeated = f"{REPEAT_PASSAGE} {REPEAT_PASSAGE}"
+    state = str(tmp_path / "state")
+    bloom = _bloom_row(spark)
+
+    def attempt():
+        composed_ingest_batch(
+            _df(spark, [(30, repeated, _e(9))]), bloom, 0, state,
+            threshold=THRESHOLD, trim_repeats=trim,
+        )
+        return sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(os.path.join(state, "accepted")).collect()
+        )
+
+    first = attempt()
+    assert first == [(30, REPEAT_PASSAGE)]
+    assert attempt() == first  # replayed epoch reproduces the first attempt

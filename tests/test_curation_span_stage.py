@@ -74,16 +74,36 @@ def _pick_ids(n: int, eval_split: bool, start: int = 1) -> list[int]:
     return out
 
 
-# three planted + three filler train docs, one eval doc
-(ID_A, ID_B, ID_C, *FILLER_IDS) = _pick_ids(6, eval_split=False)
+# four planted + three filler train docs, one eval doc
+(ID_A, ID_B, ID_C, ID_D, *FILLER_IDS) = _pick_ids(7, eval_split=False)
 (EVAL_ID,) = _pick_ids(1, eval_split=True)
 
 DOC_A = f"{UNIQ_A} {PASSAGE}"
 DOC_B = f"{UNIQ_B} {PASSAGE}"
 DOC_C = f"{UNIQ_C} {PASSAGE}"
 
+# a WITHIN-doc repeat (r9: the intra arm composed into the same span
+# stage): a 16-word boilerplate block appearing twice inside ONE doc —
+# shared with no other document, so only the intra algebra can cut it
+IPASSAGE = (
+    "standardized safety warning inserted identically before every "
+    "procedural section describing hazardous laboratory operations "
+    "requiring certified supervision"
+)
+assert len(IPASSAGE.split()) == 16
+UNIQ_D = (
+    "volcanic islands emerge from the restless seafloor and their slopes "
+    "gather seabird colonies whose guano enriches young soils for "
+    "pioneering windblown vegetation over centuries"
+)
+assert len(UNIQ_D.split()) == 24
+MID_D = "calibration steps follow the numbered checklist precisely here"
+assert len(MID_D.split()) == 8
+DOC_D = f"{UNIQ_D} {IPASSAGE} {MID_D} {IPASSAGE}"
+DOC_D_CUT = f"{UNIQ_D} {IPASSAGE} {MID_D}"
+
 ROWS = (
-    [(ID_A, "en", DOC_A), (ID_B, "en", DOC_B), (ID_C, "en", DOC_C)]
+    [(ID_A, "en", DOC_A), (ID_B, "en", DOC_B), (ID_C, "en", DOC_C), (ID_D, "en", DOC_D)]
     + [(fid, "en", t) for fid, t in zip(FILLER_IDS, FILLER)]
     + [(EVAL_ID, "en", "held out evaluation prose that shares no five gram with any training document in this corpus at all")]
 )
@@ -114,6 +134,8 @@ def test_planted_passage_cut_from_pool_not_from_first_copy(spark, planted_dir):
     pool = {r["doc_id"]: r["text"] for r in _curated_pool(d).collect()}
     assert pool[ID_A] == DOC_A  # first copy keeps the passage
     assert pool[ID_B] == UNIQ_B  # later copy cut, unique content intact
+    # within-doc repeat: the second copy INSIDE one doc is cut too (r9)
+    assert pool[ID_D] == DOC_D_CUT
     # quality-inflation proof: pre-cut DOC_C passes (26 words >= 20);
     # post-cut it is 11 stopword-free words -> quality 0 -> dropped
     assert ID_C not in pool
@@ -136,11 +158,17 @@ def test_packing_tokens_reflect_the_cut(spark, planted_dir):
     expect = (
         len(DOC_A.split())
         + len(UNIQ_B.split())
+        + len(DOC_D_CUT.split())
         + sum(len(t.split()) for t in FILLER)
     )
     assert curated_tokens == expect
-    # and the uncut corpus would have counted the passage three times
-    assert curated_tokens < expect + 2 * len(PASSAGE.split()) + len(UNIQ_C.split())
+    # and the uncut corpus would have counted the passages multiple times
+    assert curated_tokens < (
+        expect
+        + 2 * len(PASSAGE.split())
+        + len(UNIQ_C.split())
+        + len(IPASSAGE.split())
+    )
 
 
 def test_oracle_replays_the_cut_bit_for_bit(spark, planted_dir):

@@ -179,3 +179,62 @@ def test_guard_never_bites_at_fixture_scale(spark):
     out = QUERIES["q_ngram_jaccard_pairs"].spark(spark, SF_ORACLE)
     n_span = out.filter(F.col("method") == "span").count()
     assert n_span == 24  # pinned from the duckdb probe of the fixture
+
+
+def test_intra_doc_repeat_found_with_positions(spark):
+    """A 15-word passage repeated inside ONE document is reported as a
+    single maximal span at both occurrences' exact word offsets."""
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+
+    text = f"{PREFIX_A} {PASSAGE} {SUFFIX_A} {PASSAGE} {SUFFIX_B}"
+    clean = f"{PREFIX_B} {SUFFIX_B} {PREFIX_A} {SUFFIX_A}"
+    docs = _docs(spark, [(1, text), (2, clean)])
+    spans = intra_doc_repeat_spans(docs, k=3, min_span_words=15).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # prefix 5 words -> first copy at 6; passage 15 + suffix 6 -> repeat at 27
+    assert (s["doc_id"], s["a_start"], s["b_start"], s["span_words"]) == (1, 6, 27, 15)
+
+
+def test_intra_doc_self_overlapping_runs_report(spark):
+    """Degenerate repetition ('w' * 8) yields overlapping spans by design
+    — every offset diagonal carries one maximal run covering the text."""
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+
+    docs = _docs(spark, [(1, " ".join(["w"] * 8))])
+    spans = intra_doc_repeat_spans(docs, k=3, min_span_words=3).collect()
+    # diagonals 1..5 each hold one run starting at pos 1
+    assert {(s["a_start"], s["b_start"]) for s in spans} == {(1, d + 1) for d in range(1, 6)}
+    assert all(s["span_words"] >= 3 for s in spans)
+
+
+def test_intra_doc_no_repeats_is_empty(spark):
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+
+    docs = _docs(spark, [(1, f"{PREFIX_A} {PASSAGE} {SUFFIX_A}")])
+    assert intra_doc_repeat_spans(docs, k=3, min_span_words=3).count() == 0
+
+
+def test_remove_intra_doc_repeats_keeps_first_copy(spark):
+    from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
+
+    text = f"{PREFIX_A} {PASSAGE} {SUFFIX_A} {PASSAGE} {SUFFIX_B}"
+    clean = f"{PREFIX_B} {SUFFIX_A}"
+    docs = spark.createDataFrame(
+        [(1, text, "en"), (2, clean, "en")], ["doc_id", "text", "lang"]
+    )
+    out = {r["doc_id"]: r for r in
+           remove_intra_doc_repeats(docs, k=3, min_span_words=15).collect()}
+    assert out[1]["text"] == f"{PREFIX_A} {PASSAGE} {SUFFIX_A} {SUFFIX_B}"
+    assert out[2]["text"] == clean  # byte-identical passthrough
+    assert out[1]["lang"] == "en"   # other columns ride through
+
+
+def test_remove_intra_doc_repeats_collapses_periodic_text(spark):
+    from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a", "b", "c"] * 5))], ["doc_id", "text"]
+    )
+    out = remove_intra_doc_repeats(docs, k=3, min_span_words=3).collect()[0]
+    assert out["text"] == "a b c"  # the repeating unit's first copy survives
