@@ -436,13 +436,26 @@ def shared_span_pairs(
     return spans, audit
 
 
+# Within-doc occurrence guard: a degenerate document ("buy buy buy ..."
+# × 10⁵) makes ONE gram carry its whole length, and the (doc, gram)
+# self-join then produces occurrences²/2 pairs inside a single task —
+# the intra-doc analog of the cross-doc hot-gram df blow-up. 64 bounds
+# the per-gram pair count at 2,016 while sitting far above any real
+# repeated-passage multiplicity (fixture max is single digits,
+# test-pinned); occurrences beyond the cap surface in the audit, and
+# text a capped trim leaves behind is exactly what the repetition
+# QUALITY rules (top_term_fraction) exist to reject doc-level.
+DEFAULT_MAX_GRAM_OCCURRENCES = 64
+
+
 def intra_doc_repeat_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     min_span_words: int = 3,
-) -> DataFrame:
+    max_gram_occurrences: int | None = DEFAULT_MAX_GRAM_OCCURRENCES,
+) -> tuple[DataFrame, DataFrame | None]:
     """WITHIN-document repeated passages — the intra-doc member of the
     repetition family (`shared_span_pairs` finds passages shared ACROSS
     documents; this finds a passage repeated INSIDE one document — the
@@ -461,12 +474,20 @@ def intra_doc_repeat_spans(
     tuned for quoted passages).
 
     Scale: the join key includes doc_id, so bucket width is a gram's
-    multiplicity WITHIN one document (bounded by doc length) — no
-    corpus-frequency cap is needed, unlike the cross-doc join where a
-    boilerplate gram's document frequency concentrates a bucket. A
-    self-overlapping repeat ("x x x x") reports overlapping spans by
-    design; a cutter merges intervals (keep-first) exactly as
-    `remove_shared_spans` does for cross-doc spans."""
+    multiplicity WITHIN one document — safe from corpus-frequency
+    blow-ups (the cross-doc join's failure mode), but NOT from the
+    degenerate document itself: one gram repeated m times yields m²/2
+    pairs in one task, and real web corpora contain m = 10⁵ spam docs.
+    ``max_gram_occurrences`` bounds m by keeping each gram's FIRST
+    occurrences by position (keep-first, matching the cutter's
+    semantics); truncated (doc, gram) buckets surface in the returned
+    audit, never silently. A self-overlapping repeat ("x x x x")
+    reports overlapping spans by design; a cutter merges intervals
+    (keep-first) exactly as `remove_shared_spans` does for cross-doc
+    spans.
+
+    Returns ``(spans, audit)``; audit is None when uncapped, else one
+    row per truncated (doc_id, gram) with its occurrence count."""
     from pyspark.sql import Window as W
 
     grams = (
@@ -481,6 +502,19 @@ def intra_doc_repeat_spans(
             F.xxhash64("gram").alias("gram"),
         )
     )
+    audit = None
+    if max_gram_occurrences is not None:
+        # the occurrence window partitions on the SAME key the self-join
+        # hashes on, so its exchange is reused by the join — the guard
+        # costs a per-bucket sort, not an extra shuffle
+        occ_w = W.partitionBy("doc_id", "gram").orderBy("pos")
+        counted = grams.withColumn("occ", F.row_number().over(occ_w))
+        audit = (
+            counted.groupBy("doc_id", "gram")
+            .agg(F.max("occ").alias("occurrences"))
+            .filter(F.col("occurrences") > max_gram_occurrences)
+        )
+        grams = counted.filter(F.col("occ") <= max_gram_occurrences).drop("occ")
     a, b = grams.alias("a"), grams.alias("b")
     m = a.join(
         b,
@@ -497,7 +531,7 @@ def intra_doc_repeat_spans(
     runs = m.withColumn("diag", diag).withColumn(
         "run_id", F.col("pa") - F.row_number().over(w)
     )
-    return (
+    spans = (
         runs.groupBy("doc_id", "diag", "run_id")
         .agg(
             F.min("pa").alias("a_start"),
@@ -507,6 +541,7 @@ def intra_doc_repeat_spans(
         .filter(F.col("span_words") >= min_span_words)
         .select("doc_id", "a_start", "b_start", "span_words")
     )
+    return spans, audit
 
 
 def remove_intra_doc_repeats(
@@ -529,8 +564,10 @@ def remove_intra_doc_repeats(
     (streaming/pipeline.composed_ingest_batch's optional trim stage)
     where cross-doc span cutting is deliberately batch-only. Docs with
     no repeats pass through byte-identical; non-text columns ride
-    through untouched."""
-    spans = intra_doc_repeat_spans(
+    through untouched. The occurrence guard (and its audit) rides along
+    from `intra_doc_repeat_spans` — a degenerate doc's tail beyond the
+    cap is the repetition QUALITY rules' job, not the trimmer's."""
+    spans, _audit = intra_doc_repeat_spans(
         docs, id_col=id_col, text_col=text_col, k=k, min_span_words=min_span_words
     )
     return remove_shared_spans(

@@ -136,17 +136,43 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       retention score). The oracle replays the k-means chain, the
       guarded-cosine assignment, the within-cell ε-pairs and the
       recursive closure bit-for-bit."""
+    return (
+        _dg_labels_arm(spark, sf_dir)
+        .unionByName(_dg_survivor_arm(spark, sf_dir))
+        .unionByName(_semantic_retention_arm(spark, sf_dir))
+        .orderBy("method", "doc_id")
+    )
+
+
+def _dg_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id, quality) — CC labels joined with quality, the
+    shared body of the labels and survivor arms."""
     d = load_table(spark, sf_dir, "documents")
     edges = minhash_candidate_pairs(d).select("doc_a", "doc_b")
     labels = connected_components(d, edges)
     scored = d.select("doc_id", quality_score("text").cast("double").alias("quality"))
-    members = labels.join(scored, "doc_id")
+    return labels.join(scored, "doc_id")
+
+
+def _dg_labels_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated labels-arm builder: the method_arm union-filter would
+    also pay the semantic arm's k-means training at CONSTRUCTION time
+    (the codebook memo builds while the query object is created, before
+    Catalyst ever prunes the filtered-out branch) — the r5 IVF-arms
+    lesson applied to this query."""
+    return _dg_members(spark, sf_dir).select(
+        F.lit("labels").alias("method"), "doc_id", "group_id", "quality"
+    )
+
+
+def _dg_survivor_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = _dg_members(spark, sf_dir)
     # argmax(quality, tie → min doc_id) via struct-max: max quality wins,
     # then max(-doc_id) = min doc_id — one aggregate, no window shuffle.
     best = F.max(
         F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("neg_id"))
     ).alias("b")
-    surv = (
+    return (
         members.groupBy("group_id")
         .agg(best)
         .select(
@@ -154,14 +180,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_id",
             F.col("b.q").alias("quality"),
         )
-    )
-    return (
-        members.select(F.lit("labels").alias("method"), "doc_id", "group_id", "quality")
-        .unionByName(
-            surv.select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
-        )
-        .unionByName(_semantic_retention_arm(spark, sf_dir))
-        .orderBy("method", "doc_id")
+        .select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
     )
 
 
@@ -183,8 +202,8 @@ def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_arms(
     "q_dedup_groups",
-    labels=_method_arm("q_dedup_groups", "labels"),
-    survivor=_method_arm("q_dedup_groups", "survivor"),
+    labels=_dg_labels_arm,
+    survivor=_dg_survivor_arm,
     semantic=_semantic_retention_arm,
 )
 
@@ -716,9 +735,10 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     # one positioned-gram stream, and one cutter — the intra spans just
     # union their (doc, start, len) intervals into the cut list.
     spans, _audit = shared_span_pairs(pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS)
-    intra = intra_doc_repeat_spans(
+    intra_spans, _iaudit = intra_doc_repeat_spans(
         pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
-    ).select(F.col("doc_id").alias("doc_b"), "b_start", "span_words")
+    )
+    intra = intra_spans.select(F.col("doc_id").alias("doc_b"), "b_start", "span_words")
     cut = remove_shared_spans(
         pool0, spans.select("doc_b", "b_start", "span_words").unionByName(intra)
     )

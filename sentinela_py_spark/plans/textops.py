@@ -369,9 +369,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans, _audit = shared_span_pairs(
         d, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
     )
-    intra_arm = intra_doc_repeat_spans(
+    intra_spans, _iaudit = intra_doc_repeat_spans(
         d, k=INTRA_K, min_span_words=MIN_INTRA_SPAN_WORDS
-    ).select(
+    )
+    intra_arm = intra_spans.select(
         F.lit("intra").alias("method"),
         F.col("doc_id").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),

@@ -592,3 +592,41 @@ def test_dsir_selection_at_50k_docs(spark):
     again = {r["doc_id"] for r in gumbel_topk(
         dsir_log_weights(docs.repartition(7), F.col("is_t")), 1000).collect()}
     assert again == picked
+
+
+def test_fuzzy_decon_flags_planted_contamination_at_scale(spark):
+    """Fuzzy decontamination end-to-end at corpus scale: every eval doc
+    gets a lightly-edited train-side copy planted (one word changed —
+    the contamination exact n-gram screens under-detect), and the fuzzy
+    arm must flag every planted copy long enough for a one-word edit to
+    stay above the 0.8 Jaccard bar. Work stays ∝ band collisions — the
+    probe is the recall check AND the no-blowup check in one pass."""
+    import hashlib
+
+    from sentinela_py_spark.plans.textops import _fuzzy_decon_arm
+
+    d = load_table(spark, SF, "documents")
+    rows = d.select("doc_id", "text").collect()
+    is_eval = lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a"  # noqa: E731
+
+    def edited(text: str) -> str:
+        w = text.split()
+        w[len(w) // 2] = "PLANTEDEDIT"
+        return " ".join(w)
+
+    planted, nxt = [], 1_000_000
+    for r in rows:
+        if is_eval(r["doc_id"]):
+            while is_eval(nxt):  # planted copies must land train-side
+                nxt += 1
+            planted.append((nxt, edited(r["text"]), len(r["text"].split())))
+            nxt += 1
+    assert len(planted) >= 30  # the md5 split yields ~10% eval docs
+    corpus = d.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(i, t) for i, t, _ in planted], ["doc_id", "text"])
+    )
+    flagged = {r["doc_id"] for r in _fuzzy_decon_arm(corpus).collect()}
+    # one word changed kills <= 3 of (n-2) shingles: jaccard >= 0.8 needs
+    # roughly n >= 30 tokens; every such planted copy must be flagged
+    long_planted = {i for i, _, n in planted if n >= 30}
+    assert long_planted and long_planted <= flagged

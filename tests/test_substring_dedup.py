@@ -189,7 +189,8 @@ def test_intra_doc_repeat_found_with_positions(spark):
     text = f"{PREFIX_A} {PASSAGE} {SUFFIX_A} {PASSAGE} {SUFFIX_B}"
     clean = f"{PREFIX_B} {SUFFIX_B} {PREFIX_A} {SUFFIX_A}"
     docs = _docs(spark, [(1, text), (2, clean)])
-    spans = intra_doc_repeat_spans(docs, k=3, min_span_words=15).collect()
+    spans, audit = intra_doc_repeat_spans(docs, k=3, min_span_words=15)
+    spans = spans.collect()
     assert len(spans) == 1
     s = spans[0]
     # prefix 5 words -> first copy at 6; passage 15 + suffix 6 -> repeat at 27
@@ -202,7 +203,8 @@ def test_intra_doc_self_overlapping_runs_report(spark):
     from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
 
     docs = _docs(spark, [(1, " ".join(["w"] * 8))])
-    spans = intra_doc_repeat_spans(docs, k=3, min_span_words=3).collect()
+    spans, audit = intra_doc_repeat_spans(docs, k=3, min_span_words=3)
+    spans = spans.collect()
     # diagonals 1..5 each hold one run starting at pos 1
     assert {(s["a_start"], s["b_start"]) for s in spans} == {(1, d + 1) for d in range(1, 6)}
     assert all(s["span_words"] >= 3 for s in spans)
@@ -212,7 +214,8 @@ def test_intra_doc_no_repeats_is_empty(spark):
     from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
 
     docs = _docs(spark, [(1, f"{PREFIX_A} {PASSAGE} {SUFFIX_A}")])
-    assert intra_doc_repeat_spans(docs, k=3, min_span_words=3).count() == 0
+    spans, _audit = intra_doc_repeat_spans(docs, k=3, min_span_words=3)
+    assert spans.count() == 0
 
 
 def test_remove_intra_doc_repeats_keeps_first_copy(spark):
@@ -238,3 +241,34 @@ def test_remove_intra_doc_repeats_collapses_periodic_text(spark):
     )
     out = remove_intra_doc_repeats(docs, k=3, min_span_words=3).collect()[0]
     assert out["text"] == "a b c"  # the repeating unit's first copy survives
+
+
+def test_intra_occurrence_guard_caps_degenerate_doc_with_audit(spark):
+    """A gram repeated far past the cap is truncated to its FIRST
+    occurrences (keep-first, the cutter's semantics) and the truncation
+    is never silent: the audit names the (doc, gram) bucket."""
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+
+    docs = _docs(spark, [(1, " ".join(["spam"] * 200))])
+    spans, audit = intra_doc_repeat_spans(
+        docs, k=3, min_span_words=3, max_gram_occurrences=8
+    )
+    rows = spans.collect()
+    arows = audit.collect()
+    assert len(arows) == 1 and arows[0]["occurrences"] == 198
+    # pairs only among the first 8 occurrences: every span starts <= 8
+    assert rows and all(r["a_start"] <= 8 and r["b_start"] <= 8 for r in rows)
+
+
+def test_intra_occurrence_guard_never_bites_at_fixture_scale(spark):
+    """The registered intra arm's oracle is cap-free: the default cap
+    must sit above every within-doc gram multiplicity in the fixture."""
+    from sentinela_py_spark.operators.dedup import (
+        DEFAULT_MAX_GRAM_OCCURRENCES,
+        intra_doc_repeat_spans,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    _spans, audit = intra_doc_repeat_spans(d, k=3, min_span_words=3)
+    assert audit.count() == 0
+    assert DEFAULT_MAX_GRAM_OCCURRENCES == 64
