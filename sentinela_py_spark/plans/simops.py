@@ -667,9 +667,12 @@ def semdedup_prune(
     ids = F.lit([int(cid) for cid, _v in cents_sorted])
     cvec = F.element_at(vecs, F.array_position(ids, F.col("cell_id")).cast("int"))
     csim = F.nanvl(F.round(cosine(F.col("embedding"), cvec), 6), F.lit(-2.0))
+    # scored feeds BOTH the election aggregate and the join back —
+    # materialize once (same reason as `assigned` above)
     scored = (
         assigned.join(comp, "vec_id")
         .select("vec_id", "group_id", csim.alias("centroid_sim"))
+        .localCheckpoint(eager=False)
     )
     keepers = scored.groupBy("group_id").agg(
         F.min_by("vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))).alias(
@@ -818,10 +821,35 @@ def _semantic_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# all_pairs / corpus_probe are dedicated too: a method_arm union-filter
+# cannot prune the semantic branch past its lazy localCheckpoint (a
+# checkpoint is a pruning BARRIER), so a filtered arm would execute the
+# within-cluster pair join it never reads — the q_decontamination
+# fuzzy-arm lesson.
+def _en_bucketed(spark: SparkSession, sf_dir: str):
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return e, bucketed_embeddings(e, PLANES).localCheckpoint(eager=False)
+
+
+def _en_all_pairs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, bucketed = _en_bucketed(spark, sf_dir)
+    return embedding_neardup_pairs(
+        e, planes=PLANES, threshold=NEARDUP_COS, bucketed=bucketed
+    ).select(F.lit("all_pairs").alias("method"), "vec_a", "vec_b", "cos_sim_r")
+
+
+def _en_corpus_probe_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e, bucketed = _en_bucketed(spark, sf_dir)
+    split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    return embedding_cross_corpus_candidates(
+        bucketed.filter(~split), bucketed.filter(split)
+    ).select(F.lit("corpus_probe").alias("method"), "vec_a", "vec_b", "cos_sim_r")
+
+
 register_arms(
     "q_embedding_neardup",
-    all_pairs=_method_arm("q_embedding_neardup", "all_pairs"),
-    corpus_probe=_method_arm("q_embedding_neardup", "corpus_probe"),
+    all_pairs=_en_all_pairs_arm,
+    corpus_probe=_en_corpus_probe_arm,
     semantic=_semantic_arm,
 )
 

@@ -594,18 +594,26 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins raw gram strings (DuckDB has no xxhash64), which doubles as a
     hash-collision audit, and rebuilds the identical filter bit-for-bit
     (md5 positions, two's-complement word masks)."""
-    from sentinela_py_spark.functions.bloom import bloom_build, bloom_contains
-
     d = load_table(spark, sf_dir, "documents")
-    digest = F.md5(F.col("doc_id").cast("string"))
-    is_eval = F.substring(digest, 1, 2) < "1a"
-    # Per-doc gram dedup happens MAP-SIDE (array_distinct on the shingle
-    # array) — (doc_id, gram) pairs are unique by construction since a
-    # doc is one row, so no shuffle-distinct is needed before either arm.
-    # The gram stream has FOUR consumers (train/eval × exact/bloom); the
-    # lazy localCheckpoint materializes the explode once instead of four
-    # times (~25% at sf0.1) — the batch analog of writing the gram table,
-    # which is what a 100 TB pipeline does anyway.
+    train_s, eval_s = _decon_streams(d)
+    return (
+        _decon_exact(train_s, eval_s)
+        .unionByName(_decon_bloom(train_s, eval_s))
+        .unionByName(_fuzzy_decon_arm(d))
+        .orderBy("method", "doc_id")
+    )
+
+
+def _decon_streams(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(train grams, eval grams) — one materialized explode feeding every
+    consumer. Per-doc gram dedup happens MAP-SIDE (array_distinct on the
+    shingle array) — (doc_id, gram) pairs are unique by construction
+    since a doc is one row, so no shuffle-distinct is needed before any
+    arm. The gram stream has up to FOUR consumers (train/eval ×
+    exact/bloom); the lazy localCheckpoint materializes the explode once
+    (~25% at sf0.1) — the batch analog of writing the gram table, which
+    is what a 100 TB pipeline does anyway."""
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
     grams_s = (
         ensure_min_partitions(d)
         .select(
@@ -615,12 +623,13 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    train_s = grams_s.filter(~F.col("is_eval"))
-    eval_s = grams_s.filter(F.col("is_eval"))
+    return grams_s.filter(~F.col("is_eval")), grams_s.filter(F.col("is_eval"))
 
+
+def _decon_exact(train_s: DataFrame, eval_s: DataFrame) -> DataFrame:
     train = train_s.select(F.col("doc_id").alias("t_doc"), F.xxhash64("g").alias("gram"))
     ev = eval_s.select(F.col("doc_id").alias("e_doc"), F.xxhash64("g").alias("gram"))
-    exact = (
+    return (
         train.join(ev, "gram")
         .groupBy(F.col("t_doc").alias("doc_id"))
         .agg(
@@ -631,8 +640,12 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("exact").alias("method"), "doc_id", "n_shared_ngrams", "n_eval_docs", "n_pairs")
     )
 
+
+def _decon_bloom(train_s: DataFrame, eval_s: DataFrame) -> DataFrame:
+    from sentinela_py_spark.functions.bloom import bloom_build, bloom_contains
+
     bloom_row = F.broadcast(bloom_build(eval_s.select(F.col("g").alias("key"))))
-    bloom_arm = (
+    return (
         train_s.crossJoin(bloom_row)
         .filter(bloom_contains(F.col("g"), F.col("bloom")))
         .groupBy("doc_id")
@@ -645,11 +658,26 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n_pairs"),
         )
     )
-    return (
-        exact.unionByName(bloom_arm)
-        .unionByName(_fuzzy_decon_arm(d))
-        .orderBy("method", "doc_id")
-    )
+
+
+# Dedicated bench-arm builders: the method_arm union-filter would drag
+# the fuzzy branch's lazy localCheckpoints into the exact/bloom arms —
+# a checkpoint is a pruning BARRIER, so Catalyst cannot constant-fold
+# the filtered-out branch away and the arm pays the full signature
+# computation it never reads (measured: exact arm 1.5s -> 2.9s at sf0.1
+# when the fuzzy arm landed as a plain union branch).
+def _decon_exact_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, e = _decon_streams(load_table(spark, sf_dir, "documents"))
+    return _decon_exact(t, e)
+
+
+def _decon_bloom_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, e = _decon_streams(load_table(spark, sf_dir, "documents"))
+    return _decon_bloom(t, e)
+
+
+def _decon_fuzzy_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy_decon_arm(load_table(spark, sf_dir, "documents"))
 
 
 def _fuzzy_decon_arm(d: DataFrame) -> DataFrame:
@@ -1633,9 +1661,9 @@ register_arms(
 
 register_arms(
     "q_decontamination",
-    exact=_method_arm("q_decontamination", "exact"),
-    bloom=_method_arm("q_decontamination", "bloom"),
-    fuzzy=_method_arm("q_decontamination", "fuzzy"),
+    exact=_decon_exact_arm,
+    bloom=_decon_bloom_arm,
+    fuzzy=_decon_fuzzy_arm,
 )
 register_arms(
     "q_ngram_jaccard_pairs",
