@@ -998,6 +998,23 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
 
 
+# Retention-policy constants for q_curated_corpus' three selection arms.
+# DOMAIN_CAP: the C4/RefinedWeb anti-domination quota — no source may
+# contribute more than this many docs. TOKEN_SELECT_BUDGET: the
+# budget-constrained data-selection target (DCLM-style pool → budget);
+# MIN_SELECT_DOC_TOKENS floors the docs the selector considers, which
+# also BOUNDS the safe per-shard pre-prune: at most
+# budget // min_tokens docs can ever be selected, so keeping each
+# shard's top-(budget // min_tokens) by the selection order provably
+# loses nothing — the global ordered cumsum then runs over ≤ 16·K rows
+# REGARDLESS of corpus size (the two-phase shape that keeps a global
+# window off the full corpus at 100 TB).
+DOMAIN_CAP = 10
+TOKEN_SELECT_BUDGET = 5000
+MIN_SELECT_DOC_TOKENS = 20
+_SELECT_PRUNE_K = TOKEN_SELECT_BUDGET // MIN_SELECT_DOC_TOKENS  # = 250
+
+
 @register(
     "q_curated_corpus",
     oracle=f"""
@@ -1022,26 +1039,86 @@ def _lang_hits_sql(lang: str) -> str:
                ELSE 'pt' END AS lang_guess,
              quality
       FROM hits
+    ),
+    lang_top AS (
+      SELECT doc_id, lang_guess AS stratum, quality, rnk
+      FROM (
+        SELECT doc_id, lang_guess, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang_guess
+                                  ORDER BY quality DESC, doc_id) AS rnk
+        FROM scored
+      )
+      WHERE rnk <= 25
+    ),
+    dom AS (
+      SELECT d.doc_id, d.source AS stratum, s.quality,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY s.quality DESC, d.doc_id) AS rnk
+      FROM documents d JOIN scored s USING (doc_id)
+    ),
+    btoks0 AS (
+      SELECT d.doc_id, s.quality, len(string_split(d.text, ' ')) AS n_tokens,
+             {_SHARD_SQL.replace('doc_id', 'd.doc_id')} AS shard
+      FROM documents d JOIN scored s USING (doc_id)
+      WHERE len(string_split(d.text, ' ')) >= {MIN_SELECT_DOC_TOKENS}
+    ),
+    bpruned AS (
+      SELECT doc_id, quality, n_tokens FROM (
+        SELECT doc_id, quality, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY quality DESC, doc_id) AS srnk
+        FROM btoks0
+      ) WHERE srnk <= {_SELECT_PRUNE_K}
+    ),
+    budget AS (
+      SELECT doc_id, 'all' AS stratum, quality, rnk FROM (
+        SELECT doc_id, quality,
+               ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM bpruned
+      ) WHERE cum <= {TOKEN_SELECT_BUDGET}
     )
-    SELECT doc_id, lang_guess, quality, rnk
-    FROM (
-      SELECT doc_id, lang_guess, quality,
-             ROW_NUMBER() OVER (PARTITION BY lang_guess
-                                ORDER BY quality DESC, doc_id) AS rnk
-      FROM scored
-    )
-    WHERE rnk <= 25
-    ORDER BY lang_guess, rnk
+    SELECT 'lang_top' AS method, stratum, doc_id, quality, rnk FROM lang_top
+    UNION ALL
+    SELECT 'domain_cap' AS method, stratum, doc_id, quality, rnk
+    FROM dom WHERE rnk <= {DOMAIN_CAP}
+    UNION ALL
+    SELECT 'token_budget' AS method, stratum, doc_id, quality, rnk FROM budget
+    ORDER BY method, stratum, rnk
     """,
-    survey_ref="curation: stratified top-k per detected language by quality (lang_id × quality × W1 window)",
+    survey_ref=(
+        "curation: retention-policy selection, three arms — stratified top-k "
+        "per detected language by quality (lang_id × quality × W1 window); "
+        "per-DOMAIN cap (the C4/RefinedWeb anti-domination quota over source); "
+        "TOKEN-BUDGET selection (quality-ranked cumsum under a token budget, "
+        "two-phase: provably-lossless per-shard top-K prune bounds the global "
+        "window at 16·K rows at any corpus size)"
+    ),
     tags=("curation", "window"),
 )
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified curation: detect language (stopword vote), score quality,
-    keep the top 25 per language — the composition that turns the analysis
-    queries into an actual training corpus. One scan, one window shuffle on
-    lang_guess (5-ish partitions; at 100 TB pre-aggregate with a per-
-    partition top-k before the window to bound skew)."""
+    """Retention-policy selection: three ways a curation run decides WHAT
+    to keep, over one scored scan, each arm tagged:
+
+    - ``lang_top``: detect language (stopword vote), keep the top 25 per
+      language by quality — stratified curation (stratum = lang_guess).
+      One window shuffle on lang_guess (5-ish partitions; at 100 TB
+      pre-aggregate a per-partition top-k before the window).
+    - ``domain_cap``: no single domain dominates — keep at most
+      ``DOMAIN_CAP`` docs per source, best-quality first (the C4/
+      RefinedWeb quota; stratum = source). Window on source: uniform
+      at fixture scale, and the same per-partition top-k pre-aggregation
+      bounds a hot domain at corpus scale.
+    - ``token_budget``: budget-constrained selection (the DCLM pool →
+      budget stage): quality-ranked docs (ties to doc_id) admitted while
+      the running token sum stays ≤ ``TOKEN_SELECT_BUDGET``. The global
+      ordered cumsum is kept OFF the corpus by a provably-lossless
+      pre-prune: only docs ≥ ``MIN_SELECT_DOC_TOKENS`` compete, so at
+      most budget // min_tokens can be selected — keep exactly that many
+      per shard (by the same order) first, and the global window runs
+      over ≤ 16 · K rows at ANY corpus size (K = 250 here). rnk is the
+      global selection rank; stratum = 'all'."""
     d = load_table(spark, sf_dir, "documents")
     hits = {lang: stopword_count("text", LANG_STOPWORDS[lang]) for lang in ("en", "es", "fr", "de", "pt")}
     best = F.greatest(*hits.values())
@@ -1053,10 +1130,60 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["de"] == best, "de")
         .otherwise("pt")
     )
-    scored = d.select("doc_id", guess.alias("lang_guess"), quality_score("text").alias("quality"))
-    w = W.partitionBy("lang_guess").orderBy(F.col("quality").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
+    scored = d.select(
+        "doc_id",
+        "source",
+        guess.alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    sel = [F.col("quality").desc(), F.col("doc_id")]
+
+    lang_w = W.partitionBy("lang_guess").orderBy(*sel)
+    lang_top = (
+        scored.withColumn("rnk", F.row_number().over(lang_w))
         .filter(F.col("rnk") <= 25)
-        .orderBy("lang_guess", "rnk")
+        .select(
+            F.lit("lang_top").alias("method"),
+            F.col("lang_guess").alias("stratum"),
+            "doc_id", "quality", "rnk",
+        )
+    )
+
+    dom_w = W.partitionBy("source").orderBy(*sel)
+    domain_cap = (
+        scored.withColumn("rnk", F.row_number().over(dom_w))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+        .select(
+            F.lit("domain_cap").alias("method"),
+            F.col("source").alias("stratum"),
+            "doc_id", "quality", "rnk",
+        )
+    )
+
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % 16
+    shard_w = W.partitionBy("shard").orderBy(*sel)
+    pruned = (
+        scored.filter(F.col("n_tokens") >= MIN_SELECT_DOC_TOKENS)
+        .withColumn("shard", shard)
+        .withColumn("srnk", F.row_number().over(shard_w))
+        .filter(F.col("srnk") <= _SELECT_PRUNE_K)
+    )
+    gw = W.orderBy(*sel)
+    cum_w = gw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    token_budget = (
+        pruned.withColumn("rnk", F.row_number().over(gw))
+        .withColumn("cum", F.sum("n_tokens").over(cum_w))
+        .filter(F.col("cum") <= TOKEN_SELECT_BUDGET)
+        .select(
+            F.lit("token_budget").alias("method"),
+            F.lit("all").alias("stratum"),
+            "doc_id", "quality", "rnk",
+        )
+    )
+    return (
+        lang_top.unionByName(domain_cap)
+        .unionByName(token_budget)
+        .orderBy("method", "stratum", "rnk")
     )

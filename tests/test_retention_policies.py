@@ -1,0 +1,53 @@
+"""q_curated_corpus' three retention-policy arms on planted corpora:
+per-domain cap, token-budget selection (incl. the lossless per-shard
+prune floor), and the stratified lang_top arm's coexistence."""
+
+from __future__ import annotations
+
+
+def _run(spark, tmp_path, rows):
+    from sentinela_py_spark.plans import QUERIES
+    from sentinela_py_spark.plans.registry import _ensure_loaded
+
+    _ensure_loaded()
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return QUERIES["q_curated_corpus"].spark(spark, str(tmp_path)).collect()
+
+
+def test_domain_cap_bounds_every_source(spark, tmp_path):
+    from sentinela_py_spark.plans.curation import DOMAIN_CAP
+
+    # srcA floods 15 docs, srcB has 3 — the quota binds only on srcA
+    good = "the quick brown fox and the lazy dog wander in the misty field for a while today " * 2
+    rows = [(i, good, "en", "srcA", 99) for i in range(15)]
+    rows += [(100 + i, good, "en", "srcB", 99) for i in range(3)]
+    out = [r for r in _run(spark, tmp_path, rows) if r["method"] == "domain_cap"]
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["stratum"], []).append(r)
+    assert len(by_src["srcA"]) == DOMAIN_CAP
+    assert len(by_src["srcB"]) == 3
+    # equal quality -> lowest doc_ids win the quota
+    assert sorted(r["doc_id"] for r in by_src["srcA"]) == list(range(DOMAIN_CAP))
+
+
+def test_token_budget_admits_greedily_and_floors_short_docs(spark, tmp_path):
+    from sentinela_py_spark.plans.curation import (
+        MIN_SELECT_DOC_TOKENS,
+        TOKEN_SELECT_BUDGET,
+    )
+
+    # 60 docs x 100 tokens (quality 1.0 via length+stopwords) -> exactly
+    # budget // 100 = 50 admitted; a 10-token doc never competes
+    body = ("word " * 95 + "the and of in is ").strip()  # 100 tokens, 5 stopwords
+    assert len(body.split()) == 100
+    rows = [(i, body, "en", "s", 500) for i in range(60)]
+    rows.append((999, "tiny doc under the floor", "en", "s", 24))
+    assert len(rows[-1][1].split()) < MIN_SELECT_DOC_TOKENS
+    out = [r for r in _run(spark, tmp_path, rows) if r["method"] == "token_budget"]
+    assert len(out) == TOKEN_SELECT_BUDGET // 100
+    assert all(r["doc_id"] != 999 for r in out)
+    # admitted in (quality desc, doc_id) order -> rnk == position
+    got = sorted((r["rnk"], r["doc_id"]) for r in out)
+    assert got == [(i + 1, i) for i in range(len(out))]
