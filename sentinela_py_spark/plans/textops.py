@@ -830,12 +830,52 @@ def _cms_bucket_sql(tok: str, r: str) -> str:
     return f"(('0x' || substr(md5({tok}), 1 + 8 * CAST({r} AS INT), 8))::BIGINT % {CMS_W})"
 
 
+# HyperLogLog geometry: m = 2^HLL_P registers per group key — the
+# DISTINCT-counting member of the sketch family (Bloom = membership,
+# CMS = frequency, histogram = percentiles, MinHash = similarity).
+# Register index = first md5 hex char (p = 4 bits); rank = leading-zero
+# count of the NEXT 60 digest bits + 1 (computed integer-exactly as
+# 61 − length(bin(v)), capped at 60 so every harmonic term 2^(60−r)
+# stays an integer). The harmonic sum is kept ORDER-INSENSITIVE by
+# summing those integer terms in DECIMAL(38,0) — absent registers
+# contribute 2^60 each — then ONE cast to double and one division, so
+# Spark and DuckDB produce bit-identical estimates at any partitioning.
+# Raw Flajolet estimator only (alpha_16 = 0.673): the small-range
+# linear-counting correction needs ln(), whose last-ulp behavior is not
+# contractually identical across engines — and it matters exactly when
+# distinct counts are tiny, which is not the corpus-scale regime this
+# sketch exists for (fixed 16-register state per language at ANY corpus
+# size; demo geometry, like CMS_D×CMS_W).
+HLL_P = 4
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.673
+
+_HLL_SUFFIX = "('0x' || substr(md5(tok), 2, 15))::BIGINT"
+_HLL_SQL = f"""
+    hll_regs AS (
+      SELECT lang, ('0x' || substr(md5(tok), 1, 1))::BIGINT AS b,
+             MAX(CASE WHEN {_HLL_SUFFIX} = 0 THEN 60
+                 ELSE 61 - length(bin({_HLL_SUFFIX})) END) AS r
+      FROM toks GROUP BY lang, b
+    ),
+    hll_est AS (
+      SELECT lang,
+             CAST(FLOOR({HLL_ALPHA} * {HLL_M * HLL_M} * POWER(2.0, 60) /
+                  CAST(SUM(CAST(POWER(2.0, 60 - r) AS DECIMAL(38,0))) +
+                       ({HLL_M} - COUNT(*)) * CAST(POWER(2.0, 60) AS DECIMAL(38,0))
+                       AS DOUBLE)
+                  + 0.5) AS BIGINT) AS n
+      FROM hll_regs GROUP BY lang
+    )"""
+
+
 @register(
     "q_top_token_per_lang",
     oracle=f"""
     WITH toks AS (
       SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
     ),
+    {_HLL_SQL},
     exact AS (
       SELECT lang, tok AS top_token, n
       FROM (
@@ -865,13 +905,18 @@ def _cms_bucket_sql(tok: str, r: str) -> str:
     SELECT 'exact' AS method, lang, top_token, n FROM exact
     UNION ALL
     SELECT 'cms' AS method, lang, top_token, n FROM cms
+    UNION ALL
+    SELECT 'hll' AS method, lang, CAST(NULL AS VARCHAR) AS top_token, n FROM hll_est
     ORDER BY method, lang
     """,
     survey_ref=(
         "U1-family grouped-map: applyInPandas per-group computation (text analysis) — "
         "exact arm; cms arm = Count-Min sketch frequency estimate (fixed "
         f"{CMS_D}×{CMS_W}-counter state per language at any corpus size, the "
-        "heavy-hitter member of the sketch family beside HLL/histogram/Bloom)"
+        "heavy-hitter member of the sketch family); hll arm (r9) = HyperLogLog "
+        "distinct-token estimate per language (16 registers per group at any "
+        "corpus size — the DISTINCT member; order-insensitive integer harmonic "
+        "sum makes the float estimate bit-identical cross-engine)"
     ),
     tags=("text", "pandas-udf", "sketch"),
 )
@@ -893,7 +938,14 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle rebuilds the sketch counter-for-counter, so the approximation
       itself is value-hash-checked. At 100 TB the sketch (not the exact
       token→count table) is what survives: 8 KB per language versus one
-      row per distinct token."""
+      row per distinct token.
+    - ``hll``: HyperLogLog DISTINCT-token estimate per language —
+      16 md5-derived registers per group at ANY corpus size (the
+      distinct member of the sketch family; see the `_HLL_SQL` block
+      comment for the determinism construction: integer 2^(60−rank)
+      harmonic terms summed in DECIMAL, one cast, one division —
+      bit-identical cross-engine, no ln()-dependent correction).
+      ``top_token`` is NULL on this arm; ``n`` is the estimate."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
@@ -938,8 +990,47 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.select(F.lit("exact").alias("method"), "lang", "top_token", "n")
         .unionByName(cms.select(F.lit("cms").alias("method"), "lang", "top_token", "n"))
+        .unionByName(_hll_distinct_per_lang(toks))
         .orderBy("method", "lang")
     )
+
+
+def _hll_distinct_per_lang(toks: DataFrame) -> DataFrame:
+    """(method='hll', lang, top_token=NULL, n=estimate) over a
+    (lang, tok) stream — see `_HLL_SQL` for the construction."""
+    h = F.md5("tok")
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 2, 15), 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(60)).otherwise(F.lit(61) - F.length(F.bin(v)))
+    regs = (
+        toks.select("lang", bucket.alias("b"), rank.alias("rk"))
+        .groupBy("lang", "b")
+        .agg(F.max("rk").alias("r"))
+    )
+    term = F.pow(F.lit(2.0), F.lit(60) - F.col("r")).cast("decimal(38,0)")
+    full = F.pow(F.lit(2.0), F.lit(60)).cast("decimal(38,0)")
+    per_lang = regs.groupBy("lang").agg(
+        (F.sum(term) + (F.lit(HLL_M) - F.count("*")) * full).alias("s_int")
+    )
+    numer = F.lit(HLL_ALPHA) * F.lit(HLL_M * HLL_M) * F.pow(F.lit(2.0), F.lit(60))
+    est = F.floor(numer / F.col("s_int").cast("double") + 0.5).cast("long")
+    return per_lang.select(
+        F.lit("hll").alias("method"),
+        "lang",
+        F.lit(None).cast("string").alias("top_token"),
+        est.alias("n"),
+    )
+
+
+def _hll_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated hll bench arm — the headline's exact branch hides a
+    grouped-map behind a lazy localCheckpoint, which a union-filter arm
+    could not prune away (the checkpoint-barrier rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ensure_min_partitions(d).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return _hll_distinct_per_lang(toks)
 
 
 # Measurement note: the cms arm SEMANTICALLY contains the exact winners'
@@ -950,6 +1041,7 @@ register_arms(
     "q_top_token_per_lang",
     exact=_method_arm("q_top_token_per_lang", "exact"),
     cms=_method_arm("q_top_token_per_lang", "cms"),
+    hll=_hll_arm,
 )
 
 

@@ -145,3 +145,20 @@ def test_redaction_leaves_no_matches(text):
 def test_redaction_idempotent(text):
     once = _scrub_py(text)
     assert _scrub_py(once) == once
+
+
+def test_hll_estimate_tracks_distinct_count_and_is_partition_invariant(spark):
+    """HLL arm: on a 1000-distinct-token corpus (the raw-estimator
+    regime the sketch exists for) the estimate lands within the m=16
+    error envelope, and repartitioning cannot move it by a bit (the
+    integer harmonic-sum construction)."""
+    from pyspark.sql import functions as F
+
+    from sentinela_py_spark.plans.textops import _hll_distinct_per_lang
+
+    rows = [("en", f"tok{i}") for i in range(1000)] * 2  # dups don't count
+    toks = spark.createDataFrame(rows, ["lang", "tok"])
+    est = _hll_distinct_per_lang(toks).collect()[0]["n"]
+    assert 500 <= est <= 2000  # ~26% std error at m=16; generous 2x band
+    est2 = _hll_distinct_per_lang(toks.repartition(7)).collect()[0]["n"]
+    assert est2 == est
