@@ -674,10 +674,14 @@ def _packed_sequences(docs: DataFrame, method: str) -> DataFrame:
     )
 
 
-def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
+def _curated_pool(
+    d: DataFrame, checkpoint: bool = True, stages: dict | None = None
+) -> DataFrame:
     """The curated arm's document pool: dedup-survive → span-cut →
     decontaminate → rule+model quality gate → temperature-mix, all
     deterministic and oracle-checkable (see q_sequence_packing).
+    Pass a dict as ``stages`` to receive every intermediate stage frame
+    (`curation_funnel` builds the retention datacard from them).
 
     ``checkpoint=False`` skips the stage-4/5 boundary checkpoint so the
     WHOLE pipeline is one visible plan — the plan-census tool pins that
@@ -726,7 +730,8 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     )
 
     # 2. the train pool: survivors minus the held-out eval split
-    pool0 = surv.join(d.select("doc_id", "lang", "text"), "doc_id").filter(~is_eval)
+    surv_docs = surv.join(d.select("doc_id", "lang", "text"), "doc_id")
+    pool0 = surv_docs.filter(~is_eval)
 
     # 3. substring-level span cut (Lee et al. — the span arm's
     # operators, composed): every passage repeated ACROSS surviving
@@ -781,7 +786,64 @@ def _curated_pool(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     rates = temperature_rates(pool, "lang", alpha=MIX_ALPHA, budget=CURATED_BUDGET).withColumn(
         "rate", F.round("rate", 6)
     )
-    return mixture_sample(pool, rates, group_col="lang", key_col="doc_id")
+    sampled = mixture_sample(pool, rates, group_col="lang", key_col="doc_id")
+    if stages is not None:
+        stages.update(
+            input=d,
+            dedup_survivors=surv_docs,
+            train_pool=pool0,
+            span_cut=cut,
+            decontaminated=screened,
+            quality_gated=pool,
+            mixture_sampled=sampled,
+        )
+    return sampled
+
+
+# The datacard every real curation run emits: how many documents and
+# tokens each stage kept. Stage order matches _curated_pool's chain.
+FUNNEL_STAGES = (
+    "input",
+    "dedup_survivors",
+    "train_pool",
+    "span_cut",
+    "decontaminated",
+    "quality_gated",
+    "mixture_sampled",
+)
+
+
+def curation_funnel(d: DataFrame) -> DataFrame:
+    """(stage_idx, stage, n_docs, n_tokens) — the retention funnel of the
+    composed curation pipeline, one row per stage in chain order: the
+    audit a production run publishes with its dataset (where did the
+    corpus go, and how many tokens did each screen cost?). Built from
+    the SAME stage frames `_curated_pool` executes (not a re-derivation
+    that could drift), so the span-cut row shows the token shrink with
+    an unchanged doc count, the quality row shows doc drops, and the
+    final row is exactly the packed pool. Each stage prices one count
+    aggregate over the shared checkpointed chain — 7 small jobs, no
+    extra corpus passes beyond what the pipeline already materializes."""
+    stages: dict[str, DataFrame] = {}
+    _curated_pool(d, stages=stages)
+    frames = []
+    for i, name in enumerate(FUNNEL_STAGES):
+        f = stages[name]
+        frames.append(
+            f.agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            ).select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("stage_idx")
 
 
 register_arms(

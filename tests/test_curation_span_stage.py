@@ -195,3 +195,33 @@ def test_oracle_replays_the_cut_bit_for_bit(spark, planted_dir):
     # sanity: the curated arm is non-empty
     m = cols.index("method")
     assert any(r[m] == "curated" for r in srows)
+
+
+def test_curation_funnel_reports_every_stage(spark, planted_dir):
+    """The funnel datacard over the planted corpus: doc counts drop
+    exactly where the pipeline says they do (eval split at train_pool,
+    quality at the gate), token counts shrink exactly at the span cut
+    (both repeated passages), and the final row is the packed pool."""
+    from sentinela_py_spark.plans.curation import FUNNEL_STAGES, curation_funnel
+    from sentinela_py_spark.tables import load_table
+
+    d = load_table(spark, planted_dir, "documents")
+    rows = {r["stage"]: r for r in curation_funnel(d).collect()}
+    assert [r[0] for r in sorted(
+        ((r["stage_idx"], r["stage"]) for r in rows.values())
+    )] == list(range(len(FUNNEL_STAGES)))
+
+    n_total = len(ROWS)
+    assert rows["input"]["n_docs"] == n_total
+    assert rows["dedup_survivors"]["n_docs"] == n_total  # no doc-level dups
+    assert rows["train_pool"]["n_docs"] == n_total - 1   # eval doc dropped
+    # span cut: SAME docs, fewer tokens — the two cross-doc copies of
+    # PASSAGE and the within-doc repeat of IPASSAGE are gone
+    assert rows["span_cut"]["n_docs"] == rows["train_pool"]["n_docs"]
+    shrink = rows["train_pool"]["n_tokens"] - rows["span_cut"]["n_tokens"]
+    assert shrink == 2 * len(PASSAGE.split()) + len(IPASSAGE.split())
+    assert rows["decontaminated"]["n_docs"] == rows["span_cut"]["n_docs"]
+    # quality gate drops the doc whose quality depended on the padding
+    assert rows["quality_gated"]["n_docs"] == rows["decontaminated"]["n_docs"] - 1
+    # mixture rates are 1.0 at this corpus size: the sample keeps the pool
+    assert rows["mixture_sampled"]["n_docs"] == rows["quality_gated"]["n_docs"]
