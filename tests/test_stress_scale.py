@@ -630,3 +630,32 @@ def test_fuzzy_decon_flags_planted_contamination_at_scale(spark):
     # roughly n >= 30 tokens; every such planted copy must be flagged
     long_planted = {i for i, _, n in planted if n >= 30}
     assert long_planted and long_planted <= flagged
+
+
+def test_intra_repeat_guard_bounds_degenerate_flood(spark):
+    """Degenerate-doc flood through the within-doc repeat operator: 200
+    spam docs of ONE token repeated 2000 times each ride along with the
+    10x corpus. Uncapped, each doc's (doc, gram) bucket would join into
+    ~2M pairs (400M rows total); the occurrence guard bounds every
+    bucket at 64 so the whole sweep stays collision-proportional — and
+    every flooded bucket is named in the audit."""
+    from pyspark.sql import functions as F
+
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    spam = spark.range(200).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(" ".join(["buy"] * 2000)).alias("text"),
+    )
+    spans, audit = intra_doc_repeat_spans(d.unionByName(spam), k=3, min_span_words=3)
+    n_audit = audit.count()
+    # every spam doc floods exactly one gram ("buy buy buy")
+    assert n_audit == 200
+    arows = audit.limit(5).collect()
+    assert all(r["occurrences"] == 1998 for r in arows)
+    # spans exist for the spam docs but only among the first 64
+    # occurrences — bounded, not quadratic in the flood length
+    spam_spans = spans.filter(F.col("doc_id") >= 10_000_000)
+    assert spam_spans.filter(F.col("b_start") > 66).count() == 0
+    assert spam_spans.count() > 0
