@@ -411,3 +411,26 @@ def test_trim_stage_replay_is_idempotent(spark, tmp_path):
     first = attempt()
     assert first == [(30, REPEAT_PASSAGE)]
     assert attempt() == first  # replayed epoch reproduces the first attempt
+
+
+def test_trim_stage_wired_through_the_stream_runner(spark, tmp_path):
+    """trim_repeats threads from run_composed_ingest_stream into every
+    micro-batch: a doc arriving with a repeated passage lands in the
+    accepted store already trimmed."""
+    src = tmp_path / "src"
+    src.mkdir()
+    repeated = f"{REPEAT_PASSAGE} {REPEAT_PASSAGE}"
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 40, "text": repeated, "embedding": _e(10)}) + "\n")
+
+    state = str(tmp_path / "state")
+    q = run_composed_ingest_stream(
+        spark, str(src), str(tmp_path / "ckpt"), state,
+        eval_docs=_eval_docs(spark),
+        schema="doc_id long, text string, embedding array<double>",
+        threshold=THRESHOLD,
+        trim_repeats={"k": 3, "min_span_words": 15},
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+    rows = spark.read.parquet(os.path.join(state, "accepted")).collect()
+    assert [(r["doc_id"], r["text"]) for r in rows] == [(40, REPEAT_PASSAGE)]
