@@ -136,9 +136,13 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       retention score). The oracle replays the k-means chain, the
       guarded-cosine assignment, the within-cell ε-pairs and the
       recursive closure bit-for-bit."""
+    # ONE members frame feeds both the labels and survivor branches —
+    # connected components is the iterative/expensive piece and must not
+    # run twice in the headline (lazy checkpoint: two consumers).
+    members = _dg_members(spark, sf_dir).localCheckpoint(eager=False)
     return (
-        _dg_labels_arm(spark, sf_dir)
-        .unionByName(_dg_survivor_arm(spark, sf_dir))
+        _dg_labels_from(members)
+        .unionByName(_dg_survivor_from(members))
         .unionByName(_semantic_retention_arm(spark, sf_dir))
         .orderBy("method", "doc_id")
     )
@@ -154,19 +158,13 @@ def _dg_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(scored, "doc_id")
 
 
-def _dg_labels_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedicated labels-arm builder: the method_arm union-filter would
-    also pay the semantic arm's k-means training at CONSTRUCTION time
-    (the codebook memo builds while the query object is created, before
-    Catalyst ever prunes the filtered-out branch) — the r5 IVF-arms
-    lesson applied to this query."""
-    return _dg_members(spark, sf_dir).select(
+def _dg_labels_from(members: DataFrame) -> DataFrame:
+    return members.select(
         F.lit("labels").alias("method"), "doc_id", "group_id", "quality"
     )
 
 
-def _dg_survivor_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    members = _dg_members(spark, sf_dir)
+def _dg_survivor_from(members: DataFrame) -> DataFrame:
     # argmax(quality, tie → min doc_id) via struct-max: max quality wins,
     # then max(-doc_id) = min doc_id — one aggregate, no window shuffle.
     best = F.max(
@@ -182,6 +180,16 @@ def _dg_survivor_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
     )
+
+
+# Dedicated bench arms (the checkpoint-barrier rule: the semantic branch
+# hides k-means construction + checkpoints a union-filter can't prune).
+def _dg_labels_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dg_labels_from(_dg_members(spark, sf_dir))
+
+
+def _dg_survivor_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dg_survivor_from(_dg_members(spark, sf_dir))
 
 
 def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
