@@ -291,7 +291,10 @@ def connected_components(
     # narrow (no extra shuffle), and p grows back to the session value as
     # the subgraph does, so corpus-scale runs keep full parallelism.
     n_edges = sym.count()
-    cap = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # shuffle.partitions may be non-numeric on AQE-managed platforms
+    # (e.g. "auto"); fall back to the checkpoint's own partitioning.
+    raw_cap = str(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cap = int(raw_cap) if raw_cap.isdigit() else max(1, sym.rdd.getNumPartitions())
     p = max(1, min(cap, n_edges // 100_000 + 1))
     sym = sym.coalesce(p)
     labels = (
@@ -564,7 +567,9 @@ def remove_intra_doc_repeats(
     text_col: str = "text",
     k: int = 3,
     min_span_words: int = 3,
-) -> DataFrame:
+    max_gram_occurrences: int | None = DEFAULT_MAX_GRAM_OCCURRENCES,
+    with_audit: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame | None]:
     """Cut WITHIN-document repeated passages down to their first
     occurrence: `intra_doc_repeat_spans` finds the repeats, and the
     shared keep-first cutter (`remove_shared_spans`) removes every later
@@ -578,18 +583,28 @@ def remove_intra_doc_repeats(
     (streaming/pipeline.composed_ingest_batch's optional trim stage)
     where cross-doc span cutting is deliberately batch-only. Docs with
     no repeats pass through byte-identical; non-text columns ride
-    through untouched. The occurrence guard (and its audit) rides along
-    from `intra_doc_repeat_spans` — a degenerate doc's tail beyond the
+    through untouched. ``max_gram_occurrences`` forwards to the
+    occurrence guard (None disables it), so ingest deployments can tune
+    or drop the cap; pass ``with_audit=True`` to get ``(trimmed,
+    audit)`` back — one row per truncated (doc_id, gram), None when
+    uncapped — so capped degenerate docs are OBSERVABLE at the trim
+    stage, not silently shortened. A degenerate doc's tail beyond the
     cap is the repetition QUALITY rules' job, not the trimmer's."""
-    spans, _audit = intra_doc_repeat_spans(
-        docs, id_col=id_col, text_col=text_col, k=k, min_span_words=min_span_words
+    spans, audit = intra_doc_repeat_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_span_words=min_span_words,
+        max_gram_occurrences=max_gram_occurrences,
     )
-    return remove_shared_spans(
+    trimmed = remove_shared_spans(
         docs,
         spans.select(F.col("doc_id").alias("doc_b"), "b_start", "span_words"),
         id_col=id_col,
         text_col=text_col,
     )
+    return (trimmed, audit) if with_audit else trimmed
 
 
 def remove_shared_spans(

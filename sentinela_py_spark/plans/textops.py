@@ -244,6 +244,60 @@ MIN_SPAN_WORDS = 12
 INTRA_K = 3
 MIN_INTRA_SPAN_WORDS = 3
 
+# The intra arm's occurrence guard is REPLAYED in the oracle below —
+# keep-first row_number over (doc_id, gram) by position — so a cap bite
+# on some future fixture is an oracle-matched truncation, not a silent
+# Spark-vs-DuckDB drift.
+from sentinela_py_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_GRAM_OCCURRENCES as MAX_GRAM_OCC,
+)
+
+
+def intra_spans_sql(
+    src: str = "documents",
+    k: int = INTRA_K,
+    min_span_words: int = MIN_INTRA_SPAN_WORDS,
+    cap: int = MAX_GRAM_OCC,
+) -> str:
+    """DuckDB CTE chain (ig → igc → iruns → ispans) replaying
+    `operators/dedup.intra_doc_repeat_spans` INCLUDING its keep-first
+    occurrence guard (``igc``: first ``cap`` occurrences of each (doc,
+    gram) by position — identical truncation semantics to the Spark
+    window, so a cap bite matches instead of silently diverging). Used
+    by the registered q_ngram_jaccard_pairs oracle and re-instantiated
+    at a biting cap in tests."""
+    return f"""
+    ig AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(string_split(text,' '), i, i+{k}-1), ' ') AS gram
+      FROM {src},
+           UNNEST(generate_series(1, greatest(len(string_split(text,' ')) - {k} + 1, 0))) AS t(i)
+    ),
+    igc AS (
+      SELECT doc_id, pos, gram
+      FROM (
+        SELECT doc_id, pos, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+        FROM ig
+      ) WHERE occ <= {cap}
+    ),
+    iruns AS (
+      SELECT doc_id, pb - pa AS diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run_id
+      FROM (
+        SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+        FROM igc a JOIN igc b
+          ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+      )
+    ),
+    ispans AS (
+      SELECT doc_id,
+             CAST(MIN(pa) AS INT) AS a_start, CAST(MIN(pb) AS INT) AS b_start,
+             COUNT(*) + {k} - 1 AS span_words
+      FROM iruns GROUP BY doc_id, diag, run_id
+      HAVING COUNT(*) + {k} - 1 >= {min_span_words}
+    )"""
+
 
 @register(
     "q_ngram_jaccard_pairs",
@@ -289,28 +343,7 @@ MIN_INTRA_SPAN_WORDS = 3
       FROM spanruns GROUP BY doc_a, doc_b, diag, run_id
       HAVING COUNT(*) + {SPAN_K} - 1 >= {MIN_SPAN_WORDS}
     ),
-    ig AS MATERIALIZED (
-      SELECT doc_id, i AS pos,
-             array_to_string(list_slice(string_split(text,' '), i, i+{INTRA_K}-1), ' ') AS gram
-      FROM documents,
-           UNNEST(generate_series(1, greatest(len(string_split(text,' ')) - {INTRA_K} + 1, 0))) AS t(i)
-    ),
-    iruns AS (
-      SELECT doc_id, pb - pa AS diag, pa, pb,
-             pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run_id
-      FROM (
-        SELECT a.doc_id, a.pos AS pa, b.pos AS pb
-        FROM ig a JOIN ig b
-          ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
-      )
-    ),
-    ispans AS (
-      SELECT doc_id,
-             CAST(MIN(pa) AS INT) AS a_start, CAST(MIN(pb) AS INT) AS b_start,
-             COUNT(*) + {INTRA_K} - 1 AS span_words
-      FROM iruns GROUP BY doc_id, diag, run_id
-      HAVING COUNT(*) + {INTRA_K} - 1 >= {MIN_INTRA_SPAN_WORDS}
-    )
+    {intra_spans_sql()}
     SELECT 'jaccard' AS method, doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS score,
            CAST(NULL AS INT) AS a_start, CAST(NULL AS INT) AS b_start,
@@ -359,7 +392,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       restricted to one document (join key includes doc_id, so no
       corpus-frequency cap is needed), at 3-word grams: boilerplate
       and degenerate repetition INSIDE a page, reported as positioned
-      (first occurrence, repeat) spans with doc_a = doc_b."""
+      (first occurrence, repeat) spans with doc_a = doc_b. The
+      per-doc occurrence guard (keep-first 64, the degenerate-spam
+      bound) is REPLAYED in the oracle's ``igc`` CTE — same keep-first
+      row_number — so parity is structural, not fixture-dependent
+      (r10; tests pin a cap-biting doc against the replayed algebra)."""
     from sentinela_py_spark.operators.dedup import (
         intra_doc_repeat_spans,
         shared_span_pairs,
@@ -1417,6 +1454,18 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _half_up6(x: float) -> float:
+    """6dp HALF_UP on the EXACT binary double — the rounding F.round and
+    DuckDB ROUND both apply (Java BigDecimal(double) semantics). Python's
+    builtin round() is banker's rounding on the shortest decimal repr, so
+    a ln() landing on a .5e-7 boundary would diverge from the Spark-side
+    `F.round(F.log(...), 6)` the batch-trained path uses (the same hazard
+    `_binfit_packed` documents)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def qr_frozen_model(d: DataFrame) -> dict:
     """Offline quality-model training for INGEST-TIME scoring — the
     FAISS-codebook semantics applied to the quality filter: train once
@@ -1451,7 +1500,10 @@ def qr_frozen_model(d: DataFrame) -> dict:
         .collect()
     )
     v = len(rows)
-    clogp = [(r["cb"], round(math.log((r["cnt"] + 1) / (r["ctx_cnt"] + v)), 6)) for r in rows]
+    clogp = [
+        (r["cb"], _half_up6(math.log((r["cnt"] + 1) / (r["ctx_cnt"] + v))))
+        for r in rows
+    ]
     ctx_counts = sorted({(r["ctx"], r["ctx_cnt"]) for r in rows})
     return {"weights": w, "clogp": clogp, "cctx": ctx_counts, "v": v}
 
@@ -1477,7 +1529,7 @@ def qr_score_frozen(
     cctx_df = spark.createDataFrame(model["cctx"], "ctx string, ctx_cnt long")
     cbg = d.select("doc_id", F.explode(_char_bigrams(F.col("text"))).alias("cb"))
     unseen_known_ctx = F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + v)), 6)
-    unseen_unknown_ctx = F.lit(round(math.log(1.0 / v), 6))
+    unseen_unknown_ctx = F.lit(_half_up6(math.log(1.0 / v)))
     scored_cb = (
         cbg.join(F.broadcast(clogp_df), "cb", "left")
         .withColumn("ctx", F.substring("cb", 1, 1))

@@ -261,8 +261,9 @@ def test_intra_occurrence_guard_caps_degenerate_doc_with_audit(spark):
 
 
 def test_intra_occurrence_guard_never_bites_at_fixture_scale(spark):
-    """The registered intra arm's oracle is cap-free: the default cap
-    must sit above every within-doc gram multiplicity in the fixture."""
+    """The default cap sits above every within-doc gram multiplicity in
+    the fixture (the oracle now REPLAYS the cap, so this pin is about
+    fixture hygiene rather than parity — see the cap-bite test below)."""
     from sentinela_py_spark.operators.dedup import (
         DEFAULT_MAX_GRAM_OCCURRENCES,
         intra_doc_repeat_spans,
@@ -272,3 +273,62 @@ def test_intra_occurrence_guard_never_bites_at_fixture_scale(spark):
     _spans, audit = intra_doc_repeat_spans(d, k=3, min_span_words=3)
     assert audit.count() == 0
     assert DEFAULT_MAX_GRAM_OCCURRENCES == 64
+
+
+def test_intra_cap_bite_matches_oracle_replay(spark):
+    """When the occurrence guard DOES bite, the oracle's ``igc``
+    keep-first replay (plans/textops.intra_spans_sql) produces the same
+    spans — parity is structural, not an artifact of a cap-free fixture
+    (r10: the old oracle was cap-free, so a fixture change could have
+    turned a guard activation into a silent mismatch)."""
+    import duckdb
+
+    from sentinela_py_spark.operators.dedup import intra_doc_repeat_spans
+    from sentinela_py_spark.plans.textops import intra_spans_sql
+
+    text = " ".join(["spam"] * 40) + " then some ordinary tail words"
+    docs = _docs(spark, [(1, text), (2, "no repeats in this one at all")])
+    spans, audit = intra_doc_repeat_spans(
+        docs, k=3, min_span_words=3, max_gram_occurrences=8
+    )
+    assert audit.count() == 1  # the cap engaged on doc 1
+    got = sorted(
+        (r["doc_id"], r["a_start"], r["b_start"], r["span_words"])
+        for r in spans.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO documents VALUES (1, ?), (2, ?)",
+        [text, "no repeats in this one at all"],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {intra_spans_sql(k=3, min_span_words=3, cap=8)} "
+            "SELECT doc_id, a_start, b_start, span_words FROM ispans"
+        ).fetchall()
+    )
+    assert got == want and got  # non-empty and identical under the cap
+
+
+def test_remove_intra_doc_repeats_forwards_cap_and_audit(spark):
+    """The trimmer exposes the guard dial and the audit (r9 ADVICE): a
+    capped degenerate doc is observable at the trim stage, and
+    cap=None disables the guard entirely."""
+    from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
+
+    docs = _docs(spark, [(1, " ".join(["spam"] * 120))])
+    trimmed, audit = remove_intra_doc_repeats(
+        docs, k=3, min_span_words=3, max_gram_occurrences=8, with_audit=True
+    )
+    assert audit is not None and audit.count() == 1
+    # capped trim cuts only what the first-8-occurrence pairs cover
+    # ([2, 11)); the 110-word tail is the quality rules' job — and now
+    # it is OBSERVABLE through the audit instead of silently shortened
+    assert trimmed.collect()[0]["text"] == " ".join(["spam"] * 111)
+    uncapped, no_audit = remove_intra_doc_repeats(
+        docs, k=3, min_span_words=3, max_gram_occurrences=None, with_audit=True
+    )
+    assert no_audit is None
+    assert uncapped.collect()[0]["text"] == "spam"  # unit's first copy
