@@ -600,6 +600,7 @@ def ivf_pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     t2_mode: str = "auto",
+    cent_mode: str = "auto",
 ) -> DataFrame:
     """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION — the coarse pass
     never rebuilds a float vector and never reads one:
@@ -644,12 +645,21 @@ def ivf_pq_adc_topk(
     array lookup either way. The derivation uses the same left-to-right
     `F.aggregate(zip_with(...))` fold as `adc_tables`' Python ``acc +=
     x*y``, so both forms score bit-identically (test-pinned). ``t3``
-    (M·K) and the per-query LUT stay literal at any cell count. The
-    remaining cells-sized literals — ``cn`` (1 double/cell) and the
-    centroid family in the query-side assignment (cells·dim, a factor
-    M·K/dim smaller than t2) — are the next boundary out; they ride the
-    k-row query frame, not the corpus scan, and would move to the same
-    broadcast-frame form if cell counts outgrow them."""
+    (M·K) and the per-query LUT stay literal at any cell count.
+
+    ``cent_mode`` governs the remaining cells-sized family the same way
+    (r10, closing the r9 boundary): ⟨q, centroid⟩ (the cells·dim matrix)
+    and ``cn`` = ‖centroid‖² (cells doubles). Its auto guard is the
+    ASSIGNMENT-class boundary (`plans.simops.assign_literal_mode`,
+    cells·dim vs t2's cells·M·K — it crosses a factor M·K/dim later);
+    past it both terms derive from the shared broadcast (cell_id, cent)
+    frame — qdotc/cnb fold map-side after a broadcast cell join on the
+    k-row query frame — and the query-side cell routing itself
+    (`assign_cells_literal` / `probe_cells_literal`) auto-crosses at the
+    same boundary, so at deployment cell counts (`plan_ivf_config`'s
+    10⁵-cell regime ≈ 6.4·10⁶ matrix entries) NO cells-sized literal
+    remains anywhere in the plan. Bit-identity literal ≡ broadcast is
+    pinned in TestAdcSearch at a forced boundary."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.functions.litutil import fast_lit
@@ -658,19 +668,36 @@ def ivf_pq_adc_topk(
         cosine,
         dot_product,
         l2_norm_sq,
+        assign_literal_mode,
         probe_cells_literal,
     )
 
     d = dim // m
     mode = adc_t2_mode(len(centroids), m, len(books[0]), t2_mode)
+    # The query-side centroid family (⟨q, centroid⟩ via the cells·dim
+    # matrix and cn = ‖centroid‖², cells doubles) has its own, LATER
+    # boundary — the assignment class (cells·dim vs t2's cells·M·K).
+    # Past it both terms derive from the same broadcast (cell_id,
+    # centroid) frame the t2 path uses: qdotc folds on the query frame
+    # after a broadcast cell join, cnb rides the same derived frame —
+    # no cells-sized literal remains anywhere in the plan (r9 verdict
+    # item #2; bit-identity pinned in TestAdcSearch).
+    cmode = assign_literal_mode(len(centroids), dim, cent_mode)
     t2, t3, cn = adc_tables(centroids, books, with_t2=(mode == "literal"))
     # one JSON parse per table instead of ~2700 py4j element conversions
     # per search BUILD (fast_lit folds to the identical literal)
-    t3_lit, cn_lit = fast_lit(t3, 2), fast_lit(cn, 1)
+    t3_lit = fast_lit(t3, 2)
     books_lit = fast_lit([[[float(x) for x in w] for w in book] for book in books], 3)
-    cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
-
-    qcent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
+    cents_df = None
+    if mode == "broadcast" or cmode == "broadcast":
+        cents_df = queries.sparkSession.createDataFrame(
+            [(int(ci), [float(x) for x in v]) for ci, v in sorted(centroids)],
+            "cell_id bigint, cent array<double>",
+        )
+    if cmode == "literal":
+        cn_lit = fast_lit(cn, 1)
+        cent_lit = fast_lit([[float(x) for x in v] for _, v in sorted(centroids)], 2)
+        qcent = F.element_at(cent_lit, (F.col("cell_id") + 1).cast("int"))
     qlut = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda mi: F.transform(
@@ -693,12 +720,23 @@ def ivf_pq_adc_topk(
             queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
     )
+    if cmode == "broadcast":
+        # ⟨q, centroid⟩ and ‖centroid‖² from the broadcast centroid
+        # frame, joined on the query frame's probed cell — same ordered
+        # folds as the literal path on the same double values.
+        q_cells = q_cells.join(F.broadcast(cents_df), "cell_id")
+        qdotc_expr = dot_product(F.col(vec_col), F.col("cent"))
+        cnb_expr = l2_norm_sq(F.col("cent"))
+    else:
+        qdotc_expr = dot_product(F.col(vec_col), qcent)
+        cnb_expr = F.element_at(cn_lit, (F.col("cell_id") + 1).cast("int"))
     qs = F.broadcast(
         q_cells.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             "cell_id",
-            dot_product(F.col(vec_col), qcent).alias("qdotc"),
+            qdotc_expr.alias("qdotc"),
+            cnb_expr.alias("cnb"),
             F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"),
             qlut.alias("lut"),
         )
@@ -726,15 +764,10 @@ def ivf_pq_adc_topk(
         t2_df = None
         t2_cell = F.element_at(t2_lit, (F.col("cell_id") + 1).cast("int"))
     else:
-        # t2 never touches the driver: derive (cell_id, t2c[m][j]) from a
-        # cells-row centroid frame + the codebook literal with the SAME
-        # ordered fold adc_tables runs in Python (bit-identical), then
-        # broadcast it through the coarse pass's cell join below.
-        spark = queries.sparkSession
-        cents_df = spark.createDataFrame(
-            [(int(ci), [float(x) for x in v]) for ci, v in sorted(centroids)],
-            "cell_id bigint, cent array<double>",
-        )
+        # t2 never touches the driver: derive (cell_id, t2c[m][j]) from
+        # the shared cells-row centroid frame + the codebook literal with
+        # the SAME ordered fold adc_tables runs in Python (bit-identical),
+        # then broadcast it through the coarse pass's cell join below.
         t2c = F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda mi: F.transform(
@@ -763,11 +796,7 @@ def ivf_pq_adc_topk(
             F.element_at(t3_lit, (mi + 1).cast("int")), _code_at(mi)
         )
     )
-    rnorm = F.sqrt(
-        F.element_at(cn_lit, (F.col("cell_id") + 1).cast("int"))
-        + F.lit(2.0) * t2sum
-        + t3sum
-    )
+    rnorm = F.sqrt(F.col("cnb") + F.lit(2.0) * t2sum + t3sum)
     coarse_w = W.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col(id_col))
     coarse = index_codes.select(id_col, "cell_id", "codes").join(qs, "cell_id")
     if t2_df is not None:

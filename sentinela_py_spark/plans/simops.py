@@ -569,15 +569,25 @@ def semantic_neardup_pairs(
     )
 
 
-def semantic_retention_sql() -> str:
+def semantic_retention_sql(
+    threshold: float = NEARDUP_COS, prefix: str = "sem", with_base: bool = True
+) -> str:
     """DuckDB twin of `semdedup_prune`'s survivor election as a CTE
     chunk (no leading WITH; embed inside a WITH RECURSIVE list — the
     ε-graph closure is recursive): the trained k-means chain →
     assignment → within-cell ε-pairs → transitive closure → per-group
     ARGMIN of centroid cosine (ties to the lowest vec_id). Ends at
-    ``sem_surv`` (vec_id, group_id, centroid_sim). The cap-free pair
-    join is sound because the hot-cell cap provably never bites at
-    fixture scale (tests/test_kmeans.py)."""
+    ``{prefix}_surv`` (vec_id, group_id, centroid_sim). The cap-free
+    pair join is sound because the hot-cell cap provably never bites at
+    fixture scale (tests/test_kmeans.py).
+
+    ``threshold``/``prefix``/``with_base`` expose the paper's ε dial
+    (r10): the ε-INDEPENDENT base (km chain, assignment, norms,
+    centroid cosines — always named sem_assigned/semn/sem_csim) is
+    emitted once by the first instantiation; a second ε re-instantiates
+    only the pairs → closure → election chain under a fresh prefix with
+    ``with_base=False``, exactly how the Spark side shares one assigned
+    frame across ε arms."""
     dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
     cos_ab = f"{dot_ab} / (a.norm * b.norm)"
     dot_ac = _DOT_SQL.format(a="a.embedding", b="c.centroid")
@@ -585,52 +595,64 @@ def semantic_retention_sql() -> str:
         f"{dot_ac} / (SQRT({_NORMSQ_SQL.format(a='a.embedding')})"
         f" * SQRT({_NORMSQ_SQL.format(a='c.centroid')}))"
     )
-    return f"""{_km_sql()},
+    base = f"""{_km_sql()},
     sem_assigned AS MATERIALIZED ({_assigned_sql('km_cents')}),
     semn AS MATERIALIZED (
       SELECT vec_id, embedding, cell_id,
              SQRT({_NORMSQ_SQL.format(a='embedding')}) AS norm
       FROM sem_assigned
     ),
-    sem_pairs AS MATERIALIZED (
+    sem_csim AS MATERIALIZED (
+      SELECT a.vec_id, {_guarded_cos_sql(cos_ac)} AS centroid_sim
+      FROM sem_assigned a JOIN km_cents c USING (cell_id)
+    ),
+    """
+    p = prefix
+    eps_chain = f"""{p}_pairs AS MATERIALIZED (
       SELECT vec_a, vec_b FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                COALESCE((CASE WHEN isnan({cos_ab}) THEN -2.0
                          ELSE ROUND({cos_ab}, 6) END), -2.0) AS cos_sim_r
         FROM semn a JOIN semn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-      ) WHERE cos_sim_r >= {NEARDUP_COS}
+      ) WHERE cos_sim_r >= {threshold}
     ),
-    sem_edges AS (
-      SELECT vec_a AS src, vec_b AS dst FROM sem_pairs
+    {p}_edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM {p}_pairs
       UNION
-      SELECT vec_b AS src, vec_a AS dst FROM sem_pairs
+      SELECT vec_b AS src, vec_a AS dst FROM {p}_pairs
     ),
-    sem_reach(vec_id, label) AS (
+    {p}_reach(vec_id, label) AS (
       SELECT vec_id, vec_id FROM embeddings
       UNION
-      SELECT e.src, r.label FROM sem_reach r JOIN sem_edges e ON e.dst = r.vec_id
+      SELECT e.src, r.label FROM {p}_reach r JOIN {p}_edges e ON e.dst = r.vec_id
     ),
-    sem_labels AS (
-      SELECT vec_id, MIN(label) AS group_id FROM sem_reach GROUP BY vec_id
+    {p}_labels AS (
+      SELECT vec_id, MIN(label) AS group_id FROM {p}_reach GROUP BY vec_id
     ),
-    sem_csim AS (
-      SELECT a.vec_id, {_guarded_cos_sql(cos_ac)} AS centroid_sim
-      FROM sem_assigned a JOIN km_cents c USING (cell_id)
-    ),
-    sem_surv AS (
+    {p}_surv AS (
       SELECT vec_id, group_id, centroid_sim FROM (
         SELECT l.vec_id, l.group_id, s.centroid_sim,
                ROW_NUMBER() OVER (PARTITION BY l.group_id
                                   ORDER BY s.centroid_sim ASC, l.vec_id) AS rn
-        FROM sem_labels l JOIN sem_csim s USING (vec_id)
+        FROM {p}_labels l JOIN sem_csim s USING (vec_id)
       ) WHERE rn = 1
     )"""
+    return (base if with_base else "") + eps_chain
+
+
+# The SemDeDup ε sweep's second operating point (r10): the paper's knob
+# is ε — retention rate vs dedup fraction (arXiv:2303.09540 fig. 2). The
+# registered semantic arm runs at NEARDUP_COS (0.4, aggressive: large
+# ε-groups, low retention); the semantic_hi arm at 0.9 keeps everything
+# but tight near-dups. Retention is monotone in ε (test-pinned sweep).
+SEMDEDUP_EPS_HI = 0.9
 
 
 def semdedup_prune(
     e: DataFrame,
     cents: list[tuple[int, list[float]]],
     threshold: float = NEARDUP_COS,
+    pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup's keep-policy over the within-cluster pairs: connect the
     ε-graph into groups (`operators.dedup.connected_components` — the
@@ -651,12 +673,22 @@ def semdedup_prune(
     join, O(diameter) label sweeps over the ε-subgraph only, one
     group-keyed min_by aggregate, one join back. The centroid-cosine
     scoring is a map-side literal lookup (element_at over the inlined
-    codebook) — no join against a centroid table."""
+    codebook) — no join against a centroid table.
+
+    ``pairs`` (r10, the ε-sweep sharing hook): a precomputed candidate
+    frame carrying ``cos_sim_r`` — an ε sweep builds the pair join ONCE
+    at its loosest ε and each operating point filters it (pairs at a
+    tighter ε are exactly the looser set filtered, since the join is
+    ε-independent). When given, only rows with cos_sim_r ≥ threshold
+    are used and the join is never rebuilt."""
     from sentinela_py_spark.functions.litutil import fast_lit
     from sentinela_py_spark.operators.dedup import connected_components
 
     assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
-    pairs = semantic_neardup_pairs(e, cents, threshold, assigned=assigned)
+    if pairs is None:
+        pairs = semantic_neardup_pairs(e, cents, threshold, assigned=assigned)
+    else:
+        pairs = pairs.filter(F.col("cos_sim_r") >= threshold)
     comp = connected_components(
         assigned.select("vec_id"),
         pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
@@ -1084,12 +1116,25 @@ def ivf_probe_cells(
     vector's NaN cosine is coalesced to −2.0 BEFORE ranking — without it
     every comparator branch is false for NaN and both (a,b) and (b,a)
     return 1, an inconsistent comparator with undefined sort order."""
-    cents_row = _centroid_row(e, n_cells, centroid_source)
+    return _probe_with_row(e, _centroid_row(e, n_cells, centroid_source), nprobe)
+
+
+def _probe_with_row(
+    e: DataFrame,
+    cents_row: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe body shared by `ivf_probe_cells` (placeholder row) and
+    `probe_cells_literal`'s past-the-guard broadcast route (trained
+    codebook frame folded through `centroid_row_of`) — one definition,
+    so literal and frame probes can never drift."""
     sims = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
             F.nanvl(
-                F.round(cosine(F.col("embedding"), c["centroid"]), 6), F.lit(-2.0)
+                F.round(cosine(F.col(vec_col), c["centroid"]), 6), F.lit(-2.0)
             ).alias("sim"),
             c["cell_id"].alias("cell_id"),
         ),
@@ -1098,7 +1143,7 @@ def ivf_probe_cells(
     return (
         e.crossJoin(F.broadcast(cents_row))
         .withColumn("__probe", F.explode(F.slice(ranked, 1, nprobe)))
-        .select("vec_id", "embedding", F.col("__probe.cell_id").alias("cell_id"))
+        .select(id_col, vec_col, F.col("__probe.cell_id").alias("cell_id"))
     )
 
 
@@ -1119,16 +1164,32 @@ def probe_cells_literal(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """`ivf_probe_cells` against DRIVER-RESIDENT (trained) centroids —
     one row per probed cell, map-only, the literal twin of the
     frame-backed path exactly as `assign_cells_literal` is `ivf_assign`'s
     (same nested-array-literal inlining, same NaN guard, same
     comparator). Closes the trained-codebook nprobe>1 gap: the recall
-    dial no longer requires the placeholder codebook."""
+    dial no longer requires the placeholder codebook.
+
+    Same `ASSIGN_LITERAL_MAX` auto guard as `assign_cells_literal`
+    (r10): past cells·dim literal entries the codebook rides ONE
+    broadcast centroid row (`_probe_with_row` — the body `ivf_probe_-
+    cells` executes) instead of being re-embedded in every plan;
+    identical comparator and NaN guard, bit-identical probes
+    (test-pinned at a forced boundary)."""
     from sentinela_py_spark.functions.litutil import fast_lit
 
     cents = sorted(cents)
+    if assign_literal_mode(len(cents), len(cents[0][1]), mode) == "broadcast":
+        cents_df = e.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in v]) for cid, v in cents],
+            "cell_id long, centroid array<double>",
+        )
+        return _probe_with_row(
+            e, centroid_row_of(cents_df), nprobe, id_col=id_col, vec_col=vec_col
+        )
     vecs = fast_lit([[float(x) for x in v] for _cid, v in cents], 2)
     ids = F.lit([int(cid) for cid, _v in cents])
     sims = F.zip_with(

@@ -364,6 +364,35 @@ def test_assign_auto_guard_engages_at_forced_boundary(spark, monkeypatch):
     assert {(r["vec_id"], r["cell_id"]) for r in forced.collect()} == want
 
 
+def test_probe_guard_engages_at_forced_boundary(spark, monkeypatch):
+    """`probe_cells_literal` crosses the SAME assignment-class boundary
+    as `assign_cells_literal` (r10): force it under the fixture's
+    cells·dim and the auto path must reroute through the broadcast
+    centroid row (`_probe_with_row` — a BroadcastExchange appears) while
+    probing the identical (vec_id, cell_id) set at every nprobe."""
+    from sentinela_py_spark.plans import simops
+    from sentinela_py_spark.plans.simops import probe_cells_literal
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < N_CELLS).collect()
+    ]
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for nprobe in (1, 2):
+        lit = probe_cells_literal(e, cents, nprobe=nprobe)
+        want = {(r["vec_id"], r["cell_id"]) for r in lit.collect()}
+        assert "BroadcastExchange" not in plan_of(lit)
+        monkeypatch.setattr(simops, "ASSIGN_LITERAL_MAX", 1)
+        forced = probe_cells_literal(e, cents, nprobe=nprobe)
+        assert "BroadcastExchange" in plan_of(forced)
+        assert {(r["vec_id"], r["cell_id"]) for r in forced.collect()} == want
+        monkeypatch.setattr(simops, "ASSIGN_LITERAL_MAX", 2**18)
+
+
 def test_assign_guard_math_at_deployment_cell_counts():
     """The guard inlines codebook-scale matrices and broadcasts past
     ASSIGN_LITERAL_MAX — in particular at the plan_ivf_config regime

@@ -597,6 +597,80 @@ class TestAdcSearch:
         lit_rows = run("literal")
         assert lit_rows and run("broadcast") == lit_rows
 
+    def test_adc_broadcast_cent_bit_identical_to_literal(self, spark, trained_store):
+        """cent_mode (r10): ⟨q, centroid⟩ and ‖centroid‖² derived from
+        the broadcast centroid frame use the same ordered folds as the
+        literal path on the same doubles — BIT-identical rows, at
+        nprobe 1 and 2."""
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            read_ann_index,
+        )
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+
+        def run(cent_mode, nprobe):
+            return sorted(
+                (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+                for r in ivf_pq_adc_topk(
+                    read_ann_index(spark, path),
+                    read_ann_index(spark, path),
+                    queries,
+                    cents,
+                    books,
+                    k=5,
+                    coarse_k=20 * nprobe,
+                    nprobe=nprobe,
+                    cent_mode=cent_mode,
+                ).collect()
+            )
+
+        for nprobe in (1, 2):
+            lit_rows = run("literal", nprobe)
+            assert lit_rows and run("broadcast", nprobe) == lit_rows
+
+    def test_adc_auto_engages_broadcast_cent_past_the_guard(
+        self, spark, trained_store, monkeypatch
+    ):
+        """Auto cent_mode actually switches at the assignment-class
+        boundary: with ASSIGN_LITERAL_MAX forced under the fixture's
+        cells·dim, the default build must route the centroid family
+        (query assignment + qdotc/cnb) through broadcast frames and
+        still return the literal path's exact rows — no cells-sized
+        literal remains in the plan."""
+        from sentinela_py_spark.functions import vectors as V
+        from sentinela_py_spark.plans import simops
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+
+        def build(**kw):
+            return V.ivf_pq_adc_topk(
+                V.read_ann_index(spark, path),
+                V.read_ann_index(spark, path),
+                queries,
+                cents,
+                books,
+                k=5,
+                coarse_k=20,
+                **kw,
+            )
+
+        want = sorted(
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in build(cent_mode="literal").collect()
+        )
+        monkeypatch.setattr(simops, "ASSIGN_LITERAL_MAX", 0)
+        auto = build()
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["cell_id"], r["cosine"], r["rnk"])
+            for r in auto.collect()
+        )
+        assert got == want
+
     def test_adc_auto_engages_broadcast_past_the_guard(
         self, spark, trained_store, monkeypatch
     ):
