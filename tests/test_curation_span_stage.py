@@ -26,6 +26,11 @@ from sentinela_py_spark.plans.registry import _ensure_loaded
 
 _ensure_loaded()
 
+
+def _nskey(t):
+    """None-safe sort key: NULLs first within each column."""
+    return tuple((v is not None, v) for v in t)
+
 # 16-word passage planted into three otherwise-unrelated documents
 PASSAGE = (
     "quarterly governance disclosure boilerplate repeated verbatim across "
@@ -179,7 +184,7 @@ def test_oracle_replays_the_cut_bit_for_bit(spark, planted_dir):
     q = QUERIES["q_sequence_packing"]
     sdf = q.spark(spark, planted_dir)
     cols = sorted(sdf.columns)
-    srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    srows = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_nskey)
 
     con = duckdb.connect()
     con.execute(
@@ -189,7 +194,7 @@ def test_oracle_replays_the_cut_bit_for_bit(spark, planted_dir):
     cur = con.execute(q.oracle)
     ocols = [c[0] for c in cur.description]
     idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-    orows = sorted(tuple(r[i] for i in idx) for r in cur.fetchall())
+    orows = sorted((tuple(r[i] for i in idx) for r in cur.fetchall()), key=_nskey)
     assert sorted(ocols) == cols
     assert srows == orows
     # sanity: the curated arm is non-empty
@@ -209,7 +214,7 @@ def test_curation_funnel_reports_every_stage(spark, planted_dir):
     rows = {r["stage"]: r for r in curation_funnel(d).collect()}
     assert [r[0] for r in sorted(
         ((r["stage_idx"], r["stage"]) for r in rows.values())
-    )] == list(range(len(FUNNEL_STAGES)))
+    )] == list(range(len(FUNNEL_STAGES) + 1))  # + the cap-audit row
 
     n_total = len(ROWS)
     assert rows["input"]["n_docs"] == n_total
@@ -225,3 +230,58 @@ def test_curation_funnel_reports_every_stage(spark, planted_dir):
     assert rows["quality_gated"]["n_docs"] == rows["decontaminated"]["n_docs"] - 1
     # mixture rates are 1.0 at this corpus size: the sample keeps the pool
     assert rows["mixture_sampled"]["n_docs"] == rows["quality_gated"]["n_docs"]
+    # the intra occurrence guard never bites here (IPASSAGE repeats twice)
+    cap_row = rows["span_cut_capped"]
+    assert (cap_row["n_docs"], cap_row["n_tokens"]) == (0, 0)
+
+
+def test_curation_funnel_publishes_capped_spam_docs(spark, tmp_path):
+    """A degenerate spam doc (one gram × ~100 occurrences) engages the
+    intra occurrence guard; the funnel's audit row PUBLISHES it (r9
+    verdict item #8 — the audit was previously discarded at the span
+    stage), and the registered oracle replays the whole query — capped
+    span algebra AND audit counts — bit for bit on the cap-biting
+    corpus (the igc/spangc keep-first replay, r10)."""
+    from sentinela_py_spark.operators.dedup import DEFAULT_MAX_GRAM_OCCURRENCES
+    from sentinela_py_spark.plans.curation import curation_funnel
+    from sentinela_py_spark.tables import load_table
+
+    n_spam = 100 + 8 - 1  # 100 identical 8-grams
+    spam_id, keep_id = _pick_ids(2, eval_split=False, start=1000)
+    rows = [
+        (spam_id, "en", " ".join(["spam"] * n_spam)),
+        (keep_id, "en", FILLER[0]),
+    ]
+    d_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        ),
+        os.path.join(d_dir, "documents.parquet"),
+    )
+    d = load_table(spark, d_dir, "documents")
+    frows = {r["stage"]: r for r in curation_funnel(d).collect()}
+    cap_row = frows["span_cut_capped"]
+    assert cap_row["n_docs"] == 1
+    assert cap_row["n_tokens"] == 100 - DEFAULT_MAX_GRAM_OCCURRENCES
+
+    q = QUERIES["q_sequence_packing"]
+    sdf = q.spark(spark, d_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        (tuple(r[c] for c in cols) for r in sdf.collect()), key=_nskey
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d_dir, 'documents.parquet')}')"
+    )
+    cur = con.execute(q.oracle)
+    ocols = [c[0] for c in cur.description]
+    idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    orows = sorted((tuple(r[i] for i in idx) for r in cur.fetchall()), key=_nskey)
+    assert srows == orows

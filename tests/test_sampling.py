@@ -174,3 +174,107 @@ class TestDsir:
         assert sorted(a) == sorted(b)  # partitioning-invariant draw
         # importance resampling works: the draw skews heavily target-like
         assert sum(1 for i in a if i < 40 or i == 98) >= 20
+
+
+class TestDsirFastPath:
+    """gram_hash="xxhash64" — the 100 TB deployment bucketing (r10, the
+    fast path dsir_log_weights' docstring committed to in r9)."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        t_words = ["treaty", "clause", "annex", "protocol", "decree"]
+        d_words = ["lol", "omg", "meme", "pix", "vibe"]
+
+        def text(words, i):
+            return " ".join(words[(i + j) % len(words)] for j in range(12))
+
+        rows = (
+            [(i, text(t_words, i), True) for i in range(40)]
+            + [(i, text(d_words, i), False) for i in range(40, 98)]
+            + [(98, text(t_words, 7), False), (99, text(d_words, 3), False)]
+        )
+        return spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+
+    def test_exact_parity_when_bucketing_is_collision_free(self, spark, docs):
+        """With B large enough that neither hash collides on the observed
+        grams, each bucket holds ONE gram — both paths sum identical lr
+        terms, so the weights (and the Gumbel draw) must be EXACTLY
+        equal. This pins the fast path's algebra; the md5/xxhash64
+        difference is then purely the bucket permutation."""
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.functions.text_stats import tokens, word_shingles
+        from sentinela_py_spark.operators.sampling import (
+            _md5_bucket,
+            _xx_bucket,
+            dsir_log_weights,
+            gumbel_topk,
+        )
+
+        B = 1 << 20
+        g = docs.select(
+            F.explode(
+                F.concat(tokens(F.col("text")), word_shingles(F.col("text"), k=2))
+            ).alias("gram")
+        ).distinct()
+        n = g.count()
+        for bucket_of in (_md5_bucket, _xx_bucket):
+            assert (
+                g.select(bucket_of(F.col("gram"), B).alias("b")).distinct().count()
+                == n
+            ), "fixture vocabulary collides at this B; pick a larger B"
+        w_md5 = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(docs, F.col("is_target"), buckets=B).collect()
+        }
+        w_xx = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(
+                docs, F.col("is_target"), buckets=B, gram_hash="xxhash64"
+            ).collect()
+        }
+        assert w_md5 == w_xx
+        draw = lambda gh: [  # noqa: E731
+            r["doc_id"]
+            for r in gumbel_topk(
+                dsir_log_weights(docs, F.col("is_target"), buckets=B, gram_hash=gh),
+                10,
+            ).collect()
+        ]
+        assert draw("md5") == draw("xxhash64")
+
+    def test_statistical_agreement_under_collisions_at_fixture_scale(self, spark):
+        """At the default B=512 the two hashes collide differently, so
+        the weights drift by the collision permutation — the draws must
+        still agree on most of the selection (measured 38/50 at
+        sf0.001, 165/200 at sf0.01; pinned at a safe floor so a
+        regenerated fixture doesn't flake the pin)."""
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.functions.text_stats import quality_score
+        from sentinela_py_spark.operators.sampling import (
+            dsir_log_weights,
+            gumbel_topk,
+        )
+        from sentinela_py_spark.tables import ensure_min_partitions, load_table
+
+        d = ensure_min_partitions(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        pred = quality_score("text").cast("double") == 1.0
+        sel = lambda gh: {  # noqa: E731
+            r["doc_id"]
+            for r in gumbel_topk(
+                dsir_log_weights(d, pred, gram_hash=gh), 50
+            ).collect()
+        }
+        inter = sel("md5") & sel("xxhash64")
+        assert len(inter) >= 30
+
+    def test_unknown_gram_hash_rejected_loudly(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from sentinela_py_spark.operators.sampling import dsir_log_weights
+
+        with pytest.raises(ValueError, match="gram_hash"):
+            dsir_log_weights(docs, F.col("is_target"), gram_hash="sha1")

@@ -184,3 +184,40 @@ class TestSemdedupPrune:
         groups = {r["group_id"] for r in pruned.collect()}
         assert len(s & {0, 1, 2}) == 1 and 3 in s  # chain collapsed, singleton kept
         assert len(groups) == 1
+
+
+class TestEpsilonDial:
+    """The paper's operating knob (r10): ε trades retention rate against
+    dedup fraction — sweeping ε up keeps more of the corpus, and the
+    shared-pair-join form gives each point the identical answer to an
+    independent build."""
+
+    def test_retention_rate_monotone_in_epsilon(self, spark):
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        cents = _cents(spark, rows)
+        rates = []
+        for eps in (0.2, 0.4, 0.6, 0.999, 1.01):
+            survivors, _ = semdedup_prune(e, cents, threshold=eps)
+            rates.append(survivors.count() / len(rows))
+        assert rates == sorted(rates)  # keep more as the band tightens
+        # the tight-mode corpus collapses to ~1 doc per mode at low ε
+        assert rates[0] <= 4 / len(rows) + 1e-9
+        # past any reachable cosine the corpus is untouched (within-mode
+        # copies sit at cos ≈ 1−1e-4, so even 0.999 still prunes them)
+        assert rates[-1] == 1.0 and rates[-2] < 1.0
+
+    def test_shared_pair_join_equals_independent_build(self, spark):
+        """`semdedup_prune(pairs=...)` filtered from the loosest-ε join
+        must produce exactly the independent per-ε build's survivors —
+        the sweep optimization is answer-invariant."""
+        rows = _corpus_rows()
+        e = _frame(spark, rows)
+        cents = _cents(spark, rows)
+        shared = semantic_neardup_pairs(e, cents, threshold=0.2).localCheckpoint()
+        for eps in (0.4, 0.9):
+            indep, _ = semdedup_prune(e, cents, threshold=eps)
+            via_shared, _ = semdedup_prune(e, cents, threshold=eps, pairs=shared)
+            a = sorted(tuple(r) for r in indep.collect())
+            b = sorted(tuple(r) for r in via_shared.collect())
+            assert a == b and a
