@@ -1370,11 +1370,25 @@ def qr_chain_sql(src: str, p: str) -> str:
 @register(
     "q_quality_rules",
     oracle=f"""
-    WITH {qr_chain_sql('documents', 'qr_')}
+    WITH {qr_chain_sql('documents', 'qr_')},
+    qr_cuts AS (
+      SELECT d.lang,
+             ROUND(quantile_cont(f.char_lm_logprob, 1.0/3), 4) AS c33,
+             ROUND(quantile_cont(f.char_lm_logprob, 2.0/3), 4) AS c67
+      FROM qr_feat f JOIN documents d USING (doc_id)
+      GROUP BY d.lang
+    )
     SELECT f.doc_id, n_tokens, n_distinct_terms, distinct_ratio, entropy,
            top_term_fraction, top_bigram_fraction, repetitive,
-           char_lm_logprob, s.svm_score, (s.svm_score > 0) AS model_keep
-    FROM qr_feat f JOIN qr_scores s ON f.doc_id = s.doc_id
+           char_lm_logprob, s.svm_score, (s.svm_score > 0) AS model_keep,
+           d.lang,
+           CASE WHEN f.char_lm_logprob >= c.c67 THEN 'head'
+                WHEN f.char_lm_logprob >= c.c33 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM qr_feat f
+    JOIN qr_scores s ON f.doc_id = s.doc_id
+    JOIN documents d ON f.doc_id = d.doc_id
+    JOIN qr_cuts c ON d.lang = c.lang
     ORDER BY f.doc_id
     """,
     survey_ref=(
@@ -1386,7 +1400,10 @@ def qr_chain_sql(src: str, p: str) -> str:
         "add-1-smoothed model, deterministic on both engines); + model-based "
         "quality filter (r7): L2-hinge linear classifier trained distributively "
         "on weak labels over the rule features, DuckDB replaying the full "
-        "gradient-descent chain bit-for-bit"
+        "gradient-descent chain bit-for-bit; + CCNet perplexity buckets (r10): "
+        "per-lang head/middle/tail tertiles of the char-LM likelihood — "
+        "cutoffs from one tiny percentile aggregate, bucket assigned map-side "
+        "(CCNet's cutoffs-then-map architecture, no per-lang global sort)"
     ),
     tags=("text", "quality"),
 )
@@ -1414,6 +1431,14 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join riding the same explode. Low-likelihood docs are the
     gibberish/boilerplate a perplexity filter removes.
 
+    ``lang``/``ppl_bucket`` (r10) are the CCNet perplexity TERTILES
+    (Wenzek et al. 2020): per-language head/middle/tail split of the
+    LM-likelihood distribution — the partitioning CCNet publishes its
+    Common Crawl releases under, and the knob its consumers sample by
+    (head-only for quality, head+middle for coverage). Cutoffs are one
+    per-lang percentile aggregate broadcast back; assignment is a
+    map-side CASE — see the in-body comment for the 100 TB rationale.
+
     `svm_score`/`model_keep` are the MODEL-BASED quality filter (the
     DCLM / fineweb-edu classifier stage): an L2-hinge linear classifier
     trained ON THIS CORPUS by `functions.linear_model.svm_weights` —
@@ -1435,8 +1460,29 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _qr_model_weights(spark, sf_dir)
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     x = _qr_model_cols(_qr_features(d))
+    scored = x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6)).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS (one tiny
+    # aggregate — Spark percentile == DuckDB quantile_cont, the
+    # q_price_percentiles exactness pair; 4dp absorbs interpolation
+    # ulps) broadcast back, bucket assigned MAP-SIDE by comparison.
+    # This is CCNet's actual architecture (cutoffs from the scored
+    # corpus, then a map pass) and the 100 TB shape: no per-lang global
+    # sort — an NTILE over the corpus would serialize each language
+    # through one partition. NULL-LM docs (<2 chars) land in 'tail' in
+    # both engines (NULL >= cutoff is false-ish in the CASE).
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("char_lm_logprob", F.lit(1.0 / 3)), 4).alias("c33"),
+        F.round(F.percentile("char_lm_logprob", F.lit(2.0 / 3)), 4).alias("c67"),
+    )
+    bucket = (
+        F.when(F.col("char_lm_logprob") >= F.col("c67"), "head")
+        .when(F.col("char_lm_logprob") >= F.col("c33"), "middle")
+        .otherwise("tail")
+    )
     return (
-        x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6))
+        scored.join(F.broadcast(cuts), "lang")
         .select(
             "doc_id",
             "n_tokens",
@@ -1449,6 +1495,8 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_lm_logprob",
             "svm_score",
             (F.col("svm_score") > 0).alias("model_keep"),
+            "lang",
+            bucket.alias("ppl_bucket"),
         )
         .orderBy("doc_id")
     )

@@ -926,6 +926,101 @@ def quality_screen_batch(
     return joined.filter(F.col("keep")).drop("quality", "svm_score", "keep")
 
 
+# Stage names of the ingest funnel, in screen order (mirrors the batch
+# pipeline's FUNNEL_STAGES: same idea, per-EPOCH instead of per-stage
+# frames — the observability datacard a streaming lake publishes).
+INGEST_FUNNEL_STAGES = (
+    "arrived",
+    "decontaminated",
+    "quality_gated",
+    "text_dedup",
+    "accepted",
+)
+
+
+def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(epoch, stage_idx, stage, n_docs) — the PER-EPOCH retention
+    datacard of a composed-ingest deployment, derived purely from the
+    screens' own persisted state (no recompute, no new state): where did
+    each micro-batch's documents go, and which screen took them? The
+    streaming twin of `plans.curation.curation_funnel` — a lake
+    operator reads this off the state root to monitor ingest health
+    (a screen suddenly rejecting everything is a data incident, and
+    this is the frame that shows it per epoch).
+
+    Stages (missing screens — e.g. an unarmed quality gate — are
+    reported as the previous stage's count, so the funnel is always
+    monotone and complete):
+
+    - ``arrived``: decontam accepted + flagged (the post-trim batch);
+    - ``decontaminated``: the Bloom screen's survivors;
+    - ``quality_gated``: survivors minus the frozen-model screen's
+      rejections (the quality screen is stateless and stores only
+      rejections);
+    - ``text_dedup``: the MinHash screen's survivors;
+    - ``accepted``: the composed pipeline's final frame (also the
+      embedding screen's survivors).
+
+    Epochs come back as a column via hive-style partition discovery of
+    the ``epoch=N`` directories; an epoch whose store is empty still
+    reports its zero (full-outer epoch join + coalesce)."""
+
+    def _counts(sub: str) -> DataFrame | None:
+        path = os.path.join(state_dir, sub)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — screen not armed / no epochs yet
+            return None
+        return df.groupBy("epoch").agg(F.count("*").alias("n"))
+
+    dec = _counts(os.path.join("decontam", "accepted"))
+    if dec is None:
+        raise ValueError(f"no composed-ingest state under {state_dir!r}")
+    fla = _counts(os.path.join("decontam", "flagged"))
+    qrej = _counts(os.path.join("quality", "rejected"))
+    mh = _counts(os.path.join("minhash", "accepted"))
+    acc = _counts("accepted")
+
+    # all epochs ever seen (dec always exists: the first screen writes
+    # accepted for every epoch, even empty)
+    epochs = dec.select("epoch").distinct()
+
+    def _n(cdf: DataFrame | None, alias: str) -> DataFrame:
+        if cdf is None:
+            return epochs.select("epoch", F.lit(0).alias(alias))
+        return epochs.join(cdf, "epoch", "left").select(
+            "epoch", F.coalesce("n", F.lit(0)).alias(alias)
+        )
+
+    wide = (
+        _n(dec, "n_dec")
+        .join(_n(fla, "n_fla"), "epoch")
+        .join(_n(qrej, "n_qrej"), "epoch")
+        .join(_n(mh, "n_mh"), "epoch")
+        .join(_n(acc, "n_acc"), "epoch")
+    )
+    stage_exprs = {
+        "arrived": F.col("n_dec") + F.col("n_fla"),
+        "decontaminated": F.col("n_dec"),
+        "quality_gated": F.col("n_dec") - F.col("n_qrej"),
+        "text_dedup": F.col("n_mh"),
+        "accepted": F.col("n_acc"),
+    }
+    frames = [
+        wide.select(
+            "epoch",
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            stage_exprs[name].cast("long").alias("n_docs"),
+        )
+        for i, name in enumerate(INGEST_FUNNEL_STAGES)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("epoch", "stage_idx")
+
+
 def composed_ingest_batch(
     batch: DataFrame,
     bloom_row: DataFrame,

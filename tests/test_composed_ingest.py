@@ -272,6 +272,11 @@ def test_quality_screen_rejects_junk_and_keeps_it_out_of_stores(spark, tmp_path)
     assert {r["doc_id"] for r in rej} == {22}
     assert rej[0]["quality"] >= 0.5  # the rules alone would have kept it
     assert rej[0]["svm_score"] <= 0  # the model evicted it
+    # the datacard attributes the drop to the quality stage (r10)
+    from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+    fn = {(r["epoch"], r["stage"]): r["n_docs"] for r in ingest_funnel(spark, state).collect()}
+    assert fn[(0, "decontaminated")] == 3 and fn[(0, "quality_gated")] == 2
     # store hygiene: junk entered neither dedup store
     assert _read_ids(spark, os.path.join(state, "minhash", "bands")) == {21, 23}
     idx = {
@@ -434,3 +439,51 @@ def test_trim_stage_wired_through_the_stream_runner(spark, tmp_path):
     assert q.awaitTermination(300), "stream did not drain"
     rows = spark.read.parquet(os.path.join(state, "accepted")).collect()
     assert [(r["doc_id"], r["text"]) for r in rows] == [(40, REPEAT_PASSAGE)]
+
+
+def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
+    """The streaming datacard (r10): `ingest_funnel` derives per-epoch
+    retention counts purely from the screens' persisted state — where
+    each batch's documents went, attributed to the screen that took
+    them. The fixture's story: epoch 0 arrives 5, loses doc 2 to
+    decontamination, doc 3 to text dedup, doc 4 to embedding dedup →
+    accepts {1, 5}; epoch 1 arrives 4, loses 12 / 10 / 11 → accepts
+    {13}."""
+    from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("b1.json", BATCH1), ("b2.json", BATCH2)):
+        with open(src / name, "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "embedding": emb}) + "\n")
+    state = str(tmp_path / "state")
+    q = run_composed_ingest_stream(
+        spark, str(src), str(tmp_path / "ckpt"), state,
+        eval_docs=_eval_docs(spark),
+        schema="doc_id long, text string, embedding array<double>",
+        threshold=THRESHOLD,
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    rows = ingest_funnel(spark, state).collect()
+    got = {(r["epoch"], r["stage"]): r["n_docs"] for r in rows}
+    assert got == {
+        (0, "arrived"): 5,
+        (0, "decontaminated"): 4,
+        (0, "quality_gated"): 4,  # screen unarmed → previous stage's count
+        (0, "text_dedup"): 3,
+        (0, "accepted"): 2,
+        (1, "arrived"): 4,
+        (1, "decontaminated"): 3,
+        (1, "quality_gated"): 3,
+        (1, "text_dedup"): 2,
+        (1, "accepted"): 1,
+    }
+    # the funnel is monotone within every epoch (counts never grow
+    # downstream) — the invariant an alerting rule watches
+    for ep in (0, 1):
+        seq = [r["n_docs"] for r in sorted(
+            (r for r in rows if r["epoch"] == ep), key=lambda r: r["stage_idx"]
+        )]
+        assert seq == sorted(seq, reverse=True)

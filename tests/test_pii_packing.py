@@ -91,6 +91,57 @@ class TestQualityRulesShortDocs:
         assert rows[4]["repetitive"]
 
 
+class TestPplBuckets:
+    """CCNet perplexity tertiles (r10): per-lang head/middle/tail by
+    char-LM likelihood — cutoffs-then-map, the Wenzek et al. split."""
+
+    def test_buckets_follow_likelihood_within_each_lang(self, spark, tmp_path):
+        from sentinela_py_spark.plans import QUERIES
+
+        # 9 natural-ish docs per lang with graded repetition so the LM
+        # likelihood spreads; plus a 1-char doc (NULL LM) per lang
+        def doc(i, lang):
+            base = ["the", "quick", "brown", "fox", "jumps", "over", "it",
+                    "and", "then", "rests"]
+            words = [base[(i * 3 + j) % len(base)] for j in range(14)]
+            if i >= 6:  # degenerate tail candidates: rare-char gibberish
+                words = [f"zq{i}xv{j}w" for j in range(14)]
+            return " ".join(words)
+
+        rows = []
+        did = 0
+        for lang in ("en", "pt"):
+            for i in range(9):
+                t = doc(i, lang)
+                rows.append((did, t, lang, "s", len(t)))
+                did += 1
+            rows.append((did, "x", lang, "s", 1))  # no char bigram -> NULL LM
+            did += 1
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = QUERIES["q_quality_rules"].spark(spark, str(tmp_path)).collect()
+        assert {r["ppl_bucket"] for r in out} == {"head", "middle", "tail"}
+        order = {"head": 2, "middle": 1, "tail": 0}
+        for lang in ("en", "pt"):
+            rs = [r for r in out if r["lang"] == lang]
+            # buckets are monotone in likelihood WITHIN the language:
+            # every head doc's logprob >= every middle's >= every tail's
+            scored = [r for r in rs if r["char_lm_logprob"] is not None]
+            for a in scored:
+                for b in scored:
+                    if order[a["ppl_bucket"]] > order[b["ppl_bucket"]]:
+                        assert a["char_lm_logprob"] >= b["char_lm_logprob"]
+            # NULL-LM doc lands in tail (both engines' CASE semantics)
+            nulls = [r for r in rs if r["char_lm_logprob"] is None]
+            assert nulls and all(r["ppl_bucket"] == "tail" for r in nulls)
+            # tertiles are roughly balanced over the scored docs
+            from collections import Counter
+
+            c = Counter(r["ppl_bucket"] for r in scored)
+            assert min(c.values()) >= 2
+
+
 class TestSequencePacking:
     def test_greedy_cumsum_assignment(self, spark, tmp_path):
         from sentinela_py_spark.plans import QUERIES
