@@ -795,6 +795,144 @@ def decontamination_screen_batch(
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed("text", text_col)
 
 
+def fuzzy_eval_artifacts(
+    eval_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """FROZEN eval-side artifacts of the fuzzy decontamination screen
+    (build once at stream start, like the Bloom row): the eval split's
+    MinHash band index and its distinct xxhash64-folded 3-gram shingle
+    frame with per-doc counts. Both are eval-split-sized (small by
+    construction — the held-out set, not the corpus), eagerly
+    checkpointed, and broadcast into every micro-batch's probe; the
+    screen itself stays STATELESS across batches (the artifacts never
+    change mid-stream — rotate them by restarting, the frozen-model
+    contract)."""
+    from pyspark.sql import Window as W
+
+    from sentinela_py_spark.functions.text_stats import word_shingles
+    from sentinela_py_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+
+    d = eval_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    bands = (
+        lsh_band_signatures(minhash_signatures(d))
+        .select(F.col("doc_id").alias("e_doc"), "band", "sig")
+        .localCheckpoint(eager=True)
+    )
+    w = W.partitionBy("doc_id")
+    shingles = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(F.col("text"), k=3), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .distinct()
+        .withColumn("n_e", F.count("*").over(w))
+        .select(F.col("doc_id").alias("e_doc"), "sh", "n_e")
+        .localCheckpoint(eager=True)
+    )
+    return {"bands": bands, "shingles": shingles}
+
+
+def fuzzy_decon_screen_batch(
+    batch: DataFrame,
+    artifacts: dict,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard: float | None = None,
+) -> DataFrame:
+    """One micro-batch of FUZZY train/eval decontamination at ingest —
+    the streaming twin of `q_decontamination`'s fuzzy arm (r10):
+    DOCUMENT-level, Jaccard-verified eval-copy quarantine. Under an
+    FP-disciplined exact screen (``min_hits`` raised so one stray
+    shared gram cannot quarantine a clean doc — the deployment posture
+    `decontamination_screen_batch` documents), a lightly-edited eval
+    copy shares too few exact 5-grams to trip the Bloom screen while
+    its whole-doc 3-gram Jaccard stays over the verify bar — the gap
+    this screen closes (fixture math in the tests). Batch
+    documents MinHash-band against the frozen eval band index
+    (`fuzzy_eval_artifacts` — broadcast, the index is eval-sized), and
+    band collisions are verified at whole-doc 3-gram Jaccard ≥
+    ``jaccard`` (default `plans.textops.FUZZY_DECON_JACCARD`) before a
+    document is quarantined — banding alone would flag at LSH's
+    false-positive rate; the verify join runs only on the collision
+    candidates, which are near-empty on clean batches.
+
+    Scale shape: the per-batch cost is one signature pass over the
+    batch + a broadcast band join + a candidate-only verify — no
+    persistent state, no store to desynchronize, so replay safety is
+    just the epoch-keyed overwrite of ``flagged/epoch=N`` (doc_id,
+    n_eval_docs, max_jaccard). Slots between the exact screen and the
+    dedup stores in `composed_ingest_batch` for the same hygiene
+    reason: an edited eval copy must never enter the band store or
+    vector index where it could win a survivor election."""
+    from sentinela_py_spark.functions.text_stats import word_shingles
+    from sentinela_py_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+    from sentinela_py_spark.plans.textops import FUZZY_DECON_JACCARD
+
+    jaccard = FUZZY_DECON_JACCARD if jaccard is None else jaccard
+    renamed = batch.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
+        text_col, "text"
+    )
+    b = _collapse_duplicate_ids(
+        renamed, "doc_id", F.md5(F.col("text"))
+    ).localCheckpoint(eager=True)
+    bands = lsh_band_signatures(minhash_signatures(b.select("doc_id", "text")))
+    cand = (
+        bands.join(F.broadcast(artifacts["bands"]), ["band", "sig"])
+        .select("doc_id", "e_doc")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id")
+    tsh = (
+        b.select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(F.col("text"), k=3), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .distinct()
+        .withColumn("n_t", F.count("*").over(w))
+    )
+    verified = (
+        cand.join(tsh, "doc_id")
+        .join(F.broadcast(artifacts["shingles"]), ["e_doc", "sh"])
+        .groupBy("doc_id", "e_doc")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_t").alias("n_t"),
+            F.first("n_e").alias("n_e"),
+        )
+        .withColumn(
+            "jac",
+            F.col("n_common").cast("double")
+            / (F.col("n_t") + F.col("n_e") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= jaccard)
+    )
+    flagged = verified.groupBy("doc_id").agg(
+        F.count_distinct("e_doc").alias("n_eval_docs"),
+        F.round(F.max("jac"), 6).alias("max_jaccard"),
+    )
+    flagged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
+    )
+    accepted = b.join(flagged, "doc_id", "left_anti")
+    return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+        "text", text_col
+    )
+
+
 def run_decontamination_stream(
     spark: SparkSession,
     source_path: str,
@@ -932,6 +1070,7 @@ def quality_screen_batch(
 INGEST_FUNNEL_STAGES = (
     "arrived",
     "decontaminated",
+    "fuzzy_gated",
     "quality_gated",
     "text_dedup",
     "accepted",
@@ -954,9 +1093,10 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
 
     - ``arrived``: decontam accepted + flagged (the post-trim batch);
     - ``decontaminated``: the Bloom screen's survivors;
-    - ``quality_gated``: survivors minus the frozen-model screen's
-      rejections (the quality screen is stateless and stores only
-      rejections);
+    - ``fuzzy_gated``: minus the fuzzy eval-copy screen's quarantines
+      (stateless — stores only its flagged rows);
+    - ``quality_gated``: minus the frozen-model screen's rejections
+      (likewise stateless, rejections only);
     - ``text_dedup``: the MinHash screen's survivors;
     - ``accepted``: the composed pipeline's final frame (also the
       embedding screen's survivors).
@@ -977,6 +1117,7 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     if dec is None:
         raise ValueError(f"no composed-ingest state under {state_dir!r}")
     fla = _counts(os.path.join("decontam", "flagged"))
+    fzrej = _counts(os.path.join("fuzzy", "flagged"))
     qrej = _counts(os.path.join("quality", "rejected"))
     mh = _counts(os.path.join("minhash", "accepted"))
     acc = _counts("accepted")
@@ -995,6 +1136,7 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     wide = (
         _n(dec, "n_dec")
         .join(_n(fla, "n_fla"), "epoch")
+        .join(_n(fzrej, "n_fz"), "epoch")
         .join(_n(qrej, "n_qrej"), "epoch")
         .join(_n(mh, "n_mh"), "epoch")
         .join(_n(acc, "n_acc"), "epoch")
@@ -1002,7 +1144,8 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     stage_exprs = {
         "arrived": F.col("n_dec") + F.col("n_fla"),
         "decontaminated": F.col("n_dec"),
-        "quality_gated": F.col("n_dec") - F.col("n_qrej"),
+        "fuzzy_gated": F.col("n_dec") - F.col("n_fz"),
+        "quality_gated": F.col("n_dec") - F.col("n_fz") - F.col("n_qrej"),
         "text_dedup": F.col("n_mh"),
         "accepted": F.col("n_acc"),
     }
@@ -1039,6 +1182,7 @@ def composed_ingest_batch(
     books: list[list[list[float]]] | None = None,
     quality_model: dict | None = None,
     trim_repeats: dict | None = None,
+    fuzzy_eval: dict | None = None,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
@@ -1053,6 +1197,10 @@ def composed_ingest_batch(
         text that will actually be kept — the byte-identical-admission
         contract holds because the trim applies BEFORE admission)
       → train/eval decontamination   (5-gram Bloom probe — map-only)
+      → [optional] fuzzy eval-copy screen (r10: MinHash bands vs the
+        FROZEN eval band index, whole-doc-Jaccard-verified — quarantines
+        the lightly-EDITED eval copy a min_hits-disciplined Bloom
+        screen passes; pass ``fuzzy_eval`` from `fuzzy_eval_artifacts`)
       → [optional] quality screen    (rule + FROZEN-model gate — pass
         ``quality_model`` from `plans.textops.qr_frozen_model`)
       → MinHash near-dup rejection   (text; vs batch + the band store)
@@ -1104,6 +1252,17 @@ def composed_ingest_batch(
         m_bits=m_bits,
         n_hashes=n_hashes,
     )
+    if fuzzy_eval is not None:
+        # fuzzy eval-copy screen (r10): same hygiene slot as the exact
+        # screen — an EDITED eval copy must never reach the dedup stores
+        a1 = fuzzy_decon_screen_batch(
+            a1,
+            fuzzy_eval,
+            epoch_id,
+            os.path.join(state_dir, "fuzzy"),
+            id_col=id_col,
+            text_col=text_col,
+        )
     if quality_model is not None:
         a1 = quality_screen_batch(
             a1,
@@ -1163,6 +1322,7 @@ def run_composed_ingest_stream(
     books: list[list[list[float]]] | None = None,
     quality_model: dict | None = None,
     trim_repeats: dict | None = None,
+    fuzzy: bool = False,
 ):
     """The composed streaming-ingest flagship: ONE stream of
     (id, text, embedding) rows runs all three ingest screens per
@@ -1222,6 +1382,13 @@ def run_composed_ingest_stream(
     bloom_row = bloom_build(
         eval_grams, n_hashes=n_hashes, m_bits=m_bits
     ).localCheckpoint(eager=True)
+    # fuzzy screen (r10): eval-side band index + shingle frame built
+    # ONCE from the same eval split, frozen for the stream's lifetime
+    fz = (
+        fuzzy_eval_artifacts(eval_docs, id_col=id_col, text_col=text_col)
+        if fuzzy
+        else None
+    )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         composed_ingest_batch(
@@ -1231,6 +1398,7 @@ def run_composed_ingest_stream(
             max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
             index_dir=index_dir, centroids=centroids, books=books,
             quality_model=quality_model, trim_repeats=trim_repeats,
+            fuzzy_eval=fz,
         )
 
     reader = spark.readStream

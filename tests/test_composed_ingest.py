@@ -471,11 +471,13 @@ def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
     assert got == {
         (0, "arrived"): 5,
         (0, "decontaminated"): 4,
+        (0, "fuzzy_gated"): 4,    # screen unarmed → previous stage's count
         (0, "quality_gated"): 4,  # screen unarmed → previous stage's count
         (0, "text_dedup"): 3,
         (0, "accepted"): 2,
         (1, "arrived"): 4,
         (1, "decontaminated"): 3,
+        (1, "fuzzy_gated"): 3,
         (1, "quality_gated"): 3,
         (1, "text_dedup"): 2,
         (1, "accepted"): 1,
@@ -487,3 +489,142 @@ def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
             (r for r in rows if r["epoch"] == ep), key=lambda r: r["stage_idx"]
         )]
         assert seq == sorted(seq, reverse=True)
+
+
+class TestFuzzyScreenAtIngest:
+    """Fuzzy eval-copy screen (r10): the streaming twin of
+    q_decontamination's fuzzy arm — MinHash bands vs the frozen eval
+    band index, whole-doc-Jaccard-verified. Its ingest value is
+    DOCUMENT-level, verified quarantine: under an FP-disciplined exact
+    screen (min_hits raised so a stray shared gram doesn't quarantine a
+    clean doc), a lightly-edited eval copy shares too few exact 5-grams
+    to trip the Bloom screen while its whole-doc 3-gram Jaccard stays
+    over the verify bar — exactly the gap this screen closes. Fixture
+    math: a 40-word eval doc with ONE word edited shares 31 of 36 exact
+    5-grams (< MIN_HITS = 32 → Bloom passes it) and 35 of 38 3-grams
+    (Jaccard 35/41 ≈ 0.854 ≥ 0.8 → fuzzy quarantines it); a verbatim
+    copy shares all 36 (≥ 32 → the EXACT screen takes it first)."""
+
+    LONG_EVAL = " ".join(f"tok{i:02d}" for i in range(40))
+    EDITED = " ".join(
+        "edited" if i == 20 else f"tok{i:02d}" for i in range(40)
+    )
+    MIN_HITS = 32
+    QUOTING = (
+        "our survey cites tok00 tok01 tok02 briefly while reviewing "
+        "unrelated electrochemical storage techniques in depth across "
+        "many industrial deployments of varied maturity levels"
+    )
+
+    def _eval2(self, spark):
+        return spark.createDataFrame(
+            [(9000, EVAL_TEXT), (9001, self.LONG_EVAL)],
+            "doc_id long, text string",
+        )
+
+    def _bloom2(self, spark):
+        from sentinela_py_spark.functions.bloom import bloom_build
+        from sentinela_py_spark.functions.text_stats import word_shingles
+
+        grams = self._eval2(spark).select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), k=5))
+            ).alias("key")
+        )
+        return bloom_build(grams).localCheckpoint(eager=True)
+
+    def _rows(self):
+        return [
+            (30, self.LONG_EVAL, _e(0)),  # verbatim -> EXACT screen's catch
+            (31, self.EDITED, _e(1)),     # edited   -> fuzzy's catch
+            (32, self.QUOTING, _e(2)),    # quoting  -> passes both
+            (33, UNIQ[0], _e(3)),         # clean    -> passes
+        ]
+
+    def _run(self, spark, tmp_path, **kw):
+        from sentinela_py_spark.streaming.pipeline import (
+            composed_ingest_batch,
+            fuzzy_eval_artifacts,
+        )
+
+        state = str(tmp_path / "state")
+        out = composed_ingest_batch(
+            _df(spark, self._rows()), self._bloom2(spark), 0, state,
+            threshold=THRESHOLD, min_hits=self.MIN_HITS,
+            fuzzy_eval=fuzzy_eval_artifacts(self._eval2(spark)), **kw,
+        )
+        return state, out
+
+    def test_edited_copy_quarantined_quoting_doc_passes(self, spark, tmp_path):
+        state, out = self._run(spark, tmp_path)
+        got = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert got == {32, 33}
+        # the verbatim copy was the EXACT screen's catch...
+        assert _read_ids(spark, os.path.join(state, "decontam", "flagged")) == {30}
+        # ...and the edited copy the FUZZY screen's, with its evidence
+        fl = spark.read.parquet(os.path.join(state, "fuzzy", "flagged")).collect()
+        assert {r["doc_id"] for r in fl} == {31}
+        assert fl[0]["max_jaccard"] >= 0.8 and fl[0]["n_eval_docs"] == 1
+        # store hygiene: neither copy reached the dedup stores
+        bands = _read_ids(spark, os.path.join(state, "minhash", "bands"))
+        assert bands & {30, 31} == set()
+        idx = {
+            r["vec_id"]
+            for r in spark.read.parquet(
+                os.path.join(state, "embedding", "index")
+            ).collect()
+        }
+        assert idx == {32, 33}
+
+    def test_funnel_attributes_the_fuzzy_drop(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+        state, _out = self._run(spark, tmp_path)
+        fn = {
+            (r["epoch"], r["stage"]): r["n_docs"]
+            for r in ingest_funnel(spark, state).collect()
+        }
+        assert fn[(0, "arrived")] == 4
+        assert fn[(0, "decontaminated")] == 3   # verbatim copy
+        assert fn[(0, "fuzzy_gated")] == 2      # edited copy
+        assert fn[(0, "accepted")] == 2
+
+    def test_replay_reproduces_first_attempt(self, spark, tmp_path):
+        state, out = self._run(spark, tmp_path)
+        first = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        fl1 = sorted(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(state, "fuzzy", "flagged")
+            ).collect()
+        )
+        _state2, out2 = self._run(spark, tmp_path)  # same dirs: replay
+        assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == first
+        fl2 = sorted(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(state, "fuzzy", "flagged")
+            ).collect()
+        )
+        assert fl1 == fl2
+
+    def test_stream_wiring_arms_the_screen(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import run_composed_ingest_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "b1.json", "w") as f:
+            for doc_id, text, emb in self._rows():
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": text, "embedding": emb}
+                    ) + "\n"
+                )
+        state = str(tmp_path / "state")
+        q = run_composed_ingest_stream(
+            spark, str(src), str(tmp_path / "ckpt"), state,
+            eval_docs=self._eval2(spark),
+            schema="doc_id long, text string, embedding array<double>",
+            threshold=THRESHOLD, min_hits=self.MIN_HITS, fuzzy=True,
+        )
+        assert q.awaitTermination(300), "stream did not drain"
+        assert _read_ids(spark, os.path.join(state, "accepted")) == {32, 33}
+        assert _read_ids(spark, os.path.join(state, "fuzzy", "flagged")) == {31}
