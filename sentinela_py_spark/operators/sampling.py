@@ -133,9 +133,13 @@ def _md5_bucket(gram: Column, buckets: int) -> Column:
 def _xx_bucket(gram: Column, buckets: int) -> Column:
     """The DEPLOYMENT bucketing: xxhash64 is a single JVM intrinsic
     (codegen'd, no hex string materialized) where md5 allocates a
-    32-char string per gram — on a gram explode that is the dominant
-    per-row cost (measured 2.7× end-to-end on the DSIR arm at sf0.01).
-    pmod because xxhash64 is signed. Bucket assignment differs from
+    32-char string per gram. Honest measurement (warm, min-of-3,
+    local[32]): 1.18× end-to-end at sf0.01 and 1.04× at sf0.1 — on a
+    warm many-core box the shuffle + per-doc aggregation dominate and
+    the hash swap is a map-side constant factor; it matters most where
+    the explode is the bottleneck (CPU-saturated executors, wide rows),
+    and it is free to take since the weights are equally valid. pmod
+    because xxhash64 is signed. Bucket assignment differs from
     `_md5_bucket` — both are uniform hashes into B bins, two
     equally-valid draws of the paper's random hashing: when the
     bucketing is COLLISION-FREE the weights are exactly equal
