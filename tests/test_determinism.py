@@ -31,6 +31,10 @@ SENSITIVE = [
     "q_cosine_topk",
     "q_dedup_groups",
     "q_curated_corpus",
+    # r10: the binfit pandas recurrence, the funnel counts over the
+    # progressively-checkpointed stage frames, and the SemDeDup ε-arm
+    # retention rates must all survive a shuffle-layout change
+    "q_sequence_packing",
 ]
 
 
