@@ -157,6 +157,7 @@ COMPARABLE_ARM = {
     "q_dedup_groups": "labels",
     "q_sequence_packing": "all_docs",
     "q_curated_corpus": "lang_top",
+    "q_cosine_topk": "topk",
 }
 
 

@@ -27,6 +27,14 @@ from sentinela_py_spark.tables import ensure_min_partitions, load_table
 N_QUERY_VECTORS = 3  # vec_id 0..2 act as the query set
 TOP_K = 5
 
+# Hard-negative mining (r10): negatives per anchor, and the false-
+# negative guard — candidates at or above this cosine are treated as
+# unlabeled positives and excluded from mining (the near-dup threshold;
+# the literal is pinned here rather than imported so the oracle f-string
+# and the Spark filter can never drift apart even if NEARDUP_COS moves).
+HARD_NEG_K = 3
+NEARDUP_COS_FOR_MINING = 0.4
+
 
 def dot_product(a: Column, b: Column) -> Column:
     """Left-to-right double-precision fold of sum(a[i]*b[i])."""
@@ -59,30 +67,60 @@ _NORMSQ_SQL = (
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECTORS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERY_VECTORS}),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT query_id, neighbor_id,
-             {_DOT_SQL.format(a='qv', b='cv')}
-               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})) AS cos_sim
+             ROUND({_DOT_SQL.format(a='qv', b='cv')}
+               / (SQRT({_NORMSQ_SQL.format(a='qv')}) * SQRT({_NORMSQ_SQL.format(a='cv')})), 6) AS cos_sim_r
       FROM q CROSS JOIN c
     ),
     ranked AS (
-      SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r,
+      SELECT query_id, neighbor_id, cos_sim_r,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY ROUND(cos_sim, 6) DESC, neighbor_id) AS rank
+                                ORDER BY cos_sim_r DESC, neighbor_id) AS rank
       FROM scored
+    ),
+    hardneg AS (
+      SELECT query_id, neighbor_id, cos_sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim_r DESC, neighbor_id) AS rank
+      FROM scored WHERE cos_sim_r < {NEARDUP_COS_FOR_MINING}
     )
-    SELECT query_id, neighbor_id, cos_sim_r, rank
+    SELECT 'topk' AS method, query_id, neighbor_id, cos_sim_r, rank
     FROM ranked WHERE rank <= {TOP_K}
-    ORDER BY query_id, rank
+    UNION ALL
+    SELECT 'hard_neg' AS method, query_id, neighbor_id, cos_sim_r, rank
+    FROM hardneg WHERE rank <= {HARD_NEG_K}
+    ORDER BY method, query_id, rank
     """,
-    survey_ref="similarity: brute-force cosine top-k ANN baseline",
-    tags=("similarity", "topk"),
+    survey_ref=(
+        "similarity: brute-force cosine top-k ANN baseline; + hard_neg arm "
+        "(r10): contrastive hard-negative MINING for embedding-model "
+        "training (E5/SimCSE-style) — per anchor, the top-ranked candidates "
+        "BELOW the near-dup threshold (candidates above it are unlabeled "
+        "positives, the classic false-negative trap); same scored scan, "
+        "one extra filtered window"
+    ),
+    tags=("similarity", "topk", "curation"),
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the k query vectors across all
-    candidate partitions (no shuffle of the big side), then a per-query
-    top-k window. Ties broken on rounded score + neighbor id so ranking is
-    deterministic across engines and partitionings."""
+    """Exact cosine top-k plus contrastive hard-negative mining, two
+    arms over ONE scored cross join (broadcast query side — no shuffle
+    of the big side; ties broken on rounded score + neighbor id so
+    ranking is deterministic across engines and partitionings):
+
+    - ``topk``: the brute-force exact ranking (the recall baseline every
+      ANN arm is judged against);
+    - ``hard_neg`` (r10): the training-data op an embedding-model
+      pipeline runs over the same scan — for each anchor, the
+      ``HARD_NEG_K`` highest-cosine candidates STRICTLY BELOW the
+      near-dup threshold (`NEARDUP_COS_FOR_MINING`). The threshold
+      filter is the standard false-negative guard (E5's "mine hard
+      negatives, exclude candidates so similar they are probably
+      unlabeled positives" rule; SimCSE/GTE pipelines apply the same
+      margin) — without it, near-duplicates of the anchor would be
+      trained as negatives and collapse the embedding space. At 100 TB
+      the same mining runs over the IVF/ADC candidate stream instead of
+      the exact scan (the margin rule is a filter either way)."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -90,18 +128,37 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= N_QUERY_VECTORS).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
+    # one scored scan feeds both windows — materialize once
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
+        )
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim_r", "rank")
-        .orderBy("query_id", "rank")
+        .select(
+            F.lit("topk").alias("method"), "query_id", "neighbor_id", "cos_sim_r", "rank"
+        )
     )
+    hard = (
+        scored.filter(F.col("cos_sim_r") < NEARDUP_COS_FOR_MINING)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select(
+            F.lit("hard_neg").alias("method"),
+            "query_id",
+            "neighbor_id",
+            "cos_sim_r",
+            "rank",
+        )
+    )
+    return topk.unionByName(hard).orderBy("method", "query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1501,6 +1558,16 @@ register_arms(
     "q_quantized_refine_topk",
     int8=_method_arm("q_quantized_refine_topk", "int8"),
     pq=_method_arm("q_quantized_refine_topk", "pq"),
+)
+
+# Both arms' dominant cost IS the shared scored cross join (the lazy
+# checkpoint both windows read), so the filtered-union form prices each
+# arm correctly here — the barrier rule's failure mode (a pruned branch
+# executing work the arm never reads) does not apply to a common base.
+register_arms(
+    "q_cosine_topk",
+    topk=_method_arm("q_cosine_topk", "topk"),
+    hard_neg=_method_arm("q_cosine_topk", "hard_neg"),
 )
 
 

@@ -221,3 +221,61 @@ class TestEpsilonDial:
             a = sorted(tuple(r) for r in indep.collect())
             b = sorted(tuple(r) for r in via_shared.collect())
             assert a == b and a
+
+
+class TestHardNegativeMining:
+    """q_cosine_topk's hard_neg arm (r10): E5/SimCSE-style contrastive
+    mining — top-ranked candidates strictly BELOW the near-dup
+    threshold, so an anchor's near-duplicates (unlabeled positives)
+    are never trained as negatives."""
+
+    def test_mined_negatives_skip_the_positive_band(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sentinela_py_spark.plans import QUERIES
+        from sentinela_py_spark.plans.registry import _ensure_loaded
+
+        _ensure_loaded()
+        # anchor 0 = e0; candidates: 10 = near-dup of the anchor
+        # (cos ≈ 0.995 > τ), 11 = hard negative (cos ≈ 0.35 < τ = 0.4),
+        # 12/13 = easy negatives (cos 0)
+        def unit(theta, i=0, j=1):
+            v = [0.0] * DIM
+            v[i], v[j] = math.cos(theta), math.sin(theta)
+            return v
+
+        rows = [
+            (0, unit(0.0)), (1, [0.0] * (DIM - 1) + [1.0]),
+            (2, [0.0] * (DIM - 2) + [1.0, 0.0]),
+            (10, unit(0.1)),                 # near-dup of anchor 0
+            (11, unit(math.acos(0.35))),     # hard negative of anchor 0
+            (12, unit(math.pi / 2)),         # orthogonal
+            (13, unit(math.pi / 2, 0, 2)),   # orthogonal
+        ]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+        out = QUERIES["q_cosine_topk"].spark(spark, str(tmp_path)).collect()
+        mined = [
+            r for r in out if r["method"] == "hard_neg" and r["query_id"] == 0
+        ]
+        ids = [r["neighbor_id"] for r in mined]
+        # the near-dup is EXCLUDED despite being the top cosine...
+        assert 10 not in ids
+        # ...and the hardest admissible negative ranks first
+        assert ids[0] == 11 and mined[0]["rank"] == 1
+        assert all(r["cos_sim_r"] < 0.4 for r in mined)
+        # the topk arm, by contrast, ranks the near-dup first
+        top = [
+            r for r in out if r["method"] == "topk" and r["query_id"] == 0
+        ]
+        assert top[0]["neighbor_id"] == 10
