@@ -240,17 +240,21 @@ def _semantic_eps_arm(
     method: str,
     eps: float,
     pairs: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One SemDeDup operating point as a tagged survivors frame, with
     the per-arm ``retention_rate`` audit (survivors / corpus vectors —
     the dedup-fraction number the paper's ε dial trades against) ridden
-    onto every row via a one-row broadcast cross join. ``pairs`` lets a
-    sweep share the ε-independent candidate join (see `semdedup_prune`)."""
+    onto every row via a one-row broadcast cross join. ``pairs`` /
+    ``assigned`` let a sweep share the ε-independent candidate join and
+    cell assignment (see `semdedup_prune`)."""
     from sentinela_py_spark.plans.simops import _trained_codebooks, semdedup_prune
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, _books = _trained_codebooks(e, sf_dir)
-    survivors, _pruned = semdedup_prune(e, cents, threshold=eps, pairs=pairs)
+    survivors, _pruned = semdedup_prune(
+        e, cents, threshold=eps, pairs=pairs, assigned=assigned
+    )
     rate_row = (
         survivors.agg(F.count("*").alias("ns"))
         .crossJoin(e.agg(F.count("*").alias("nt")))
@@ -270,23 +274,33 @@ def _semantic_eps_arm(
 
 
 def _semantic_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ε operating points over ONE shared pair join: the candidate
-    frame is ε-independent (the threshold only filters it), so the sweep
-    builds it once at the loosest ε and checkpoints it for both arms'
-    closures — the dial never pays a second within-cell join."""
+    """Both ε operating points over ONE shared pair join AND one shared
+    cell assignment: the candidate frame is ε-independent (the threshold
+    only filters it), so the sweep builds it once at the loosest ε and
+    checkpoints it for both arms' closures — and the k-means assignment
+    feeding both the pair join and each arm's scoring/election is
+    likewise built and checkpointed ONCE (r11; previously each
+    `semdedup_prune` call re-instantiated it, so the dial paid the
+    map-side assignment twice despite sharing the join)."""
     from sentinela_py_spark.plans.simops import (
         NEARDUP_COS,
         _trained_codebooks,
+        assign_cells_literal,
         semantic_neardup_pairs,
     )
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, _books = _trained_codebooks(e, sf_dir)
+    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
     pairs = semantic_neardup_pairs(
-        e, cents, threshold=min(NEARDUP_COS, SEMDEDUP_EPS_HI)
+        e, cents, threshold=min(NEARDUP_COS, SEMDEDUP_EPS_HI), assigned=assigned
     ).localCheckpoint(eager=False)
-    return _semantic_eps_arm(spark, sf_dir, "semantic", NEARDUP_COS, pairs=pairs).unionByName(
-        _semantic_eps_arm(spark, sf_dir, "semantic_hi", SEMDEDUP_EPS_HI, pairs=pairs)
+    return _semantic_eps_arm(
+        spark, sf_dir, "semantic", NEARDUP_COS, pairs=pairs, assigned=assigned
+    ).unionByName(
+        _semantic_eps_arm(
+            spark, sf_dir, "semantic_hi", SEMDEDUP_EPS_HI, pairs=pairs, assigned=assigned
+        )
     )
 
 

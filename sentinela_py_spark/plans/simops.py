@@ -710,6 +710,7 @@ def semdedup_prune(
     cents: list[tuple[int, list[float]]],
     threshold: float = NEARDUP_COS,
     pairs: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup's keep-policy over the within-cluster pairs: connect the
     ε-graph into groups (`operators.dedup.connected_components` — the
@@ -737,11 +738,20 @@ def semdedup_prune(
     at its loosest ε and each operating point filters it (pairs at a
     tighter ε are exactly the looser set filtered, since the join is
     ε-independent). When given, only rows with cos_sim_r ≥ threshold
-    are used and the join is never rebuilt."""
+    are used and the join is never rebuilt.
+
+    ``assigned`` (r11): a precomputed (vec_id, embedding, cell_id)
+    assignment frame — the other half of the sweep-sharing hook. The
+    assignment is ε-independent too, so a sweep that passes ``pairs``
+    without ``assigned`` would still rebuild (and checkpoint) the
+    k-means cell routing once per operating point; threading ONE
+    checkpointed assignment through every arm makes the dial truly
+    pay-once (`plans.curation._semantic_arms` does)."""
     from sentinela_py_spark.functions.litutil import fast_lit
     from sentinela_py_spark.operators.dedup import connected_components
 
-    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
+    if assigned is None:
+        assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
     if pairs is None:
         pairs = semantic_neardup_pairs(e, cents, threshold, assigned=assigned)
     else:

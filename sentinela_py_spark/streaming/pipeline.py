@@ -839,6 +839,51 @@ def fuzzy_eval_artifacts(
     return {"bands": bands, "shingles": shingles}
 
 
+def _fuzzy_verified(
+    b: DataFrame, cand: DataFrame, artifacts: dict, jaccard: float
+) -> DataFrame:
+    """The fuzzy screen's Jaccard-verify stage, CANDIDATE-ONLY
+    end-to-end (r11): the 3-gram shingle explode + distinct + per-doc
+    count run ONLY over docs that banded against the eval index — a
+    left_semi on ``cand``'s doc_ids FIRST, so a clean batch (cand
+    empty, the common case) pays the banding pass and nothing else.
+    Before this, ``n_t`` was windowed over EVERY batch doc's shingles —
+    a full-batch shuffle the screen's own "verify join runs only on
+    collision candidates" promise didn't cover. Returns (doc_id, e_doc,
+    ..., jac) rows at jac ≥ ``jaccard``. Factored out so the plan test
+    can pin the semi-join sitting UNDER the n_t window."""
+    from sentinela_py_spark.functions.text_stats import word_shingles
+
+    w = Window.partitionBy("doc_id")
+    tsh = (
+        b.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(F.col("text"), k=3), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .distinct()
+        .withColumn("n_t", F.count("*").over(w))
+    )
+    return (
+        cand.join(tsh, "doc_id")
+        .join(F.broadcast(artifacts["shingles"]), ["e_doc", "sh"])
+        .groupBy("doc_id", "e_doc")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_t").alias("n_t"),
+            F.first("n_e").alias("n_e"),
+        )
+        .withColumn(
+            "jac",
+            F.col("n_common").cast("double")
+            / (F.col("n_t") + F.col("n_e") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= jaccard)
+    )
+
+
 def fuzzy_decon_screen_batch(
     batch: DataFrame,
     artifacts: dict,
@@ -862,8 +907,11 @@ def fuzzy_decon_screen_batch(
     band collisions are verified at whole-doc 3-gram Jaccard ≥
     ``jaccard`` (default `plans.textops.FUZZY_DECON_JACCARD`) before a
     document is quarantined — banding alone would flag at LSH's
-    false-positive rate; the verify join runs only on the collision
-    candidates, which are near-empty on clean batches.
+    false-positive rate; the ENTIRE verify stage (shingle explode,
+    distinct, per-doc count, eval join) runs only on the collision
+    candidates, which are near-empty on clean batches — a clean batch
+    pays the signature/banding pass and nothing else (r11; the per-doc
+    shingle count previously windowed over the whole batch).
 
     Scale shape: the per-batch cost is one signature pass over the
     batch + a broadcast band join + a candidate-only verify — no
@@ -873,7 +921,6 @@ def fuzzy_decon_screen_batch(
     dedup stores in `composed_ingest_batch` for the same hygiene
     reason: an edited eval copy must never enter the band store or
     vector index where it could win a survivor election."""
-    from sentinela_py_spark.functions.text_stats import word_shingles
     from sentinela_py_spark.operators.dedup import (
         lsh_band_signatures,
         minhash_signatures,
@@ -892,38 +939,16 @@ def fuzzy_decon_screen_batch(
         bands.join(F.broadcast(artifacts["bands"]), ["band", "sig"])
         .select("doc_id", "e_doc")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("doc_id")
-    tsh = (
-        b.select(
-            "doc_id",
-            F.explode(
-                F.transform(word_shingles(F.col("text"), k=3), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
-        .distinct()
-        .withColumn("n_t", F.count("*").over(w))
-    )
-    verified = (
-        cand.join(tsh, "doc_id")
-        .join(F.broadcast(artifacts["shingles"]), ["e_doc", "sh"])
-        .groupBy("doc_id", "e_doc")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("n_t").alias("n_t"),
-            F.first("n_e").alias("n_e"),
-        )
-        .withColumn(
-            "jac",
-            F.col("n_common").cast("double")
-            / (F.col("n_t") + F.col("n_e") - F.col("n_common")),
-        )
-        .filter(F.col("jac") >= jaccard)
-    )
+    verified = _fuzzy_verified(b, cand, artifacts, jaccard)
+    # eager checkpoint BEFORE the write + left_anti reuse — without it
+    # the bands-join + Jaccard-verify lineage executes once per consumer
+    # (the sibling screens' pattern; r10 ADVICE)
     flagged = verified.groupBy("doc_id").agg(
         F.count_distinct("e_doc").alias("n_eval_docs"),
         F.round(F.max("jac"), 6).alias("max_jaccard"),
-    )
+    ).localCheckpoint(eager=True)
     flagged.write.mode("overwrite").parquet(
         os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
     )
@@ -1141,13 +1166,22 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
         .join(_n(mh, "n_mh"), "epoch")
         .join(_n(acc, "n_acc"), "epoch")
     )
+    # Subtractive screens (fuzzy/quality) are stateless — a missing
+    # store means zero rejections, so the _n(None)=0 coalesce IS the
+    # previous-stage fallback. The survivor-count stages (text_dedup,
+    # accepted) read their screens' accepted stores directly; when that
+    # screen isn't armed, fall back to the PREVIOUS stage's expression
+    # (not a raw 0) so the funnel stays monotone and complete — the
+    # invariant the alerting contract advertises.
+    quality_gated = F.col("n_dec") - F.col("n_fz") - F.col("n_qrej")
+    text_dedup = F.col("n_mh") if mh is not None else quality_gated
     stage_exprs = {
         "arrived": F.col("n_dec") + F.col("n_fla"),
         "decontaminated": F.col("n_dec"),
         "fuzzy_gated": F.col("n_dec") - F.col("n_fz"),
-        "quality_gated": F.col("n_dec") - F.col("n_fz") - F.col("n_qrej"),
-        "text_dedup": F.col("n_mh"),
-        "accepted": F.col("n_acc"),
+        "quality_gated": quality_gated,
+        "text_dedup": text_dedup,
+        "accepted": F.col("n_acc") if acc is not None else text_dedup,
     }
     frames = [
         wide.select(

@@ -141,6 +141,54 @@ class TestPplBuckets:
             c = Counter(r["ppl_bucket"] for r in scored)
             assert min(c.values()) >= 2
 
+    def test_cutoff_interpolation_is_bit_identical_across_engines(self, spark):
+        """r10 ADVICE: the cross-engine parity of ppl_bucket hinges on
+        Spark F.percentile and DuckDB quantile_cont interpolating to the
+        SAME double before the 4dp round. Pin that structurally: a value
+        set whose 1/3 cutoff is INTERPOLATED between two distinct values
+        (pos = 5/3 for n=6 — frac 2/3, the non-trivial case) with a doc
+        sitting EXACTLY at the 4dp-rounded cutoff (-0.70001 → -0.7000,
+        and -0.7 is a data point). Asserts (a) the unrounded percentile
+        doubles are bit-identical engine-to-engine — if either engine's
+        interpolation formula ever drifts by an ulp this fails loudly —
+        and (b) the at-cutoff doc lands in the same bucket both sides
+        (>= semantics at the boundary)."""
+        import struct
+
+        import duckdb
+
+        vals = [-0.9, -0.70003, -0.7, -0.5, -0.3, -0.1]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double"
+        )
+        s = df.agg(
+            F.percentile("v", F.lit(1.0 / 3)).alias("c33"),
+            F.percentile("v", F.lit(2.0 / 3)).alias("c67"),
+            F.round(F.percentile("v", F.lit(1.0 / 3)), 4).alias("c33r"),
+            F.round(F.percentile("v", F.lit(2.0 / 3)), 4).alias("c67r"),
+        ).collect()[0]
+        d = duckdb.sql(
+            "SELECT quantile_cont(CAST(v AS DOUBLE), 1.0/3) AS c33,"
+            "       quantile_cont(CAST(v AS DOUBLE), 2.0/3) AS c67,"
+            "       ROUND(quantile_cont(CAST(v AS DOUBLE), 1.0/3), 4) AS c33r,"
+            "       ROUND(quantile_cont(CAST(v AS DOUBLE), 2.0/3), 4) AS c67r "
+            f"FROM (SELECT UNNEST({vals!r}) AS v)"
+        ).fetchone()
+        # (a) bit-identity of the raw interpolated doubles
+        for sv, dv in zip((s["c33"], s["c67"]), d[:2]):
+            assert struct.pack("<d", sv) == struct.pack("<d", float(dv))
+        # the c33 cutoff really is interpolated (between two data points)
+        assert s["c33"] not in vals
+        # (b) the at-cutoff doc: rounded cutoff == the -0.7 data point,
+        # and >= routes it to the HIGHER bucket in both engines
+        assert s["c33r"] == float(d[2]) == -0.7
+        assert s["c67r"] == float(d[3])
+        bucket = lambda v, c33, c67: (  # noqa: E731 — the CASE both engines run
+            "head" if v >= c67 else "middle" if v >= c33 else "tail"
+        )
+        assert bucket(-0.7, s["c33r"], s["c67r"]) == "middle"
+        assert bucket(-0.7, float(d[2]), float(d[3])) == "middle"
+
 
 class TestSequencePacking:
     def test_greedy_cumsum_assignment(self, spark, tmp_path):
