@@ -601,6 +601,7 @@ def ivf_pq_adc_topk(
     id_col: str = "vec_id",
     t2_mode: str = "auto",
     cent_mode: str = "auto",
+    exclude_cos_at_or_above: float | None = None,
 ) -> DataFrame:
     """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION — the coarse pass
     never rebuilds a float vector and never reads one:
@@ -659,7 +660,20 @@ def ivf_pq_adc_topk(
     same boundary, so at deployment cell counts (`plan_ivf_config`'s
     10⁵-cell regime ≈ 6.4·10⁶ matrix entries) NO cells-sized literal
     remains anywhere in the plan. Bit-identity literal ≡ broadcast is
-    pinned in TestAdcSearch at a forced boundary."""
+    pinned in TestAdcSearch at a forced boundary.
+
+    ``exclude_cos_at_or_above`` (r11) turns the search into HARD-NEGATIVE
+    MINING over the refine candidate stream: after the exact re-rank
+    cosines are computed for the ``coarse_k`` survivors, candidates at or
+    above the threshold are dropped BEFORE the top-k window — the
+    false-negative guard of contrastive mining (candidates that similar
+    are probably unlabeled positives; see `plans.simops.q_cosine_topk`'s
+    hard_neg arm for the exact-scan twin and the guard's rationale). This
+    is the deployment path that arm's docstring declares: at corpus scale
+    the mining filter rides THIS candidate stream — the coarse pass still
+    scans only the M-byte codes column — instead of an exact O(n²) scored
+    scan. Recall vs the exact mining is bounded by coarse_k/nprobe
+    exactly like the search's own recall (measured in TestAdcSearch)."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.functions.litutil import fast_lit
@@ -809,11 +823,18 @@ def ivf_pq_adc_topk(
         .select("query_id", id_col, "cell_id", "qvec")
     )
     exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
+    refined = (
         index_vecs.select(id_col, "cell_id", vec_col)
         .join(F.broadcast(survivors), [id_col, "cell_id"])
         .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("qvec")), 6))
-        .withColumn("rnk", F.row_number().over(exact_w))
+    )
+    if exclude_cos_at_or_above is not None:
+        # hard-negative mining: the false-negative guard filters the
+        # refine stream BEFORE the rank window (filter-then-rank, the
+        # same order the exact-scan hard_neg arm applies)
+        refined = refined.filter(F.col("cosine") < exclude_cos_at_or_above)
+    return (
+        refined.withColumn("rnk", F.row_number().over(exact_w))
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cell_id", "cosine", "rnk")
     )

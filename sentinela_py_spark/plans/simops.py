@@ -120,7 +120,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       margin) — without it, near-duplicates of the anchor would be
       trained as negatives and collapse the embedding space. At 100 TB
       the same mining runs over the IVF/ADC candidate stream instead of
-      the exact scan (the margin rule is a filter either way)."""
+      the exact scan (the margin rule is a filter either way) — that
+      deployment path IS implemented as `q_ann_ivf_topk`'s ``hardneg``
+      arm (r11, `ivf_pq_adc_topk(exclude_cos_at_or_above=...)`); this
+      exact-scan arm stays as its recall baseline."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1402,6 +1405,18 @@ def _adc_sql() -> str:
         JOIN embeddings e ON a.vec_id = e.vec_id
         JOIN adc_q q ON a.query_id = q.query_id
       ) WHERE rank <= {TOP_K}
+    ),
+    adc_hardneg AS (
+      SELECT query_id, vec_id AS neighbor_id, cell_id, cos_sim_r, rank FROM (
+        SELECT a.query_id, a.vec_id, a.cell_id,
+               {refine_cos} AS cos_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+                 {refine_cos} DESC, a.vec_id) AS rank
+        FROM adc_coarse a
+        JOIN embeddings e ON a.vec_id = e.vec_id
+        JOIN adc_q q ON a.query_id = q.query_id
+        WHERE {refine_cos} < {NEARDUP_COS_FOR_MINING}
+      ) WHERE rank <= {HARD_NEG_K}
     )"""
 
 
@@ -1468,6 +1483,9 @@ def _adc_sql() -> str:
     SELECT 'adc' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM adc_arm
     UNION ALL
+    SELECT 'hardneg' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
+    FROM adc_hardneg
+    UNION ALL
     SELECT 'trained' AS method, query_id, neighbor_id, cell_id, cos_sim_r, rank
     FROM tranked WHERE rank <= {TOP_K}
     UNION ALL
@@ -1482,7 +1500,9 @@ def _adc_sql() -> str:
         "the stored codes column — functions/vectors.ivf_pq_adc_topk), trained arm "
         "(deterministic distributed k-means codebook — functions/kmeans.py, the "
         "FAISS-style deployment path), nprobe2 arm (multi-cell probe recall dial, "
-        "ivf_probe_cells at nprobe=2)"
+        "ivf_probe_cells at nprobe=2), hardneg arm (r11: contrastive hard-negative "
+        "mining riding the ADC refine candidate stream — the deployment path of "
+        "q_cosine_topk's exact-scan hard_neg arm)"
     ),
     tags=("similarity", "sketch"),
 )
@@ -1522,7 +1542,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       cells (`ivf_probe_cells`), candidate work ×2, recovering true
       neighbours that sit across a cell boundary from the query. Corpus
       vectors live in exactly one cell, so a (query, neighbor) pair can
-      match on at most one probe — no dedup shuffle.
+      match on at most one probe — no dedup shuffle;
+    - ``hardneg`` (r11): contrastive hard-negative mining AS AN INDEX
+      SEARCH — the same ADC coarse pass (codes-only scan), but the
+      refine stream is filtered by the false-negative guard
+      (cos < `NEARDUP_COS_FOR_MINING`) before the top-`HARD_NEG_K`
+      window (`ivf_pq_adc_topk(exclude_cos_at_or_above=...)`). This is
+      the deployment path `q_cosine_topk`'s hard_neg arm declares: at
+      100 TB mining rides the index's candidate stream, never an O(n²)
+      scored scan; recall vs the exact mining is measured in
+      tests/test_vectors.py::TestAdcSearch.
 
     Codebook training (IVF centroids + PQ codewords) and the corpus
     encode (cell ids + PQ codes per vector) happen ONCE per corpus — the
@@ -1553,11 +1582,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pq = _as_arm(_ivf_pq_arm(e, sf_dir, index), "pq")
     adc = _as_arm(_ivf_adc_arm(e, sf_dir, index), "adc")
+    hardneg = _as_arm(_ivf_adc_hardneg_arm(e, sf_dir, index), "hardneg")
     trained = _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
     np2 = _ivf_nprobe2_arm(e, sf_dir, index)
     return (
         flat.unionByName(pq)
         .unionByName(adc)
+        .unionByName(hardneg)
         .unionByName(trained)
         .unionByName(np2)
         .orderBy("method", "query_id", "rank")
@@ -1887,13 +1918,42 @@ def _ivf_adc_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFr
     )
 
 
+def _ivf_adc_hardneg_arm(
+    e: DataFrame, sf_dir: str, index: dict | None = None
+) -> DataFrame:
+    """Hard-negative mining over the ADC refine stream (r11 — the
+    deployment path of q_cosine_topk's exact-scan hard_neg arm): the
+    SAME stored-index coarse pass as the adc arm, with the refine
+    candidates filtered by the false-negative guard
+    (`NEARDUP_COS_FOR_MINING`) before the top-`HARD_NEG_K` window. At
+    100 TB this is the only mining shape that works: the candidate pool
+    comes from the codes-only index scan, the guard is a filter riding
+    the refine read, and no O(n²) scored scan exists anywhere."""
+    index = _ivf_index(e, sf_dir) if index is None else index
+    cents, books = _trained_codebooks(e, sf_dir)
+    from sentinela_py_spark.functions.vectors import ivf_pq_adc_topk
+
+    return ivf_pq_adc_topk(
+        index["adc_codes"],
+        index["adc_vecs"],
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+        cents,
+        books,
+        k=HARD_NEG_K,
+        coarse_k=COARSE_K,
+        m=PQ_M,
+        dim=EMB_DIM,
+        exclude_cos_at_or_above=NEARDUP_COS_FOR_MINING,
+    )
+
+
 # Dedicated per-arm builders (NOT method_arm filters of the 5-arm
 # union): the union's construction cost — every arm's expression trees,
 # built via py4j — lands in whatever arm is being timed, which poisoned
 # the r4→r5 flat-arm comparison (~+0.7 s of other arms' build). Each
 # builder assembles ONLY its own subtree over the shared stored index.
 def _ivf_arm_builder(arm: str):
-    if arm not in ("flat", "trained", "nprobe2", "pq", "adc"):
+    if arm not in ("flat", "trained", "nprobe2", "pq", "adc", "hardneg"):
         raise ValueError(f"unknown q_ann_ivf_topk arm {arm!r}")
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,6 +1967,8 @@ def _ivf_arm_builder(arm: str):
             return _ivf_nprobe2_arm(e, sf_dir, index)
         if arm == "adc":
             return _ivf_adc_arm(e, sf_dir, index)
+        if arm == "hardneg":
+            return _ivf_adc_hardneg_arm(e, sf_dir, index)
         return _ivf_pq_arm(e, sf_dir, index)
 
     return build
@@ -1917,6 +1979,7 @@ register_arms(
     flat=_ivf_arm_builder("flat"),
     pq=_ivf_arm_builder("pq"),
     adc=_ivf_arm_builder("adc"),
+    hardneg=_ivf_arm_builder("hardneg"),
     trained=_ivf_arm_builder("trained"),
     nprobe2=_ivf_arm_builder("nprobe2"),
     training=_ivf_training_probe,

@@ -715,3 +715,82 @@ class TestAdcSearch:
             for r in auto.collect()
         )
         assert got == want
+
+    def test_hard_negative_mining_rides_refine_stream(self, spark, trained_store):
+        """r11 (verdict #1): contrastive hard-negative mining composed
+        with the ANN index — `exclude_cos_at_or_above` filters the ADC
+        refine stream, never an exact O(n²) scan. Pins, on the fixture
+        corpus:
+
+        - the false-negative guard holds structurally: no mined negative
+          scores at/above the near-dup threshold;
+        - at coarse_k ≥ cell occupancy the refine stream IS the query's
+          whole cell, so ANN mining equals exact in-cell mining bit for
+          bit (the filter-then-rank algebra is identical);
+        - at the deployment coarse_k=20 the recall vs exact IN-CELL
+          mining is the ADC coarse-ranking error alone — measured 7/9 on
+          this corpus (deterministic: trained codebooks, fixed seeds).
+          Cross-cell recall is bounded by nprobe exactly like the
+          search's own recall (test_nprobe_widens_candidates_and_recall).
+        """
+        from pyspark.sql import Window as W
+
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            read_ann_index,
+        )
+        from sentinela_py_spark.plans.simops import assign_cells_literal, cosine
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+        THR, K = 0.4, 3
+
+        def mine(coarse_k):
+            return ivf_pq_adc_topk(
+                read_ann_index(spark, path),
+                read_ann_index(spark, path),
+                queries,
+                cents,
+                books,
+                k=K,
+                coarse_k=coarse_k,
+                exclude_cos_at_or_above=THR,
+            ).collect()
+
+        # exact in-cell mining: every candidate in the query's trained
+        # cell, guard-filtered, top-K — what a perfect coarse pass yields
+        assigned = assign_cells_literal(e, cents)
+        qc = assigned.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+        )
+        cc = assigned.select(
+            F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"), "cell_id"
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nid"))
+        exact = (
+            cc.join(F.broadcast(qc), "cell_id")
+            .filter(F.col("nid") != F.col("query_id"))
+            .select(
+                "query_id", "nid",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") < THR)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= K)
+            .collect()
+        )
+        exact_rows = {(r["query_id"], r["nid"], r["cos"], r["r"]) for r in exact}
+
+        mined = mine(coarse_k=20)
+        assert len(mined) == 3 * K
+        assert all(r["cosine"] < THR for r in mined)  # the guard, structurally
+        mined_rows = {(r["query_id"], r["vec_id"], r["cosine"], r["rnk"]) for r in mined}
+        recall = len(mined_rows & exact_rows) / len(exact_rows)
+        assert recall >= 7 / 9 - 1e-9, f"in-cell mining recall regressed: {recall}"
+
+        # wide coarse pass == exact in-cell mining, bit for bit
+        wide = {
+            (r["query_id"], r["vec_id"], r["cosine"], r["rnk"])
+            for r in mine(coarse_k=10_000)
+        }
+        assert wide == exact_rows
