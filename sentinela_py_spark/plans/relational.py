@@ -1088,50 +1088,16 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full sorted group — built engine-neutrally (unlike approx_percentile,
 # whose KLL/GK sketch layout is JVM-private), so the estimate is
 # oracle-checked INCLUDING its binning error, like the HLL and Bloom arms.
-_HIST_BINS = 64
+# r11: the algebra (Spark AND SQL sides) moved to functions/hist.py so
+# the CCNet ppl-tertile cutoffs (plans/textops.py) reuse ONE definition.
+from sentinela_py_spark.functions.hist import (  # noqa: E402
+    HIST_BINS as _HIST_BINS,
+    hist_cums_sql as _hist_cums_sql,
+    hist_est_sql as _hist_est_sql,
+    hist_quantile_est as _hist_quantile_est,
+)
 
-_HIST_SQL = f"""
-    stats AS (
-      SELECT o_orderpriority, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-      FROM orders GROUP BY 1
-    ),
-    binned AS (
-      SELECT o.o_orderpriority,
-             CAST(LEAST(FLOOR((o.o_totalprice - s.lo) /
-               (CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {_HIST_BINS}.0 ELSE 1.0 END)),
-               {_HIST_BINS - 1}) AS INT) AS bin,
-             COUNT(*) AS cnt
-      FROM orders o JOIN stats s USING (o_orderpriority) GROUP BY 1, 2
-    ),
-    hist AS (
-      SELECT d.o_orderpriority,
-             list(CAST(d.cnt AS BIGINT) ORDER BY d.bin) AS counts
-      FROM (
-        SELECT s.o_orderpriority, g.i AS bin, COALESCE(b.cnt, 0) AS cnt
-        FROM stats s
-        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HIST_BINS - 1})) AS i) g
-        LEFT JOIN binned b ON b.o_orderpriority = s.o_orderpriority AND b.bin = g.i
-      ) d GROUP BY 1
-    ),
-    cums AS (
-      SELECT o_orderpriority, counts,
-             list_transform(generate_series(1, {_HIST_BINS}),
-                            i -> CAST(list_sum(counts[1:i]) AS BIGINT)) AS cums
-      FROM hist
-    )
-"""
-
-
-def _hist_est_sql(q: float) -> str:
-    b = _HIST_BINS
-    r = f"GREATEST(CAST(CEIL({q} * cums[{b}]) AS BIGINT), 1)"
-    pos = f"list_position(list_transform(cums, c -> c >= {r}), true)"
-    cb = f"(CASE WHEN {pos} = 1 THEN 0 ELSE cums[{pos} - 1] END)"
-    width = f"(CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {b}.0 ELSE 1.0 END)"
-    return (
-        f"ROUND(s.lo + {width} * (CAST({pos} - 1 AS DOUBLE)"
-        f" + CAST({r} - {cb} AS DOUBLE) / CAST(counts[{pos}] AS DOUBLE)), 4)"
-    )
+_HIST_SQL = _hist_cums_sql("orders", "o_orderpriority", "o_totalprice")
 
 
 @register(
@@ -1201,75 +1167,14 @@ def _price_exact(o: DataFrame) -> DataFrame:
 def _price_hist_est(spark: SparkSession, o: DataFrame, stats: DataFrame) -> DataFrame:
     """Histogram arm of q_price_percentiles: 64-bin equi-width counts per
     group (``stats`` carries lo/hi), cumulative walk, linear interpolation
-    inside the landing bin. Returns (o_orderpriority, p50/p90/p99_hist)."""
-    width = F.when(
-        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / _HIST_BINS
-    ).otherwise(F.lit(1.0))
-    binned = (
-        o.join(F.broadcast(stats), "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            F.least(
-                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
-                F.lit(_HIST_BINS - 1),
-            ).cast("int").alias("bin"),
-        )
-        .groupBy("o_orderpriority", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
-    bins = spark.range(_HIST_BINS).select(F.col("id").cast("int").alias("bin"))
-    dense = (
-        stats.crossJoin(F.broadcast(bins))
-        .join(binned, ["o_orderpriority", "bin"], "left")
-        .select(
-            "o_orderpriority", "bin", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
-        )
-    )
-    hist = dense.groupBy("o_orderpriority").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bin", "cnt"))), lambda x: x["cnt"]
-        ).alias("counts")
-    )
-    cums = F.transform(
-        F.sequence(F.lit(1), F.lit(_HIST_BINS)),
-        lambda i: F.aggregate(
-            F.slice(F.col("counts"), F.lit(1), i),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        ),
-    )
-
-    def est(q: float) -> F.Column:
-        r = F.greatest(
-            F.ceil(F.lit(q) * F.element_at(F.col("cums"), _HIST_BINS)).cast("long"),
-            F.lit(1).cast("long"),
-        )
-        pos = F.array_position(
-            F.transform(F.col("cums"), lambda c: c >= r), F.lit(True)
-        ).cast("int")
-        cum_before = F.when(pos == 1, F.lit(0).cast("long")).otherwise(
-            F.element_at(F.col("cums"), pos - 1)
-        )
-        cnt_b = F.element_at(F.col("counts"), pos)
-        return F.round(
-            F.col("lo")
-            + width
-            * (
-                (pos - 1).cast("double")
-                + (r - cum_before).cast("double") / cnt_b.cast("double")
-            ),
-            4,
-        )
-
-    return (
-        hist.withColumn("cums", cums)
-        .join(stats, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            est(0.5).alias("p50_hist"),
-            est(0.9).alias("p90_hist"),
-            est(0.99).alias("p99_hist"),
-        )
+    inside the landing bin (`functions.hist.hist_quantile_est` — the one
+    shared definition). Returns (o_orderpriority, p50/p90/p99_hist)."""
+    return _hist_quantile_est(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        stats,
+        {"p50_hist": 0.5, "p90_hist": 0.9, "p99_hist": 0.99},
     )
 
 

@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.functions.hist import (
+    hist_cums_sql,
+    hist_est_sql,
+    hist_quantile_est,
+)
 from sentinela_py_spark.functions.text_stats import (
     LANG_STOPWORDS,
     avg_token_len,
@@ -1377,6 +1382,17 @@ def qr_chain_sql(src: str, p: str) -> str:
              ROUND(quantile_cont(f.char_lm_logprob, 2.0/3), 4) AS c67
       FROM qr_feat f JOIN documents d USING (doc_id)
       GROUP BY d.lang
+    ),
+    qrv AS (
+      SELECT d.lang, f.char_lm_logprob
+      FROM qr_feat f JOIN documents d USING (doc_id)
+    ),
+    {hist_cums_sql('qrv', 'lang', 'char_lm_logprob', prefix='qrh_')},
+    qr_hcuts AS (
+      SELECT c.lang,
+             {hist_est_sql(1.0 / 3)} AS c33h,
+             {hist_est_sql(2.0 / 3)} AS c67h
+      FROM qrh_cums c JOIN qrh_stats s USING (lang)
     )
     SELECT f.doc_id, n_tokens, n_distinct_terms, distinct_ratio, entropy,
            top_term_fraction, top_bigram_fraction, repetitive,
@@ -1384,11 +1400,15 @@ def qr_chain_sql(src: str, p: str) -> str:
            d.lang,
            CASE WHEN f.char_lm_logprob >= c.c67 THEN 'head'
                 WHEN f.char_lm_logprob >= c.c33 THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
+                ELSE 'tail' END AS ppl_bucket,
+           CASE WHEN f.char_lm_logprob >= h.c67h THEN 'head'
+                WHEN f.char_lm_logprob >= h.c33h THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket_hist
     FROM qr_feat f
     JOIN qr_scores s ON f.doc_id = s.doc_id
     JOIN documents d ON f.doc_id = d.doc_id
     JOIN qr_cuts c ON d.lang = c.lang
+    JOIN qr_hcuts h ON d.lang = h.lang
     ORDER BY f.doc_id
     """,
     survey_ref=(
@@ -1402,7 +1422,9 @@ def qr_chain_sql(src: str, p: str) -> str:
         "on weak labels over the rule features, DuckDB replaying the full "
         "gradient-descent chain bit-for-bit; + CCNet perplexity buckets (r10): "
         "per-lang head/middle/tail tertiles of the char-LM likelihood — "
-        "cutoffs from one tiny percentile aggregate, bucket assigned map-side "
+        "exact cutoffs + the 64-bin histogram-sketch cutoff twin (r11, "
+        "functions/hist — the fixed-memory deployment path, ppl_bucket_hist "
+        "hash-checked including binning error), bucket assigned map-side "
         "(CCNet's cutoffs-then-map architecture, no per-lang global sort)"
     ),
     tags=("text", "quality"),
@@ -1438,6 +1460,13 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (head-only for quality, head+middle for coverage). Cutoffs are one
     per-lang percentile aggregate broadcast back; assignment is a
     map-side CASE — see the in-body comment for the 100 TB rationale.
+    ``ppl_bucket_hist`` (r11) is the same tertile assignment under the
+    64-bin HISTOGRAM-SKETCH cutoffs (`functions.hist`, the
+    q_price_percentiles pattern): the exact percentile's per-group
+    distinct-value map funnels the dominant language through one
+    final-aggregation task at corpus scale, while the sketch holds 64
+    longs per lang — the paired bucket columns are the deployment
+    path's accuracy audit, oracle-checked including binning error.
 
     `svm_score`/`model_keep` are the MODEL-BASED quality filter (the
     DCLM / fineweb-edu classifier stage): an L2-hinge linear classifier
@@ -1463,26 +1492,58 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6)).join(
         d.select("doc_id", "lang"), "doc_id"
     )
-    # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS (one tiny
-    # aggregate — Spark percentile == DuckDB quantile_cont, the
-    # q_price_percentiles exactness pair; 4dp absorbs interpolation
-    # ulps) broadcast back, bucket assigned MAP-SIDE by comparison.
-    # This is CCNet's actual architecture (cutoffs from the scored
-    # corpus, then a map pass) and the 100 TB shape: no per-lang global
-    # sort — an NTILE over the corpus would serialize each language
-    # through one partition. NULL-LM docs (<2 chars) land in 'tail' in
-    # both engines (NULL >= cutoff is false-ish in the CASE).
-    cuts = scored.groupBy("lang").agg(
+    # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS broadcast
+    # back, bucket assigned MAP-SIDE by comparison. This is CCNet's
+    # actual architecture (cutoffs from the scored corpus, then a map
+    # pass) and the 100 TB shape: no per-lang global sort — an NTILE
+    # over the corpus would serialize each language through one
+    # partition. NULL-LM docs (<2 chars) land in 'tail' in both engines
+    # (NULL >= cutoff is false-ish in the CASE).
+    #
+    # TWO cutoff computations ride one checkpointed (lang, logprob)
+    # frame:
+    # - EXACT (`ppl_bucket`, the oracle's anchor): Spark `percentile` ==
+    #   DuckDB `quantile_cont` (4dp absorbs interpolation ulps;
+    #   boundary-doc bit-identity pinned in tests). NOT free at corpus
+    #   scale: exact percentile buffers a distinct-value→count map per
+    #   group — bounded here (~10⁷ 6dp-rounded means worst case) but the
+    #   dominant language funnels that whole map through ONE
+    #   final-aggregation task (hundreds of MB of skewed state at
+    #   100 TB);
+    # - HISTOGRAM (`ppl_bucket_hist`, r11 — the deployment twin): the
+    #   64-bin equi-width sketch (`functions.hist`, the
+    #   q_price_percentiles pattern) holds 64 longs per lang at any
+    #   corpus size; its cutoffs are oracle-checked INCLUDING binning
+    #   error, and the paired bucket columns are the accuracy audit.
+    slim = scored.select("lang", "char_lm_logprob").localCheckpoint(eager=False)
+    cuts = slim.groupBy("lang").agg(
         F.round(F.percentile("char_lm_logprob", F.lit(1.0 / 3)), 4).alias("c33"),
         F.round(F.percentile("char_lm_logprob", F.lit(2.0 / 3)), 4).alias("c67"),
+        # lo/hi ride the exact aggregation so the histogram costs one
+        # extra scan (the bin counts) over the checkpointed slim frame
+        F.min("char_lm_logprob").alias("lo"),
+        F.max("char_lm_logprob").alias("hi"),
+    )
+    hcuts = hist_quantile_est(
+        slim,
+        ["lang"],
+        "char_lm_logprob",
+        cuts.select("lang", "lo", "hi"),
+        {"c33h": 1.0 / 3, "c67h": 2.0 / 3},
     )
     bucket = (
         F.when(F.col("char_lm_logprob") >= F.col("c67"), "head")
         .when(F.col("char_lm_logprob") >= F.col("c33"), "middle")
         .otherwise("tail")
     )
+    bucket_hist = (
+        F.when(F.col("char_lm_logprob") >= F.col("c67h"), "head")
+        .when(F.col("char_lm_logprob") >= F.col("c33h"), "middle")
+        .otherwise("tail")
+    )
     return (
-        scored.join(F.broadcast(cuts), "lang")
+        scored.join(F.broadcast(cuts.select("lang", "c33", "c67")), "lang")
+        .join(F.broadcast(hcuts), "lang")
         .select(
             "doc_id",
             "n_tokens",
@@ -1497,6 +1558,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("svm_score") > 0).alias("model_keep"),
             "lang",
             bucket.alias("ppl_bucket"),
+            bucket_hist.alias("ppl_bucket_hist"),
         )
         .orderBy("doc_id")
     )
@@ -1842,12 +1904,32 @@ def _qr_model_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qr_ppl_hist_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices the r11 histogram-cutoff pass standalone: char-LM scores
+    (the arm re-pays the shared scan, per the arm contract) → per-lang
+    min/max → 64-bin counts → interpolated tertile cutoffs
+    (`functions.hist.hist_quantile_est`). The headline rides a
+    checkpointed slim frame instead, so this row bounds the sketch's
+    worst-case cost."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    slim = _qr_charlm(d).join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "char_lm_logprob"
+    )
+    stats = slim.groupBy("lang").agg(
+        F.min("char_lm_logprob").alias("lo"), F.max("char_lm_logprob").alias("hi")
+    )
+    return hist_quantile_est(
+        slim, ["lang"], "char_lm_logprob", stats, {"c33h": 1.0 / 3, "c67h": 2.0 / 3}
+    )
+
+
 register_arms(
     "q_quality_rules",
     unigram=_arm_on_documents(_qr_unigram),
     bigram=_arm_on_documents(_qr_bigram),
     charlm=_arm_on_documents(_qr_charlm),
     model=_qr_model_arm,
+    ppl_hist=_qr_ppl_hist_arm,
 )
 
 

@@ -141,6 +141,27 @@ class TestPplBuckets:
             c = Counter(r["ppl_bucket"] for r in scored)
             assert min(c.values()) >= 2
 
+    def test_hist_twin_buckets_audit_the_exact_tertiles(self, spark):
+        """r11 (verdict #2): ppl_bucket_hist — the fixed-memory 64-bin
+        histogram cutoff twin — beside the exact tertiles. Pins on the
+        sf0.001 fixture corpus: the hist buckets are threshold-assigned
+        (so monotone in likelihood within each lang by construction),
+        NULL-LM docs land in 'tail' under both cutoff families, and the
+        paired columns agree on the overwhelming majority of docs (the
+        binning-error audit — 64 bins over a tertile split leaves only
+        boundary-bin docs to disagree)."""
+        from sentinela_py_spark.plans import QUERIES
+
+        out = QUERIES["q_quality_rules"].spark(spark, "/root/testdata/sf0.001").collect()
+        assert all(r["ppl_bucket_hist"] in ("head", "middle", "tail") for r in out)
+        nulls = [r for r in out if r["char_lm_logprob"] is None]
+        assert all(r["ppl_bucket_hist"] == "tail" for r in nulls)
+        scored = [r for r in out if r["char_lm_logprob"] is not None]
+        agree = sum(r["ppl_bucket"] == r["ppl_bucket_hist"] for r in scored)
+        # deterministic on the fixture; measured 100% agreement minus at
+        # most a few boundary-bin docs — pin the audit at >= 90%
+        assert agree / len(scored) >= 0.9, f"hist-vs-exact agreement {agree}/{len(scored)}"
+
     def test_cutoff_interpolation_is_bit_identical_across_engines(self, spark):
         """r10 ADVICE: the cross-engine parity of ppl_bucket hinges on
         Spark F.percentile and DuckDB quantile_cont interpolating to the
