@@ -92,6 +92,14 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #                               trim+quality-armed (r9 verdict #6)
 #   `comparable` sub-object: per-query r1-comparable values resolved
 #                               from COMPARABLE_ARM (r9 verdict #1)
+# Round-11 additions:
+#   q_ann_ivf_topk           += hardneg arm (hard-negative mining over
+#                               the ADC refine stream)
+#   q_quality_rules          += ppl_hist arm (histogram-sketch tertile
+#                               cutoffs, the exact percentile's
+#                               fixed-memory twin)
+#   composed_ingest          += screens_fuzzy arm (prices the sixth,
+#                               fuzzy eval-copy screen per epoch)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -161,19 +169,22 @@ COMPARABLE_ARM = {
 }
 
 
-def _composed_ingest_arm(trim_quality: bool):
+def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False):
     """Bench arm for the streaming composed-ingest flagship, priced as
     ONE batch of the real (doc_id, text, embedding) corpus through
     `composed_ingest_batch` (the foreachBatch body — the per-epoch work
     a deployment pays, without the harness's stream-startup overhead).
-    Base arm = the three screens; armed variant adds the stage-0
-    repetition trim + the frozen-model quality gate (r9 additions,
-    priced per the barrier rule: both variants are DEDICATED builders).
-    The frozen quality model is an OFFLINE artifact (trained once per
-    corpus, memoized like the ANN codebooks — `qr_frozen_model` cost is
-    not per-batch cost); a fresh state dir per rep keeps every rep a
-    first attempt (no replay short-circuit, no store carry-over)."""
+    Base arm = the three screens; the armed variants add the stage-0
+    repetition trim + the frozen-model quality gate (r9) and the fuzzy
+    eval-copy screen (r11 — pricing the sixth screen's per-epoch cost,
+    now candidate-only in its verify stage), each a DEDICATED builder
+    per the barrier rule. The frozen quality model AND the frozen fuzzy
+    eval artifacts are OFFLINE builds (once per corpus, memoized like
+    the ANN codebooks — not per-batch cost); a fresh state dir per rep
+    keeps every rep a first attempt (no replay short-circuit, no store
+    carry-over)."""
     _MODEL: dict[tuple[str, str], dict] = {}
+    _FUZZY: dict[tuple[str, str], dict] = {}
 
     def arm(spark, sf_dir):
         import shutil
@@ -182,7 +193,10 @@ def _composed_ingest_arm(trim_quality: bool):
         from sentinela_py_spark.functions.bloom import bloom_build
         from sentinela_py_spark.functions.text_stats import word_shingles
         from sentinela_py_spark.plans.textops import qr_frozen_model
-        from sentinela_py_spark.streaming.pipeline import composed_ingest_batch
+        from sentinela_py_spark.streaming.pipeline import (
+            composed_ingest_batch,
+            fuzzy_eval_artifacts,
+        )
         from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
         d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -200,9 +214,9 @@ def _composed_ingest_arm(trim_quality: bool):
             )
         )
         bloom = bloom_build(grams).localCheckpoint(eager=True)
+        key = (spark.sparkContext.applicationId, sf_dir)
         kw = {}
         if trim_quality:
-            key = (spark.sparkContext.applicationId, sf_dir)
             if key not in _MODEL:
                 _MODEL[key] = qr_frozen_model(
                     d.select("doc_id", "text").filter(~is_eval)
@@ -211,6 +225,10 @@ def _composed_ingest_arm(trim_quality: bool):
                 "quality_model": _MODEL[key],
                 "trim_repeats": {"k": 3, "min_span_words": 12},
             }
+        if fuzzy:
+            if key not in _FUZZY:
+                _FUZZY[key] = fuzzy_eval_artifacts(d.filter(is_eval))
+            kw["fuzzy_eval"] = _FUZZY[key]
         state = tempfile.mkdtemp(prefix="bench-ingest-")
         try:
             return composed_ingest_batch(
@@ -229,6 +247,7 @@ EXTRA_ARMS = {
     "composed_ingest": {
         "screens": _composed_ingest_arm(trim_quality=False),
         "screens_trim_quality": _composed_ingest_arm(trim_quality=True),
+        "screens_fuzzy": _composed_ingest_arm(trim_quality=False, fuzzy=True),
     }
 }
 

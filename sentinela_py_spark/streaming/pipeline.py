@@ -240,6 +240,28 @@ def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
     return store.filter(F.col("epoch") != exclude_epoch).drop("epoch")
 
 
+def _screen_input(
+    renamed: DataFrame, id_field: str, content_key, ids_collapsed: bool
+) -> DataFrame:
+    """The eager barrier every screen opens with. ``ids_collapsed=False``
+    (standalone use): the deterministic `_collapse_duplicate_ids`
+    election runs first — one groupBy shuffle of the batch. ``True``
+    (composed use, r11): the caller guarantees unique ids — in
+    `composed_ingest_batch` the FIRST screen's election is the
+    pipeline's election and every screen preserves uniqueness — so the
+    barrier is a plain checkpoint and the redundant per-screen collapse
+    shuffle (one full-batch Exchange per downstream screen) is folded
+    away. The checkpoint itself stays either way: each screen consumes
+    its input from several branches (flagged/accepted/store writes), and
+    the barrier is what keeps that lineage from re-executing per
+    consumer."""
+    if ids_collapsed:
+        return renamed.localCheckpoint(eager=True)
+    return _collapse_duplicate_ids(renamed, id_field, content_key).localCheckpoint(
+        eager=True
+    )
+
+
 def _collapse_duplicate_ids(renamed: DataFrame, id_field: str, content_key) -> DataFrame:
     """In-batch duplicate ids collapse to a DETERMINISTIC survivor — the
     min_by election shared by all three ingest screens: survivor = the
@@ -270,6 +292,7 @@ def dedup_batch_against_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    ids_collapsed: bool = False,
 ) -> DataFrame:
     """One micro-batch of near-dup rejection at ingest (the foreachBatch
     body of `run_incremental_dedup_stream`, exposed for direct testing).
@@ -328,10 +351,14 @@ def dedup_batch_against_corpus(
 
     # deterministic in-batch id collapse (NOT dropDuplicates — replay
     # must reproduce the first attempt even when one doc_id arrives with
-    # two different texts; see _collapse_duplicate_ids)
-    b = _collapse_duplicate_ids(
-        batch.withColumnRenamed(id_col, "doc_id"), "doc_id", F.md5(F.col(text_col))
-    ).localCheckpoint(eager=True)
+    # two different texts; folded to a plain barrier in composed mode —
+    # see _screen_input)
+    b = _screen_input(
+        batch.withColumnRenamed(id_col, "doc_id"),
+        "doc_id",
+        F.md5(F.col(text_col)),
+        ids_collapsed,
+    )
     # 1. exact-copy collapse (uniform md5 key — no skew at any copy count)
     rep_of = (
         b.select("doc_id", F.md5(F.col(text_col)).alias("__th"))
@@ -475,6 +502,7 @@ def embedding_dedup_batch_against_corpus(
     vec_col: str = "embedding",
     threshold: float | None = None,
     max_bucket_size: int | None = None,
+    ids_collapsed: bool = False,
 ) -> DataFrame:
     """One micro-batch of embedding near-dup rejection at ingest — the
     SemDeDup-at-ingest shape: LSH buckets generate candidates, TRUE COSINE
@@ -535,12 +563,14 @@ def embedding_dedup_batch_against_corpus(
 
     # deterministic in-batch id collapse (NOT dropDuplicates — replay
     # must reproduce the first attempt even when one vec_id arrives with
-    # two different vectors; see _collapse_duplicate_ids)
-    b = _collapse_duplicate_ids(
+    # two different vectors; folded to a plain barrier in composed mode —
+    # see _screen_input)
+    b = _screen_input(
         batch.withColumnRenamed(id_col, "vec_id").withColumnRenamed(vec_col, "embedding"),
         "vec_id",
         F.md5(F.to_json(F.col("embedding"))),
-    ).localCheckpoint(eager=True)
+        ids_collapsed,
+    )
     # 1. exact-copy collapse (bitwise array equality — no hash collisions)
     rep_of = (
         b.withColumn("rep", F.min("vec_id").over(Window.partitionBy("embedding")))
@@ -892,6 +922,7 @@ def fuzzy_decon_screen_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard: float | None = None,
+    ids_collapsed: bool = False,
 ) -> DataFrame:
     """One micro-batch of FUZZY train/eval decontamination at ingest —
     the streaming twin of `q_decontamination`'s fuzzy arm (r10):
@@ -931,9 +962,7 @@ def fuzzy_decon_screen_batch(
     renamed = batch.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
         text_col, "text"
     )
-    b = _collapse_duplicate_ids(
-        renamed, "doc_id", F.md5(F.col("text"))
-    ).localCheckpoint(eager=True)
+    b = _screen_input(renamed, "doc_id", F.md5(F.col("text")), ids_collapsed)
     bands = lsh_band_signatures(minhash_signatures(b.select("doc_id", "text")))
     cand = (
         bands.join(F.broadcast(artifacts["bands"]), ["band", "sig"])
@@ -1262,7 +1291,14 @@ def composed_ingest_batch(
 
     Plan shape: no Exchange beyond the three screens' own — the chain is
     pure DataFrame handoff (each screen's accepted frame feeds the next;
-    no re-read, no reconciliation join). Replay safety is inherited:
+    no re-read, no reconciliation join). Barrier budget (r11 audit): each
+    screen opens with ONE eager checkpoint of its input; in composed mode
+    the downstream screens' checkpoints are plain barriers — the
+    redundant per-screen `_collapse_duplicate_ids` shuffle is folded away
+    (``ids_collapsed=True``; the decontam screen's election is the
+    pipeline's election and every screen preserves id uniqueness), so a
+    six-screen epoch pays one collapse shuffle, not four. Replay safety
+    is inherited:
     every screen's write is an epoch-keyed overwrite and every store
     read excludes the current epoch, so a checkpoint-replayed batch
     reproduces its first attempt — including the composed ``accepted``
@@ -1288,7 +1324,10 @@ def composed_ingest_batch(
     )
     if fuzzy_eval is not None:
         # fuzzy eval-copy screen (r10): same hygiene slot as the exact
-        # screen — an EDITED eval copy must never reach the dedup stores
+        # screen — an EDITED eval copy must never reach the dedup stores.
+        # ids_collapsed: the decontam screen's election already made ids
+        # unique, so downstream screens open with a plain barrier instead
+        # of re-paying the collapse shuffle (r11 — see _screen_input).
         a1 = fuzzy_decon_screen_batch(
             a1,
             fuzzy_eval,
@@ -1296,6 +1335,7 @@ def composed_ingest_batch(
             os.path.join(state_dir, "fuzzy"),
             id_col=id_col,
             text_col=text_col,
+            ids_collapsed=True,
         )
     if quality_model is not None:
         a1 = quality_screen_batch(
@@ -1313,6 +1353,7 @@ def composed_ingest_batch(
         id_col=id_col,
         text_col=text_col,
         max_bucket_size=max_bucket_size,
+        ids_collapsed=True,
     )
     final = embedding_dedup_batch_against_corpus(
         a2,
@@ -1322,6 +1363,7 @@ def composed_ingest_batch(
         vec_col=vec_col,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
+        ids_collapsed=True,
     )  # backed by the screen's own eager checkpoint
     final.write.mode("overwrite").parquet(
         os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
