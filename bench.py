@@ -100,6 +100,12 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #                               fixed-memory twin)
 #   composed_ingest          += screens_fuzzy arm (prices the sixth,
 #                               fuzzy eval-copy screen per epoch)
+# Round-11 folds (SURVEY §8 fold map executed — frees 4 registry slots;
+# every folded workload keeps a dedicated r1-comparable ARM row):
+#   q_simhash_pairs          -> q_minhash_pairs `simhash` arm
+#   q_haversine_supplier_nation -> q_revenue_per_nation `distance` arm
+#   q_date_parts             -> q_datetime_parse_cascade `parts` arm
+#   q_media_metadata         -> q_media_decode `metadata` arm
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -119,7 +125,6 @@ HEADLINE = [
     "q_decontamination",
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
-    "q_simhash_pairs",
     "q_text_profile",
     "q_pii_redaction",
     "q_embedding_neardup",
@@ -131,7 +136,6 @@ HEADLINE = [
     "q_mixture_sample",  # r3: temperature-mixture sampling
     "q_media_decode",
     "q_media_frames",
-    "q_haversine_supplier_nation",
     # second-wave surface
     "q_asof_last_view",
     "q_price_percentiles",
@@ -166,6 +170,12 @@ COMPARABLE_ARM = {
     "q_sequence_packing": "all_docs",
     "q_curated_corpus": "lang_top",
     "q_cosine_topk": "topk",
+    # r11 folds: the fold target's r1-comparable workload is its own
+    # pre-fold arm; the folded-in query's history continues in the new
+    # arm's row (simhash/distance/parts/metadata).
+    "q_revenue_per_nation": "revenue",
+    "q_datetime_parse_cascade": "cascade",
+    "q_media_decode": "decode",
 }
 
 

@@ -112,13 +112,71 @@ def _band_sql() -> str:
 _CORPUS_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
 
 
+def _simhash_sql_ref() -> str:
+    """DuckDB SQL computing (doc_id, simhash) as in operators/dedup.py —
+    the simhash arm's signature relation (r11 fold of q_simhash_pairs)."""
+    h32 = _H32_SQL.format(x="tok")
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((h32 >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    SELECT doc_id, {bits} AS simhash FROM (
+      SELECT doc_id,
+             {votes}
+      FROM (
+        SELECT doc_id, {h32} AS h32
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      ) GROUP BY doc_id
+    )
+    """
+
+
+def _simhash_pairs(d: DataFrame) -> DataFrame:
+    """The simhash arm of q_minhash_pairs (r11 fold — former
+    q_simhash_pairs, semantics unchanged): band candidates → Hamming ≤ 1
+    refine, emitted in the shared pair-evidence shape (score = Hamming
+    distance, cast long to union with the band counts)."""
+    sh = simhash32(d)
+    band_ids = F.array(*[F.lit(i) for i in range(4)])
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(band_ids).alias("band")
+    ).withColumn("bsig", F.expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
+    )
+    # Hamming refine BEFORE the dedup shuffle: filter commutes with
+    # distinct, and near-dups are a tiny fraction of band collisions, so
+    # the distinct exchanges survivors only (matters when a hot band
+    # bucket explodes the candidate count at scale).
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("score"))
+        .filter(F.col("score") <= 1)
+        .distinct()
+        .select(F.lit("simhash").alias("method"), "doc_a", "doc_b", "score")
+    )
+
+
 @register(
     "q_minhash_pairs",
     oracle=f"""
     WITH sigs AS ({_minhash_sig_sql()}),
     bands AS ({_band_sql()}),
     all_pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS score
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
@@ -130,28 +188,50 @@ _CORPUS_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
     ),
     probe_hits AS (
       SELECT p.doc_id AS doc_a, MIN(s.corpus_doc) AS doc_b,
-             COUNT(*) AS n_shared_bands
+             COUNT(*) AS score
       FROM bands p JOIN store s ON p.band = s.band AND p.sig = s.sig
       WHERE NOT ({_CORPUS_SPLIT_SQL.format(d='p.doc_id')})
       GROUP BY p.doc_id
+    ),
+    sh AS ({_simhash_sql_ref()}),
+    shbands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bsig
+      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
+    ),
+    shcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM shbands a JOIN shbands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     )
-    SELECT 'all_pairs' AS method, doc_a, doc_b, n_shared_bands FROM all_pairs
+    SELECT 'all_pairs' AS method, doc_a, doc_b, score FROM all_pairs
     UNION ALL
-    SELECT 'corpus_probe' AS method, doc_a, doc_b, n_shared_bands FROM probe_hits
+    SELECT 'corpus_probe' AS method, doc_a, doc_b, score FROM probe_hits
+    UNION ALL
+    SELECT 'simhash' AS method, doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS score
+    FROM shcand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 1
     ORDER BY method, doc_a, doc_b
     """,
     survey_ref=(
         "dedup: MinHash-LSH candidate pairs (band-bucket inverted-index join) — "
         "all_pairs arm (within-corpus self-join) + corpus_probe arm (the batch "
         "twin of the streaming persistent-index probe, "
-        "streaming/pipeline.py dedup_batch_against_corpus step 3)"
+        "streaming/pipeline.py dedup_batch_against_corpus step 3) + simhash arm "
+        "(r11 fold of the former q_simhash_pairs: Charikar SimHash 8-bit band "
+        "candidates → Hamming ≤ 1 refine — the same pair-evidence shape)"
     ),
     tags=("dedup", "sketch"),
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two arms over ONE band-signature computation (lazy localCheckpoint
-    — the md5-heavy signature aggregation is materialized once for its
-    three consumers, the batch analog of writing the band table):
+    """Sketch-based near-dup pair evidence, three method-tagged arms over
+    the shared (method, doc_a, doc_b, score) shape — ``score`` is the
+    arm's own evidence measure (shared band count for the MinHash arms,
+    Hamming distance for SimHash). The two MinHash arms ride ONE
+    band-signature computation (lazy localCheckpoint — the md5-heavy
+    signature aggregation is materialized once for its three consumers,
+    the batch analog of writing the band table):
 
     - ``all_pairs``: hot-bucket-capped band self-join — within-corpus
       near-dup mining;
@@ -161,7 +241,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the other half is the incoming batch; each probe doc reports its
       matched corpus doc and how many band signatures matched. The
       streaming tests keep covering state/replay semantics; this arm
-      oracle-checks the join algebra itself."""
+      oracle-checks the join algebra itself;
+    - ``simhash`` (r11 fold — former q_simhash_pairs, SURVEY §8 fold
+      map #1): Charikar SimHash candidates sharing one of four 8-bit
+      bands (pigeonhole: any Hamming ≤ 1 pair over 32 bits leaves three
+      bands untouched — full recall at this threshold, mirrored by the
+      oracle so the check stays exact), refined by true Hamming
+      distance. The Hamming refine runs BEFORE the dedup shuffle
+      (filter commutes with distinct; near-dups are a tiny fraction of
+      band collisions, so the distinct exchanges survivors only)."""
     d = load_table(spark, sf_dir, "documents")
     bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
     pairs, _ = band_candidate_pairs(bands)
@@ -170,12 +258,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.filter(~split), bands.filter(split)
     )
     return (
-        pairs.select(F.lit("all_pairs").alias("method"), "doc_a", "doc_b", "n_shared_bands")
+        pairs.select(
+            F.lit("all_pairs").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_bands").alias("score"),
+        )
         .unionByName(
             probe_hits.select(
-                F.lit("corpus_probe").alias("method"), "doc_a", "doc_b", "n_shared_bands"
+                F.lit("corpus_probe").alias("method"),
+                "doc_a",
+                "doc_b",
+                F.col("n_shared_bands").alias("score"),
             )
         )
+        .unionByName(_simhash_pairs(d))
         .orderBy("method", "doc_a", "doc_b")
     )
 
@@ -184,91 +281,10 @@ register_arms(
     "q_minhash_pairs",
     all_pairs=_method_arm("q_minhash_pairs", "all_pairs"),
     corpus_probe=_method_arm("q_minhash_pairs", "corpus_probe"),
+    simhash=_method_arm("q_minhash_pairs", "simhash"),
 )
 
 
-def _simhash_sql() -> str:
-    """DuckDB SQL computing (doc_id, simhash) as in operators/dedup.py."""
-    h32 = _H32_SQL.format(x="tok")
-    votes = ",\n             ".join(
-        f"SUM(CASE WHEN ((h32 >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(SIMHASH_BITS)
-    )
-    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS))
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {h32} AS h32
-      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
-    ),
-    votes AS (
-      SELECT doc_id,
-             {votes}
-      FROM toks GROUP BY doc_id
-    )
-    SELECT doc_id, {bits} AS simhash FROM votes
-    """
-
-
-@register(
-    "q_simhash_pairs",
-    oracle=f"""
-    WITH sh AS ({_simhash_sql()}),
-    bands AS (
-      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bsig
-      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sig_a, b.simhash AS sig_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= 1
-    ORDER BY doc_a, doc_b
-    """,
-    survey_ref="dedup: SimHash near-dup pairs (8-bit band candidates → Hamming ≤ 1 refine)",
-    tags=("dedup", "sketch"),
-)
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charikar SimHash near-dup: candidates must share at least one of
-    four 8-bit signature bands (pigeonhole: any pair with Hamming ≤ 1 over
-    32 bits must leave at least three bands untouched, so it always shares a
-    clean band — full recall at this threshold; the oracle mirrors the same
-    candidate rule, so the check is exact), then refined by true Hamming
-    distance. Same-language corpora correlate SimHash bits heavily (shared
-    vocabulary), so the tight threshold is what separates near-dups from
-    topical similarity."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = simhash32(d)
-    band_ids = F.array(*[F.lit(i) for i in range(4)])
-    bands = sh.select(
-        "doc_id", "simhash", F.explode(band_ids).alias("band")
-    ).withColumn("bsig", F.expr("shiftright(simhash, band * 8)").bitwiseAND(255))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-    )
-    # Hamming refine BEFORE the dedup shuffle: filter commutes with
-    # distinct, and near-dups are a tiny fraction of band collisions, so
-    # the distinct exchanges survivors only (matters when a hot band
-    # bucket explodes the candidate count at scale).
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 1)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+# q_simhash_pairs was folded into q_minhash_pairs as the `simhash` arm
+# (r11, SURVEY §8 fold map #1) — `_simhash_pairs` / `_simhash_sql_ref`
+# above carry its semantics unchanged.

@@ -6,9 +6,10 @@ the payloads are pure ASCII (asserted by the n_bytes == length checks), so
 byte-level and char-level computations coincide exactly and every query
 remains hash-checkable.
 
-q_media_metadata exercises the JVM-side path (metadata queries must never
-touch payload bytes); q_media_decode and q_media_frames exercise the
-Arrow `mapInPandas` path — q_media_decode through a REAL pure-Python
+q_media_decode's metadata arm (r11 fold of the former q_media_metadata)
+exercises the JVM-side path (metadata queries must never touch payload
+bytes); its image/audio arms and q_media_frames exercise the Arrow
+`mapInPandas` path — the decode arms through a REAL pure-Python
 binary-PPM decoder over JVM-built valid image payloads
 (operators/multimodal.py::decode_ppm), q_media_frames through the
 keyframe-sampling slicer.
@@ -29,41 +30,36 @@ from sentinela_py_spark.operators.multimodal import (
     media_pixel_features,
     sample_frames,
 )
-from sentinela_py_spark.plans.registry import register
+from sentinela_py_spark.plans.registry import QUERIES, register, register_arms
 from sentinela_py_spark.tables import load_table
 
 
-@register(
-    "q_media_metadata",
-    oracle="""
-    SELECT doc_id,
-           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-           octet_length(encode(text)) AS n_bytes,
-           16 * (CAST(doc_id % 64 AS INT) + 1) AS width,
-           9 * (CAST(doc_id % 64 AS INT) + 1) AS height,
-           CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
-           md5(text) AS payload_md5
-    FROM documents
-    ORDER BY doc_id
-    """,
-    survey_ref="multimodal: typed-metadata scan over binary payload column (payload untouched)",
-    tags=("multimodal",),
-)
-def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata + checksum scan: all JVM-side (encode/octet_length/md5 are
-    codegen'd built-ins). At scale this plan prunes to the scanned columns
-    only — the binary payload is read for md5 but no Python is involved."""
+def _media_metadata_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata arm of q_media_decode (r11 fold — former
+    q_media_metadata, SURVEY §8 fold map #4): metadata + checksum scan,
+    all JVM-side (encode/octet_length/md5 are codegen'd built-ins). At
+    scale this plan prunes to the scanned columns only — the binary
+    payload is read for md5 but no Python is involved (the one arm of
+    the query that must never enter a pandas UDF)."""
     d = load_table(spark, sf_dir, "documents")
     m = documents_to_media(d)
+    null_int = F.lit(None).cast("int")
     return m.select(
+        F.lit("metadata").alias("kind"),
         "doc_id",
         "media_type",
-        F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
+        null_int.alias("sample_rate"),
         F.col("meta.n_frames").alias("n_frames"),
-        F.md5("payload").alias("payload_md5"),
-    ).orderBy("doc_id")
+        F.lit(None).cast("long").alias("n_values"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lit(None).cast("long").alias("sum_values"),
+        null_int.alias("min_value"),
+        null_int.alias("max_value"),
+        F.lit(None).cast("double").alias("mean_value"),
+        F.md5("payload").alias("data_md5"),
+    )
 
 
 _PIX_SQL = "list_transform(generate_series(1, length(pix)), i -> ascii(pix[i]))"
@@ -83,8 +79,10 @@ _TXT_SQL = "list_transform(generate_series(1, length(text)), i -> ascii(text[i])
              rpad(text, CAST((doc_id % 8 + 2) * (doc_id % 6 + 2) * 3 AS INT), text) AS pix
       FROM documents
     )
-    SELECT 'image' AS kind, doc_id, width, height,
+    SELECT 'image' AS kind, doc_id,
+           CAST(NULL AS VARCHAR) AS media_type, width, height,
            CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames,
            CAST(length(pix) AS BIGINT) AS n_values,
            CAST(length(hdr || pix) AS BIGINT) AS n_bytes,
            CAST(list_sum({_PIX_SQL}) AS BIGINT) AS sum_values,
@@ -95,8 +93,10 @@ _TXT_SQL = "list_transform(generate_series(1, length(text)), i -> ascii(text[i])
     FROM img
     UNION ALL
     SELECT 'audio' AS kind, doc_id,
+           CAST(NULL AS VARCHAR) AS media_type,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames,
            CAST(length(text) AS BIGINT) AS n_values,
            CAST(length(text) + 44 AS BIGINT) AS n_bytes,
            CAST(list_sum({_TXT_SQL}) AS BIGINT) AS sum_values,
@@ -105,17 +105,40 @@ _TXT_SQL = "list_transform(generate_series(1, length(text)), i -> ascii(text[i])
            ROUND(CAST(list_sum({_TXT_SQL}) AS DOUBLE) / length(text), 6) AS mean_value,
            md5(text) AS data_md5
     FROM documents
+    UNION ALL
+    SELECT 'metadata' AS kind, doc_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           16 * (CAST(doc_id % 64 AS INT) + 1) AS width,
+           9 * (CAST(doc_id % 64 AS INT) + 1) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
+           CAST(NULL AS BIGINT) AS n_values,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(NULL AS BIGINT) AS sum_values,
+           CAST(NULL AS INT) AS min_value,
+           CAST(NULL AS INT) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           md5(text) AS data_md5
+    FROM documents
     ORDER BY kind, doc_id
     """,
     survey_ref=(
         "multimodal: REAL decode, both codecs — JVM-built binary PPM images parsed by "
         "operators/multimodal.py::decode_ppm AND JVM-built RIFF/WAVE containers walked by "
-        "decode_wav, each inside Arrow mapInPandas, integer-exact sample statistics"
+        "decode_wav, each inside Arrow mapInPandas, integer-exact sample statistics; "
+        "+ metadata arm (r11 fold of former q_media_metadata): typed-metadata scan "
+        "over the binary payload column, payload untouched by Python"
     ),
     tags=("multimodal", "pandas-udf"),
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real decode hot path end-to-end for BOTH codecs: valid
+    """Multimodal surface, three kind-tagged arms: the two REAL-decode
+    arms (image/audio, Arrow mapInPandas) and the ``metadata`` arm (r11
+    fold — former q_media_metadata, SURVEY §8 fold map #4: the pure
+    JVM-side typed-metadata scan over the same documents table —
+    `_media_metadata_arm`).
+
+    The real decode hot path end-to-end for BOTH codecs: valid
     binary-PPM and RIFF/WAVE payloads are built JVM-side (format_string/
     rpad/encode and codegen'd little-endian header fields — no UDF at
     ingest), then the pure-Python PPM parser and WAVE chunk walker decode
@@ -129,12 +152,15 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     d = load_table(spark, sf_dir, "documents")
     null_int = F.lit(None).cast("int")
+    null_str = F.lit(None).cast("string")
     img = media_pixel_features(documents_to_images(d)).select(
         F.lit("image").alias("kind"),
         "doc_id",
+        null_str.alias("media_type"),
         "width",
         "height",
         null_int.alias("sample_rate"),
+        null_int.alias("n_frames"),
         F.col("n_pixel_bytes").alias("n_values"),
         "n_bytes",
         F.col("sum_pixels").alias("sum_values"),
@@ -146,9 +172,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = audio_features(documents_to_wavs(d)).select(
         F.lit("audio").alias("kind"),
         "doc_id",
+        null_str.alias("media_type"),
         null_int.alias("width"),
         null_int.alias("height"),
         "sample_rate",
+        null_int.alias("n_frames"),
         F.col("n_samples").alias("n_values"),
         (F.col("n_samples") + 44).alias("n_bytes"),
         F.col("sum_samples").alias("sum_values"),
@@ -159,7 +187,29 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "data_md5",
     )
-    return img.unionByName(wav).orderBy("kind", "doc_id")
+    return (
+        img.unionByName(wav)
+        .unionByName(_media_metadata_arm(spark, sf_dir))
+        .orderBy("kind", "doc_id")
+    )
+
+
+def _media_decode_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench arm: the r1/r2-comparable decode workload (image + audio
+    union only) — the literal kind filter folds the metadata branch
+    away, so this row stays cross-round comparable after the r11 fold."""
+    return (
+        QUERIES["q_media_decode"]
+        .spark(spark, sf_dir)
+        .filter(F.col("kind").isin("image", "audio"))
+    )
+
+
+register_arms(
+    "q_media_decode",
+    decode=_media_decode_arm,
+    metadata=_media_metadata_arm,
+)
 
 
 @register(

@@ -92,6 +92,14 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports deferred to avoid import cycles at package import time.
-    from sentinela_py_spark.plans import curation, dedupops, mmops, relational, simops, textops  # noqa: F401
+    from sentinela_py_spark.plans import (  # noqa: F401
+        curation,
+        dedupops,
+        funnelops,
+        mmops,
+        relational,
+        simops,
+        textops,
+    )
 
     _LOADED = True

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sentinela_py_spark.plans.registry import register, register_arms
+from sentinela_py_spark.plans.registry import (
+    method_arm as _method_arm,
+    register,
+    register_arms,
+)
 from sentinela_py_spark.tables import load_table
 
 
@@ -234,20 +238,75 @@ def q_alias_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Joins
+# Joins (+ geo distance: SURVEY §2.8 M5 / §2.3 J7 — haversine_distance_km,
+# geoutils.py:12-60; coords synthesized deterministically from keys since
+# the driver tables carry no geography — folded into q_revenue_per_nation's
+# distance arm, r11)
 # ---------------------------------------------------------------------------
+
+_LAT_SQL = "(CAST(({k} * 13) % 17000 AS DOUBLE) / 100.0 - 85.0)"
+_LON_SQL = "(CAST(({k} * 31) % 35000 AS DOUBLE) / 100.0 - 175.0)"
+
+
+def _haversine_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distance arm of q_revenue_per_nation (r11 fold — former
+    q_haversine_supplier_nation, semantics unchanged): haversine
+    supplier→nation-centroid distances in the shared union shape."""
+    from sentinela_py_spark.functions.geo import haversine_km
+
+    def lat(k: F.Column) -> F.Column:
+        return ((k * 13) % 17000).cast("double") / 100.0 - 85.0
+
+    def lon(k: F.Column) -> F.Column:
+        return ((k * 31) % 35000).cast("double") / 100.0 - 175.0
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        lat(F.col("s_suppkey")).alias("slat"), lon(F.col("s_suppkey")).alias("slon"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        lat(F.col("n_nationkey")).alias("nlat"), lon(F.col("n_nationkey")).alias("nlon"),
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.lit("distance").alias("method"),
+            F.col("n_name").alias("nation"),
+            F.lit(None).cast("string").alias("region"),
+            F.lit(None).cast("string").alias("region_head"),
+            F.lit(None).cast("double").alias("revenue"),
+            F.lit(None).cast("long").alias("n_lines"),
+            "s_suppkey",
+            F.round(
+                haversine_km(F.col("slat"), F.col("slon"), F.col("nlat"), F.col("nlon")), 4
+            ).alias("dist_km"),
+        )
+    )
 
 
 @register(
     "q_revenue_per_nation",
-    oracle="""
+    oracle=f"""
     WITH heads AS (
       SELECT n_regionkey, MIN(n_nationkey) AS head_key
       FROM nation GROUP BY n_regionkey
+    ),
+    hs AS (
+      SELECT s_suppkey, s_nationkey,
+             {_LAT_SQL.format(k='s_suppkey')} AS slat, {_LON_SQL.format(k='s_suppkey')} AS slon
+      FROM supplier
+    ),
+    hn AS (
+      SELECT n_nationkey, n_name,
+             {_LAT_SQL.format(k='n_nationkey')} AS nlat, {_LON_SQL.format(k='n_nationkey')} AS nlon
+      FROM nation
     )
-    SELECT n.n_name AS nation, r.r_name AS region, h2.n_name AS region_head,
+    SELECT 'revenue' AS method,
+           n.n_name AS nation, r.r_name AS region, h2.n_name AS region_head,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_lines
+           COUNT(*) AS n_lines,
+           CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS DOUBLE) AS dist_km
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
     JOIN customer c  ON o.o_custkey  = c.c_custkey
@@ -256,25 +315,49 @@ def q_alias_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN heads h     ON n.n_regionkey = h.n_regionkey
     JOIN nation h2   ON h.head_key = h2.n_nationkey
     GROUP BY n.n_name, r.r_name, h2.n_name
-    ORDER BY revenue DESC, nation
+    UNION ALL
+    SELECT 'distance' AS method,
+           n_name AS nation, CAST(NULL AS VARCHAR) AS region,
+           CAST(NULL AS VARCHAR) AS region_head,
+           CAST(NULL AS DOUBLE) AS revenue, CAST(NULL AS BIGINT) AS n_lines,
+           s_suppkey,
+           ROUND(6371.0 * 2.0 * ATAN2(
+             SQRT(POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
+                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
+                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)),
+             SQRT(1.0 - (POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
+                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
+                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)))), 4) AS dist_km
+    FROM hs JOIN hn ON hs.s_nationkey = hn.n_nationkey
+    ORDER BY method, revenue DESC, nation, s_suppkey
     """,
     survey_ref=(
         "J3 (aggregator.py:34-49 catalog enrichment join) + A3 + J5 "
         "(catalog.py:208-251 state-capital self-join on uf — the region_head "
-        "column; folded former q_region_head_nation)"
+        "column; folded former q_region_head_nation) + M5/J7 distance arm "
+        "(r11 fold of former q_haversine_supplier_nation: haversine_distance_km, "
+        "geoutils.py:12-60 + aggregator.py:369-376 distance join)"
     ),
-    tags=("join", "agg", "self", "flagship"),
+    tags=("join", "agg", "self", "geo", "flagship"),
 )
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: big fact × small dims. nation/region (and customer at low
-    SF) go broadcast — no shuffle for the dimension sides; lineitem⋈orders
-    is the only shuffle exchange, and AQE handles skew.
+    """Nation-dimension joins, two method-tagged arms:
 
-    The ``region_head`` column is the J5 self equi-join attaching each
-    group's designated head row — the reference's state-capital enrichment
-    (every city gets its UF capital), folded in from the former
-    q_region_head_nation: both the head aggregate and the head-name lookup
-    stay broadcast, so the fold adds zero shuffles."""
+    - ``revenue``: star join — big fact × small dims. nation/region (and
+      customer at low SF) go broadcast — no shuffle for the dimension
+      sides; lineitem⋈orders is the only shuffle exchange, and AQE
+      handles skew. The ``region_head`` column is the J5 self equi-join
+      attaching each group's designated head row — the reference's
+      state-capital enrichment (every city gets its UF capital), folded
+      in from the former q_region_head_nation: both the head aggregate
+      and the head-name lookup stay broadcast, so the fold adds zero
+      shuffles;
+    - ``distance`` (r11 fold — former q_haversine_supplier_nation,
+      SURVEY §8 fold map #2): the M5/J7 haversine join, supplier point →
+      its nation centroid (coords derived deterministically from keys).
+      Pure column algebra — whole-stage codegen, the SAME broadcast
+      25-row nation dim as the revenue arm; rounded to 4 dp so libm
+      last-ulp differences between JVM and DuckDB vanish."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -285,7 +368,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("head_key"), F.col("n_name").alias("region_head")
     )
     revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
-    return (
+    rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -298,8 +381,24 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_head",
         )
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
-        .orderBy(F.col("revenue").desc(), F.col("nation"))
+        .select(
+            F.lit("revenue").alias("method"),
+            "nation", "region", "region_head", "revenue", "n_lines",
+            F.lit(None).cast("long").alias("s_suppkey"),
+            F.lit(None).cast("double").alias("dist_km"),
+        )
     )
+    return (
+        rev.unionByName(_haversine_arm(spark, sf_dir))
+        .orderBy("method", F.col("revenue").desc(), "nation", "s_suppkey")
+    )
+
+
+register_arms(
+    "q_revenue_per_nation",
+    revenue=_method_arm("q_revenue_per_nation", "revenue"),
+    distance=_haversine_arm,
+)
 
 
 @register(
@@ -543,30 +642,33 @@ _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard alpha_m for m >= 128
 
 
-@register(
-    "q_date_parts",
-    oracle=f"""
-    WITH base AS (
+# The date-part/HLL relations of the former q_date_parts (r11: folded
+# into q_datetime_parse_cascade's `parts` arm — SURVEY §8 fold map #3):
+# the CTE chain and the final per-(yr, mo) select, composed into the
+# fold target's UNION ALL oracle.
+_DP_CTES = f"""dp_base AS (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
              CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
              o_orderdate, o_custkey, o_totalprice,
              CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM orders
     ),
-    bucks AS (
+    dp_bucks AS (
       SELECT yr, mo, h % {_HLL_M} AS bucket,
              MAX(CASE WHEN h // {_HLL_M} = 0 THEN 53
                       ELSE 53 - len(bin(h // {_HLL_M})) END) AS mx
-      FROM base GROUP BY 1, 2, 3
+      FROM dp_base GROUP BY 1, 2, 3
     ),
-    hll AS (
+    dp_hll AS (
       SELECT yr, mo,
              list_reduce(list(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << CAST(mx AS INT) AS DOUBLE)
                               ORDER BY bucket), (a, b) -> a + b)
                + ({_HLL_M} - COUNT(*)) AS s,
              {_HLL_M} - COUNT(*) AS v
-      FROM bucks GROUP BY 1, 2
-    )
+      FROM dp_bucks GROUP BY 1, 2
+    )"""
+
+_DP_SELECT = f"""
     SELECT g.yr, g.mo, g.first_order_iso, g.n_orders, g.n_customers, g.month_revenue,
            ROUND(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / h.s <= {2.5 * _HLL_M} AND h.v > 0
                       THEN {_HLL_M} * ln({_HLL_M}.0 / h.v)
@@ -577,25 +679,20 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard alpha_m for m >= 128
              COUNT(*) AS n_orders,
              COUNT(DISTINCT o_custkey) AS n_customers,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
-      FROM base GROUP BY 1, 2
-    ) g JOIN hll h USING (yr, mo)
-    ORDER BY yr, mo
-    """,
-    survey_ref=(
-        "M6,M7,M17 (scraper.py:556-718 datetime parsing; ISO serialization); A9 "
-        "distinct-set count (normalization.py:146-168); + deterministic HyperLogLog "
-        "sketch next to the exact COUNT(DISTINCT) — the 100 TB distinct-count path"
-    ),
-    tags=("scalar", "date", "agg", "sketch"),
-)
-def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part grouping + ISO serialization, with an exact per-group
-    COUNT(DISTINCT) riding the same shuffle (the A9 distinct-state-set
-    semantics) AND its deterministic-HLL estimate beside it
-    (`n_customers_hll`). At 100 TB the exact distinct's two-phase
-    expansion shuffles every (group, key) pair; the HLL keeps 256 bucket
-    maxima per group — constant state, one shuffle — at ~6.5% standard
-    error (1.04/√m), and the column pair IS the accuracy audit."""
+      FROM dp_base GROUP BY 1, 2
+    ) g JOIN dp_hll h USING (yr, mo)"""
+
+
+def _date_parts_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parts arm of q_datetime_parse_cascade (r11 fold — former
+    q_date_parts, semantics unchanged): date-part grouping + ISO
+    serialization, with an exact per-group COUNT(DISTINCT) riding the
+    same shuffle (the A9 distinct-state-set semantics) AND its
+    deterministic-HLL estimate beside it (`n_customers_hll`). At 100 TB
+    the exact distinct's two-phase expansion shuffles every (group, key)
+    pair; the HLL keeps 256 bucket maxima per group — constant state,
+    one shuffle — at ~6.5% standard error (1.04/√m), and the column pair
+    IS the accuracy audit."""
     o = load_table(spark, sf_dir, "orders")
     yr, mo = F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     exact = (
@@ -842,75 +939,10 @@ def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("op", "custkey")
 
 
-# ---------------------------------------------------------------------------
-# Geo distance (SURVEY §2.8 M5 / §2.3 J7 — haversine_distance_km,
-# geoutils.py:12-60; coords synthesized deterministically from keys since
-# the driver tables carry no geography)
-# ---------------------------------------------------------------------------
-
-_LAT_SQL = "(CAST(({k} * 13) % 17000 AS DOUBLE) / 100.0 - 85.0)"
-_LON_SQL = "(CAST(({k} * 31) % 35000 AS DOUBLE) / 100.0 - 175.0)"
-
-
-@register(
-    "q_haversine_supplier_nation",
-    oracle=f"""
-    WITH s AS (
-      SELECT s_suppkey, s_nationkey,
-             {_LAT_SQL.format(k='s_suppkey')} AS slat, {_LON_SQL.format(k='s_suppkey')} AS slon
-      FROM supplier
-    ),
-    n AS (
-      SELECT n_nationkey, n_name,
-             {_LAT_SQL.format(k='n_nationkey')} AS nlat, {_LON_SQL.format(k='n_nationkey')} AS nlon
-      FROM nation
-    )
-    SELECT s_suppkey, n_name,
-           ROUND(6371.0 * 2.0 * ATAN2(
-             SQRT(POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
-                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
-                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)),
-             SQRT(1.0 - (POW(SIN(RADIANS(nlat - slat) / 2.0), 2)
-                  + COS(RADIANS(slat)) * COS(RADIANS(nlat))
-                    * POW(SIN(RADIANS(nlon - slon) / 2.0), 2)))), 4) AS dist_km
-    FROM s JOIN n ON s.s_nationkey = n.n_nationkey
-    ORDER BY s_suppkey
-    """,
-    survey_ref="M5 haversine (geoutils.py:12-60) + J7 distance join (aggregator.py:369-376)",
-    tags=("geo", "join"),
-)
-def q_haversine_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haversine distance join: supplier point -> its nation centroid
-    (coords derived deterministically from keys). Pure column algebra —
-    whole-stage codegen, broadcast of the 25-row nation dim; rounded to
-    4 dp so libm last-ulp differences between JVM and DuckDB vanish."""
-    from sentinela_py_spark.functions.geo import haversine_km
-
-    def lat(k: F.Column) -> F.Column:
-        return ((k * 13) % 17000).cast("double") / 100.0 - 85.0
-
-    def lon(k: F.Column) -> F.Column:
-        return ((k * 31) % 35000).cast("double") / 100.0 - 175.0
-
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey",
-        lat(F.col("s_suppkey")).alias("slat"), lon(F.col("s_suppkey")).alias("slon"),
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name",
-        lat(F.col("n_nationkey")).alias("nlat"), lon(F.col("n_nationkey")).alias("nlon"),
-    )
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            "s_suppkey",
-            "n_name",
-            F.round(
-                haversine_km(F.col("slat"), F.col("slon"), F.col("nlat"), F.col("nlon")), 4
-            ).alias("dist_km"),
-        )
-        .orderBy("s_suppkey")
-    )
+# q_haversine_supplier_nation was folded into q_revenue_per_nation as
+# the `distance` arm (r11, SURVEY §8 fold map #2) — `_haversine_arm` /
+# `_LAT_SQL`/`_LON_SQL` (defined above the fold target) carry its
+# semantics unchanged.
 
 
 # ---------------------------------------------------------------------------
@@ -944,24 +976,49 @@ def _pt_rewrite_sql(expr: str) -> str:
                ELSE 'sem data'
              END AS raw_ts
       FROM orders
-    )
-    SELECT o_orderkey, raw_ts,
+    ),
+    {_DP_CTES}
+    SELECT 'cascade' AS method, o_orderkey, raw_ts,
            COALESCE(
              try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S'),
              try_strptime(raw_ts, '%d/%m/%Y %H:%M'),
              try_strptime({_pt_rewrite_sql('raw_ts')}, '%d/%m/%Y'),
-             TIMESTAMP '1970-01-01 00:00:00') AS parsed_ts
+             TIMESTAMP '1970-01-01 00:00:00') AS parsed_ts,
+           CAST(NULL AS INT) AS yr, CAST(NULL AS INT) AS mo,
+           CAST(NULL AS VARCHAR) AS first_order_iso,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS BIGINT) AS n_customers,
+           CAST(NULL AS DOUBLE) AS month_revenue,
+           CAST(NULL AS DOUBLE) AS n_customers_hll
     FROM raw
-    ORDER BY o_orderkey
+    UNION ALL
+    SELECT 'parts' AS method, CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS VARCHAR) AS raw_ts, CAST(NULL AS TIMESTAMP) AS parsed_ts,
+           yr, mo, first_order_iso, n_orders, n_customers, month_revenue,
+           n_customers_hll
+    FROM ({_DP_SELECT})
+    ORDER BY method, o_orderkey, yr, mo
     """,
-    survey_ref="M6/M7 datetime cascade (ISO | BR | PT month names | epoch-0 default)",
-    tags=("scalar", "datetime"),
+    survey_ref=(
+        "M6/M7 datetime cascade (ISO | BR | PT month names | epoch-0 default); "
+        "+ parts arm (r11 fold of former q_date_parts): M6,M7,M17 "
+        "(scraper.py:556-718 datetime parsing; ISO serialization); A9 "
+        "distinct-set count (normalization.py:146-168); + deterministic "
+        "HyperLogLog sketch next to the exact COUNT(DISTINCT) — the 100 TB "
+        "distinct-count path"
+    ),
+    tags=("scalar", "datetime", "agg", "sketch"),
 )
 def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip: format each order date into one of 4 shapes (ISO / BR /
-    PT month-name / unparseable), then recover it through the built-in
-    try_to_timestamp cascade. All codegen — the M6/M7 semantics without a
-    single UDF."""
+    """Datetime surface, two method-tagged arms over orders:
+
+    - ``cascade``: round-trip — format each order date into one of 4
+      shapes (ISO / BR / PT month-name / unparseable), then recover it
+      through the built-in try_to_timestamp cascade. All codegen — the
+      M6/M7 semantics without a single UDF;
+    - ``parts`` (r11 fold — former q_date_parts, SURVEY §8 fold map #3):
+      per-(yr, mo) date-part grouping with ISO serialization, exact
+      COUNT(DISTINCT) and the deterministic-HLL estimate beside it (see
+      `_date_parts_arm`)."""
     from sentinela_py_spark.functions.datetimes import PT_MONTHS, parse_datetime_cascade
 
     from sentinela_py_spark.tables import ensure_min_partitions
@@ -985,11 +1042,39 @@ def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("sem data"))
     )
-    return (
+    cascade = (
         o.select("o_orderkey", raw.alias("raw_ts"))
         .withColumn("parsed_ts", parse_datetime_cascade(F.col("raw_ts")))
-        .orderBy("o_orderkey")
+        .select(
+            F.lit("cascade").alias("method"),
+            "o_orderkey",
+            "raw_ts",
+            "parsed_ts",
+            F.lit(None).cast("int").alias("yr"),
+            F.lit(None).cast("int").alias("mo"),
+            F.lit(None).cast("string").alias("first_order_iso"),
+            F.lit(None).cast("long").alias("n_orders"),
+            F.lit(None).cast("long").alias("n_customers"),
+            F.lit(None).cast("double").alias("month_revenue"),
+            F.lit(None).cast("double").alias("n_customers_hll"),
+        )
     )
+    parts = _date_parts_arm(spark, sf_dir).select(
+        F.lit("parts").alias("method"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("raw_ts"),
+        F.lit(None).cast("timestamp").alias("parsed_ts"),
+        "yr", "mo", "first_order_iso", "n_orders", "n_customers",
+        "month_revenue", "n_customers_hll",
+    )
+    return cascade.unionByName(parts).orderBy("method", "o_orderkey", "yr", "mo")
+
+
+register_arms(
+    "q_datetime_parse_cascade",
+    cascade=_method_arm("q_datetime_parse_cascade", "cascade"),
+    parts=_date_parts_arm,
+)
 
 
 @register(

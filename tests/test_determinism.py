@@ -26,7 +26,7 @@ SENSITIVE = [
     "q_quality_rules",
     "q_tfidf_top_terms",
     "q_trailing_7d_spend",
-    "q_haversine_supplier_nation",
+    "q_revenue_per_nation",  # carries the folded haversine (distance arm, r11)
     "q_embedding_neardup",
     "q_cosine_topk",
     "q_dedup_groups",

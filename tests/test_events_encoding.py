@@ -49,14 +49,20 @@ def test_load_table_canonicalizes_ts(spark, encoded_dirs):
 
 
 def test_hll_estimate_tracks_exact_distinct(spark):
-    """q_date_parts carries the deterministic-HLL estimate next to the
-    exact COUNT(DISTINCT): at m=256 the standard error is 1.04/sqrt(256)
+    """The parts arm of q_datetime_parse_cascade (former q_date_parts,
+    folded r11) carries the deterministic-HLL estimate next to the exact
+    COUNT(DISTINCT): at m=256 the standard error is 1.04/sqrt(256)
     ~ 6.5%, so per-group error beyond ~4 sigma means broken bucket/rho
     math, not sketch variance. Deterministic planes -> stable bound."""
     from sentinela_py_spark.plans.registry import QUERIES, _ensure_loaded
 
     _ensure_loaded()
-    rows = QUERIES["q_date_parts"].spark(spark, "/root/testdata/sf0.01").collect()
+    rows = (
+        QUERIES["q_datetime_parse_cascade"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .filter("method = 'parts'")
+        .collect()
+    )
     assert len(rows) > 0
     errs = [abs(r.n_customers_hll - r.n_customers) / r.n_customers for r in rows]
     assert max(errs) < 0.25

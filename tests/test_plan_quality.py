@@ -48,7 +48,7 @@ def test_revenue_query_broadcasts_dimensions(spark):
 
 
 def test_whole_stage_codegen_present(spark):
-    for name in ("q_pricing_summary", "q_haversine_supplier_nation", "q_text_profile"):
+    for name in ("q_pricing_summary", "q_revenue_per_nation", "q_text_profile"):
         # "*(N)" prefixes mark whole-stage-codegen stages in the final
         # adaptive plan
         assert "*(" in _plan(spark, name, execute=True), name
