@@ -45,7 +45,6 @@ from sentinela_py_spark.operators.dedup import (
     simhash32,
 )
 from sentinela_py_spark.plans.registry import (
-    method_arm as _method_arm,
     register,
     register_arms,
 )
@@ -277,11 +276,47 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedicated per-arm builders (NOT method_arm filters of the 3-arm
+# union): after the r11 simhash fold the union's expression-tree
+# construction (32 SimHash vote expressions + 16 MinHash min chains, all
+# via py4j) would land in whatever arm is being timed — the r4
+# union-build-cost rule. Each builder assembles ONLY its own subtree;
+# the two MinHash arms re-pay the signature scan, per the arm contract.
+def _minhash_bands_for_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+
+
+def _all_pairs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, _ = band_candidate_pairs(_minhash_bands_for_arm(spark, sf_dir))
+    return pairs.select(
+        F.lit("all_pairs").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("n_shared_bands").alias("score"),
+    )
+
+
+def _corpus_probe_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands_for_arm(spark, sf_dir)
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    return cross_corpus_candidates(bands.filter(~split), bands.filter(split)).select(
+        F.lit("corpus_probe").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("n_shared_bands").alias("score"),
+    )
+
+
+def _simhash_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 register_arms(
     "q_minhash_pairs",
-    all_pairs=_method_arm("q_minhash_pairs", "all_pairs"),
-    corpus_probe=_method_arm("q_minhash_pairs", "corpus_probe"),
-    simhash=_method_arm("q_minhash_pairs", "simhash"),
+    all_pairs=_all_pairs_arm,
+    corpus_probe=_corpus_probe_arm,
+    simhash=_simhash_arm,
 )
 
 

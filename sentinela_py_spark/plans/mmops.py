@@ -30,7 +30,7 @@ from sentinela_py_spark.operators.multimodal import (
     media_pixel_features,
     sample_frames,
 )
-from sentinela_py_spark.plans.registry import QUERIES, register, register_arms
+from sentinela_py_spark.plans.registry import register, register_arms
 from sentinela_py_spark.tables import load_table
 
 
@@ -150,6 +150,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s are all hash-checked. Swap PIL/libav into the same UDFs for
     JPEG/MP4 on real executors — schema, batching, partition behavior
     unchanged."""
+    return (
+        _media_decode_arm(spark, sf_dir)
+        .unionByName(_media_metadata_arm(spark, sf_dir))
+        .orderBy("kind", "doc_id")
+    )
+
+
+def _media_decode_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image + audio REAL-decode union — the registered query's
+    decode half AND the r1/r2-comparable bench arm (a DEDICATED builder
+    per the r4 union-build-cost rule: the arm never pays the metadata
+    branch's expression construction)."""
     d = load_table(spark, sf_dir, "documents")
     null_int = F.lit(None).cast("int")
     null_str = F.lit(None).cast("string")
@@ -187,22 +199,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "data_md5",
     )
-    return (
-        img.unionByName(wav)
-        .unionByName(_media_metadata_arm(spark, sf_dir))
-        .orderBy("kind", "doc_id")
-    )
-
-
-def _media_decode_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench arm: the r1/r2-comparable decode workload (image + audio
-    union only) — the literal kind filter folds the metadata branch
-    away, so this row stays cross-round comparable after the r11 fold."""
-    return (
-        QUERIES["q_media_decode"]
-        .spark(spark, sf_dir)
-        .filter(F.col("kind").isin("image", "audio"))
-    )
+    return img.unionByName(wav)
 
 
 register_arms(

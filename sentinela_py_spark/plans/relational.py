@@ -961,6 +961,52 @@ def _pt_rewrite_sql(expr: str) -> str:
     return out
 
 
+def _cascade_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade arm of q_datetime_parse_cascade as a DEDICATED
+    builder (the bench arm must not pay the parts arm's HLL expression
+    construction — the r4 union-build-cost rule): round-trip format +
+    try_to_timestamp cascade, method-tagged in the union shape."""
+    from sentinela_py_spark.functions.datetimes import PT_MONTHS, parse_datetime_cascade
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    o = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
+    pt_month = F.element_at(
+        F.array(*[F.lit(m) for m in PT_MONTHS]), F.month("o_orderdate")
+    )
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"))
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(
+                F.date_format("o_orderdate", "dd"),
+                F.lit(" de "),
+                pt_month,
+                F.lit(" de "),
+                F.date_format("o_orderdate", "yyyy"),
+            ),
+        )
+        .otherwise(F.lit("sem data"))
+    )
+    return (
+        o.select("o_orderkey", raw.alias("raw_ts"))
+        .withColumn("parsed_ts", parse_datetime_cascade(F.col("raw_ts")))
+        .select(
+            F.lit("cascade").alias("method"),
+            "o_orderkey",
+            "raw_ts",
+            "parsed_ts",
+            F.lit(None).cast("int").alias("yr"),
+            F.lit(None).cast("int").alias("mo"),
+            F.lit(None).cast("string").alias("first_order_iso"),
+            F.lit(None).cast("long").alias("n_orders"),
+            F.lit(None).cast("long").alias("n_customers"),
+            F.lit(None).cast("double").alias("month_revenue"),
+            F.lit(None).cast("double").alias("n_customers_hll"),
+        )
+    )
+
+
 @register(
     "q_datetime_parse_cascade",
     oracle=f"""
@@ -1019,46 +1065,7 @@ def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-(yr, mo) date-part grouping with ISO serialization, exact
       COUNT(DISTINCT) and the deterministic-HLL estimate beside it (see
       `_date_parts_arm`)."""
-    from sentinela_py_spark.functions.datetimes import PT_MONTHS, parse_datetime_cascade
-
-    from sentinela_py_spark.tables import ensure_min_partitions
-
-    o = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
-    pt_month = F.element_at(
-        F.array(*[F.lit(m) for m in PT_MONTHS]), F.month("o_orderdate")
-    )
-    raw = (
-        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
-        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"))
-        .when(
-            F.col("o_orderkey") % 4 == 2,
-            F.concat(
-                F.date_format("o_orderdate", "dd"),
-                F.lit(" de "),
-                pt_month,
-                F.lit(" de "),
-                F.date_format("o_orderdate", "yyyy"),
-            ),
-        )
-        .otherwise(F.lit("sem data"))
-    )
-    cascade = (
-        o.select("o_orderkey", raw.alias("raw_ts"))
-        .withColumn("parsed_ts", parse_datetime_cascade(F.col("raw_ts")))
-        .select(
-            F.lit("cascade").alias("method"),
-            "o_orderkey",
-            "raw_ts",
-            "parsed_ts",
-            F.lit(None).cast("int").alias("yr"),
-            F.lit(None).cast("int").alias("mo"),
-            F.lit(None).cast("string").alias("first_order_iso"),
-            F.lit(None).cast("long").alias("n_orders"),
-            F.lit(None).cast("long").alias("n_customers"),
-            F.lit(None).cast("double").alias("month_revenue"),
-            F.lit(None).cast("double").alias("n_customers_hll"),
-        )
-    )
+    cascade = _cascade_arm(spark, sf_dir)
     parts = _date_parts_arm(spark, sf_dir).select(
         F.lit("parts").alias("method"),
         F.lit(None).cast("long").alias("o_orderkey"),
@@ -1072,7 +1079,7 @@ def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_arms(
     "q_datetime_parse_cascade",
-    cascade=_method_arm("q_datetime_parse_cascade", "cascade"),
+    cascade=_cascade_arm,
     parts=_date_parts_arm,
 )
 
