@@ -1703,12 +1703,13 @@ def clear_index_memos() -> None:
     after regenerating fixture data in place."""
     import shutil
 
-    from sentinela_py_spark.plans import curation, textops
+    from sentinela_py_spark.plans import curation, funnelops, textops
 
     _TRAINED_CODEBOOKS.clear()
     _IVF_INDEX.clear()
     curation._CURATED_POOL.clear()
     textops._QR_MODEL.clear()
+    funnelops._FUNNEL_STATE.clear()
     while _ANN_STORES:
         shutil.rmtree(_ANN_STORES.pop(), ignore_errors=True)
 

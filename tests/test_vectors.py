@@ -794,3 +794,64 @@ class TestAdcSearch:
             for r in mine(coarse_k=10_000)
         }
         assert wide == exact_rows
+
+    def test_hard_negative_mining_composes_with_nprobe(self, spark, trained_store):
+        """The mining filter is orthogonal to the recall dial: at
+        nprobe=2 (coarse_k scaled with it, the documented k_factor
+        coupling) the candidate pool spans the query's TWO nearest
+        cells, so mining recall vs the GLOBAL exact hard negatives can
+        only hold or improve, and every nprobe=1 guard property still
+        holds. Deterministic on the fixture corpus."""
+        from pyspark.sql import Window as W
+
+        from sentinela_py_spark.functions.vectors import (
+            ivf_pq_adc_topk,
+            read_ann_index,
+        )
+        from sentinela_py_spark.plans.simops import cosine
+
+        e, cents, books, path = trained_store
+        queries = e.filter(F.col("vec_id") < 3)
+        THR, K = 0.4, 3
+
+        def mine(nprobe, coarse_k):
+            return {
+                (r["query_id"], r["vec_id"])
+                for r in ivf_pq_adc_topk(
+                    read_ann_index(spark, path),
+                    read_ann_index(spark, path),
+                    queries,
+                    cents,
+                    books,
+                    k=K,
+                    coarse_k=coarse_k,
+                    nprobe=nprobe,
+                    exclude_cos_at_or_above=THR,
+                ).collect()
+            }
+
+        # GLOBAL exact mining (every corpus candidate, not cell-limited)
+        q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nid"))
+        exact = {
+            (r["query_id"], r["nid"])
+            for r in (
+                c.crossJoin(F.broadcast(q))
+                .filter(F.col("nid") != F.col("query_id"))
+                .select(
+                    "query_id", "nid",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+                )
+                .filter(F.col("cos") < THR)
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= K)
+                .collect()
+            )
+        }
+        np1 = mine(nprobe=1, coarse_k=20)
+        np2 = mine(nprobe=2, coarse_k=40)
+        assert len(np2) == len(np1) == 3 * K
+        r1 = len(np1 & exact) / len(exact)
+        r2 = len(np2 & exact) / len(exact)
+        assert r2 >= r1, f"nprobe=2 mining recall regressed: {r2} < {r1}"
