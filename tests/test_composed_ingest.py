@@ -705,3 +705,63 @@ def test_ingest_funnel_falls_back_when_survivor_stores_missing(spark, tmp_path):
     }
     seq = [r["n_docs"] for r in sorted(rows, key=lambda r: r["stage_idx"])]
     assert seq == sorted(seq, reverse=True)
+
+
+def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
+    """r11 barrier fold: with unique ids, each downstream screen run in
+    composed mode (``ids_collapsed=True`` — plain barrier, no collapse
+    shuffle) must produce byte-identical accepted rows AND identical
+    per-screen state content to standalone mode (``False`` — the
+    deterministic collapse election, a no-op on unique ids). Runs the
+    fuzzy, MinHash and embedding screens directly on a defect-carrying
+    batch so the equivalence is pinned per screen, not just end-to-end."""
+    from sentinela_py_spark.streaming.pipeline import (
+        dedup_batch_against_corpus,
+        embedding_dedup_batch_against_corpus,
+        fuzzy_decon_screen_batch,
+        fuzzy_eval_artifacts,
+    )
+
+    batch = _df(spark, BATCH1)
+    arts = fuzzy_eval_artifacts(_eval_docs(spark))
+
+    def rows(df):
+        return sorted((r["doc_id"],) for r in df.select("doc_id").collect())
+
+    def store_ids(root, sub):
+        import os as _os
+
+        p = _os.path.join(root, sub)
+        try:
+            return sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
+        except Exception:  # noqa: BLE001 — store absent in both modes is a match
+            return None
+
+    for name, run, subs in (
+        (
+            "fuzzy",
+            lambda st, ic: fuzzy_decon_screen_batch(batch, arts, 0, st, ids_collapsed=ic),
+            ["flagged"],
+        ),
+        (
+            "minhash",
+            lambda st, ic: dedup_batch_against_corpus(batch, 0, st, ids_collapsed=ic),
+            ["accepted", "rejected", "bands"],
+        ),
+        (
+            "embedding",
+            lambda st, ic: embedding_dedup_batch_against_corpus(
+                batch, 0, st, id_col="doc_id", threshold=THRESHOLD, ids_collapsed=ic
+            ),
+            ["accepted", "rejected", "index"],
+        ),
+    ):
+        st_a = str(tmp_path / f"{name}-standalone")
+        st_b = str(tmp_path / f"{name}-composed")
+        out_a = run(st_a, False)
+        out_b = run(st_b, True)
+        assert rows(out_a) == rows(out_b), f"{name}: accepted rows diverge"
+        for sub in subs:
+            assert store_ids(st_a, sub) == store_ids(st_b, sub), (
+                f"{name}/{sub}: store content diverges between modes"
+            )
