@@ -1507,7 +1507,7 @@ def _adc_sql() -> str:
     tags=("similarity", "sketch"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, five arms tagged by ``method``:
+    """IVF ANN, six arms tagged by ``method``:
 
     - ``flat``: exact cosine over every candidate in the query's cell
       (query vectors excluded from the candidate side), PLACEHOLDER
