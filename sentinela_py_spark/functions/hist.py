@@ -99,8 +99,21 @@ def hist_quantile_est(
             + (r - cum_before).cast("double") / cnt_b.cast("double")
         )
         # empty-group guard: no non-null values → NULL estimate (CASE
-        # short-circuits, so element_at(counts, 0) is never evaluated)
-        return F.when(total > 0, F.round(raw, dp))
+        # short-circuits, so element_at(counts, 0) is never evaluated).
+        # Degenerate-group guard (hi == lo — all values equal): the
+        # interpolation would otherwise return lo + r/cnt under the 1.0
+        # width fallback, pushing a single-valued group's estimate up to
+        # lo + 1 and flipping every >=-cutoff comparison downstream
+        # (e.g. a one-value lang bucketing 'tail' under hist vs 'head'
+        # under exact — r11 ADVICE). The only consistent estimate for a
+        # constant distribution is lo itself; mirrored in hist_est_sql
+        # so the algebra stays identical across engines.
+        return F.when(
+            total > 0,
+            F.when(F.col("hi") > F.col("lo"), F.round(raw, dp)).otherwise(
+                F.round(F.col("lo"), dp)
+            ),
+        )
 
     return (
         hist.withColumn("cums", cums)
@@ -158,7 +171,8 @@ def hist_est_sql(q: float, bins: int = HIST_BINS, dp: int = 4, stats_alias: str 
     """The per-quantile estimate expression over a joined ``{p}cums`` ×
     ``{p}stats`` row (``counts``/``cums`` columns in scope, lo/hi via
     ``stats_alias``) — the SQL twin of `hist_quantile_est`'s ``est``,
-    including the empty-group NULL guard."""
+    including the empty-group NULL guard and the degenerate-group
+    (hi == lo → lo) short-circuit."""
     s = stats_alias
     r = f"GREATEST(CAST(CEIL({q!r} * cums[{bins}]) AS BIGINT), 1)"
     pos = f"list_position(list_transform(cums, c -> c >= {r}), true)"
@@ -166,7 +180,9 @@ def hist_est_sql(q: float, bins: int = HIST_BINS, dp: int = 4, stats_alias: str 
     width = f"(CASE WHEN {s}.hi > {s}.lo THEN ({s}.hi - {s}.lo) / {bins}.0 ELSE 1.0 END)"
     return (
         f"(CASE WHEN cums[{bins}] > 0 THEN "
+        f"CASE WHEN {s}.hi > {s}.lo THEN "
         f"ROUND({s}.lo + {width} * (CAST({pos} - 1 AS DOUBLE)"
         f" + CAST({r} - {cb} AS DOUBLE) / CAST(counts[{pos}] AS DOUBLE)), {dp})"
+        f" ELSE ROUND({s}.lo, {dp}) END"
         f" ELSE NULL END)"
     )

@@ -47,6 +47,7 @@ from sentinela_py_spark.operators.dedup import (
 from sentinela_py_spark.plans.registry import (
     register,
     register_arms,
+    sorted_arm,
 )
 from sentinela_py_spark.tables import load_table
 
@@ -312,11 +313,14 @@ def _simhash_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# sorted_arm restores the headline's final ORDER BY the r1-era queries
+# paid, so COMPARABLE_ARM cross-round ratios compare like-for-like plans
+# (r11 ADVICE — the dedicated builders had dropped the sort).
 register_arms(
     "q_minhash_pairs",
-    all_pairs=_all_pairs_arm,
-    corpus_probe=_corpus_probe_arm,
-    simhash=_simhash_arm,
+    all_pairs=sorted_arm(_all_pairs_arm, "method", "doc_a", "doc_b"),
+    corpus_probe=sorted_arm(_corpus_probe_arm, "method", "doc_a", "doc_b"),
+    simhash=sorted_arm(_simhash_arm, "method", "doc_a", "doc_b"),
 )
 
 

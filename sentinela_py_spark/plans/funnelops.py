@@ -109,7 +109,7 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
         df.select("doc_id", "epoch").write.mode("overwrite").partitionBy(
             "epoch"
         ).parquet(os.path.join(root, sub))
-    simops._ANN_STORES.append(root)  # cleaned with the other temp stores
+    simops.register_temp_store(root)  # cleaned with the other temp stores
     _FUNNEL_STATE[key] = root
     return root
 

@@ -30,7 +30,7 @@ from sentinela_py_spark.operators.multimodal import (
     media_pixel_features,
     sample_frames,
 )
-from sentinela_py_spark.plans.registry import register, register_arms
+from sentinela_py_spark.plans.registry import register, register_arms, sorted_arm
 from sentinela_py_spark.tables import load_table
 
 
@@ -202,10 +202,12 @@ def _media_decode_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(wav)
 
 
+# sorted_arm: the dedicated builders re-pay the headline's final ORDER
+# BY so COMPARABLE_ARM ratios compare like-for-like plans (r11 ADVICE).
 register_arms(
     "q_media_decode",
-    decode=_media_decode_arm,
-    metadata=_media_metadata_arm,
+    decode=sorted_arm(_media_decode_arm, "kind", "doc_id"),
+    metadata=sorted_arm(_media_metadata_arm, "kind", "doc_id"),
 )
 
 

@@ -60,6 +60,25 @@ def method_arm(qname: str, method: str) -> Callable[[SparkSession, str], DataFra
     return arm
 
 
+def sorted_arm(
+    fn: Callable[[SparkSession, str], DataFrame], *keys: str
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a DEDICATED arm builder with the registered query's final
+    ORDER BY. Dedicated builders skip the union's sort by construction
+    (they exist to avoid paying sibling subtrees — the r4 rule), but the
+    r1-era registered queries the COMPARABLE_ARM ratios are read against
+    DID pay their final sort, so a sort-free arm would compare favorably
+    by one Exchange (r11 ADVICE). The wrapper restores the headline's
+    sort keys at registration time only — the registered query keeps
+    composing the unsorted builders (its own single final orderBy would
+    otherwise nest sorts)."""
+
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir).orderBy(*keys)
+
+    return arm
+
+
 def register(
     name: str,
     oracle: str | None,

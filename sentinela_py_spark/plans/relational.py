@@ -21,6 +21,7 @@ from sentinela_py_spark.plans.registry import (
     method_arm as _method_arm,
     register,
     register_arms,
+    sorted_arm,
 )
 from sentinela_py_spark.tables import load_table
 
@@ -394,10 +395,12 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sorted_arm: the dedicated builders re-pay the headline's final ORDER
+# BY so COMPARABLE_ARM ratios compare like-for-like plans (r11 ADVICE).
 register_arms(
     "q_revenue_per_nation",
     revenue=_method_arm("q_revenue_per_nation", "revenue"),
-    distance=_haversine_arm,
+    distance=sorted_arm(_haversine_arm, "method", "nation", "s_suppkey"),
 )
 
 
@@ -1079,8 +1082,8 @@ def q_datetime_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_arms(
     "q_datetime_parse_cascade",
-    cascade=_cascade_arm,
-    parts=_date_parts_arm,
+    cascade=sorted_arm(_cascade_arm, "method", "o_orderkey"),
+    parts=sorted_arm(_date_parts_arm, "yr", "mo"),
 )
 
 

@@ -254,9 +254,29 @@ def _screen_input(
     away. The checkpoint itself stays either way: each screen consumes
     its input from several branches (flagged/accepted/store writes), and
     the barrier is what keeps that lineage from re-executing per
-    consumer."""
+    consumer.
+
+    The ``True`` invariant is CALLER-ASSERTED and normally unchecked
+    (checking it would re-pay the exact shuffle the flag folds away); a
+    caller passing ``True`` on a raw batch silently loses the
+    replay-determinism guarantee the collapse exists for. Set
+    ``SENTINELA_CHECK_INVARIANTS=1`` to verify it at runtime (debug
+    harnesses / new composition work): the guard costs one count +
+    countDistinct pass over the already-checkpointed batch and raises on
+    the first duplicate id (r11 ADVICE)."""
     if ids_collapsed:
-        return renamed.localCheckpoint(eager=True)
+        out = renamed.localCheckpoint(eager=True)
+        if os.environ.get("SENTINELA_CHECK_INVARIANTS"):
+            n, nd = out.agg(
+                F.count(id_field), F.countDistinct(id_field)
+            ).first()
+            if n != nd:
+                raise ValueError(
+                    f"ids_collapsed=True on a batch with duplicate "
+                    f"{id_field!r} values ({n} rows, {nd} distinct) — the "
+                    "caller must run the duplicate-id election first"
+                )
+        return out
     return _collapse_duplicate_ids(renamed, id_field, content_key).localCheckpoint(
         eager=True
     )

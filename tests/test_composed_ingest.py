@@ -707,6 +707,28 @@ def test_ingest_funnel_falls_back_when_survivor_stores_missing(spark, tmp_path):
     assert seq == sorted(seq, reverse=True)
 
 
+def test_ids_collapsed_guard_catches_duplicate_ids(spark, monkeypatch):
+    """r11 ADVICE: `ids_collapsed=True` rides a caller-asserted unique-id
+    invariant that is normally unchecked (checking would re-pay the
+    folded shuffle). Under SENTINELA_CHECK_INVARIANTS=1 the barrier
+    verifies it: a raw batch carrying a duplicate id raises instead of
+    silently losing replay determinism, and a unique-id batch passes."""
+    from sentinela_py_spark.streaming.pipeline import _screen_input
+
+    monkeypatch.setenv("SENTINELA_CHECK_INVARIANTS", "1")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        _screen_input(dup, "doc_id", F.col("text"), ids_collapsed=True)
+    uniq = spark.createDataFrame([(1, "a"), (2, "c")], "doc_id long, text string")
+    assert _screen_input(uniq, "doc_id", F.col("text"), ids_collapsed=True).count() == 2
+    # flag off (the default): the guard does not run — dup batch passes
+    # through unchecked, exactly the documented caller-asserted contract
+    monkeypatch.delenv("SENTINELA_CHECK_INVARIANTS")
+    assert _screen_input(dup, "doc_id", F.col("text"), ids_collapsed=True).count() == 3
+
+
 def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
     """r11 barrier fold: with unique ids, each downstream screen run in
     composed mode (``ids_collapsed=True`` — plain barrier, no collapse
@@ -732,10 +754,13 @@ def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
         import os as _os
 
         p = _os.path.join(root, sub)
-        try:
-            return sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
-        except Exception:  # noqa: BLE001 — store absent in both modes is a match
+        # Only a MISSING store maps to None (absent in both modes is a
+        # legitimate equivalence outcome); any other read failure
+        # (schema drift, corrupt files) must fail the test rather than
+        # letting the per-screen assertion pass vacuously (r11 ADVICE).
+        if not _os.path.exists(p):
             return None
+        return sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
 
     for name, run, subs in (
         (

@@ -162,6 +162,45 @@ class TestPplBuckets:
         # most a few boundary-bin docs — pin the audit at >= 90%
         assert agree / len(scored) >= 0.9, f"hist-vs-exact agreement {agree}/{len(scored)}"
 
+    def test_hist_degenerate_group_estimates_lo_on_both_engines(self, spark):
+        """r11 ADVICE: a degenerate group (hi == lo — all values equal)
+        short-circuits the histogram estimate to lo on BOTH engines.
+        Under the old width-1.0 fallback the interpolation returned
+        lo + r/cnt (up to lo + 1), so at the ppl-tertile site a
+        single-valued lang would bucket every doc 'tail' under hist vs
+        'head' under exact — a total disagreement, not boundary-bin
+        error. A non-degenerate sibling group rides along to pin that
+        the normal interpolation is untouched and engine-identical."""
+        import duckdb
+
+        from sentinela_py_spark.functions.hist import (
+            hist_cums_sql,
+            hist_est_sql,
+            hist_quantile_est,
+        )
+
+        rows = [("a", 2.5)] * 5 + [("b", 1.0), ("b", 3.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        stats = df.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        out = {
+            r["g"]: (r["q33"], r["q67"])
+            for r in hist_quantile_est(
+                df, ["g"], "v", stats, {"q33": 1.0 / 3, "q67": 2.0 / 3}
+            ).collect()
+        }
+        assert out["a"] == (2.5, 2.5)
+        con = duckdb.connect()
+        vals = ", ".join(f"('{g}', {v})" for g, v in rows)
+        con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) AS t(g, v)")
+        sql = (
+            f"WITH {hist_cums_sql('t', 'g', 'v', prefix='h_')} "
+            f"SELECT c.g, {hist_est_sql(1.0 / 3)} AS q33, "
+            f"{hist_est_sql(2.0 / 3)} AS q67 "
+            "FROM h_cums c JOIN h_stats s USING (g)"
+        )
+        d = {g: (a, b) for g, a, b in con.execute(sql).fetchall()}
+        assert d == out
+
     def test_cutoff_interpolation_is_bit_identical_across_engines(self, spark):
         """r10 ADVICE: the cross-engine parity of ppl_bucket hinges on
         Spark F.percentile and DuckDB quantile_cont interpolating to the
