@@ -125,6 +125,7 @@ HEADLINE = [
     "q_decontamination",
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
+    "q_image_neardup",  # r12: perceptual-hash image dedup
     "q_text_profile",
     "q_pii_redaction",
     "q_embedding_neardup",

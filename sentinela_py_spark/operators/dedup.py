@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.functions.text_stats import word_shingles
@@ -236,6 +236,95 @@ def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame | None]:
+    """Hamming-neighbour pairs over an integer signature column via the
+    banded LSH self-join — the machinery shared by the SimHash text arm
+    and the perceptual-hash image dedup (r12): explode ``n_bands``
+    ``band_bits``-wide slices of the signature, equi-join on (band,
+    slice), refine by true Hamming distance.
+
+    Pigeonhole recall: any pair within Hamming ``n_bands − 1`` leaves at
+    least one band untouched, so recall at ``max_hamming ≤ n_bands − 1``
+    is total (absent capping) and the join cost scales with real
+    collisions, never |docs|². The Hamming refine runs BEFORE the
+    distinct shuffle (filter commutes with distinct; true neighbours are
+    a tiny fraction of band collisions, so the distinct exchanges
+    survivors only).
+
+    ``max_bucket_size`` arms the hot-bucket guard: each (band, slice)
+    bucket keeps its ``cap`` smallest rows BY ``id_col`` — unlike
+    `cap_buckets`' xxhash64 sample this ordering is replayable by a SQL
+    oracle (row_number over doc_id), which is what lets a registered
+    query keep the guard armed AND hash-checked. A capped bucket can
+    break the pigeonhole guarantee for pairs it truncates; the returned
+    audit frame (None when uncapped, else one row per truncated bucket
+    with size/kept/dropped) is the never-silent accounting.
+
+    Returns ``(pairs, audit)``; pairs has (doc_a, doc_b, hamming) plus
+    ``a_<c>``/``b_<c>`` for every ``carry_cols`` entry (carried through
+    the join so callers don't re-join the signature frame)."""
+    band_ids = F.array(*[F.lit(i) for i in range(n_bands)])
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        id_col, sig_col, *carry_cols, F.explode(band_ids).alias("band")
+    ).withColumn(
+        "bsig",
+        F.expr(f"shiftright({sig_col}, band * {band_bits})").bitwiseAND(mask),
+    )
+    audit = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bsig")
+        ranked = bands.withColumn(
+            "__rn", F.row_number().over(w.orderBy(id_col))
+        ).withColumn("__sz", F.count("*").over(w))
+        audit = (
+            ranked.filter(F.col("__sz") > max_bucket_size)
+            .groupBy("band", "bsig")
+            .agg(
+                F.max("__sz").alias("bucket_size"),
+                F.lit(max_bucket_size).alias("n_kept"),
+                (F.max("__sz") - max_bucket_size).alias("n_dropped"),
+            )
+        )
+        bands = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn", "__sz")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col(f"a.{sig_col}").alias("sig_a"),
+        F.col(f"b.{sig_col}").alias("sig_b"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry_cols],
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    pairs = (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("long").alias("hamming"),
+            *[f"a_{c}" for c in carry_cols],
+            *[f"b_{c}" for c in carry_cols],
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs, audit
 
 
 def exact_duplicate_groups(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

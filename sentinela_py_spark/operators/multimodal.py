@@ -493,6 +493,141 @@ def sample_frames(
     return ensure_min_partitions(media.select("doc_id", "payload")).mapInPandas(cut, FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (r12): dHash over decoded PPMs — the
+# multimodal member of the dedup family (a LAION-style pipeline dedups
+# images by perceptual hash before any text stage). The pieces compose
+# what already exists: decode_ppm → nearest-neighbor downsample (the
+# resize_image index map) → 32-bit difference hash → the SimHash
+# Hamming-band machinery (operators.dedup.hamming_band_pairs).
+# ---------------------------------------------------------------------------
+
+# dHash grid: 9 gray columns × 4 rows → 8 horizontal differences per row
+# → 32 bits, matching the SimHash width so the banded join reuses the
+# same 4 × 8-bit slicing (full pigeonhole recall at Hamming ≤ 3).
+DHASH_COLS, DHASH_ROWS = 9, 4
+
+# Dedup-image corpus dims: ≥ 16 px wide/tall so every one of the 9 grid
+# columns (and 4 rows) maps to a DISTINCT source pixel — a narrower
+# image duplicates grid columns, zeroing difference bits structurally
+# and collapsing many images onto near-identical hashes (the degenerate
+# hot-band case the cap otherwise has to absorb).
+IMG_DEDUP_W_MOD, IMG_DEDUP_H_MOD, IMG_DEDUP_MIN = 8, 6, 16
+
+# Planted near-duplicate variants (deterministic, engine-replayable):
+# every 16th doc gets a BRIGHTNESS-SHIFTED twin (every payload char +1 —
+# the corpus charset is ASCII 32..121, so +1 never wraps: all horizontal
+# gray differences are preserved exactly and the twin's dHash is
+# IDENTICAL while its md5 differs — precisely the invariance a
+# perceptual hash buys over exact hashing), and every 16th-plus-one doc
+# a sparse NOISE twin (vowels +1 — flips only the difference bits whose
+# pixel triples straddle a vowel count change).
+BRIGHT_ID_OFFSET = 1_000_000_000
+NOISE_ID_OFFSET = 2_000_000_000
+_CHARSET = "".join(chr(c) for c in range(32, 122))
+_CHARSET_PLUS1 = "".join(chr(c + 1) for c in range(32, 122))
+_VOWELS, _VOWELS_PLUS1 = "aeiou", "bfjpv"
+
+
+def documents_to_dedup_images(documents: DataFrame) -> DataFrame:
+    """The image-dedup corpus: one valid binary-PPM per document
+    (w ∈ [16,23], h ∈ [16,21], pixel plane = the doc's ASCII text
+    cycled), plus the two planted variant families above — the variant
+    keeps its BASE doc's dimensions (it is "the same image, re-encoded")
+    under a shifted doc_id. All JVM-side (translate/rpad/format_string —
+    codegen'd, no UDF at ingest)."""
+
+    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
+        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+        header = F.format_string("P6\n%d %d\n255\n", w, h)
+        pixels = F.expr(
+            f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
+        )
+        return d.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+        )
+
+    base = documents.withColumn("__t", F.col("text"))
+    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
+        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    )
+    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
+        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
+    )
+    return (
+        build(base)
+        .unionByName(build(bright, BRIGHT_ID_OFFSET))
+        .unionByName(build(noise, NOISE_ID_OFFSET))
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("pix_md5", StringType()),
+    ]
+)
+
+
+def dhash32_of(payload: bytes) -> tuple[int, str]:
+    """(32-bit dHash, md5 of the pixel plane) of one binary-PPM payload.
+    Decode → nearest-neighbor downsample to a DHASH_COLS × DHASH_ROWS
+    gray grid (gray = the integer sum of the 3 channel bytes — no
+    division, so the value is exact on any engine) → bit y*8+x set iff
+    gray[y][x] < gray[y][x+1]. Gradient SIGNS survive any monotone
+    global intensity shift, which is what makes the hash perceptual:
+    re-encodes and brightness moves hash identically, unlike md5."""
+    import numpy as np
+
+    w, h, _maxval, pix = decode_ppm(payload)
+    arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int32)
+    bits = 0
+    for y in range(DHASH_ROWS):
+        sy = y * h // DHASH_ROWS
+        grays = []
+        for x in range(DHASH_COLS):
+            sx = x * w // DHASH_COLS
+            off = (sy * w + sx) * 3
+            grays.append(int(arr[off] + arr[off + 1] + arr[off + 2]))
+        for x in range(DHASH_COLS - 1):
+            if grays[x] < grays[x + 1]:
+                bits |= 1 << (y * 8 + x)
+    return bits, hashlib.md5(pix).hexdigest()
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """(doc_id, dhash, pix_md5) via `dhash32_of` inside Arrow
+    `mapInPandas` — the decode+hash hot path, one pass per payload (the
+    exact-dup md5 rides the same decode so callers never re-enter
+    Python). Undecodable payloads yield NULL rows — filter them before
+    banding, as a corpus scan must."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "dhash": [], "pix_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    bits, md5 = dhash32_of(bytes(payload))
+                except (ValueError, TypeError):
+                    out["dhash"].append(None)
+                    out["pix_md5"].append(None)
+                    continue
+                out["dhash"].append(bits)
+                out["pix_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(images.select("doc_id", "payload")).mapInPandas(
+        compute, DHASH_SCHEMA
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize of a binary-PPM (P6) image, pure Python:
     decode, index-map each target pixel to its source pixel, re-encode.

@@ -40,6 +40,7 @@ from sentinela_py_spark.operators.dedup import (
     _hash_coeffs,
     band_candidate_pairs,
     cross_corpus_candidates,
+    hamming_band_pairs,
     lsh_band_signatures,
     minhash_signatures,
     simhash32,
@@ -139,34 +140,16 @@ def _simhash_pairs(d: DataFrame) -> DataFrame:
     """The simhash arm of q_minhash_pairs (r11 fold — former
     q_simhash_pairs, semantics unchanged): band candidates → Hamming ≤ 1
     refine, emitted in the shared pair-evidence shape (score = Hamming
-    distance, cast long to union with the band counts)."""
-    sh = simhash32(d)
-    band_ids = F.array(*[F.lit(i) for i in range(4)])
-    bands = sh.select(
-        "doc_id", "simhash", F.explode(band_ids).alias("band")
-    ).withColumn("bsig", F.expr("shiftright(simhash, band * 8)").bitwiseAND(255))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bsig") == F.col("b.bsig"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("sig_a"),
-        F.col("b.simhash").alias("sig_b"),
-    )
-    # Hamming refine BEFORE the dedup shuffle: filter commutes with
-    # distinct, and near-dups are a tiny fraction of band collisions, so
-    # the distinct exchanges survivors only (matters when a hot band
-    # bucket explodes the candidate count at scale).
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("long").alias("score"))
-        .filter(F.col("score") <= 1)
-        .distinct()
-        .select(F.lit("simhash").alias("method"), "doc_a", "doc_b", "score")
+    distance, cast long to union with the band counts). The band/refine
+    machinery is the shared `operators.dedup.hamming_band_pairs` (r12 —
+    the image perceptual-hash dedup in plans/mmops.py rides the same
+    helper, with the hot-bucket cap armed there)."""
+    pairs, _audit = hamming_band_pairs(simhash32(d), "simhash", max_hamming=1)
+    return pairs.select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").alias("score"),
     )
 
 

@@ -20,13 +20,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.operators.dedup import hamming_band_pairs
 from sentinela_py_spark.operators.multimodal import (
+    DHASH_COLS,
+    DHASH_ROWS,
     FRAME_LEN,
     FRAME_STRIDE,
+    IMG_DEDUP_H_MOD,
+    IMG_DEDUP_MIN,
+    IMG_DEDUP_W_MOD,
+    _CHARSET,
+    _CHARSET_PLUS1,
+    _VOWELS,
+    _VOWELS_PLUS1,
+    BRIGHT_ID_OFFSET,
+    NOISE_ID_OFFSET,
     audio_features,
+    documents_to_dedup_images,
     documents_to_images,
     documents_to_media,
     documents_to_wavs,
+    image_dhash,
     media_pixel_features,
     sample_frames,
 )
@@ -209,6 +223,163 @@ register_arms(
     decode=sorted_arm(_media_decode_arm, "kind", "doc_id"),
     metadata=sorted_arm(_media_metadata_arm, "kind", "doc_id"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup dedup (r12, r11 verdict #1): the
+# multimodal member of the dedup family — dHash over decoded PPMs +
+# the shared Hamming-band LSH join. Banded, never all-pairs.
+# ---------------------------------------------------------------------------
+
+IMG_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
+IMG_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
+
+
+def _image_neardup_sql() -> str:
+    """DuckDB replay of the FULL image near-dup algebra: payload build
+    (incl. both planted variant families) → decode-equivalent gray grid
+    → 32-bit dHash → 4×8-bit banding → doc_id-ordered bucket cap →
+    band self-join → Hamming ≤ 3 refine. The gray grid reads the pixel
+    plane at the same nearest-neighbor offsets the Python decoder
+    samples, so the hash — and therefore every pair — is value-checked
+    end-to-end."""
+    cs = _CHARSET.replace("'", "''")
+    cs1 = _CHARSET_PLUS1.replace("'", "''")
+    w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+    h_sql = f"(bid % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN})"
+    gray_cols = []
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS):
+            off = f"((({y} * h) // {DHASH_ROWS}) * w + (({x} * w) // {DHASH_COLS})) * 3"
+            g = " + ".join(f"ascii(pix[{off} + {i}])" for i in (1, 2, 3))
+            gray_cols.append(f"{g} AS g_{y}_{x}")
+    bits = " + ".join(
+        f"(CASE WHEN g_{y}_{x} < g_{y}_{x + 1} THEN {1 << (y * 8 + x)} ELSE 0 END)"
+        for y in range(DHASH_ROWS)
+        for x in range(DHASH_COLS - 1)
+    )
+    nl = ",\n             "
+    return f"""
+    WITH imgsrc AS (
+      SELECT doc_id AS bid, text AS t, 0 AS shift FROM documents
+      UNION ALL
+      SELECT doc_id, translate(text, '{cs}', '{cs1}'), {BRIGHT_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 0
+      UNION ALL
+      SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {NOISE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 1
+    ),
+    imgs AS (
+      SELECT bid + shift AS doc_id,
+             CAST({w_sql} AS INT) AS w,
+             CAST({h_sql} AS INT) AS h,
+             rpad(t, CAST({w_sql} * {h_sql} * 3 AS INT), t) AS pix
+      FROM imgsrc
+    ),
+    grays AS (
+      SELECT doc_id, pix,
+             {nl.join(gray_cols)}
+      FROM imgs
+    ),
+    sh AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS dhash, md5(pix) AS pmd5
+      FROM grays
+    ),
+    bands AS (
+      SELECT doc_id, dhash, pmd5, band, (dhash >> (band * 8)) & 255 AS bsig
+      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
+    ),
+    capped AS (
+      SELECT doc_id, dhash, pmd5, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {IMG_NEARDUP_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dhash AS sa, b.dhash AS sb, a.pmd5 AS ma, b.pmd5 AS mb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+           (ma = mb) AS exact_dup
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {IMG_NEARDUP_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q_image_neardup",
+    oracle=_image_neardup_sql(),
+    survey_ref=(
+        "multimodal dedup (r12, r11 verdict #1): perceptual-hash image near-dup "
+        "— decode_ppm → nearest-neighbor 9×4 gray downsample → 32-bit dHash "
+        "(Arrow mapInPandas) → the shared Hamming-band LSH self-join "
+        "(operators.dedup.hamming_band_pairs, the SimHash machinery) with the "
+        "doc_id-ordered hot-bucket cap ARMED and oracle-replayed; planted "
+        "brightness-shifted twins are caught at Hamming 0 with exact_dup=false "
+        "(the invariance exact hashing cannot buy)"
+    ),
+    tags=("multimodal", "dedup", "sketch", "pandas-udf"),
+)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash — the LAION-style
+    first dedup stage a multimodal lake runs before any text screen:
+    (doc_a, doc_b, hamming, exact_dup) for every image pair within
+    Hamming ≤ 3 of each other's 32-bit dHash that shares ≥ 1 of four
+    8-bit hash bands.
+
+    The corpus is `documents_to_dedup_images`: one valid binary-PPM per
+    document plus two planted variant families — a brightness-shifted
+    twin per 16th doc (dHash-identical, md5-different: caught at
+    Hamming 0 with exact_dup = false) and a sparse noise twin per
+    16th-plus-one doc (few flipped difference bits: caught when its
+    Hamming stays ≤ 3). `exact_dup` compares decoded-pixel md5s carried
+    through the band join, so the result separates the three classes a
+    dedup operator must distinguish: byte-identical, perceptually
+    identical, perceptually near.
+
+    Scale shape (100 TB): decode + hash is ONE Arrow `mapInPandas` pass
+    (per-task memory bounded by the Arrow batch, exactly the
+    media_pixel_features contract — swap PIL for JPEG into `dhash32_of`
+    unchanged); candidate generation is the banded inverted-index
+    self-join — work scales with true hash collisions, never |images|²;
+    the (band, bsig) hot buckets are capped at 64 rows with the
+    truncation audit (degenerate corpora — monochrome images, repeated
+    templates — collapse onto few hashes, the LSH failure mode). The
+    cap keeps its lowest doc_ids, an oracle-replayable determinism the
+    xxhash64 sample in `cap_buckets` can't give a SQL twin; the Hamming
+    refine runs BEFORE the distinct shuffle. Pigeonhole: 4 bands give
+    FULL recall at Hamming ≤ 3 absent capping (any such pair leaves one
+    band untouched), and the cap never binds on the fixture corpus
+    (asserted in tests/test_image_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    # ONE decode+hash pass: the band self-join consumes the signature
+    # frame on both sides and Catalyst does not reuse the pre-window
+    # exchange across them (measured: MapInPandas planned per side) —
+    # the lazy localCheckpoint is the same one-materialization barrier
+    # the MinHash band table uses (the batch analog of persisting the
+    # signature table a deployment would write).
+    sigs = (
+        image_dhash(documents_to_dedup_images(d))
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs, _audit = hamming_band_pairs(
+        sigs,
+        "dhash",
+        max_hamming=IMG_NEARDUP_MAX_HAMMING,
+        max_bucket_size=IMG_NEARDUP_BUCKET_CAP,
+        carry_cols=("pix_md5",),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("a_pix_md5") == F.col("b_pix_md5")).alias("exact_dup"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(

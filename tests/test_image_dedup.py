@@ -1,0 +1,193 @@
+"""Perceptual-hash image near-dup dedup (r12, r11 verdict #1).
+
+Pins, per the verdict's done-criteria: planted brightness-shifted /
+re-encoded copies are CAUGHT (at Hamming 0, exact_dup distinguishing
+byte-identical from perceptually-identical), distinct images are NOT,
+and the hot-band cap truncates deterministically with a never-silent
+audit. Plus the algebraic properties the operator's recall rests on:
+dHash invariance under uniform intensity shift, and the 4-band
+pigeonhole boundary (full recall at Hamming ≤ 3, none guaranteed at 4
+flips spread across all 4 bands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.dedup import hamming_band_pairs
+from sentinela_py_spark.operators.multimodal import (
+    BRIGHT_ID_OFFSET,
+    NOISE_ID_OFFSET,
+    dhash32_of,
+    documents_to_dedup_images,
+    image_dhash,
+)
+from sentinela_py_spark.plans import QUERIES
+from sentinela_py_spark.plans.registry import _ensure_loaded
+
+_ensure_loaded()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ppm(w: int, h: int, body: bytes) -> bytes:
+    pix = (body * (w * h * 3 // len(body) + 1))[: w * h * 3]
+    return f"P6\n{w} {h}\n255\n".encode() + pix
+
+
+@pytest.fixture(scope="module")
+def neardup_rows(spark):
+    return QUERIES["q_image_neardup"].spark(spark, SF).collect()
+
+
+class TestDhashProperties:
+    def test_uniform_brightness_shift_preserves_dhash_not_md5(self):
+        base = _ppm(17, 19, b"the quick brown fox jumps over the lazy dog ")
+        w = 17
+        hdr = base.index(b"255\n") + 4
+        shifted = base[:hdr] + bytes(b + 1 for b in base[hdr:])
+        h0, m0 = dhash32_of(base)
+        h1, m1 = dhash32_of(shifted)
+        assert h0 == h1  # gradient signs survive the global shift
+        assert m0 != m1  # ...which exact hashing cannot see past
+
+    def test_different_images_hash_differently(self):
+        h0, _ = dhash32_of(_ppm(16, 16, b"alpha beta gamma delta epsilon zeta "))
+        h1, _ = dhash32_of(_ppm(16, 16, b"zebra yak xerus wombat vole urchin "))
+        assert h0 != h1
+
+    def test_hash_is_32_bit(self):
+        h, _ = dhash32_of(_ppm(23, 21, b"some pixel content for hashing here "))
+        assert 0 <= h < 1 << 32
+
+
+class TestHammingBandPairs:
+    def _sigs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, dhash long")
+
+    def test_pigeonhole_recall_boundary(self, spark):
+        # Hamming 3 (three flips inside one band) MUST pair: three other
+        # bands untouched. Four flips, one per band, share no band → the
+        # LSH misses by design at this threshold.
+        base = 0x12345678
+        h3 = base ^ 0b111  # 3 flips in band 0
+        h4 = base ^ ((1 << 0) | (1 << 8) | (1 << 16) | (1 << 24))
+        sigs = self._sigs(spark, [(1, base), (2, h3), (3, h4)])
+        pairs, audit = hamming_band_pairs(sigs, "dhash", max_hamming=4)
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+        assert got[(1, 2)] == 3
+        assert (1, 3) not in got  # no shared band despite hamming 4
+        assert audit is None  # uncapped → no audit frame
+
+    def test_hot_bucket_cap_is_deterministic_and_audited(self, spark):
+        # 40 identical signatures → every band bucket is hot. cap=8
+        # keeps the 8 LOWEST doc_ids (the oracle-replayable order) →
+        # C(8,2)=28 pairs among exactly ids 0..7; audit reports all 4
+        # truncated buckets with 32 dropped rows each.
+        sigs = self._sigs(spark, [(i, 0x0BADCAFE) for i in range(40)])
+        pairs, audit = hamming_band_pairs(
+            sigs, "dhash", max_hamming=0, max_bucket_size=8
+        )
+        got = sorted((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        assert got == [(a, b) for a in range(8) for b in range(a + 1, 8)]
+        arows = audit.collect()
+        assert len(arows) == 4
+        assert all(
+            (r["bucket_size"], r["n_kept"], r["n_dropped"]) == (40, 8, 32)
+            for r in arows
+        )
+
+    def test_carry_cols_ride_the_join(self, spark):
+        sigs = spark.createDataFrame(
+            [(1, 7, "m1"), (2, 7, "m2")], "doc_id long, dhash long, pix_md5 string"
+        )
+        pairs, _ = hamming_band_pairs(
+            sigs, "dhash", max_hamming=0, carry_cols=("pix_md5",)
+        )
+        r = pairs.collect()[0]
+        assert (r["a_pix_md5"], r["b_pix_md5"]) == ("m1", "m2")
+
+
+class TestImageNeardupQuery:
+    def test_every_bright_twin_caught_at_hamming_zero(self, spark, neardup_rows):
+        n_planted = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("doc_id") % 16 == 0)
+            .count()
+        )
+        bright = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in neardup_rows
+            if BRIGHT_ID_OFFSET <= r["doc_b"] < NOISE_ID_OFFSET
+        }
+        planted = {
+            (r["doc_a"], r["doc_a"] + BRIGHT_ID_OFFSET): None
+            for r in neardup_rows
+            if r["doc_b"] == r["doc_a"] + BRIGHT_ID_OFFSET
+        }
+        # every planted twin is caught, exactly at hamming 0, and NOT as
+        # an exact duplicate (the payload bytes differ)
+        assert len(planted) == n_planted == len(bright)
+        assert all(r["hamming"] == 0 and not r["exact_dup"] for r in bright.values())
+
+    def test_noise_twins_within_threshold_and_distinct_images_spared(
+        self, neardup_rows
+    ):
+        noise = [r for r in neardup_rows if r["doc_b"] >= NOISE_ID_OFFSET]
+        assert noise, "no noise twins caught at all"
+        assert all(r["hamming"] <= 3 for r in noise)
+        # distinct images: base-base pairs are the spurious tail — a
+        # handful of genuinely-near hashes at most, nowhere near the
+        # ~500-image quadratic blowup an unbanded join would emit
+        base_pairs = [r for r in neardup_rows if r["doc_b"] < BRIGHT_ID_OFFSET]
+        assert len(base_pairs) < 10
+
+    def test_exact_duplicate_images_flagged(self, spark):
+        # two docs with IDENTICAL text and ids congruent mod 24 (same
+        # w and h) produce byte-identical pixel planes → exact_dup=true
+        d = spark.createDataFrame(
+            [
+                (5, "repeated body of an exactly duplicated document here"),
+                (29, "repeated body of an exactly duplicated document here"),
+                (11, "a completely different body for the control image"),
+            ],
+            "doc_id long, text string",
+        )
+        sigs = image_dhash(documents_to_dedup_images(d)).filter(
+            F.col("dhash").isNotNull()
+        )
+        pairs, _ = hamming_band_pairs(
+            sigs, "dhash", max_hamming=3, carry_cols=("pix_md5",)
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["a_pix_md5"] == r["b_pix_md5"]
+            for r in pairs.collect()
+        }
+        assert got[(5, 29)] is True
+        assert (5, 11) not in got and (11, 29) not in got
+
+    def test_cap_never_binds_on_the_fixture_corpus(self, spark):
+        # pins the recall claim: with every (band, bsig) bucket under
+        # the cap, the 4-band pigeonhole guarantee is TOTAL on this
+        # corpus (no pair is lost to truncation)
+        from sentinela_py_spark.plans.mmops import IMG_NEARDUP_BUCKET_CAP
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        sigs = image_dhash(documents_to_dedup_images(d)).filter(
+            F.col("dhash").isNotNull()
+        )
+        band_ids = F.array(*[F.lit(i) for i in range(4)])
+        biggest = (
+            sigs.select("doc_id", "dhash", F.explode(band_ids).alias("band"))
+            .withColumn(
+                "bsig", F.expr("shiftright(dhash, band * 8)").bitwiseAND(255)
+            )
+            .groupBy("band", "bsig")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert biggest <= IMG_NEARDUP_BUCKET_CAP
