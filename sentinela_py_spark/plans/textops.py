@@ -1393,22 +1393,56 @@ def qr_chain_sql(src: str, p: str) -> str:
              {hist_est_sql(1.0 / 3)} AS c33h,
              {hist_est_sql(2.0 / 3)} AS c67h
       FROM qrh_cums c JOIN qrh_stats s USING (lang)
+    ),
+    qr_wm AS (
+      SELECT bigram, split_part(bigram, ' ', 1) AS ctx,
+             CAST(SUM(n_b) AS BIGINT) AS cnt
+      FROM qr_bg GROUP BY 1, 2
+    ),
+    qr_wctx AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM qr_wm GROUP BY ctx),
+    qr_wv AS (SELECT COUNT(*) AS v FROM qr_wm),
+    qr_wlogp AS (
+      SELECT m.bigram,
+             CAST(ROUND(LN(CAST(m.cnt + 1 AS DOUBLE) / (c.ctx_cnt + qr_wv.v)) * 1000000, 0) AS BIGINT) AS wlogp_micro
+      FROM qr_wm m JOIN qr_wctx c USING (ctx) CROSS JOIN qr_wv
+    ),
+    qr_wlm AS (
+      SELECT b.doc_id,
+             CAST(SUM(s.wlogp_micro * b.n_b) AS DOUBLE)
+               / CAST(SUM(b.n_b) * 1000000 AS DOUBLE) AS word_lm_logprob
+      FROM qr_bg b JOIN qr_wlogp s USING (bigram)
+      GROUP BY b.doc_id
+    ),
+    qr_wcuts AS (
+      SELECT d.lang,
+             quantile_cont(wl.word_lm_logprob, 1.0/3) AS w33,
+             quantile_cont(wl.word_lm_logprob, 2.0/3) AS w67
+      FROM qr_feat f
+      JOIN documents d USING (doc_id)
+      LEFT JOIN qr_wlm wl ON f.doc_id = wl.doc_id
+      GROUP BY d.lang
     )
     SELECT f.doc_id, n_tokens, n_distinct_terms, distinct_ratio, entropy,
            top_term_fraction, top_bigram_fraction, repetitive,
-           char_lm_logprob, s.svm_score, (s.svm_score > 0) AS model_keep,
+           char_lm_logprob, wl.word_lm_logprob,
+           s.svm_score, (s.svm_score > 0) AS model_keep,
            d.lang,
            CASE WHEN f.char_lm_logprob >= c.c67 THEN 'head'
                 WHEN f.char_lm_logprob >= c.c33 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket,
            CASE WHEN f.char_lm_logprob >= h.c67h THEN 'head'
                 WHEN f.char_lm_logprob >= h.c33h THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket_hist
+                ELSE 'tail' END AS ppl_bucket_hist,
+           CASE WHEN wl.word_lm_logprob >= wc.w67 THEN 'head'
+                WHEN wl.word_lm_logprob >= wc.w33 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket_word
     FROM qr_feat f
     JOIN qr_scores s ON f.doc_id = s.doc_id
     JOIN documents d ON f.doc_id = d.doc_id
     JOIN qr_cuts c ON d.lang = c.lang
     JOIN qr_hcuts h ON d.lang = h.lang
+    JOIN qr_wcuts wc ON d.lang = wc.lang
+    LEFT JOIN qr_wlm wl ON f.doc_id = wl.doc_id
     ORDER BY f.doc_id
     """,
     survey_ref=(
@@ -1425,7 +1459,10 @@ def qr_chain_sql(src: str, p: str) -> str:
         "exact cutoffs + the 64-bin histogram-sketch cutoff twin (r11, "
         "functions/hist — the fixed-memory deployment path, ppl_bucket_hist "
         "hash-checked including binning error), bucket assigned map-side "
-        "(CCNet's cutoffs-then-map architecture, no per-lang global sort)"
+        "(CCNet's cutoffs-then-map architecture, no per-lang global sort); "
+        "+ word-bigram LM twin (r12 — the WORD-level likelihood CCNet's "
+        "tertiles actually score, riding the Gopher bigram counts: "
+        "word_lm_logprob + ppl_bucket_word, add-1 model replayed in SQL)"
     ),
     tags=("text", "quality"),
 )
@@ -1468,6 +1505,17 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs per lang — the paired bucket columns are the deployment
     path's accuracy audit, oracle-checked including binning error.
 
+    ``word_lm_logprob``/``ppl_bucket_word`` (r12) are the WORD-level LM
+    twin (`_qr_wordlm`): CCNet's published scorer is a word-n-gram LM,
+    so the tertiles that cite it should bucket a word-level likelihood
+    — the char-bigram families stay as the fixed-vocabulary signal
+    (robust to unseen words; the two column families disagree exactly
+    where that matters). The word cutoffs ride the same checkpointed
+    slim frame and the same exact-percentile aggregation; the model
+    itself is trained corpus-wide off the Gopher bigram counts (no new
+    explode) and is vocabulary-sized — scored via an equi-shuffle join,
+    never broadcast, never collected.
+
     `svm_score`/`model_keep` are the MODEL-BASED quality filter (the
     DCLM / fineweb-edu classifier stage): an L2-hinge linear classifier
     trained ON THIS CORPUS by `functions.linear_model.svm_weights` —
@@ -1489,8 +1537,13 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _qr_model_weights(spark, sf_dir)
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     x = _qr_model_cols(_qr_features(d))
-    scored = x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6)).join(
-        d.select("doc_id", "lang"), "doc_id"
+    scored = (
+        x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        # word-LM score (r12): left join — a one-token doc has no word
+        # bigrams and carries a NULL score into the 'tail' bucket, the
+        # same NULL discipline as the <2-char char-LM docs
+        .join(_qr_wordlm(d), "doc_id", "left")
     )
     # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS broadcast
     # back, bucket assigned MAP-SIDE by comparison. This is CCNet's
@@ -1515,7 +1568,9 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   q_price_percentiles pattern) holds 64 longs per lang at any
     #   corpus size; its cutoffs are oracle-checked INCLUDING binning
     #   error, and the paired bucket columns are the accuracy audit.
-    slim = scored.select("lang", "char_lm_logprob").localCheckpoint(eager=False)
+    slim = scored.select(
+        "lang", "char_lm_logprob", "word_lm_logprob"
+    ).localCheckpoint(eager=False)
     cuts = slim.groupBy("lang").agg(
         F.round(F.percentile("char_lm_logprob", F.lit(1.0 / 3)), 4).alias("c33"),
         F.round(F.percentile("char_lm_logprob", F.lit(2.0 / 3)), 4).alias("c67"),
@@ -1523,6 +1578,15 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extra scan (the bin counts) over the checkpointed slim frame
         F.min("char_lm_logprob").alias("lo"),
         F.max("char_lm_logprob").alias("hi"),
+        # word-LM tertile cutoffs (r12) ride the SAME aggregation — the
+        # second cutoff family costs two more percentile buffers, not a
+        # second shuffle. UNROUNDED on purpose: the interpolation is
+        # bit-identical across engines (pinned in
+        # tests/test_pii_packing.py) and the word scores are rational
+        # quotients, where a decimal round is exactly where cross-engine
+        # ties live (see _qr_wordlm)
+        F.percentile("word_lm_logprob", F.lit(1.0 / 3)).alias("w33"),
+        F.percentile("word_lm_logprob", F.lit(2.0 / 3)).alias("w67"),
     )
     hcuts = hist_quantile_est(
         slim,
@@ -1541,8 +1605,15 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("char_lm_logprob") >= F.col("c33h"), "middle")
         .otherwise("tail")
     )
+    bucket_word = (
+        F.when(F.col("word_lm_logprob") >= F.col("w67"), "head")
+        .when(F.col("word_lm_logprob") >= F.col("w33"), "middle")
+        .otherwise("tail")
+    )
     return (
-        scored.join(F.broadcast(cuts.select("lang", "c33", "c67")), "lang")
+        scored.join(
+            F.broadcast(cuts.select("lang", "c33", "c67", "w33", "w67")), "lang"
+        )
         .join(F.broadcast(hcuts), "lang")
         .select(
             "doc_id",
@@ -1554,11 +1625,13 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_fraction",
             "repetitive",
             "char_lm_logprob",
+            "word_lm_logprob",
             "svm_score",
             (F.col("svm_score") > 0).alias("model_keep"),
             "lang",
             bucket.alias("ppl_bucket"),
             bucket_hist.alias("ppl_bucket_hist"),
+            bucket_word.alias("ppl_bucket_word"),
         )
         .orderBy("doc_id")
     )
@@ -1574,6 +1647,16 @@ def _half_up6(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _half_up_micro(x: float) -> int:
+    """Integer micro units (round-half-up of x·10⁶) matching the
+    Spark-side `F.round(col * 1000000, 0).cast("long")` the word-LM
+    model build uses — the double PRODUCT is taken first, exactly as
+    Spark evaluates it, then BigDecimal-half-up rounded."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x * 1000000).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def qr_frozen_model(d: DataFrame) -> dict:
@@ -1593,7 +1676,15 @@ def qr_frozen_model(d: DataFrame) -> dict:
 
     All four are small by construction (the LM is char-level), so
     shipping them to the driver costs what one broadcast costs and makes
-    the screen self-contained across micro-batches and restarts."""
+    the screen self-contained across micro-batches and restarts.
+
+    Plus the WORD-bigram LM twin (r12 — the `_qr_wordlm` signal under
+    the same frozen contract), which is vocabulary-sized and therefore
+    NEVER collected: ``wlogp_df`` (bigram, wlogp) and ``wctx_df`` (ctx,
+    ctx_cnt) stay DataFrame artifacts, eagerly checkpointed so every
+    micro-batch scores against one materialization (a deployment writes
+    them as a parquet model table and restarts the stream to rotate,
+    the codebook contract); ``wv`` is the O(1) vocabulary-size scalar."""
     from sentinela_py_spark.functions.linear_model import svm_weights
 
     w = svm_weights(_qr_trainable(d).coalesce(4), _QR_FEATS)
@@ -1615,7 +1706,44 @@ def qr_frozen_model(d: DataFrame) -> dict:
         for r in rows
     ]
     ctx_counts = sorted({(r["ctx"], r["ctx_cnt"]) for r in rows})
-    return {"weights": w, "clogp": clogp, "cctx": ctx_counts, "v": v}
+    wm = (
+        d.select(F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ctx", F.substring_index("bigram", " ", 1))
+    )
+    wctx_df = (
+        wm.groupBy("ctx")
+        .agg(F.sum("cnt").alias("ctx_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wv = wm.count()
+    wlogp_df = (
+        wm.join(wctx_df, "ctx")
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("ctx_cnt") + F.lit(wv)).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("wlogp_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "weights": w,
+        "clogp": clogp,
+        "cctx": ctx_counts,
+        "v": v,
+        "wlogp_df": wlogp_df,
+        "wctx_df": wctx_df,
+        "wv": wv,
+    }
 
 
 def qr_score_frozen(
@@ -1661,14 +1789,54 @@ def qr_score_frozen(
 
     x = _qr_model_cols(_qr_features(d, lm=lm))
     svm = F.round(linear_score(_QR_FEATS, [float(w) for w in model["weights"]]), 6)
-    return (
-        x.join(d, "doc_id")
-        .select(
-            "doc_id",
-            quality_score("text").cast("double").alias("quality"),
-            svm.alias("svm_score"),
+    scored = x.join(d, "doc_id").select(
+        "doc_id",
+        quality_score("text").cast("double").alias("quality"),
+        svm.alias("svm_score"),
+    )
+    # WORD-LM score under the frozen artifacts (r12): batch bigram
+    # counts joined against the frozen (bigram, wlogp) frame — an
+    # equi-join, never a collect (the word model is vocabulary-sized).
+    # Unseen bigrams back off to the add-1 unseen mass exactly like the
+    # char path: known first word → round(ln(1/(ctx_cnt+v)), 6),
+    # unknown → round(ln(1/v), 6).
+    if model.get("wv"):
+        wv = int(model["wv"])
+        bg = (
+            d.select(
+                "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
+            )
+            .groupBy("doc_id", "bigram")
+            .agg(F.count("*").alias("n_b"))
+            .withColumn("ctx", F.substring_index("bigram", " ", 1))
         )
-        .withColumn("model_keep", F.col("svm_score") > 0)
+        unseen_known_ctx = (
+            F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + wv)) * 1000000, 0)
+        ).cast("long")
+        unseen_unknown_ctx = F.lit(_half_up_micro(math.log(1.0 / wv))).cast("long")
+        wl = (
+            bg.join(model["wlogp_df"], "bigram", "left")
+            .join(model["wctx_df"], "ctx", "left")
+            .select(
+                "doc_id",
+                "n_b",
+                F.coalesce(
+                    F.col("wlogp_micro"), unseen_known_ctx, unseen_unknown_ctx
+                ).alias("wlogp_micro"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.col("wlogp_micro") * F.col("n_b")).cast("double")
+                    / (F.sum("n_b") * 1000000).cast("double")
+                ).alias("word_lm_logprob")
+            )
+        )
+        scored = scored.join(wl, "doc_id", "left")
+    else:  # legacy/degenerate model (no word vocabulary): stable schema
+        scored = scored.withColumn("word_lm_logprob", F.lit(None).cast("double"))
+    return (
+        scored.withColumn("model_keep", F.col("svm_score") > 0)
         .withColumnRenamed("doc_id", id_col)
     )
 
@@ -1830,6 +1998,83 @@ def _qr_bigram(d: DataFrame) -> DataFrame:
     )
 
 
+def _qr_wordlm(d: DataFrame) -> DataFrame:
+    """WORD-bigram LM arm of q_quality_rules (r12, r11 verdict #5):
+    CCNet's actual perplexity scorer is a word-level LM (Wenzek et al.
+    2020 train a 5-gram KenLM); until r12 the quality family scored
+    char bigrams only, so the ppl tertiles bucketed a proxy of the
+    signal they cite. Same frozen algebra as the char model — add-1
+    smoothing, logp(w₂|w₁) = ln((cnt+1)/(ctx_cnt+V)) rounded 6dp at
+    BUILD time, per-doc mean over bigram OCCURRENCES — but it rides the
+    per-doc bigram COUNTS the Gopher repetition rule already computes
+    (Σ n_b·logp / Σ n_b in DECIMAL — no second explode, no per-
+    occurrence rows).
+
+    Scale note: unlike the char model (|charset|² rows — broadcast at
+    any corpus size) the word model is VOCABULARY-sized, so the scoring
+    join is an equi-shuffle on bigram (the inverted-index shape; a
+    100 TB deployment persists the model as a parquet table and buckets
+    both sides) — never a broadcast, never a driver collect.
+
+    Numeric discipline: the model stores INTEGER MICRO-logps
+    (round(ln·10⁶) — a transcendental never sits on a .5 tie, the same
+    safety the 6dp char-LM round rests on), the per-doc fold is pure
+    BIGINT Σ n_b·logp_micro (exact, order-insensitive, no decimal
+    casts), and the mean is ONE IEEE division of exactly-representable
+    integers — emitted UNROUNDED, because rounding a rational quotient
+    is where cross-engine ties live (measured at sf0.01: a doc mean of
+    exactly −4.0773125 rounded −4.077313 under Spark's BigDecimal
+    half-up but −4.077312 under DuckDB's double round)."""
+    bigrams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
+    )
+    # lazy checkpoint: the per-doc bigram counts feed BOTH the model
+    # build and the scoring join — unlike the char path (where
+    # re-running a map-only ASCII explode beat materializing it), this
+    # is a SHUFFLED aggregate consumed twice, and the A/B at sf0.1 reads
+    # equal-to-better checkpointed (2.5 s → 1.5-2.5 s) while halving the
+    # explode+shuffle work a 100 TB corpus would re-pay
+    bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n_b"))
+        .localCheckpoint(eager=False)
+    )
+    wmodel = (
+        bg.groupBy("bigram")
+        .agg(F.sum("n_b").alias("cnt"))
+        .withColumn("ctx", F.substring_index("bigram", " ", 1))
+    )
+    wctx = wmodel.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    wv = wmodel.agg(F.count("*").alias("v"))
+    wlogp = (
+        wmodel.join(wctx, "ctx")
+        .crossJoin(F.broadcast(wv))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("wlogp_micro"),
+        )
+    )
+    return (
+        bg.join(wlogp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("wlogp_micro") * F.col("n_b")).cast("double")
+                / (F.sum("n_b") * 1000000).cast("double")
+            ).alias("word_lm_logprob")
+        )
+    )
+
+
 def _char_bigrams(text: Column) -> Column:
     """Character-bigram array of a text column — slice+zip_with (no
     per-element substr), naturally empty for 0/1-char docs."""
@@ -1930,6 +2175,7 @@ register_arms(
     charlm=_arm_on_documents(_qr_charlm),
     model=_qr_model_arm,
     ppl_hist=_qr_ppl_hist_arm,
+    wordlm=_arm_on_documents(_qr_wordlm),
 )
 
 

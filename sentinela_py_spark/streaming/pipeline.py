@@ -1128,14 +1128,23 @@ def quality_screen_batch(
         id_col,
         "quality",
         "svm_score",
+        # word-LM likelihood (r12): recorded beside the gate's scores as
+        # reviewable evidence (the CCNet-style signal an operator reads
+        # off a rejection); the keep verdict itself is unchanged —
+        # re-gating on a new signal is a model rotation, not a patch
+        "word_lm_logprob",
         ((F.col("quality") >= rule_min) & (F.col("svm_score") > 0)).alias("keep"),
     )
     joined = batch.join(verdict, id_col).localCheckpoint(eager=True)
-    rejected = joined.filter(~F.col("keep")).select(id_col, "quality", "svm_score")
+    rejected = joined.filter(~F.col("keep")).select(
+        id_col, "quality", "svm_score", "word_lm_logprob"
+    )
     rejected.write.mode("overwrite").parquet(
         os.path.join(state_dir, "rejected", f"epoch={epoch_id}")
     )
-    return joined.filter(F.col("keep")).drop("quality", "svm_score", "keep")
+    return joined.filter(F.col("keep")).drop(
+        "quality", "svm_score", "word_lm_logprob", "keep"
+    )
 
 
 # Stage names of the ingest funnel, in screen order (mirrors the batch

@@ -162,6 +162,77 @@ class TestPplBuckets:
         # most a few boundary-bin docs — pin the audit at >= 90%
         assert agree / len(scored) >= 0.9, f"hist-vs-exact agreement {agree}/{len(scored)}"
 
+    def test_word_lm_frozen_scores_match_batch_on_training_corpus(self, spark):
+        """r12 (r11 verdict #5): the frozen word-bigram LM reproduces the
+        batch `_qr_wordlm` scores exactly on the corpus it was trained
+        on (the same frozen-contract pin the char LM carries) — every
+        training bigram hits the frozen (bigram, wlogp) row, so no
+        backoff engages and the decimal-summed means are bit-equal."""
+        from sentinela_py_spark.plans.textops import (
+            _qr_wordlm,
+            qr_frozen_model,
+            qr_score_frozen,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(60).localCheckpoint(eager=True)
+        model = qr_frozen_model(d)
+        batch = {r["doc_id"]: r["word_lm_logprob"] for r in _qr_wordlm(d).collect()}
+        frozen = {
+            r["doc_id"]: r["word_lm_logprob"]
+            for r in qr_score_frozen(d, model).collect()
+        }
+        assert batch and all(frozen[k] == v for k, v in batch.items())
+
+    def test_word_lm_unseen_bigrams_back_off_finite(self, spark):
+        """Docs the model never saw score FINITE word-LM likelihoods via
+        the add-1 unseen mass: known-context bigrams at ln(1/(ctx_cnt+v)),
+        fully-novel ones at ln(1/v) — and strictly below a doc made of
+        training bigrams (unseen mass < any seen probability)."""
+        from sentinela_py_spark.plans.textops import qr_frozen_model, qr_score_frozen
+
+        train = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the cat ran off the mat")],
+            "doc_id long, text string",
+        )
+        model = qr_frozen_model(train)
+        batch = spark.createDataFrame(
+            [(10, "the cat sat on the mat"), (11, "zork quux blarg fnord wibble")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["word_lm_logprob"]
+            for r in qr_score_frozen(batch, model).collect()
+        }
+        assert got[10] is not None and got[11] is not None
+        assert got[11] < got[10]
+
+    def test_word_buckets_are_threshold_assigned_within_lang(self, spark):
+        """ppl_bucket_word (r12) is the CCNet tertile CASE over the
+        word-LM score: within each lang the bucket is monotone in
+        word_lm_logprob, NULL-scored docs land in 'tail', and all three
+        buckets are populated on the fixture corpus."""
+        from collections import Counter
+
+        from sentinela_py_spark.plans import QUERIES
+
+        out = QUERIES["q_quality_rules"].spark(spark, "/root/testdata/sf0.001").collect()
+        order = {"tail": 0, "middle": 1, "head": 2}
+        by_lang: dict = {}
+        for r in out:
+            if r["word_lm_logprob"] is not None:
+                by_lang.setdefault(r["lang"], []).append(
+                    (r["word_lm_logprob"], order[r["ppl_bucket_word"]])
+                )
+        assert by_lang
+        for vals in by_lang.values():
+            vals.sort()
+            ranks = [b for _, b in vals]
+            assert ranks == sorted(ranks)  # monotone in likelihood
+        c = Counter(r["ppl_bucket_word"] for r in out)
+        assert set(c) == {"head", "middle", "tail"}
+
     def test_hist_degenerate_group_estimates_lo_on_both_engines(self, spark):
         """r11 ADVICE: a degenerate group (hi == lo — all values equal)
         short-circuits the histogram estimate to lo on BOTH engines.
