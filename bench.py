@@ -180,22 +180,40 @@ COMPARABLE_ARM = {
 }
 
 
-def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False):
+# Arm rows whose wall-clock is a SUPERSET of a sibling arm's work /
+# re-pays a chain the headline shares (machine-readable since r12 — the
+# r11 judge finding: the caveat lived only in BENCH_NOTES prose). Do not
+# attribute the whole row to the named component; cross-round arm diffs
+# should skip or difference these rows.
+SUPERSET_ARMS = [
+    "q_top_token_per_lang.cms",      # contains the exact arm's winners
+    "q_ann_ivf_topk.training",       # full un-memoized offline build
+    "q_sequence_packing.curated_build",  # full un-memoized curation run
+    "q_quality_rules.ppl_hist",      # re-pays the shared char-LM chain
+    "q_quality_rules.wordlm",        # re-pays the shared bigram counts
+]
+
+
+def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = False):
     """Bench arm for the streaming composed-ingest flagship, priced as
     ONE batch of the real (doc_id, text, embedding) corpus through
     `composed_ingest_batch` (the foreachBatch body — the per-epoch work
     a deployment pays, without the harness's stream-startup overhead).
     Base arm = the three screens; the armed variants add the stage-0
-    repetition trim + the frozen-model quality gate (r9) and the fuzzy
+    repetition trim + the frozen-model quality gate (r9), the fuzzy
     eval-copy screen (r11 — pricing the sixth screen's per-epoch cost,
-    now candidate-only in its verify stage), each a DEDICATED builder
-    per the barrier rule. The frozen quality model AND the frozen fuzzy
-    eval artifacts are OFFLINE builds (once per corpus, memoized like
-    the ANN codebooks — not per-batch cost); a fresh state dir per rep
-    keeps every rep a first attempt (no replay short-circuit, no store
-    carry-over)."""
+    now candidate-only in its verify stage), and the ANN index-append
+    tail + one compaction (r12, r11 verdict #3 — the per-epoch cost of
+    "index what survived curation", previously parity-tested but
+    unpriced), each a DEDICATED builder per the barrier rule. The
+    frozen quality model, the frozen fuzzy eval artifacts, AND the
+    frozen ANN codebooks are OFFLINE builds (once per corpus, memoized
+    — not per-batch cost; the codebook build itself is priced by
+    q_ann_ivf_topk.training); a fresh state dir per rep keeps every rep
+    a first attempt (no replay short-circuit, no store carry-over)."""
     _MODEL: dict[tuple[str, str], dict] = {}
     _FUZZY: dict[tuple[str, str], dict] = {}
+    _BOOKS: dict[tuple[str, str], tuple[list, list]] = {}
 
     def arm(spark, sf_dir):
         import shutil
@@ -240,11 +258,46 @@ def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False):
             if key not in _FUZZY:
                 _FUZZY[key] = fuzzy_eval_artifacts(d.filter(is_eval))
             kw["fuzzy_eval"] = _FUZZY[key]
+        if ann:
+            if key not in _BOOKS:
+                # offline codebook training (frozen-codebook contract;
+                # the build cost is priced by q_ann_ivf_topk.training)
+                from sentinela_py_spark.functions.kmeans import (
+                    KMEANS_ITERS,
+                    ivf_residuals,
+                    kmeans_centroids_local,
+                    pq_train_codebooks_local,
+                )
+                from sentinela_py_spark.functions.vectors import PQ_K, PQ_M
+                from sentinela_py_spark.plans.simops import EMB_DIM, N_CELLS
+
+                cents = kmeans_centroids_local(
+                    e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM
+                )
+                resid = ivf_residuals(e, cents).localCheckpoint(eager=False)
+                _BOOKS[key] = (
+                    cents,
+                    pq_train_codebooks_local(
+                        resid, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, dim=EMB_DIM
+                    ),
+                )
+            kw["centroids"], kw["books"] = _BOOKS[key]
         state = tempfile.mkdtemp(prefix="bench-ingest-")
         try:
-            return composed_ingest_batch(
+            if ann:
+                kw["index_dir"] = os.path.join(state, "index")
+            out = composed_ingest_batch(
                 batch, bloom, 0, state, threshold=0.8, **kw
             ).localCheckpoint(eager=True)
+            if ann:
+                # the self-bounding maintenance cadence's last step:
+                # fold the epoch into the base (priced inside the arm)
+                from sentinela_py_spark.functions.vectors import (
+                    compact_ann_index_tree,
+                )
+
+                compact_ann_index_tree(spark, kw["index_dir"])
+            return out
         finally:
             shutil.rmtree(state, ignore_errors=True)
 
@@ -259,6 +312,7 @@ EXTRA_ARMS = {
         "screens": _composed_ingest_arm(trim_quality=False),
         "screens_trim_quality": _composed_ingest_arm(trim_quality=True),
         "screens_fuzzy": _composed_ingest_arm(trim_quality=False, fuzzy=True),
+        "screens_ann": _composed_ingest_arm(trim_quality=False, ann=True),
     }
 }
 
@@ -371,6 +425,19 @@ def main() -> None:
                 errors[f"{group}.{arm}"] = aerr
                 print(f"{group}.{arm} failed: {aerr}", file=sys.stderr)
 
+    # Longtail (r12, r11 verdict #4): one-rep cost rows for every
+    # registered query with no headline row, so every green CORRECTNESS
+    # name has a cost row in the artifact. One rep — these are cheap
+    # stable shapes whose history doesn't need min-of-3 precision.
+    from sentinela_py_spark.plans import QUERIES as _ALLQ
+
+    for name in sorted(set(_ALLQ) - set(HEADLINE)):
+        t, err = _time_df(lambda: _ALLQ[name].spark(spark, sf_dir), reps=1)
+        arm_timings.setdefault("longtail", {})[name] = t
+        if err:
+            errors[f"longtail.{name}"] = err
+            print(f"longtail.{name} failed: {err}", file=sys.stderr)
+
     # "middle" stays the cross-round-comparable name: the probe nearest
     # the run's midpoint, now drawn from the interleaved series.
     calibration["middle"] = probes[len(probes) // 2] if probes else None
@@ -395,28 +462,56 @@ def main() -> None:
     total = round(sum(timed.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # The driver records a bounded tail window of stdout (~2.6 KB); the r5
-    # line grew to ~2.7 KB and the official artifact recorded `parsed:
-    # null` (r5 judge finding #1). The emitted line must stay < 2 KB:
-    # 2dp timings, compact separators, data-first key order (value,
-    # queries, arms, calibration — commentary clips before data if a
-    # future line DOES outgrow the window), and the arm-superset caveats
-    # live in BENCH_NOTES.md at the repo root instead of the line.
+    # The driver records the last ~2000 chars of stdout (measured from
+    # the r11 record: the stored tail is exactly 2000 chars and the
+    # 1997-byte r11 line JUST fit; the r5 ~2.7 KB line was cut and
+    # recorded unparsed). The emitted line therefore stays < 1950 bytes
+    # — compact separators, 2dp timings (1dp longtail), array-packed
+    # comparable — and BENCH_FULL.json carries the complete record.
     def _r2(v):
         return None if v is None else round(v, 2)
+
+    def _r1(v):
+        return None if v is None else round(v, 1)
 
     comparable = {
         q: _r2(arm_timings.get(q, {}).get(arm))
         for q, arm in COMPARABLE_ARM.items()
         if arm_timings.get(q, {}).get(arm) is not None
     }
-    summary = {
+    # Ambient self-adjudication (r12, r11 verdict #2): the probe is a
+    # fixed reference aggregate, so the post-warmup probe level vs the
+    # box's measured IDLE floor (0.18–0.20 s across the r9–r11 clean
+    # windows — see BENCH_NOTES Calibration) IS the run's ambient
+    # multiplier. `normalized` is the probe-floor-normalized twin of
+    # `comparable` (each value ÷ ambient_factor): a loaded-box artifact
+    # now adjudicates itself instead of requiring a clean-box re-run.
+    IDLE_PROBE_FLOOR = 0.19
+    post = sorted(v for v in (*probes, calibration["last"]) if v)
+    ambient_factor = (
+        round(max(1.0, post[len(post) // 2] / IDLE_PROBE_FLOOR), 2) if post else None
+    )
+    normalized = (
+        {q: _r2(v / ambient_factor) for q, v in comparable.items()}
+        if ambient_factor
+        else {}
+    )
+    # TWO artifacts (r12). The driver records only the last ~2000 chars
+    # of stdout (measured from the r11 record — not the ~2.6 KB the r5
+    # note assumed), so the emitted LINE is a compact digest and
+    # BENCH_FULL.json at the repo root is the COMPLETE, never-shed
+    # record: verbose `comparable` + `normalized` twin objects, every
+    # arm group including the one-rep longtail, full calibration, and
+    # the machine-readable superset-arm list.
+    full_summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "queries": {k: _r2(v) for k, v in timings.items()},
+        "ambient_factor": ambient_factor,
         "comparable": comparable,
+        "normalized": normalized,
         "arms": {
             q: {a: _r2(v) for a, v in arms.items()}
             for q, arms in arm_timings.items()
@@ -430,47 +525,89 @@ def main() -> None:
             for k, v in calibration.items()
             if k != "note"
         },
+        "superset_arms": SUPERSET_ARMS,
     }
     if errors:
-        summary["errors"] = errors
-    line = json.dumps(summary, separators=(",", ":"))
-    if len(line) >= 2000:
-        # Never emit an unparseable artifact: shed arm GROUPS (cheapest
-        # first — the expensive training/build arms carry the diagnostic
-        # value) until the line fits; shed groups remain on stderr.
-        # Stable cheap groups shed first — their history already lives in
-        # prior rounds' artifacts; groups carrying THIS round's new
-        # surface pricing (r10: dsir_fast, semantic_hi, funnel, the
-        # composed-ingest pair) shed last so the artifact the judge
-        # reads still shows the new rows.
-        SHED_LAST = {
-            "q_mixture_sample",
-            "q_dedup_groups",
-            "q_sequence_packing",
-            "composed_ingest",
-        }
+        full_summary["errors"] = errors
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full_summary, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        print(f"BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+
+    # The line: `comparable` values are [raw_sec, normalized_sec] pairs
+    # (normalized = raw ÷ ambient_factor — the probe-floor twin the r11
+    # verdict asked for, array-packed for the 2000-char window; the full
+    # file carries the two verbose objects). Sub-object keys drop the
+    # uniform "q_" prefix; `queries` keys stay untouched for cross-round
+    # diffs. Calibration in-line keeps the two adjudication numbers;
+    # the probe series lives in the full file.
+    def _short(q):
+        return q[2:] if q.startswith("q_") else q
+
+    line_summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": full_summary["sf"],
+        "queries": full_summary["queries"],
+        "ambient_factor": ambient_factor,
+        "comparable": {
+            _short(q): [v, normalized.get(q)] for q, v in comparable.items()
+        },
+        "arms": {
+            q: (
+                {_short(a): _r1(v) for a, v in arms.items()}
+                if q == "longtail"
+                else {a: _r2(v) for a, v in arms.items()}
+            )
+            for q, arms in arm_timings.items()
+        },
+        "calibration": {
+            "last": _r2(calibration.get("last")),
+            "post_warmup_drift": calibration.get("post_warmup_drift"),
+        },
+    }
+    if errors:
+        line_summary["errors"] = errors
+    line = json.dumps(line_summary, separators=(",", ":"))
+    if len(line) >= 1950:
+        # Shed arm GROUPS until the line fits the window — every shed
+        # group survives verbatim in BENCH_FULL.json (and on stderr).
+        # Keep-last ranks: the longtail rows and the composed-ingest
+        # quartet (incl. this round's screens_ann) are the line's
+        # per-round pricing payload; stable registry groups shed first,
+        # cheapest first. `comparable` never sheds — it carries copies
+        # of the key arm values.
+        KEEP_RANK = {"longtail": 1, "composed_ingest": 2}
         by_cost = sorted(
-            summary["arms"],
+            line_summary["arms"],
             key=lambda q: (
-                q in SHED_LAST,
+                KEEP_RANK.get(q, 0),
                 max(
-                    (v for v in summary["arms"][q].values() if v is not None),
+                    (v for v in line_summary["arms"][q].values() if v is not None),
                     default=0.0,
                 ),
             ),
         )
         shed = []
-        while len(line) >= 2000 and by_cost:
+        while len(line) >= 1950 and by_cost:
             q = by_cost.pop(0)
             shed.append(q)
             print(
                 f"shed arm group {q}: "
-                f"{json.dumps(summary['arms'].pop(q), separators=(',', ':'))}",
+                f"{json.dumps(line_summary['arms'].pop(q), separators=(',', ':'))}",
                 file=sys.stderr,
             )
-            line = json.dumps(summary, separators=(",", ":"))
+            line = json.dumps(line_summary, separators=(",", ":"))
         if shed:
-            print(f"bench line over 2KB; shed {len(shed)} arm groups", file=sys.stderr)
+            print(
+                f"line over budget; shed {len(shed)} arm groups "
+                "(all preserved in BENCH_FULL.json)",
+                file=sys.stderr,
+            )
     print(f"bench line bytes: {len(line)}", file=sys.stderr)
     print(line)
     spark.stop()

@@ -57,3 +57,25 @@ def test_headline_names_and_arms_resolve_in_registry():
     stale_arms = [n for n in ARMS if n not in QUERIES]
     assert not stale_arms, f"arms attached to unregistered queries: {stale_arms}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate headline entries"
+
+
+def test_superset_arm_names_resolve():
+    """Every machine-readable superset row (r12) names a real registered
+    arm — a renamed arm must update the list, not orphan it."""
+    for entry in bench.SUPERSET_ARMS:
+        q, arm = entry.rsplit(".", 1)
+        assert q in ARMS and arm in ARMS[q], f"superset entry {entry} unresolved"
+
+
+def test_comparable_arm_names_resolve():
+    for q, arm in bench.COMPARABLE_ARM.items():
+        assert q in ARMS and arm in ARMS[q], f"comparable entry {q}.{arm} unresolved"
+
+
+def test_every_registered_query_gets_a_cost_row():
+    """r11 verdict #4: the longtail loop times set(QUERIES) − HEADLINE,
+    so headline ∪ longtail covers the registry — every green
+    CORRECTNESS name has a cost row in the artifact. The guard here is
+    that HEADLINE stays a subset of the registry (a renamed query must
+    not silently fall out of both groups)."""
+    assert set(bench.HEADLINE) <= set(QUERIES)
