@@ -307,7 +307,35 @@ def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = Fa
 # Arm groups OUTSIDE the registry (streaming surfaces — censusing them
 # would execute their state writes): timed exactly like registry arms,
 # reported under a group key that is not a registered query.
+def _image_ingest_screen_arm(spark, sf_dir):
+    """Prices one full-corpus epoch of the IMAGE perceptual-dedup screen
+    (r12): the dedup-image corpus (base + planted twins) through
+    `image_dedup_batch_against_corpus` — decode+dHash pass, within-batch
+    components, empty-store probe, epoch writes. Fresh state dir per rep
+    (first-attempt semantics, as the composed arms)."""
+    import shutil
+    import tempfile
+
+    from sentinela_py_spark.operators.multimodal import documents_to_dedup_images
+    from sentinela_py_spark.streaming.pipeline import (
+        image_dedup_batch_against_corpus,
+    )
+    from sentinela_py_spark.tables import ensure_min_partitions, load_table
+
+    imgs = documents_to_dedup_images(
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    )
+    state = tempfile.mkdtemp(prefix="bench-imgdedup-")
+    try:
+        return image_dedup_batch_against_corpus(imgs, 0, state).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 EXTRA_ARMS = {
+    "image_ingest": {"screen": _image_ingest_screen_arm},
     "composed_ingest": {
         "screens": _composed_ingest_arm(trim_quality=False),
         "screens_trim_quality": _composed_ingest_arm(trim_quality=True),

@@ -473,6 +473,205 @@ def dedup_batch_against_corpus(
     return accepted_out
 
 
+def image_dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+    ids_collapsed: bool = False,
+) -> DataFrame:
+    """One micro-batch of IMAGE near-dup rejection at ingest — the
+    streaming twin of `plans.mmops.q_image_neardup` (r12), with the
+    store/replay discipline of `dedup_batch_against_corpus`: a
+    LAION-style multimodal lake dedups arriving images against the
+    accepted corpus BY PERCEPTUAL HASH before any text screen runs.
+
+    1. ONE Arrow decode+dHash pass (`operators.multimodal.image_dhash`)
+       yields (dhash, pix_md5) per image; undecodable payloads pass
+       through untouched (a corrupt image is the quality screen's
+       problem, not the dedup screen's — rejecting on decode failure
+       would let a corrupted byte evade dedup AND drop good data);
+    2. EXACT copies collapse on pix_md5 (uniform key, skew-proof at any
+       copy count) and only representatives enter the band machinery;
+    3. WITHIN-batch: `hamming_band_pairs` over the representatives
+       (4×8-bit bands, Hamming ≤ ``max_hamming`` refine, doc_id-ordered
+       hot-bucket cap with the overflow audit landing at
+       ``overflow/epoch=N``) feeds `connected_components`; survivors
+       are re-elected AFTER the corpus verdicts exactly as the MinHash
+       screen does, so every reject's ``matched_doc`` is an accepted row;
+    4. CROSS-corpus: representative bands equi-join the persistent
+       signature store on (band, bsig), then verify at TRUE Hamming ≤
+       ``max_hamming``. The store is pre-aggregated to one row per
+       (band, bsig, dhash) with min(doc_id) — a template flood of
+       byte-identical or brightness-shifted copies collapses to ONE
+       stored row exactly (they share the dhash), the perceptual analog
+       of `cross_corpus_candidates`' skew-immune pre-aggregation;
+    5. survivors write (doc_id, band, bsig, dhash) to ``bands/epoch=N``
+       and their rows to ``accepted/epoch=N``; rejects land at
+       ``rejected/epoch=N`` with matched_doc + reason. Epoch-keyed
+       overwrites + the store read excluding the live epoch give the
+       same bit-for-bit replay guarantee as every other screen."""
+    from sentinela_py_spark.operators.dedup import (
+        connected_components,
+        hamming_band_pairs,
+    )
+    from sentinela_py_spark.operators.multimodal import image_dhash
+
+    spark = batch.sparkSession
+    bands_dir = os.path.join(state_dir, "bands")
+    b = _screen_input(
+        batch.withColumnRenamed(id_col, "doc_id"),
+        "doc_id",
+        F.md5(F.col(payload_col)),
+        ids_collapsed,
+    )
+    sigs = image_dhash(
+        b.select("doc_id", F.col(payload_col).alias("payload"))
+    ).localCheckpoint(eager=True)
+    decodable = sigs.filter(F.col("dhash").isNotNull())
+    # 2. exact-copy collapse on the decoded-pixel md5
+    rep_of = (
+        decodable.select("doc_id", "pix_md5")
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("pix_md5")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)
+    )
+    rep_sigs = decodable.join(
+        rep_of.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    band_ids = F.array(*[F.lit(i) for i in range(4)])
+    rep_bands = (
+        rep_sigs.select("doc_id", "dhash", F.explode(band_ids).alias("band"))
+        .withColumn("bsig", F.expr("shiftright(dhash, band * 8)").bitwiseAND(255))
+        .localCheckpoint(eager=True)
+    )
+    # 3. within-batch components over the Hamming-refined band pairs
+    pairs, overflow = hamming_band_pairs(
+        rep_sigs.select("doc_id", "dhash"),
+        "dhash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    members = connected_components(
+        rep_sigs.select("doc_id"), pairs.select("doc_a", "doc_b")
+    )
+    # 4. cross-corpus probe: band collision → true-Hamming verify
+    store = _read_band_store(spark, bands_dir, epoch_id)
+    if store is not None:
+        corpus_sigs = store.groupBy("band", "bsig", F.col("dhash").alias("c_dhash")).agg(
+            F.min("doc_id").alias("corpus_doc")
+        )
+        vs_corpus = (
+            rep_bands.join(corpus_sigs, ["band", "bsig"])
+            .filter(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("c_dhash")))
+                <= max_hamming
+            )
+            .groupBy("doc_id")
+            .agg(F.min("corpus_doc").alias("matched_doc"))
+            .withColumn("reason", F.lit("vs_corpus"))
+        )
+    else:
+        vs_corpus = None
+    alive = (
+        members.join(vs_corpus.select("doc_id"), "doc_id", "left_anti")
+        if vs_corpus is not None
+        else members
+    )
+    surv = alive.groupBy("group_id").agg(F.min("doc_id").alias("survivor"))
+    in_batch = (
+        alive.join(surv, "group_id")
+        .filter(F.col("doc_id") != F.col("survivor"))
+        .select("doc_id", F.col("survivor").alias("matched_doc"))
+        .withColumn("reason", F.lit("within_batch"))
+    )
+    rep_rejects = (
+        vs_corpus.unionByName(in_batch) if vs_corpus is not None else in_batch
+    )
+    copy_rejects = (
+        rep_of.filter(F.col("doc_id") != F.col("rep"))
+        .join(
+            rep_rejects.select(
+                F.col("doc_id").alias("rep"),
+                F.col("matched_doc").alias("rep_match"),
+                F.col("reason").alias("rep_reason"),
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("rep_match", F.col("rep")).alias("matched_doc"),
+            F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
+        )
+    )
+    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
+    if overflow is not None:
+        overflow.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        )
+    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    accepted_out = accepted.withColumnRenamed("doc_id", id_col)
+    accepted_out.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    )
+    b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
+    rep_bands.join(accepted.select("doc_id"), "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+    return accepted_out
+
+
+def run_incremental_image_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    schema=None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+):
+    """Streaming IMAGE near-dup rejection at ingest: every micro-batch
+    of (id, binary payload) rows is perceptually hashed and joined
+    against the accumulated signature index of everything already
+    accepted — batch semantics, replay safety, and state layout on
+    `image_dedup_batch_against_corpus`. The source is a PARQUET stream
+    (binary payloads don't ride JSON); state is O(corpus × 4 bands) of
+    fixed-width rows — at multimodal-lake scale the signature store is
+    a vanishing fraction of the pixels it indexes."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        image_dedup_batch_against_corpus(
+            batch,
+            epoch_id,
+            state_dir,
+            id_col,
+            payload_col,
+            max_hamming,
+            max_bucket_size,
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", 1).parquet(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "imgdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     source_path: str,
