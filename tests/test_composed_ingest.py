@@ -757,10 +757,16 @@ def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
         # Only a MISSING store maps to None (absent in both modes is a
         # legitimate equivalence outcome); any other read failure
         # (schema drift, corrupt files) must fail the test rather than
-        # letting the per-screen assertion pass vacuously (r11 ADVICE).
+        # letting the per-screen assertion pass vacuously (r11 ADVICE —
+        # the old except-Exception in fact masked exactly this: the
+        # embedding screen's `index` store keys rows by vec_id, so the
+        # old helper returned None for it in BOTH modes and the
+        # equivalence assertion never compared the vector index at all).
         if not _os.path.exists(p):
             return None
-        return sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
+        df = spark.read.parquet(p)
+        col = "doc_id" if "doc_id" in df.columns else "vec_id"
+        return sorted(r[col] for r in df.select(col).collect())
 
     for name, run, subs in (
         (
