@@ -238,6 +238,29 @@ def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def signature_bands(
+    sigs: DataFrame,
+    sig_col: str,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode an integer signature into its ``n_bands`` ``band_bits``-
+    wide LSH slices: (id, sig, *carry, band, bsig). The shared band
+    relation under `hamming_band_pairs`' self-join, the image screen's
+    persistent store, and the corpus-probe arms — one definition so the
+    banding the oracle replays is the banding every consumer runs."""
+    band_ids = F.array(*[F.lit(i) for i in range(n_bands)])
+    mask = (1 << band_bits) - 1
+    return sigs.select(
+        id_col, sig_col, *carry_cols, F.explode(band_ids).alias("band")
+    ).withColumn(
+        "bsig",
+        F.expr(f"shiftright({sig_col}, band * {band_bits})").bitwiseAND(mask),
+    )
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     sig_col: str,
@@ -274,14 +297,7 @@ def hamming_band_pairs(
     Returns ``(pairs, audit)``; pairs has (doc_a, doc_b, hamming) plus
     ``a_<c>``/``b_<c>`` for every ``carry_cols`` entry (carried through
     the join so callers don't re-join the signature frame)."""
-    band_ids = F.array(*[F.lit(i) for i in range(n_bands)])
-    mask = (1 << band_bits) - 1
-    bands = sigs.select(
-        id_col, sig_col, *carry_cols, F.explode(band_ids).alias("band")
-    ).withColumn(
-        "bsig",
-        F.expr(f"shiftright({sig_col}, band * {band_bits})").bitwiseAND(mask),
-    )
+    bands = signature_bands(sigs, sig_col, n_bands, band_bits, id_col, carry_cols)
     audit = None
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bsig")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sentinela_py_spark.operators.dedup import hamming_band_pairs
+from sentinela_py_spark.operators.dedup import hamming_band_pairs, signature_bands
 from sentinela_py_spark.operators.multimodal import (
     DHASH_COLS,
     DHASH_ROWS,
@@ -235,14 +235,22 @@ IMG_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
 IMG_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
 
 
+# Deterministic corpus/probe split for the corpus_probe arm (the same
+# md5 hex-digit device as q_minhash_pairs' split — engine-identical).
+_IMG_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
+
+
 def _image_neardup_sql() -> str:
     """DuckDB replay of the FULL image near-dup algebra: payload build
     (incl. both planted variant families) → decode-equivalent gray grid
     → 32-bit dHash → 4×8-bit banding → doc_id-ordered bucket cap →
-    band self-join → Hamming ≤ 3 refine. The gray grid reads the pixel
-    plane at the same nearest-neighbor offsets the Python decoder
-    samples, so the hash — and therefore every pair — is value-checked
-    end-to-end."""
+    band self-join → Hamming ≤ 3 refine (all_pairs arm), PLUS the
+    corpus_probe arm replaying the streaming screen's cross-corpus
+    probe: md5-split corpus half pre-aggregated to one row per (band,
+    bsig, dhash), probe half joined on the band slice and verified at
+    true Hamming. The gray grid reads the pixel plane at the same
+    nearest-neighbor offsets the Python decoder samples, so the hash —
+    and therefore every pair — is value-checked end-to-end."""
     cs = _CHARSET.replace("'", "''")
     cs1 = _CHARSET_PLUS1.replace("'", "''")
     w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
@@ -300,13 +308,30 @@ def _image_neardup_sql() -> str:
              a.dhash AS sa, b.dhash AS sb, a.pmd5 AS ma, b.pmd5 AS mb
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    img_store AS (
+      SELECT band, bsig, dhash AS c_dhash, MIN(doc_id) AS corpus_doc
+      FROM bands WHERE {_IMG_SPLIT_SQL.format(d='doc_id')}
+      GROUP BY 1, 2, 3
+    ),
+    img_probe AS (
+      SELECT b.doc_id AS doc_a, MIN(s.corpus_doc) AS doc_b,
+             CAST(MIN(bit_count(xor(b.dhash, s.c_dhash))) AS BIGINT) AS hamming
+      FROM bands b JOIN img_store s USING (band, bsig)
+      WHERE NOT ({_IMG_SPLIT_SQL.format(d='b.doc_id')})
+        AND bit_count(xor(b.dhash, s.c_dhash)) <= {IMG_NEARDUP_MAX_HAMMING}
+      GROUP BY b.doc_id
     )
-    SELECT doc_a, doc_b,
+    SELECT 'all_pairs' AS method, doc_a, doc_b,
            CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
            (ma = mb) AS exact_dup
     FROM cand
     WHERE bit_count(xor(sa, sb)) <= {IMG_NEARDUP_MAX_HAMMING}
-    ORDER BY doc_a, doc_b
+    UNION ALL
+    SELECT 'corpus_probe' AS method, doc_a, doc_b, hamming,
+           CAST(NULL AS BOOLEAN) AS exact_dup
+    FROM img_probe
+    ORDER BY method, doc_a, doc_b
     """
 
 
@@ -320,16 +345,30 @@ def _image_neardup_sql() -> str:
         "(operators.dedup.hamming_band_pairs, the SimHash machinery) with the "
         "doc_id-ordered hot-bucket cap ARMED and oracle-replayed; planted "
         "brightness-shifted twins are caught at Hamming 0 with exact_dup=false "
-        "(the invariance exact hashing cannot buy)"
+        "(the invariance exact hashing cannot buy); + corpus_probe arm — the "
+        "streaming image screen's cross-corpus probe algebra (signature store "
+        "pre-aggregated per (band, bsig, dhash), true-Hamming verify) as "
+        "oracle-checked batch algebra"
     ),
     tags=("multimodal", "dedup", "sketch", "pandas-udf"),
 )
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash — the LAION-style
     first dedup stage a multimodal lake runs before any text screen:
-    (doc_a, doc_b, hamming, exact_dup) for every image pair within
-    Hamming ≤ 3 of each other's 32-bit dHash that shares ≥ 1 of four
-    8-bit hash bands.
+    (method, doc_a, doc_b, hamming, exact_dup), two method-tagged arms.
+
+    ``all_pairs``: every image pair within Hamming ≤ 3 of each other's
+    32-bit dHash that shares ≥ 1 of four 8-bit hash bands.
+
+    ``corpus_probe`` (r12): the dedup-at-ingest probe as batch algebra —
+    the md5-split 'accepted' half acts as the persistent signature
+    store, pre-aggregated to one row per (band, bsig, dhash) exactly as
+    `streaming.pipeline.image_dedup_batch_against_corpus` builds it (a
+    template flood collapses to ONE stored row); each probe image
+    reports its minimum matched corpus doc and minimum verified Hamming.
+    The streaming tests keep covering state/replay semantics; this arm
+    value-checks the probe JOIN ALGEBRA itself, the same division of
+    labor as q_minhash_pairs' corpus_probe arm.
 
     The corpus is `documents_to_dedup_images`: one valid binary-PPM per
     document plus two planted variant families — a brightness-shifted
@@ -355,18 +394,30 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL recall at Hamming ≤ 3 absent capping (any such pair leaves one
     band untouched), and the cap never binds on the fixture corpus
     (asserted in tests/test_image_dedup.py)."""
+    sigs = _image_sigs(spark, sf_dir)
+    return (
+        _image_all_pairs(sigs)
+        .unionByName(_image_corpus_probe(sigs))
+        .orderBy("method", "doc_a", "doc_b")
+    )
+
+
+def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE decode+hash pass over the dedup-image corpus: the band
+    self-join consumes the signature frame on both sides and Catalyst
+    does not reuse the pre-window exchange across them (measured:
+    MapInPandas planned per side) — the lazy localCheckpoint is the same
+    one-materialization barrier the MinHash band table uses (the batch
+    analog of persisting the signature table a deployment would write)."""
     d = load_table(spark, sf_dir, "documents")
-    # ONE decode+hash pass: the band self-join consumes the signature
-    # frame on both sides and Catalyst does not reuse the pre-window
-    # exchange across them (measured: MapInPandas planned per side) —
-    # the lazy localCheckpoint is the same one-materialization barrier
-    # the MinHash band table uses (the batch analog of persisting the
-    # signature table a deployment would write).
-    sigs = (
+    return (
         image_dhash(documents_to_dedup_images(d))
         .filter(F.col("dhash").isNotNull())
         .localCheckpoint(eager=False)
     )
+
+
+def _image_all_pairs(sigs: DataFrame) -> DataFrame:
     pairs, _audit = hamming_band_pairs(
         sigs,
         "dhash",
@@ -375,11 +426,57 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry_cols=("pix_md5",),
     )
     return pairs.select(
+        F.lit("all_pairs").alias("method"),
         "doc_a",
         "doc_b",
         "hamming",
         (F.col("a_pix_md5") == F.col("b_pix_md5")).alias("exact_dup"),
-    ).orderBy("doc_a", "doc_b")
+    )
+
+
+def _image_corpus_probe(sigs: DataFrame) -> DataFrame:
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    bands = signature_bands(sigs.select("doc_id", "dhash"), "dhash")
+    store = (
+        bands.filter(split)
+        .groupBy("band", "bsig", F.col("dhash").alias("c_dhash"))
+        .agg(F.min("doc_id").alias("corpus_doc"))
+    )
+    hamming = F.bit_count(F.col("dhash").bitwiseXOR(F.col("c_dhash")))
+    return (
+        bands.filter(~split)
+        .join(store, ["band", "bsig"])
+        .filter(hamming <= IMG_NEARDUP_MAX_HAMMING)
+        .groupBy("doc_id")
+        .agg(
+            F.min("corpus_doc").alias("doc_b"),
+            F.min(hamming.cast("long")).alias("hamming"),
+        )
+        .select(
+            F.lit("corpus_probe").alias("method"),
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            "hamming",
+            F.lit(None).cast("boolean").alias("exact_dup"),
+        )
+    )
+
+
+def _image_all_pairs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_all_pairs(_image_sigs(spark, sf_dir))
+
+
+def _image_corpus_probe_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_corpus_probe(_image_sigs(spark, sf_dir))
+
+
+# Dedicated builders (the query carries a checkpoint — the r9
+# checkpoint-barrier rule: a method-filter arm could not prune past it).
+register_arms(
+    "q_image_neardup",
+    all_pairs=_image_all_pairs_arm,
+    corpus_probe=_image_corpus_probe_arm,
+)
 
 
 @register(

@@ -517,6 +517,7 @@ def image_dedup_batch_against_corpus(
     from sentinela_py_spark.operators.dedup import (
         connected_components,
         hamming_band_pairs,
+        signature_bands,
     )
     from sentinela_py_spark.operators.multimodal import image_dhash
 
@@ -544,12 +545,9 @@ def image_dedup_batch_against_corpus(
         "doc_id",
         "left_semi",
     )
-    band_ids = F.array(*[F.lit(i) for i in range(4)])
-    rep_bands = (
-        rep_sigs.select("doc_id", "dhash", F.explode(band_ids).alias("band"))
-        .withColumn("bsig", F.expr("shiftright(dhash, band * 8)").bitwiseAND(255))
-        .localCheckpoint(eager=True)
-    )
+    rep_bands = signature_bands(
+        rep_sigs.select("doc_id", "dhash"), "dhash"
+    ).localCheckpoint(eager=True)
     # 3. within-batch components over the Hamming-refined band pairs
     pairs, overflow = hamming_band_pairs(
         rep_sigs.select("doc_id", "dhash"),

@@ -118,14 +118,15 @@ class TestImageNeardupQuery:
             .filter(F.col("doc_id") % 16 == 0)
             .count()
         )
+        ap = [r for r in neardup_rows if r["method"] == "all_pairs"]
         bright = {
             (r["doc_a"], r["doc_b"]): r
-            for r in neardup_rows
+            for r in ap
             if BRIGHT_ID_OFFSET <= r["doc_b"] < NOISE_ID_OFFSET
         }
         planted = {
             (r["doc_a"], r["doc_a"] + BRIGHT_ID_OFFSET): None
-            for r in neardup_rows
+            for r in ap
             if r["doc_b"] == r["doc_a"] + BRIGHT_ID_OFFSET
         }
         # every planted twin is caught, exactly at hamming 0, and NOT as
@@ -136,14 +137,36 @@ class TestImageNeardupQuery:
     def test_noise_twins_within_threshold_and_distinct_images_spared(
         self, neardup_rows
     ):
-        noise = [r for r in neardup_rows if r["doc_b"] >= NOISE_ID_OFFSET]
+        ap = [r for r in neardup_rows if r["method"] == "all_pairs"]
+        noise = [r for r in ap if r["doc_b"] >= NOISE_ID_OFFSET]
         assert noise, "no noise twins caught at all"
         assert all(r["hamming"] <= 3 for r in noise)
         # distinct images: base-base pairs are the spurious tail — a
         # handful of genuinely-near hashes at most, nowhere near the
         # ~500-image quadratic blowup an unbanded join would emit
-        base_pairs = [r for r in neardup_rows if r["doc_b"] < BRIGHT_ID_OFFSET]
+        base_pairs = [r for r in ap if r["doc_b"] < BRIGHT_ID_OFFSET]
         assert len(base_pairs) < 10
+
+    def test_corpus_probe_arm_matches_probe_twins_to_corpus(self, neardup_rows):
+        """The corpus_probe arm (r12) — the streaming screen's probe
+        algebra as oracle-checked batch rows: every probe-side
+        brightness twin whose BASE landed in the corpus half reports a
+        Hamming-0 match, and every reported match is a corpus-half doc
+        at Hamming ≤ 3."""
+        probe = {
+            r["doc_a"]: r for r in neardup_rows if r["method"] == "corpus_probe"
+        }
+        assert probe, "corpus_probe arm returned no rows"
+        split = lambda i: hashlib.md5(str(i).encode()).hexdigest()[0] < "8"  # noqa: E731
+        assert all(not split(a) for a in probe)  # probes are probe-half
+        assert all(split(r["doc_b"]) for r in probe.values())  # matches are corpus-half
+        assert all(r["hamming"] <= 3 for r in probe.values())
+        twins = [
+            r
+            for a, r in probe.items()
+            if BRIGHT_ID_OFFSET <= a < NOISE_ID_OFFSET and split(a - BRIGHT_ID_OFFSET)
+        ]
+        assert twins and all(r["hamming"] == 0 for r in twins)
 
     def test_exact_duplicate_images_flagged(self, spark):
         # two docs with IDENTICAL text and ids congruent mod 24 (same
