@@ -1536,14 +1536,18 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _qr_model_weights(spark, sf_dir)
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    x = _qr_model_cols(_qr_features(d))
+    # ONE bigram explode+shuffle serves the Gopher repetition aggregate
+    # AND the word-LM chain (r12 — the oracle's single qr_bg CTE,
+    # mirrored; the checkpoint is the multi-consumer barrier)
+    bg = _qr_bigram_counts(d).localCheckpoint(eager=False)
+    x = _qr_model_cols(_qr_features(d, bg=bg))
     scored = (
         x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6))
         .join(d.select("doc_id", "lang"), "doc_id")
         # word-LM score (r12): left join — a one-token doc has no word
         # bigrams and carries a NULL score into the 'tail' bucket, the
         # same NULL discipline as the <2-char char-LM docs
-        .join(_qr_wordlm(d), "doc_id", "left")
+        .join(_qr_wordlm(d, bg=bg), "doc_id", "left")
     )
     # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS broadcast
     # back, bucket assigned MAP-SIDE by comparison. This is CCNet's
@@ -1787,7 +1791,11 @@ def qr_score_frozen(
     from sentinela_py_spark.functions.linear_model import linear_score
     from sentinela_py_spark.functions.text_stats import quality_score
 
-    x = _qr_model_cols(_qr_features(d, lm=lm))
+    # one bigram explode serves the repetition feature and (when the
+    # model carries word artifacts) the word-LM scoring join — the same
+    # fold the registered query runs (r12)
+    bg0 = _qr_bigram_counts(d).localCheckpoint(eager=False)
+    x = _qr_model_cols(_qr_features(d, lm=lm, bg=bg0))
     svm = F.round(linear_score(_QR_FEATS, [float(w) for w in model["weights"]]), 6)
     scored = x.join(d, "doc_id").select(
         "doc_id",
@@ -1802,14 +1810,7 @@ def qr_score_frozen(
     # unknown → round(ln(1/v), 6).
     if model.get("wv"):
         wv = int(model["wv"])
-        bg = (
-            d.select(
-                "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
-            )
-            .groupBy("doc_id", "bigram")
-            .agg(F.count("*").alias("n_b"))
-            .withColumn("ctx", F.substring_index("bigram", " ", 1))
-        )
+        bg = bg0.withColumn("ctx", F.substring_index("bigram", " ", 1))
         unseen_known_ctx = (
             F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + wv)) * 1000000, 0)
         ).cast("long")
@@ -1841,15 +1842,20 @@ def qr_score_frozen(
     )
 
 
-def _qr_features(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
+def _qr_features(
+    d: DataFrame, lm: DataFrame | None = None, bg: DataFrame | None = None
+) -> DataFrame:
     """The rule/feature frame (one row per doc, the pre-r7 query output):
     unigram + bigram + char-LM arms joined on doc_id. ``lm`` overrides
     the corpus-trained char-LM scores with an externally provided
     (doc_id, char_lm_logprob) frame — the FROZEN-model ingest path
     (`qr_score_frozen`) scores new docs under the offline model instead
-    of retraining on every batch."""
+    of retraining on every batch. ``bg`` supplies a prebuilt (doc_id,
+    bigram, n_b) count frame (r12: callers that also run the word-LM
+    share ONE bigram explode+shuffle across both consumers, exactly as
+    the oracle's single qr_bg CTE does)."""
     uni = _qr_unigram(d)
-    bi = _qr_bigram(d)
+    bi = _qr_bigram(d, bg=bg)
     lm = _qr_charlm(d) if lm is None else lm
 
     top_bf = F.coalesce(F.col("top_bf"), F.lit(0)).cast("double")
@@ -1986,19 +1992,28 @@ def _qr_unigram(d: DataFrame) -> DataFrame:
     )
 
 
-def _qr_bigram(d: DataFrame) -> DataFrame:
-    """Bigram arm of q_quality_rules: top word-bigram frequency per doc
-    (Gopher top-2-gram repetition rule input)."""
+def _qr_bigram_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, bigram, n_b): the per-doc word-bigram count frame — the
+    Spark twin of the oracle's qr_bg CTE, shared (r12) by the Gopher
+    repetition aggregate and the word-LM model/scoring chain."""
     bigrams = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
     )
-    bg = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_b"))
+    return bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_b"))
+
+
+def _qr_bigram(d: DataFrame, bg: DataFrame | None = None) -> DataFrame:
+    """Bigram arm of q_quality_rules: top word-bigram frequency per doc
+    (Gopher top-2-gram repetition rule input). ``bg`` reuses a prebuilt
+    count frame (see `_qr_features`)."""
+    if bg is None:
+        bg = _qr_bigram_counts(d)
     return bg.groupBy("doc_id").agg(
         F.max("n_b").alias("top_bf"), F.sum("n_b").alias("n_bigrams")
     )
 
 
-def _qr_wordlm(d: DataFrame) -> DataFrame:
+def _qr_wordlm(d: DataFrame, bg: DataFrame | None = None) -> DataFrame:
     """WORD-bigram LM arm of q_quality_rules (r12, r11 verdict #5):
     CCNet's actual perplexity scorer is a word-level LM (Wenzek et al.
     2020 train a 5-gram KenLM); until r12 the quality family scored
@@ -2025,20 +2040,15 @@ def _qr_wordlm(d: DataFrame) -> DataFrame:
     is where cross-engine ties live (measured at sf0.01: a doc mean of
     exactly −4.0773125 rounded −4.077313 under Spark's BigDecimal
     half-up but −4.077312 under DuckDB's double round)."""
-    bigrams = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("bigram")
-    )
-    # lazy checkpoint: the per-doc bigram counts feed BOTH the model
-    # build and the scoring join — unlike the char path (where
+    # lazy checkpoint: the per-doc bigram counts feed the model build,
+    # the scoring join, AND (when the caller shares the frame — r12) the
+    # Gopher repetition aggregate — unlike the char path (where
     # re-running a map-only ASCII explode beat materializing it), this
-    # is a SHUFFLED aggregate consumed twice, and the A/B at sf0.1 reads
-    # equal-to-better checkpointed (2.5 s → 1.5-2.5 s) while halving the
-    # explode+shuffle work a 100 TB corpus would re-pay
-    bg = (
-        bigrams.groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("n_b"))
-        .localCheckpoint(eager=False)
-    )
+    # is a SHUFFLED aggregate with multiple consumers, and the A/B at
+    # sf0.1 reads equal-to-better checkpointed (2.5 s → 1.5-2.5 s) while
+    # folding the explode+shuffle work a 100 TB corpus would re-pay
+    if bg is None:
+        bg = _qr_bigram_counts(d).localCheckpoint(eager=False)
     wmodel = (
         bg.groupBy("bigram")
         .agg(F.sum("n_b").alias("cnt"))
