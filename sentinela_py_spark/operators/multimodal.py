@@ -494,21 +494,32 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# Perceptual-hash image dedup (r12): dHash over decoded PPMs — the
-# multimodal member of the dedup family (a LAION-style pipeline dedups
-# images by perceptual hash before any text stage). The pieces compose
-# what already exists: decode_ppm → nearest-neighbor downsample (the
-# resize_image index map) → 32-bit difference hash → the SimHash
-# Hamming-band machinery (operators.dedup.hamming_band_pairs).
+# Perceptual-hash image dedup (r12; widened r13): dHash over decoded
+# PPMs — the multimodal member of the dedup family (a LAION-style
+# pipeline dedups images by perceptual hash before any text stage). The
+# pieces compose what already exists: decode_ppm → nearest-neighbor
+# downsample (the resize_image index map) → 64-bit difference hash →
+# the shared Hamming-band machinery (operators.dedup.hamming_band_pairs).
 # ---------------------------------------------------------------------------
 
-# dHash grid: 9 gray columns × 4 rows → 8 horizontal differences per row
-# → 32 bits, matching the SimHash width so the banded join reuses the
-# same 4 × 8-bit slicing (full pigeonhole recall at Hamming ≤ 3).
-DHASH_COLS, DHASH_ROWS = 9, 4
+# dHash grid: 9 gray columns × 8 rows → 8 horizontal differences per row
+# → 64 bits — the STANDARD dHash geometry (r13, r12 verdict #1: the
+# earlier 9×4/32-bit grid banded into a constant 4 × 256 = 1,024-key
+# space, a recall killer at 10⁹ images). Bit 63 can be set, so the
+# signature is carried as a SIGNED two's-complement int64 on both
+# engines (Spark LongType / DuckDB BIGINT); band slicing masks after an
+# arithmetic shift, which reads the same bit pattern either way.
+DHASH_COLS, DHASH_ROWS = 9, 8
+
+# Deployment band geometry for the 64-bit hash: 4 bands × 16 bits tile
+# the signature exactly (full pigeonhole recall at Hamming ≤ 3) and give
+# 65,536 values per band — see operators.dedup.plan_hamming_config for
+# the occupancy math that picks this point (and says when a wider hash
+# is needed instead).
+DHASH_BANDS, DHASH_BAND_BITS = 4, 16
 
 # Dedup-image corpus dims: ≥ 16 px wide/tall so every one of the 9 grid
-# columns (and 4 rows) maps to a DISTINCT source pixel — a narrower
+# columns (and 8 rows) maps to a DISTINCT source pixel — a narrower
 # image duplicates grid columns, zeroing difference bits structurally
 # and collapsing many images onto near-identical hashes (the degenerate
 # hot-band case the cap otherwise has to absorb).
@@ -535,7 +546,11 @@ def documents_to_dedup_images(documents: DataFrame) -> DataFrame:
     cycled), plus the two planted variant families above — the variant
     keeps its BASE doc's dimensions (it is "the same image, re-encoded")
     under a shifted doc_id. All JVM-side (translate/rpad/format_string —
-    codegen'd, no UDF at ingest)."""
+    codegen'd, no UDF at ingest). Empty-text docs are filtered up front
+    (r13, ADVICE): an empty pixel source can't seed an rpad cycle —
+    Spark would emit a header-only payload that fails decode while
+    DuckDB's rpad('', n, '') ERRORS outright, so the guard is mirrored
+    in the oracle's imgsrc CTE."""
 
     def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
         w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
@@ -550,6 +565,7 @@ def documents_to_dedup_images(documents: DataFrame) -> DataFrame:
             F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
         )
 
+    documents = documents.filter(F.length("text") > 0)
     base = documents.withColumn("__t", F.col("text"))
     bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
         "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
@@ -573,14 +589,19 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def dhash32_of(payload: bytes) -> tuple[int, str]:
-    """(32-bit dHash, md5 of the pixel plane) of one binary-PPM payload.
+def dhash64_of(payload: bytes) -> tuple[int, str]:
+    """(64-bit dHash, md5 of the pixel plane) of one binary-PPM payload.
     Decode → nearest-neighbor downsample to a DHASH_COLS × DHASH_ROWS
     gray grid (gray = the integer sum of the 3 channel bytes — no
     division, so the value is exact on any engine) → bit y*8+x set iff
     gray[y][x] < gray[y][x+1]. Gradient SIGNS survive any monotone
     global intensity shift, which is what makes the hash perceptual:
-    re-encodes and brightness moves hash identically, unlike md5."""
+    re-encodes and brightness moves hash identically, unlike md5.
+
+    Returned as SIGNED int64 (bit 63 wraps two's-complement) so the
+    value round-trips a Spark LongType / DuckDB BIGINT bit-for-bit;
+    Hamming distance and band slicing read the bit pattern, for which
+    the sign is irrelevant."""
     import numpy as np
 
     w, h, _maxval, pix = decode_ppm(payload)
@@ -596,11 +617,13 @@ def dhash32_of(payload: bytes) -> tuple[int, str]:
         for x in range(DHASH_COLS - 1):
             if grays[x] < grays[x + 1]:
                 bits |= 1 << (y * 8 + x)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
     return bits, hashlib.md5(pix).hexdigest()
 
 
 def image_dhash(images: DataFrame) -> DataFrame:
-    """(doc_id, dhash, pix_md5) via `dhash32_of` inside Arrow
+    """(doc_id, dhash, pix_md5) via `dhash64_of` inside Arrow
     `mapInPandas` — the decode+hash hot path, one pass per payload (the
     exact-dup md5 rides the same decode so callers never re-enter
     Python). Undecodable payloads yield NULL rows — filter them before
@@ -612,7 +635,7 @@ def image_dhash(images: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    bits, md5 = dhash32_of(bytes(payload))
+                    bits, md5 = dhash64_of(bytes(payload))
                 except (ValueError, TypeError):
                     out["dhash"].append(None)
                     out["pix_md5"].append(None)

@@ -143,8 +143,21 @@ def _simhash_pairs(d: DataFrame) -> DataFrame:
     distance, cast long to union with the band counts). The band/refine
     machinery is the shared `operators.dedup.hamming_band_pairs` (r12 —
     the image perceptual-hash dedup in plans/mmops.py rides the same
-    helper, with the hot-bucket cap armed there)."""
-    pairs, _audit = hamming_band_pairs(simhash32(d), "simhash", max_hamming=1)
+    helper, with the hot-bucket cap armed there).
+
+    Geometry (r13 adjudication, per the r12 verdict): SimHash STAYS
+    32-bit with 4×8-bit bands, passed explicitly. The signature width
+    here is the vote-vector width of `simhash32` (32 weighted token-hash
+    votes), the arm targets Hamming ≤ 1 where 4 bands give a 4×
+    pigeonhole margin, and the text family's scale path is MinHash-LSH
+    (band count grows with the shingle signature), not SimHash — so
+    widening to 64 would double the per-doc vote aggregate for no
+    registered-query benefit. The 64-bit deployment geometry (4×16)
+    lives with its consumer, the image dHash family
+    (`operators.multimodal.DHASH_BANDS/DHASH_BAND_BITS`)."""
+    pairs, _audit = hamming_band_pairs(
+        simhash32(d), "simhash", max_hamming=1, n_bands=4, band_bits=8
+    )
     return pairs.select(
         F.lit("simhash").alias("method"),
         "doc_a",

