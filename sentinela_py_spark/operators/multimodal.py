@@ -694,3 +694,154 @@ def resample_audio(payload: bytes, factor: int) -> bytes:
                           new_rate * block, block, bits)
     header += b"data" + struct.pack("<I", len(kept))
     return header + kept
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (r13, r12 verdict #4): the audio member of
+# the dedup family — a chromaprint-shaped frame-energy fingerprint over
+# decode_wav, feeding the same Hamming-band machinery as dHash/SimHash.
+# ---------------------------------------------------------------------------
+
+# 65 time frames → 64 energy-delta sign bits: the temporal analog of
+# dHash's 9-column rows (one extra frame so every bit is a DIFFERENCE).
+# Bit f compares frame means by CROSS-MULTIPLICATION —
+# e[f]·len[f+1] < e[f+1]·len[f] — integer-exact on any engine AND
+# exactly invariant under a uniform +k gain shift (the +k·len terms
+# cancel), the invariance a perceptual audio fingerprint buys over
+# hashing the container bytes. Bit 63 wraps two's-complement exactly as
+# dhash64_of does, and the 4×16-bit deployment band geometry is shared
+# (plan_hamming_config(n, 64, max_hamming=3) picks it for both).
+AFP_FRAMES = 65
+AFP_MIN_SAMPLES = 2 * AFP_FRAMES  # every frame carries >= 2 samples
+
+# Planted variant families (deterministic, engine-replayable), the audio
+# mirror of the image corpus: every 16th doc gets a RE-ENCODED twin
+# (same samples at a different sample rate — container bytes differ,
+# sample bytes identical: Hamming 0 AND exact_dup), every 16th-plus-one
+# a GAIN twin (every sample +1 via the ASCII charset translate —
+# fingerprint-identical by the cross-multiplication invariance, sample
+# md5 different: Hamming 0, NOT exact_dup), every 16th-plus-two a sparse
+# NOISE twin (vowels +1 — flips only the sign bits whose frame-mean
+# ordering a few changed samples can tip).
+AFP_RATE_ID_OFFSET = 1_000_000_000
+AFP_GAIN_ID_OFFSET = 2_000_000_000
+AFP_NOISE_ID_OFFSET = 3_000_000_000
+
+
+def documents_to_dedup_wavs(documents: DataFrame) -> DataFrame:
+    """The audio-dedup corpus: one valid 8-bit mono RIFF/WAVE per
+    document long enough to carry the 65-frame fingerprint (the text
+    bytes are the sample data — no cycling, unlike the image corpus),
+    plus the three planted variant families above, each keeping its BASE
+    doc's samples under a shifted doc_id. All JVM-side (translate +
+    the `_le_bin` codegen'd header algebra — no UDF at ingest). Docs
+    shorter than AFP_MIN_SAMPLES are filtered on BOTH engines: a clip
+    below the fingerprint's resolution has no stable signature."""
+    documents = documents.filter(F.length("text") >= AFP_MIN_SAMPLES)
+
+    def build(d: DataFrame, id_shift: int = 0, rate_shift: int = 0) -> DataFrame:
+        data = F.encode(F.col("__t"), "UTF-8")
+        data_len = F.octet_length(data).cast("long")
+        rate = ((F.col("doc_id") + rate_shift) % 3 + 1).cast("long") * 8000
+        header = F.concat(
+            F.lit(b"RIFF"),
+            _le_bin(data_len + 36, 4),
+            F.lit(b"WAVEfmt "),
+            _le_bin(F.lit(16), 4),
+            _le_bin(F.lit(1), 2),
+            _le_bin(F.lit(1), 2),
+            _le_bin(rate, 4),
+            _le_bin(rate, 4),
+            _le_bin(F.lit(1), 2),
+            _le_bin(F.lit(8), 2),
+            F.lit(b"data"),
+            _le_bin(data_len, 4),
+        )
+        return d.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.concat(header, data).alias("payload"),
+        )
+
+    base = documents.withColumn("__t", F.col("text"))
+    rate = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
+        "__t", F.col("text")
+    )
+    gain = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
+        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    )
+    noise = documents.filter(F.col("doc_id") % 16 == 2).withColumn(
+        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
+    )
+    return (
+        build(base)
+        .unionByName(build(rate, AFP_RATE_ID_OFFSET, rate_shift=1))
+        .unionByName(build(gain, AFP_GAIN_ID_OFFSET))
+        .unionByName(build(noise, AFP_NOISE_ID_OFFSET))
+    )
+
+
+AFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("afp", LongType()),
+        StructField("data_md5", StringType()),
+    ]
+)
+
+
+def afp64_of(payload: bytes) -> tuple[int, str]:
+    """(64-bit audio fingerprint, md5 of the sample bytes) of one
+    RIFF/WAVE payload: decode_wav chunk walk → 65 integer frame
+    energies over nearest-neighbor frame bounds (f·n//65, matching the
+    dHash grid arithmetic) → bit f set iff frame f's MEAN is below
+    frame f+1's, compared by cross-multiplication so the value is exact
+    integer algebra (no division) and a uniform gain shift cancels.
+    Returned as SIGNED int64 (bit 63 wraps) like `dhash64_of`."""
+    import numpy as np
+
+    _rate, channels, bits, data = decode_wav(payload)
+    if channels != 1 or bits != 8:
+        raise ValueError("audio fingerprint expects 8-bit mono PCM")
+    n = len(data)
+    if n < AFP_MIN_SAMPLES:
+        raise ValueError(f"clip too short for {AFP_FRAMES} frames: {n} samples")
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    bounds = [f * n // AFP_FRAMES for f in range(AFP_FRAMES + 1)]
+    energy = [int(arr[bounds[f] : bounds[f + 1]].sum()) for f in range(AFP_FRAMES)]
+    flen = [bounds[f + 1] - bounds[f] for f in range(AFP_FRAMES)]
+    sig = 0
+    for f in range(AFP_FRAMES - 1):
+        if energy[f] * flen[f + 1] < energy[f + 1] * flen[f]:
+            sig |= 1 << f
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig, hashlib.md5(data).hexdigest()
+
+
+def audio_fingerprint(wavs: DataFrame) -> DataFrame:
+    """(doc_id, afp, data_md5) via `afp64_of` inside Arrow
+    `mapInPandas` — one decode+fingerprint pass per payload, the audio
+    twin of `image_dhash` (the exact-dup md5 rides the same decode).
+    Undecodable or too-short payloads yield NULL rows — filter before
+    banding, as a corpus scan must."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "afp": [], "data_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    sig, md5 = afp64_of(bytes(payload))
+                except (ValueError, TypeError):
+                    out["afp"].append(None)
+                    out["data_md5"].append(None)
+                    continue
+                out["afp"].append(sig)
+                out["data_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(wavs.select("doc_id", "payload")).mapInPandas(
+        compute, AFP_SCHEMA
+    )

@@ -22,10 +22,17 @@ from pyspark.sql import functions as F
 
 from sentinela_py_spark.operators.dedup import hamming_band_pairs, signature_bands
 from sentinela_py_spark.operators.multimodal import (
+    AFP_FRAMES,
+    AFP_GAIN_ID_OFFSET,
+    AFP_MIN_SAMPLES,
+    AFP_NOISE_ID_OFFSET,
+    AFP_RATE_ID_OFFSET,
     DHASH_BAND_BITS,
     DHASH_BANDS,
     DHASH_COLS,
     DHASH_ROWS,
+    audio_fingerprint,
+    documents_to_dedup_wavs,
     FRAME_LEN,
     FRAME_STRIDE,
     IMG_DEDUP_H_MOD,
@@ -546,3 +553,163 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload_bytes/(frame_len*stride) regardless of partitioning."""
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_to_media(d)).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (r13, r12 verdict #4): the audio member of
+# the dedup family — chromaprint-shaped frame-energy sign bits over
+# decode_wav + the shared Hamming-band LSH join at the 64-bit
+# deployment geometry (4×16 bands, plan_hamming_config's point).
+# ---------------------------------------------------------------------------
+
+AUD_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
+AUD_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
+
+
+def _audio_neardup_sql() -> str:
+    """DuckDB replay of the FULL audio near-dup algebra: sample build
+    (the text bytes ARE the PCM data — incl. all three planted variant
+    families and the length gate) → 65 nearest-neighbor frame bounds →
+    integer frame energies (char-split + ascii sum) → cross-multiplied
+    mean-comparison sign bits (bit 63 as the two's-complement constant,
+    matching `afp64_of`'s signed wrap) → 4×16-bit banding →
+    doc_id-ordered bucket cap → band self-join → Hamming ≤ 3 refine.
+    The Spark side genuinely parses the RIFF containers it built
+    (decode_wav chunk walk inside Arrow mapInPandas); the oracle goes
+    straight to the sample bytes — if the decoder mangled one byte, the
+    fingerprints (and this oracle) would diverge."""
+    cs = _CHARSET.replace("'", "''")
+    cs1 = _CHARSET_PLUS1.replace("'", "''")
+    nf = AFP_FRAMES
+    gate = f"length(text) >= {AFP_MIN_SAMPLES}"
+    bitval = (
+        "CASE WHEN a.f = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE (CAST(1 AS BIGINT) << a.f) END"
+    )
+    return f"""
+    WITH wavsrc AS (
+      SELECT doc_id AS bid, text AS t, 0 AS shift FROM documents WHERE {gate}
+      UNION ALL
+      SELECT doc_id, text, {AFP_RATE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 0 AND {gate}
+      UNION ALL
+      SELECT doc_id, translate(text, '{cs}', '{cs1}'), {AFP_GAIN_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 1 AND {gate}
+      UNION ALL
+      SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {AFP_NOISE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 2 AND {gate}
+    ),
+    wavs AS (
+      SELECT bid + shift AS doc_id, t, length(t) AS n, md5(t) AS dmd5
+      FROM wavsrc
+    ),
+    frames AS (
+      SELECT doc_id, f,
+             ((f + 1) * n) // {nf} - (f * n) // {nf} AS flen,
+             CAST(list_sum(list_transform(
+               string_split(substr(t, (f * n) // {nf} + 1,
+                                   ((f + 1) * n) // {nf} - (f * n) // {nf}), ''),
+               x -> ascii(x))) AS BIGINT) AS fe
+      FROM wavs CROSS JOIN (SELECT UNNEST(range({nf})) AS f)
+    ),
+    sigs AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.fe * b.flen < b.fe * a.flen
+                           THEN {bitval} ELSE 0 END) AS BIGINT) AS afp
+      FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      GROUP BY a.doc_id
+    ),
+    sh AS (
+      SELECT s.doc_id, s.afp, w.dmd5 FROM sigs s JOIN wavs w USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, afp, dmd5, band,
+             (afp >> (band * {DHASH_BAND_BITS})) & {(1 << DHASH_BAND_BITS) - 1} AS bsig
+      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
+    ),
+    capped AS (
+      SELECT doc_id, afp, dmd5, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {AUD_NEARDUP_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.afp AS sa, b.afp AS sb, a.dmd5 AS ma, b.dmd5 AS mb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+           (ma = mb) AS exact_dup
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {AUD_NEARDUP_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q_audio_neardup",
+    oracle=_audio_neardup_sql(),
+    survey_ref=(
+        "multimodal dedup (r13, r12 verdict #4): audio fingerprint near-dup — "
+        "decode_wav chunk walk → 65 integer frame energies → 64 cross-"
+        "multiplied mean-comparison sign bits (chromaprint shape, gain-shift "
+        "invariant by construction, Arrow mapInPandas) → the shared "
+        "Hamming-band LSH self-join at the 4×16-bit deployment geometry with "
+        "the doc_id-ordered hot-bucket cap armed and oracle-replayed; planted "
+        "re-encoded twins (same PCM, new sample rate) land at Hamming 0 with "
+        "exact_dup=true, gain-shifted twins at Hamming 0 with exact_dup=false "
+        "— the container/sample/perceptual separation an audio dedup stage "
+        "must make"
+    ),
+    tags=("multimodal", "dedup", "sketch", "pandas-udf"),
+)
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by frame-energy fingerprint — the
+    audio member of the dedup family (text hash / MinHash / SimHash /
+    substring / semantic / embedding / image / now audio): (doc_a,
+    doc_b, hamming, exact_dup) for every clip pair within Hamming ≤ 3
+    of each other's 64-bit fingerprint sharing ≥ 1 of four 16-bit
+    bands.
+
+    The corpus is `documents_to_dedup_wavs`: one valid 8-bit mono
+    RIFF/WAVE per long-enough document plus three planted families —
+    a RE-ENCODED twin per 16th doc (same samples, different sample
+    rate: Hamming 0, exact_dup = true — the container-level dup a
+    byte hash of the file would MISS), a GAIN twin per 16th-plus-one
+    (every sample +1: fingerprint identical by the cross-multiplication
+    invariance, Hamming 0, exact_dup = false), and a sparse NOISE twin
+    per 16th-plus-two (caught while its flipped sign bits stay ≤ 3).
+    `exact_dup` compares decoded SAMPLE md5s carried through the band
+    join — container bytes never enter the verdict.
+
+    Scale shape (100 TB): decode + fingerprint is ONE Arrow
+    `mapInPandas` pass (per-task memory bounded by the Arrow batch —
+    swap a real codec into `afp64_of` unchanged); candidates come from
+    the banded inverted-index self-join at the `plan_hamming_config`
+    geometry (65,536 values per band — work scales with true
+    fingerprint collisions, never |clips|²); hot (band, bsig) buckets
+    cap at 64 with the truncation audit, doc_id-ordered so the SQL
+    oracle replays the cap exactly. Pigeonhole: 4 bands give FULL
+    recall at Hamming ≤ 3 absent capping."""
+    sigs = (
+        audio_fingerprint(documents_to_dedup_wavs(load_table(spark, sf_dir, "documents")))
+        .filter(F.col("afp").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs, _audit = hamming_band_pairs(
+        sigs,
+        "afp",
+        max_hamming=AUD_NEARDUP_MAX_HAMMING,
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
+        max_bucket_size=AUD_NEARDUP_BUCKET_CAP,
+        carry_cols=("data_md5",),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("a_data_md5") == F.col("b_data_md5")).alias("exact_dup"),
+    ).orderBy("doc_a", "doc_b")

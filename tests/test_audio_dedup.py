@@ -1,0 +1,187 @@
+"""Audio fingerprint near-dup dedup (r13, r12 verdict #4).
+
+Pins, per the verdict's done-criteria: planted re-encoded twins (same
+PCM at a new sample rate) are CAUGHT at Hamming 0 with exact_dup=true,
+planted gain-shifted twins at Hamming 0 with exact_dup=false (the
+container / sample / perceptual separation), sparse noise twins stay
+within the Hamming ≤ 3 threshold, and distinct clips are NOT paired.
+Plus the algebraic property the fingerprint's recall rests on: the
+cross-multiplied frame-mean comparison is EXACTLY invariant under a
+uniform additive gain shift (no float, no division — the +k·len terms
+cancel), which is what lets the oracle replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.multimodal import (
+    AFP_GAIN_ID_OFFSET,
+    AFP_MIN_SAMPLES,
+    AFP_NOISE_ID_OFFSET,
+    AFP_RATE_ID_OFFSET,
+    afp64_of,
+    audio_fingerprint,
+    documents_to_dedup_wavs,
+)
+from sentinela_py_spark.plans import QUERIES
+from sentinela_py_spark.plans.registry import _ensure_loaded
+
+_ensure_loaded()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wav(data: bytes, rate: int = 8000, channels: int = 1, bits: int = 8) -> bytes:
+    block = channels * (bits // 8)
+    header = b"RIFF" + struct.pack("<I", len(data) + 36) + b"WAVEfmt "
+    header += struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits
+    )
+    return header + b"data" + struct.pack("<I", len(data)) + data
+
+
+BODY = (b"the quick brown fox jumps over the lazy dog while spark shuffles " * 4)[
+    :200
+]
+
+
+@pytest.fixture(scope="module")
+def neardup_rows(spark):
+    return QUERIES["q_audio_neardup"].spark(spark, SF).collect()
+
+
+class TestAfpProperties:
+    def test_gain_shift_preserves_fingerprint_not_md5(self):
+        # +1 on every sample: every frame energy rises by exactly its
+        # frame length, so e[f]*l[f+1] < e[f+1]*l[f] is unchanged term
+        # for term — Hamming 0 guaranteed, not just likely
+        base = _wav(BODY)
+        shifted = _wav(bytes(b + 1 for b in BODY))
+        h0, m0 = afp64_of(base)
+        h1, m1 = afp64_of(shifted)
+        assert h0 == h1
+        assert m0 != m1
+
+    def test_reencode_preserves_fingerprint_and_md5(self):
+        # same PCM at a different rate: container bytes differ, sample
+        # bytes identical — the dup class a file-level byte hash MISSES
+        h0, m0 = afp64_of(_wav(BODY, rate=8000))
+        h1, m1 = afp64_of(_wav(BODY, rate=16000))
+        assert (h0, m0) == (h1, m1)
+
+    def test_different_clips_fingerprint_differently(self):
+        other = (b"zebra yak xerus wombat vole urchin tapir skink rhea " * 4)[:200]
+        assert afp64_of(_wav(BODY))[0] != afp64_of(_wav(other))[0]
+
+    def test_fingerprint_is_64_bit_signed(self):
+        h, _ = afp64_of(_wav(BODY))
+        assert -(1 << 63) <= h < 1 << 63
+
+    def test_too_short_and_non_mono8_raise(self):
+        with pytest.raises(ValueError, match="too short"):
+            afp64_of(_wav(BODY[: AFP_MIN_SAMPLES - 1]))
+        with pytest.raises(ValueError, match="8-bit mono"):
+            afp64_of(_wav(BODY, channels=2))
+        with pytest.raises(ValueError, match="8-bit mono"):
+            afp64_of(_wav(BODY * 2, bits=16))
+
+    def test_corrupt_payload_yields_null_row(self, spark):
+        wavs = spark.createDataFrame(
+            [(1, bytearray(_wav(BODY))), (2, bytearray(b"NOT A WAV"))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(wavs).collect()}
+        assert got[1] is not None and got[2] is None
+
+
+class TestAudioNeardupQuery:
+    def _eligible(self, spark, residue):
+        return (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(
+                (F.col("doc_id") % 16 == residue)
+                & (F.length("text") >= AFP_MIN_SAMPLES)
+            )
+            .count()
+        )
+
+    def test_every_reencoded_twin_caught_as_exact_dup_at_hamming_zero(
+        self, spark, neardup_rows
+    ):
+        rate = [
+            r
+            for r in neardup_rows
+            if AFP_RATE_ID_OFFSET <= r["doc_b"] < AFP_GAIN_ID_OFFSET
+        ]
+        planted = {
+            r["doc_a"] for r in rate if r["doc_b"] == r["doc_a"] + AFP_RATE_ID_OFFSET
+        }
+        assert len(planted) == self._eligible(spark, 0) == len(rate)
+        assert all(r["hamming"] == 0 and r["exact_dup"] for r in rate)
+
+    def test_every_gain_twin_caught_at_hamming_zero_not_exact(
+        self, spark, neardup_rows
+    ):
+        gain = [
+            r
+            for r in neardup_rows
+            if AFP_GAIN_ID_OFFSET <= r["doc_b"] < AFP_NOISE_ID_OFFSET
+        ]
+        planted = {
+            r["doc_a"] for r in gain if r["doc_b"] == r["doc_a"] + AFP_GAIN_ID_OFFSET
+        }
+        assert len(planted) == self._eligible(spark, 1) == len(gain)
+        assert all(r["hamming"] == 0 and not r["exact_dup"] for r in gain)
+
+    def test_noise_twins_within_threshold_and_distinct_clips_spared(
+        self, neardup_rows
+    ):
+        noise = [r for r in neardup_rows if r["doc_b"] >= AFP_NOISE_ID_OFFSET]
+        assert noise, "no noise twins caught at all"
+        assert all(r["hamming"] <= 3 for r in noise)
+        # distinct clips: base-base pairs are the spurious tail — a
+        # handful of genuinely-near fingerprints at most, nowhere near
+        # the quadratic blowup an unbanded join would emit
+        base_pairs = [r for r in neardup_rows if r["doc_b"] < AFP_RATE_ID_OFFSET]
+        assert len(base_pairs) < 10
+
+    def test_cap_never_binds_on_the_fixture_corpus(self, spark):
+        # pins the recall claim: with every (band, bsig) bucket under
+        # the cap, the 4-band pigeonhole guarantee is TOTAL here
+        from sentinela_py_spark.operators.dedup import signature_bands
+        from sentinela_py_spark.operators.multimodal import (
+            DHASH_BAND_BITS,
+            DHASH_BANDS,
+        )
+        from sentinela_py_spark.plans.mmops import AUD_NEARDUP_BUCKET_CAP
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        sigs = audio_fingerprint(documents_to_dedup_wavs(d)).filter(
+            F.col("afp").isNotNull()
+        )
+        biggest = (
+            signature_bands(
+                sigs.select("doc_id", "afp"), "afp", DHASH_BANDS, DHASH_BAND_BITS
+            )
+            .groupBy("band", "bsig")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert biggest <= AUD_NEARDUP_BUCKET_CAP
+
+    def test_short_docs_are_gated_on_both_engines(self, spark):
+        # a doc under AFP_MIN_SAMPLES never enters the corpus (the
+        # oracle's length gate mirrors documents_to_dedup_wavs')
+        d = spark.createDataFrame(
+            [(1, "x" * (AFP_MIN_SAMPLES - 1)), (2, "y" * AFP_MIN_SAMPLES)],
+            "doc_id long, text string",
+        )
+        ids = {r["doc_id"] for r in documents_to_dedup_wavs(d).collect()}
+        # doc 2 (residue 2 mod 16) also plants its noise twin; doc 1 and
+        # every variant it would have seeded are gated out
+        assert ids == {2, 2 + AFP_NOISE_ID_OFFSET}
