@@ -106,6 +106,15 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #   q_haversine_supplier_nation -> q_revenue_per_nation `distance` arm
 #   q_date_parts             -> q_datetime_parse_cascade `parts` arm
 #   q_media_metadata         -> q_media_decode `metadata` arm
+# Round-13 additions:
+#   q_audio_neardup          NEW registered query (longtail-priced):
+#                               frame-energy fingerprint dedup
+#   composed_ingest          += screens_image arm (paired-row LAION-order
+#                               flagship: image dedup ahead of the text
+#                               screens; delta vs `screens` prices it)
+#   q_image_neardup          geometry: 64-bit dHash, 4×16-bit bands
+#                               (r12 verdict #1 — same algebra, wider
+#                               keyspace; raw headline comparable)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -194,7 +203,9 @@ SUPERSET_ARMS = [
 ]
 
 
-def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = False):
+def _composed_ingest_arm(
+    trim_quality: bool, fuzzy: bool = False, ann: bool = False, image: bool = False
+):
     """Bench arm for the streaming composed-ingest flagship, priced as
     ONE batch of the real (doc_id, text, embedding) corpus through
     `composed_ingest_batch` (the foreachBatch body — the per-epoch work
@@ -205,7 +216,10 @@ def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = Fa
     now candidate-only in its verify stage), and the ANN index-append
     tail + one compaction (r12, r11 verdict #3 — the per-epoch cost of
     "index what survived curation", previously parity-tested but
-    unpriced), each a DEDICATED builder per the barrier rule. The
+    unpriced), and the paired-row image screen at the head of the chain
+    (r13, r12 verdict #2 — the LAION-order flagship, twins carried with
+    their base doc's caption/embedding), each a DEDICATED builder per
+    the barrier rule. The
     frozen quality model, the frozen fuzzy eval artifacts, AND the
     frozen ANN codebooks are OFFLINE builds (once per corpus, memoized
     — not per-batch cost; the codebook build itself is priced by
@@ -233,6 +247,26 @@ def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = Fa
         batch = d.select("doc_id", "text").join(
             e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
         )
+        if image:
+            # paired (image, caption, embedding) rows — the LAION-lake
+            # shape (r13): the dedup-image corpus (base + planted twins)
+            # carries each row's caption/embedding from its BASE doc, so
+            # the image screen prices its eviction work on real twins
+            from sentinela_py_spark.operators.multimodal import (
+                documents_to_dedup_images,
+            )
+
+            imgs = documents_to_dedup_images(d)
+            batch = (
+                imgs.withColumn("__base", F.col("doc_id") % 1_000_000_000)
+                .join(
+                    batch.select(
+                        F.col("doc_id").alias("__base"), "text", "embedding"
+                    ),
+                    "__base",
+                )
+                .select("doc_id", "payload", "text", "embedding")
+            )
         is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
         grams = (
             d.filter(is_eval)
@@ -282,6 +316,8 @@ def _composed_ingest_arm(trim_quality: bool, fuzzy: bool = False, ann: bool = Fa
                     ),
                 )
             kw["centroids"], kw["books"] = _BOOKS[key]
+        if image:
+            kw["image_payload_col"] = "payload"
         state = tempfile.mkdtemp(prefix="bench-ingest-")
         try:
             if ann:
@@ -341,6 +377,10 @@ EXTRA_ARMS = {
         "screens_trim_quality": _composed_ingest_arm(trim_quality=True),
         "screens_fuzzy": _composed_ingest_arm(trim_quality=False, fuzzy=True),
         "screens_ann": _composed_ingest_arm(trim_quality=False, ann=True),
+        # r13 (r12 verdict #2): the LAION-order paired-row flagship —
+        # image dedup ahead of the text screens; the delta vs `screens`
+        # prices the image stage (decode+dHash, twin eviction, store)
+        "screens_image": _composed_ingest_arm(trim_quality=False, image=True),
     }
 }
 

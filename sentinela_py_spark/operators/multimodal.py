@@ -806,13 +806,15 @@ def afp64_of(payload: bytes) -> tuple[int, str]:
     if n < AFP_MIN_SAMPLES:
         raise ValueError(f"clip too short for {AFP_FRAMES} frames: {n} samples")
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    bounds = [f * n // AFP_FRAMES for f in range(AFP_FRAMES + 1)]
-    energy = [int(arr[bounds[f] : bounds[f + 1]].sum()) for f in range(AFP_FRAMES)]
-    flen = [bounds[f + 1] - bounds[f] for f in range(AFP_FRAMES)]
+    # vectorized frame sums: bounds are strictly increasing (every frame
+    # >= 2 samples past the gate), so reduceat segments are exact
+    bounds = np.array([f * n // AFP_FRAMES for f in range(AFP_FRAMES)])
+    energy = np.add.reduceat(arr, bounds)
+    flen = np.diff(np.append(bounds, n))
+    cmp = energy[:-1] * flen[1:] < energy[1:] * flen[:-1]
     sig = 0
-    for f in range(AFP_FRAMES - 1):
-        if energy[f] * flen[f + 1] < energy[f + 1] * flen[f]:
-            sig |= 1 << f
+    for f in np.nonzero(cmp)[0]:
+        sig |= 1 << int(f)
     if sig >= 1 << 63:
         sig -= 1 << 64
     return sig, hashlib.md5(data).hexdigest()

@@ -991,6 +991,7 @@ def decontamination_screen_batch(
     min_hits: int = 1,
     m_bits: int | None = None,
     n_hashes: int | None = None,
+    ids_collapsed: bool = False,
 ) -> DataFrame:
     """One micro-batch of train/eval decontamination AT INGEST — the
     deployment shape `plans.textops.q_decontamination` documents (the
@@ -1026,12 +1027,14 @@ def decontamination_screen_batch(
     # _collapse_duplicate_ids, the shared survivor election of all three
     # screens (r5 ADVICE). Non-text columns (e.g. the embedding when this
     # screen runs inside `composed_ingest_batch`) ride through untouched.
+    # ids_collapsed=True (r13): when the image screen runs AHEAD of this
+    # one in the composed chain, ITS election already made ids unique —
+    # skip re-paying the collapse shuffle, same barrier-budget fold as
+    # the downstream screens.
     renamed = batch.withColumnRenamed(id_col, "doc_id").withColumnRenamed(
         text_col, "text"
     )
-    b = _collapse_duplicate_ids(
-        renamed, "doc_id", F.md5(F.col("text"))
-    ).localCheckpoint(eager=True)
+    b = _screen_input(renamed, "doc_id", F.md5(F.col("text")), ids_collapsed)
     grams = b.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
@@ -1361,6 +1364,7 @@ def quality_screen_batch(
 # frames — the observability datacard a streaming lake publishes).
 INGEST_FUNNEL_STAGES = (
     "arrived",
+    "image_dedup",
     "decontaminated",
     "fuzzy_gated",
     "quality_gated",
@@ -1383,7 +1387,12 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     reported as the previous stage's count, so the funnel is always
     monotone and complete):
 
-    - ``arrived``: decontam accepted + flagged (the post-trim batch);
+    - ``arrived``: what reached the first armed screen — image accepted
+      + rejected when the image screen is armed (r13: the LAION-order
+      head of the chain), else decontam accepted + flagged (the
+      post-trim batch);
+    - ``image_dedup`` (r13): the image screen's survivors — the rows
+      whose captions were allowed to enter the text chain at all;
     - ``decontaminated``: the Bloom screen's survivors;
     - ``fuzzy_gated``: minus the fuzzy eval-copy screen's quarantines
       (stateless — stores only its flagged rows);
@@ -1408,6 +1417,8 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     dec = _counts(os.path.join("decontam", "accepted"))
     if dec is None:
         raise ValueError(f"no composed-ingest state under {state_dir!r}")
+    img = _counts(os.path.join("image", "accepted"))
+    imgrej = _counts(os.path.join("image", "rejected"))
     fla = _counts(os.path.join("decontam", "flagged"))
     fzrej = _counts(os.path.join("fuzzy", "flagged"))
     qrej = _counts(os.path.join("quality", "rejected"))
@@ -1428,6 +1439,8 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     wide = (
         _n(dec, "n_dec")
         .join(_n(fla, "n_fla"), "epoch")
+        .join(_n(img, "n_img"), "epoch")
+        .join(_n(imgrej, "n_imgrej"), "epoch")
         .join(_n(fzrej, "n_fz"), "epoch")
         .join(_n(qrej, "n_qrej"), "epoch")
         .join(_n(mh, "n_mh"), "epoch")
@@ -1442,8 +1455,25 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     # invariant the alerting contract advertises.
     quality_gated = F.col("n_dec") - F.col("n_fz") - F.col("n_qrej")
     text_dedup = F.col("n_mh") if mh is not None else quality_gated
+    # image screen armed → 'arrived' is what reached ITS door and
+    # 'image_dedup' its survivors (= decontam's input); unarmed → both
+    # collapse to the decontam-door count, the previous-stage fallback
+    # that keeps the funnel monotone. The arming test is PER-EPOCH
+    # (n_img + n_imgrej > 0, never satisfied by the coalesced zeros of
+    # an epoch the screen didn't run), so a stream that gained the image
+    # screen mid-life reports every epoch monotonically (r13).
+    dec_door = F.col("n_dec") + F.col("n_fla")
+    if img is not None:
+        epoch_armed = (F.col("n_img") + F.col("n_imgrej")) > 0
+        arrived = F.when(epoch_armed, F.col("n_img") + F.col("n_imgrej")).otherwise(
+            dec_door
+        )
+        image_dedup = F.when(epoch_armed, F.col("n_img")).otherwise(dec_door)
+    else:
+        arrived = image_dedup = dec_door
     stage_exprs = {
-        "arrived": F.col("n_dec") + F.col("n_fla"),
+        "arrived": arrived,
+        "image_dedup": image_dedup,
         "decontaminated": F.col("n_dec"),
         "fuzzy_gated": F.col("n_dec") - F.col("n_fz"),
         "quality_gated": quality_gated,
@@ -1484,13 +1514,24 @@ def composed_ingest_batch(
     quality_model: dict | None = None,
     trim_repeats: dict | None = None,
     fuzzy_eval: dict | None = None,
+    image_payload_col: str | None = None,
+    image_max_hamming: int = 3,
+    image_bucket_size: int | None = 64,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
     ingest screens chained in ONE foreachBatch body, each seeing only the
     previous screen's survivors:
 
-        [optional] repetition trim   (WITHIN-doc repeated-passage cut —
+        [optional] image near-dup screen (r13, r12 verdict #2 — the
+        LAION order: a multimodal lake ingests PAIRED (image, caption)
+        rows and dedups IMAGES FIRST, so a perceptual duplicate's
+        caption never reaches the text screens or their stores; pass
+        ``image_payload_col`` to arm it — the screen is
+        `image_dedup_batch_against_corpus` under ``image/``, and its
+        duplicate-id election doubles as the pipeline's, so the text
+        chain opens with plain barriers)
+      → [optional] repetition trim   (WITHIN-doc repeated-passage cut —
         a doc-local NORMALIZER, not a screen: pass ``trim_repeats``
         kwargs for `operators.dedup.remove_intra_doc_repeats`, e.g.
         ``{"k": 3, "min_span_words": 12}``; runs FIRST so every
@@ -1543,6 +1584,23 @@ def composed_ingest_batch(
     (test-pinned). The trim stage preserves all of this: it is a pure
     per-document function of the batch row (no store, no epoch state),
     so a replayed batch trims identically."""
+    ids_elected = False
+    if image_payload_col is not None:
+        # LAION order (r13): image dedup FIRST — a perceptual duplicate
+        # is dropped before any text work, and its caption never enters
+        # the band store or vector index. The screen's in-batch election
+        # (min doc_id per decoded-pixel md5 group, then the id collapse
+        # inside _screen_input) makes ids unique for the whole chain.
+        batch = image_dedup_batch_against_corpus(
+            batch,
+            epoch_id,
+            os.path.join(state_dir, "image"),
+            id_col=id_col,
+            payload_col=image_payload_col,
+            max_hamming=image_max_hamming,
+            max_bucket_size=image_bucket_size,
+        )
+        ids_elected = True
     if trim_repeats is not None:
         from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
 
@@ -1559,6 +1617,7 @@ def composed_ingest_batch(
         min_hits=min_hits,
         m_bits=m_bits,
         n_hashes=n_hashes,
+        ids_collapsed=ids_elected,
     )
     if fuzzy_eval is not None:
         # fuzzy eval-copy screen (r10): same hygiene slot as the exact
@@ -1637,13 +1696,17 @@ def run_composed_ingest_stream(
     quality_model: dict | None = None,
     trim_repeats: dict | None = None,
     fuzzy: bool = False,
+    image_payload_col: str | None = None,
+    source_format: str = "json",
 ):
     """The composed streaming-ingest flagship: ONE stream of
-    (id, text, embedding) rows runs all three ingest screens per
-    micro-batch (`composed_ingest_batch`) — the shape a training-data
-    lake actually deploys (one firehose, every screen, one checkpoint)
-    rather than three parallel single-screen streams with divergent
-    progress. The eval Bloom filter is built ONCE up front (eager
+    (id, text, embedding) rows — or, with ``image_payload_col``, of
+    PAIRED (id, image payload, caption text, embedding) rows, the
+    LAION-lake shape — runs every armed screen per micro-batch
+    (`composed_ingest_batch`), image dedup first — the shape a
+    training-data lake actually deploys (one firehose, every screen,
+    one checkpoint) rather than parallel single-screen streams with
+    divergent progress. The eval Bloom filter is built ONCE up front (eager
     localCheckpoint, exactly as `run_decontamination_stream`); geometry
     is threaded through build and probe. Pass ``index_dir`` +
     ``centroids`` + ``books`` to arm the ANN index-maintenance tail:
@@ -1712,13 +1775,20 @@ def run_composed_ingest_stream(
             max_bucket_size=max_bucket_size, m_bits=m_bits, n_hashes=n_hashes,
             index_dir=index_dir, centroids=centroids, books=books,
             quality_model=quality_model, trim_repeats=trim_repeats,
-            fuzzy_eval=fz,
+            fuzzy_eval=fz, image_payload_col=image_payload_col,
         )
 
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
-    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(source_path)
+    reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # parquet for paired-image streams: binary payloads don't ride JSON
+    # (same rationale as run_incremental_image_dedup_stream)
+    stream = (
+        reader.parquet(source_path)
+        if source_format == "parquet"
+        else reader.json(source_path)
+    )
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "composed"))

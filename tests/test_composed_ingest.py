@@ -470,12 +470,14 @@ def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
     got = {(r["epoch"], r["stage"]): r["n_docs"] for r in rows}
     assert got == {
         (0, "arrived"): 5,
+        (0, "image_dedup"): 5,    # screen unarmed → previous stage's count
         (0, "decontaminated"): 4,
         (0, "fuzzy_gated"): 4,    # screen unarmed → previous stage's count
         (0, "quality_gated"): 4,  # screen unarmed → previous stage's count
         (0, "text_dedup"): 3,
         (0, "accepted"): 2,
         (1, "arrived"): 4,
+        (1, "image_dedup"): 4,
         (1, "decontaminated"): 3,
         (1, "fuzzy_gated"): 3,
         (1, "quality_gated"): 3,
@@ -697,6 +699,7 @@ def test_ingest_funnel_falls_back_when_survivor_stores_missing(spark, tmp_path):
     got = {r["stage"]: r["n_docs"] for r in rows}
     assert got == {
         "arrived": 5,
+        "image_dedup": 5,  # image store absent -> previous stage
         "decontaminated": 4,
         "fuzzy_gated": 4,
         "quality_gated": 4,
@@ -796,3 +799,157 @@ def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
             assert store_ids(st_a, sub) == store_ids(st_b, sub), (
                 f"{name}/{sub}: store content diverges between modes"
             )
+
+
+class TestComposedMultimodalIngest:
+    """r13 (r12 verdict #2): the image screen composed INTO the ingest
+    flagship — a LAION-style lake ingests PAIRED (image, caption) rows,
+    dedups images FIRST, and only survivors' captions reach the text
+    screens. Pins: the brightness-twin pair is evicted by the image
+    screen with its caption never entering the band store, funnel
+    attribution carries the new image_dedup stage monotonically, and
+    epoch replay reproduces its first attempt."""
+
+    @staticmethod
+    def _ppm(w: int, h: int, body: bytes) -> bytes:
+        pix = (body * (w * h * 3 // len(body) + 1))[: w * h * 3]
+        return f"P6\n{w} {h}\n255\n".encode() + pix
+
+    @staticmethod
+    def _bright(ppm: bytes) -> bytes:
+        hdr = ppm.index(b"255\n") + 4
+        return ppm[:hdr] + bytes(b + 1 for b in ppm[hdr:])
+
+    def _imgs(self):
+        a = self._ppm(17, 19, b"spark shuffles partition data tonight ")
+        c = self._ppm(16, 18, b"catalyst rewrites logical plans fast ")
+        mk = lambda s: self._ppm(18, 17, s)  # noqa: E731
+        return {
+            1: a,
+            2: self._bright(a),               # perceptual twin of 1
+            3: mk(b"a contaminated document's image here "),
+            4: c,
+            10: self._bright(c),              # perceptual twin of corpus 4
+            11: mk(b"a caption duplicate's unrelated image "),
+            12: mk(b"a fresh image for the last survivor  "),
+        }
+
+    # captions: 2's is DISTINCT (only the image screen can evict it),
+    # 3 carries eval text, 11 duplicates 1's caption, rest unique
+    def _rows(self, ids):
+        imgs = self._imgs()
+        captions = {
+            1: UNIQ[0], 2: UNIQ[1], 3: EVAL_TEXT, 4: UNIQ[2],
+            10: UNIQ[3], 11: UNIQ[0], 12: UNIQ[4],
+        }
+        return [
+            (i, bytearray(imgs[i]), captions[i], _e(i % DIM)) for i in ids
+        ]
+
+    def _df(self, spark, ids):
+        return spark.createDataFrame(
+            self._rows(ids),
+            "doc_id long, payload binary, text string, embedding array<double>",
+        )
+
+    def _run_epochs(self, spark, tmp_path):
+        state = str(tmp_path / "state")
+        bloom = _bloom_row(spark)
+        out0 = composed_ingest_batch(
+            self._df(spark, [1, 2, 3, 4]), bloom, 0, state,
+            threshold=THRESHOLD, image_payload_col="payload",
+        )
+        out1 = composed_ingest_batch(
+            self._df(spark, [10, 11, 12]), bloom, 1, state,
+            threshold=THRESHOLD, image_payload_col="payload",
+        )
+        return state, out0, out1
+
+    def test_image_screen_evicts_twins_and_captions_stay_out_of_stores(
+        self, spark, tmp_path
+    ):
+        state, out0, out1 = self._run_epochs(spark, tmp_path)
+        assert {r["doc_id"] for r in out0.collect()} == {1, 4}  # 2→image, 3→decontam
+        assert {r["doc_id"] for r in out1.collect()} == {12}    # 10→image, 11→minhash
+        # the image screen's own attribution, within-batch and vs-corpus
+        imgrej = {
+            r["doc_id"]: (r["matched_doc"], r["reason"])
+            for r in spark.read.parquet(os.path.join(state, "image", "rejected"))
+            .select("doc_id", "matched_doc", "reason").collect()
+        }
+        assert imgrej == {2: (1, "within_batch"), 10: (4, "vs_corpus")}
+        # store hygiene, the LAION-order payoff: the evicted twins'
+        # captions (UNIQ[1]/UNIQ[3] — perfectly clean text) never
+        # entered the MinHash band store, and their ids are nowhere in
+        # the text chain's state
+        band_ids = _read_ids(spark, os.path.join(state, "minhash", "bands"))
+        assert band_ids & {2, 10} == set()
+        assert _read_ids(spark, os.path.join(state, "decontam", "flagged")) == {3}
+        # the image signature store holds only image-survivors
+        assert _read_ids(spark, os.path.join(state, "image", "bands")) == {1, 3, 4, 11, 12}
+
+    def test_funnel_reports_the_image_stage(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+        state, _o0, _o1 = self._run_epochs(spark, tmp_path)
+        rows = ingest_funnel(spark, state).collect()
+        got = {(r["epoch"], r["stage"]): r["n_docs"] for r in rows}
+        assert got == {
+            (0, "arrived"): 4,
+            (0, "image_dedup"): 3,     # doc 2 evicted by the image screen
+            (0, "decontaminated"): 2,  # doc 3 flagged
+            (0, "fuzzy_gated"): 2,
+            (0, "quality_gated"): 2,
+            (0, "text_dedup"): 2,
+            (0, "accepted"): 2,
+            (1, "arrived"): 3,
+            (1, "image_dedup"): 2,     # doc 10 evicted vs corpus
+            (1, "decontaminated"): 2,
+            (1, "fuzzy_gated"): 2,
+            (1, "quality_gated"): 2,
+            (1, "text_dedup"): 1,      # doc 11's caption dups corpus doc 1
+            (1, "accepted"): 1,
+        }
+        for ep in (0, 1):
+            seq = [r["n_docs"] for r in sorted(
+                (r for r in rows if r["epoch"] == ep), key=lambda r: r["stage_idx"]
+            )]
+            assert seq == sorted(seq, reverse=True)
+
+    def test_epoch_replay_reproduces_first_attempt(self, spark, tmp_path):
+        state, _o0, out1 = self._run_epochs(spark, tmp_path)
+        first = {r["doc_id"] for r in out1.collect()}
+        bloom = _bloom_row(spark)
+        again = composed_ingest_batch(
+            self._df(spark, [10, 11, 12]), bloom, 1, state,
+            threshold=THRESHOLD, image_payload_col="payload",
+        )
+        assert {r["doc_id"] for r in again.collect()} == first
+        assert _read_ids(spark, os.path.join(state, "image", "bands")) == {1, 3, 4, 11, 12}
+
+    def test_stream_wiring_with_paired_rows(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import run_composed_ingest_stream
+
+        src = str(tmp_path / "src")
+        schema = "doc_id long, payload binary, text string, embedding array<double>"
+        spark.createDataFrame(self._rows([1, 2, 3, 4]), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        spark.createDataFrame(self._rows([10, 11, 12]), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        state = str(tmp_path / "state")
+        q = run_composed_ingest_stream(
+            spark, src, str(tmp_path / "ckpt"), state,
+            eval_docs=_eval_docs(spark), schema=schema,
+            threshold=THRESHOLD, image_payload_col="payload",
+            source_format="parquet",
+        )
+        assert q.awaitTermination(300), "stream did not drain"
+        acc = _read_ids(spark, os.path.join(state, "accepted"))
+        imgrej = _read_ids(spark, os.path.join(state, "image", "rejected"))
+        # micro-batch split is the scheduler's choice, but the verdicts
+        # are split-invariant here: twins 2/10 die at the image screen
+        # whichever epoch carries them, 3 at decontam, 11 at minhash
+        assert acc == {1, 4, 12}
+        assert imgrej == {2, 10}
