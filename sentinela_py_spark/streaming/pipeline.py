@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentinela_py_spark.schemas import NEWS_DOCUMENT
+from sentinela_py_spark.streaming.stores import (
+    read_epoch_store,
+    write_epoch_partition,
+)
 
 
 def read_news_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -230,14 +234,15 @@ def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
     self-match, and overwrite its epoch with empty data. Existence is
     probed by reading through Spark (not a driver-side glob), so the
     state dir can live on any Hadoop-compatible filesystem (HDFS/S3/…).
-    Returns None when the store doesn't exist yet."""
-    from pyspark.errors import AnalysisException
+    Returns None when the store doesn't exist yet.
 
-    try:
-        store = spark.read.parquet(bands_dir)
-    except AnalysisException:
-        return None
-    return store.filter(F.col("epoch") != exclude_epoch).drop("epoch")
+    r13: delegates to `streaming.stores.read_epoch_store`, whose
+    effective-epoch column (``coalesce(src_epoch, partition epoch)``)
+    keeps this exclusion exact even after `compact_epoch_store` folded
+    old epochs into the ``epoch=-1`` base — a replayed folded epoch
+    still sees precisely the store view its first attempt saw."""
+    store = read_epoch_store(spark, bands_dir, exclude_epoch=exclude_epoch)
+    return None if store is None else store.drop("epoch")
 
 
 def _screen_input(
@@ -458,22 +463,26 @@ def dedup_batch_against_corpus(
     )
     rejects = rep_rejects.unionByName(copy_rejects)
     if overflow is not None:
-        overflow.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        write_epoch_partition(
+            overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
     rejects = rejects.localCheckpoint(eager=True)
     accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
-    # 4. idempotent epoch-keyed writes (replay overwrites, never dupes)
+    # 4. idempotent epoch-keyed writes (replay overwrites — or no-ops
+    # against the compaction marker for an already-folded epoch — never
+    # dupes; see streaming.stores)
     accepted_out = accepted.withColumnRenamed("doc_id", id_col)
-    accepted_out.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
+    write_epoch_partition(
+        b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
+        os.path.join(state_dir, "rejected"),
+        epoch_id,
     )
-    b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
-    bands.join(accepted.select("doc_id"), "doc_id", "left_semi").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+    write_epoch_partition(
+        bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+        bands_dir,
+        epoch_id,
+    )
     return accepted_out
 
 
@@ -622,20 +631,22 @@ def image_dedup_batch_against_corpus(
     )
     rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
     if overflow is not None:
-        overflow.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        write_epoch_partition(
+            overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
     accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
     accepted_out = accepted.withColumnRenamed("doc_id", id_col)
-    accepted_out.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
+    write_epoch_partition(
+        b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
+        os.path.join(state_dir, "rejected"),
+        epoch_id,
     )
-    b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
-    rep_bands.join(accepted.select("doc_id"), "doc_id", "left_semi").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(bands_dir, f"epoch={epoch_id}"))
+    write_epoch_partition(
+        rep_bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+        bands_dir,
+        epoch_id,
+    )
     return accepted_out
 
 
@@ -919,23 +930,25 @@ def embedding_dedup_batch_against_corpus(
         overflow = overflow_parts[0]
         for part in overflow_parts[1:]:
             overflow = overflow.unionByName(part)
-        overflow.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "overflow", f"epoch={epoch_id}")
+        write_epoch_partition(
+            overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
     rejects = rejects.localCheckpoint(eager=True)
     accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
 
     # 4. idempotent epoch-keyed writes
     accepted_out = accepted.withColumnRenamed("vec_id", id_col)
-    accepted_out.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
+    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
+    write_epoch_partition(
+        b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col),
+        os.path.join(state_dir, "rejected"),
+        epoch_id,
     )
-    b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "rejected", f"epoch={epoch_id}"))
-    bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+    write_epoch_partition(
+        bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi"),
+        index_dir,
+        epoch_id,
+    )
     return accepted_out
 
 
@@ -1048,12 +1061,8 @@ def decontamination_screen_batch(
     )
     flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
     accepted = b.join(hits, "doc_id", "left_anti")
-    flagged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
-    )
-    accepted.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
-    )
+    write_epoch_partition(flagged, os.path.join(state_dir, "flagged"), epoch_id)
+    write_epoch_partition(accepted, os.path.join(state_dir, "accepted"), epoch_id)
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed("text", text_col)
 
 
@@ -1210,9 +1219,7 @@ def fuzzy_decon_screen_batch(
         F.count_distinct("e_doc").alias("n_eval_docs"),
         F.round(F.max("jac"), 6).alias("max_jaccard"),
     ).localCheckpoint(eager=True)
-    flagged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "flagged", f"epoch={epoch_id}")
-    )
+    write_epoch_partition(flagged, os.path.join(state_dir, "flagged"), epoch_id)
     accepted = b.join(flagged, "doc_id", "left_anti")
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed(
         "text", text_col
@@ -1351,9 +1358,7 @@ def quality_screen_batch(
     rejected = joined.filter(~F.col("keep")).select(
         id_col, "quality", "svm_score", "word_lm_logprob"
     )
-    rejected.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "rejected", f"epoch={epoch_id}")
-    )
+    write_epoch_partition(rejected, os.path.join(state_dir, "rejected"), epoch_id)
     return joined.filter(F.col("keep")).drop(
         "quality", "svm_score", "word_lm_logprob", "keep"
     )
@@ -1407,10 +1412,13 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     reports its zero (full-outer epoch join + coalesce)."""
 
     def _counts(sub: str) -> DataFrame | None:
-        path = os.path.join(state_dir, sub)
+        # read_epoch_store's effective epoch keeps per-epoch attribution
+        # exact after compaction (folded rows carry src_epoch — r13)
         try:
-            df = spark.read.parquet(path)
+            df = read_epoch_store(spark, os.path.join(state_dir, sub))
         except Exception:  # noqa: BLE001 — screen not armed / no epochs yet
+            return None
+        if df is None:
             return None
         return df.groupBy("epoch").agg(F.count("*").alias("n"))
 
@@ -1662,9 +1670,7 @@ def composed_ingest_batch(
         max_bucket_size=max_bucket_size,
         ids_collapsed=True,
     )  # backed by the screen's own eager checkpoint
-    final.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "accepted", f"epoch={epoch_id}")
-    )
+    write_epoch_partition(final, os.path.join(state_dir, "accepted"), epoch_id)
     if index_dir is not None:
         # index what survived EVERY screen: the searchable vector tree
         # can never serve content the curation chain rejected
@@ -1698,6 +1704,7 @@ def run_composed_ingest_stream(
     fuzzy: bool = False,
     image_payload_col: str | None = None,
     source_format: str = "json",
+    compact_every: int | None = None,
 ):
     """The composed streaming-ingest flagship: ONE stream of
     (id, text, embedding) rows — or, with ``image_payload_col``, of
@@ -1720,6 +1727,13 @@ def run_composed_ingest_stream(
     remove_intra_doc_repeats`) to arm the WITHIN-doc repetition trim as
     a stage-0 normalizer — doc-local, so it respects every contract the
     cross-doc cut (below) breaks.
+
+    Pass ``compact_every=K`` (r13) to fold every screen store's old
+    epochs into its ``epoch=-1`` base after each K-th epoch
+    (`streaming.stores.compact_ingest_state`) — the self-bounding shape
+    that keeps per-store file counts O(K) at production epoch counts
+    instead of one dir per micro-batch forever, with replay and funnel
+    attribution preserved (src_epoch rides the base).
 
     DESIGN DECISION — the CROSS-document substring-level span-cut screen
     (`operators.dedup.remove_shared_spans`, stage 3 of the batch
@@ -1777,6 +1791,18 @@ def run_composed_ingest_stream(
             quality_model=quality_model, trim_repeats=trim_repeats,
             fuzzy_eval=fz, image_payload_col=image_payload_col,
         )
+        # self-bounding screen-store maintenance (r13, r12 verdict #3):
+        # fold every store's old epochs into its base on the cadence,
+        # INSIDE the foreachBatch (serialized with the writes, so the
+        # root swap never races its own writer); keep_latest=1 leaves
+        # the just-written epoch live — the only epoch a checkpointed
+        # stream can still legitimately replay with a write. The armed
+        # ANN tree compacts itself via its own cell-clustered compactor
+        # (compact_ingest_state skips trees).
+        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            from sentinela_py_spark.streaming.stores import compact_ingest_state
+
+            compact_ingest_state(batch.sparkSession, state_dir, keep_latest=1)
 
     reader = spark.readStream
     if schema is not None:

@@ -1,0 +1,252 @@
+"""Epoch-store compaction for the streaming screens (r13, r12 verdict
+#3): `streaming.stores.compact_epoch_store` generalizes the ANN tree's
+fold+marker pattern to the band/signature/flagged/accepted stores.
+Pins, matching tests/test_index_maintenance.py's shape:
+
+- per-store file count is O(1) after compaction and probe results are
+  row-identical before/after (the fold is invisible to consumers);
+- screen verdicts across a compaction are identical to an uncompacted
+  twin state (stream ≡ batch parity of the fold);
+- crash-replay of the KEPT epoch reproduces its first attempt (the
+  effective-epoch exclusion still sees past the base);
+- crash-replay of a FOLDED epoch reproduces its verdicts AND no-ops its
+  store writes against the marker (rows never double);
+- funnel attribution is bit-identical across compaction (src_epoch
+  preserves per-epoch counts inside the base);
+- `compact_ingest_state` walks a composed state root but skips ANN
+  trees (they have their own cell-clustered compactor).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.streaming.pipeline import dedup_batch_against_corpus
+from sentinela_py_spark.streaming.stores import (
+    compact_epoch_store,
+    compact_ingest_state,
+    read_epoch_store,
+    store_compacted_through,
+    write_epoch_partition,
+)
+
+# 4 epochs of distinct docs plus one cross-epoch duplicate per epoch>0,
+# so every epoch's verdict depends on the accumulated band store
+EPOCHS = [
+    [(1, "spark shuffles partition data across the executor fleet"),
+     (2, "catalyst rewrites logical plans into physical operators")],
+    [(10, "arrow batches stream pandas frames between jvm and python"),
+     (11, "spark shuffles partition data across the executor fleet")],  # dup of 1
+    [(20, "watermarks bound state growth for late arriving events"),
+     (21, "arrow batches stream pandas frames between jvm and python")],  # dup of 10
+    [(30, "broadcast joins ship the small side to every executor"),
+     (31, "watermarks bound state growth for late arriving events")],  # dup of 20
+]
+ACCEPTED = {0: {1, 2}, 1: {10}, 2: {20}, 3: {30}}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, state, epochs=range(4)):
+    out = {}
+    for e in epochs:
+        acc = dedup_batch_against_corpus(_df(spark, EPOCHS[e]), e, state)
+        out[e] = {r["doc_id"] for r in acc.collect()}
+    return out
+
+
+def _files(store):
+    return [
+        f for f in glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    ]
+
+
+def _store_rows(spark, store):
+    df = read_epoch_store(spark, store)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fold_flattens_files_preserves_rows_and_verdicts(spark, tmp_path):
+    state = str(tmp_path / "s")
+    twin = str(tmp_path / "twin")
+    out = _run(spark, state, range(3))
+    assert {e: out[e] for e in range(3)} == {e: ACCEPTED[e] for e in range(3)}
+    _run(spark, twin, range(3))
+
+    bands = os.path.join(state, "bands")
+    before_rows = _store_rows(spark, bands)
+    n_before = len(_files(bands))
+    through = compact_epoch_store(spark, bands, keep_latest=1)
+    assert through == 1  # epochs 0..1 folded, epoch 2 kept live
+    assert store_compacted_through(bands) == 1
+    # O(1) files: one base file + one kept-epoch file
+    assert len(_files(bands)) == 2 < n_before
+    # the fold is invisible: same rows, same effective epochs
+    assert _store_rows(spark, bands) == before_rows
+
+    # epoch 3's verdict on the compacted store == the uncompacted twin
+    for sub in ("accepted", "rejected", "overflow"):
+        p = os.path.join(state, sub)
+        if os.path.exists(p):
+            compact_epoch_store(spark, p, keep_latest=1)
+    a_comp = {
+        r["doc_id"]
+        for r in dedup_batch_against_corpus(_df(spark, EPOCHS[3]), 3, state).collect()
+    }
+    a_twin = {
+        r["doc_id"]
+        for r in dedup_batch_against_corpus(_df(spark, EPOCHS[3]), 3, twin).collect()
+    }
+    assert a_comp == a_twin == ACCEPTED[3]
+
+
+def test_replay_of_kept_epoch_reproduces_first_attempt(spark, tmp_path):
+    state = str(tmp_path / "s")
+    out = _run(spark, state)
+    bands = os.path.join(state, "bands")
+    compact_epoch_store(spark, bands, keep_latest=1)  # keeps epoch 3
+    replay = {
+        r["doc_id"]
+        for r in dedup_batch_against_corpus(_df(spark, EPOCHS[3]), 3, state).collect()
+    }
+    assert replay == out[3]
+    # the kept epoch's dir was overwritten in place, base untouched
+    assert sorted(
+        int(p.split("=", 1)[1])
+        for p in os.listdir(bands)
+        if p.startswith("epoch=")
+    ) == [-1, 3]
+
+
+def test_replay_of_folded_epoch_noops_writes_and_reproduces_verdicts(
+    spark, tmp_path
+):
+    state = str(tmp_path / "s")
+    out = _run(spark, state)
+    bands = os.path.join(state, "bands")
+    before = _store_rows(spark, bands)
+    assert compact_epoch_store(spark, bands, keep_latest=0) == 3
+    # replaying folded epoch 2: the effective-epoch exclusion hides its
+    # own folded rows, so the verdict reproduces the first attempt...
+    replay = {
+        r["doc_id"]
+        for r in dedup_batch_against_corpus(_df(spark, EPOCHS[2]), 2, state).collect()
+    }
+    assert replay == out[2]
+    # ...and the band write no-oped against the marker: no epoch=2 dir
+    # reappeared, rows did not double
+    assert [p for p in os.listdir(bands) if p.startswith("epoch=")] == ["epoch=-1"]
+    assert _store_rows(spark, bands) == before
+
+
+def test_write_guard_and_recompaction_advance(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert write_epoch_partition(df, store, 0) is True
+    assert write_epoch_partition(df, store, 1) is True
+    assert compact_epoch_store(spark, store, keep_latest=0) == 1
+    # folded epochs refuse the write; new epochs land normally
+    assert write_epoch_partition(df, store, 1) is False
+    assert write_epoch_partition(df, store, 2) is True
+    # recompaction folds the new epoch and advances the marker
+    assert compact_epoch_store(spark, store, keep_latest=0) == 2
+    assert store_compacted_through(store) == 2
+    # compacting with nothing new to fold is a no-op returning the marker
+    assert compact_epoch_store(spark, store, keep_latest=0) == 2
+    rows = read_epoch_store(spark, store).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in rows) == [(1, 0), (1, 1), (1, 2)]
+
+
+def test_funnel_attribution_survives_state_compaction(spark, tmp_path):
+    from sentinela_py_spark.streaming.pipeline import (
+        composed_ingest_batch,
+        ingest_funnel,
+    )
+    from tests.test_composed_ingest import (
+        BATCH1,
+        BATCH2,
+        THRESHOLD,
+        _bloom_row,
+        _df as _cdf,
+    )
+
+    state = str(tmp_path / "state")
+    bloom = _bloom_row(spark)
+    composed_ingest_batch(_cdf(spark, BATCH1), bloom, 0, state, threshold=THRESHOLD)
+    composed_ingest_batch(_cdf(spark, BATCH2), bloom, 1, state, threshold=THRESHOLD)
+    before = sorted(tuple(r) for r in ingest_funnel(spark, state).collect())
+    folded = compact_ingest_state(spark, state, keep_latest=1)
+    # every screen store under the root got a marker...
+    assert {"decontam/accepted", "decontam/flagged", "minhash/bands"} <= set(folded)
+    # ...and per-epoch attribution is bit-identical (src_epoch carries
+    # the folded rows' origin epochs through the base partition)
+    assert sorted(tuple(r) for r in ingest_funnel(spark, state).collect()) == before
+
+
+def test_compact_ingest_state_skips_ann_trees(spark, tmp_path):
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_epoch_partition(df, os.path.join(state, "minhash", "bands"), 0)
+    # a fake ANN tree: epoch dir with cell_id partitioning
+    tree = os.path.join(state, "index")
+    spark.createDataFrame([(1, 0)], "vec_id long, cell_id int").write.partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(tree, "epoch=0"))
+    folded = compact_ingest_state(spark, state, keep_latest=0)
+    assert set(folded) == {os.path.join("minhash", "bands")}
+    assert store_compacted_through(tree) is None  # untouched
+    assert os.path.exists(os.path.join(tree, "epoch=0"))
+
+
+def test_composed_stream_self_compacts_on_cadence(spark, tmp_path):
+    import json
+
+    from sentinela_py_spark.streaming.pipeline import (
+        ingest_funnel,
+        run_composed_ingest_stream,
+    )
+    from tests.test_composed_ingest import (
+        ACCEPT_IDS,
+        BATCH1,
+        BATCH2,
+        THRESHOLD,
+        _eval_docs,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("b1.json", BATCH1), ("b2.json", BATCH2)):
+        with open(src / name, "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(
+                    json.dumps({"doc_id": doc_id, "text": text, "embedding": emb})
+                    + "\n"
+                )
+    state = str(tmp_path / "state")
+    q = run_composed_ingest_stream(
+        spark, str(src), str(tmp_path / "ckpt"), state,
+        eval_docs=_eval_docs(spark),
+        schema="doc_id long, text string, embedding array<double>",
+        threshold=THRESHOLD, compact_every=1,
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+    # every screen store got folded on the cadence (markers present,
+    # only the newest epoch still live) and verdicts are untouched
+    bands = os.path.join(state, "minhash", "bands")
+    assert store_compacted_through(bands) is not None
+    live = [p for p in os.listdir(bands) if p.startswith("epoch=") and p != "epoch=-1"]
+    assert len(live) <= 1
+    acc = read_epoch_store(spark, os.path.join(state, "accepted"))
+    assert {r["doc_id"] for r in acc.collect()} == ACCEPT_IDS
+    fn = {
+        (r["epoch"], r["stage"]): r["n_docs"]
+        for r in ingest_funnel(spark, state).collect()
+    }
+    assert fn[(0, "arrived")] == 5 and fn[(1, "arrived")] == 4
+    assert fn[(0, "accepted")] == 2 and fn[(1, "accepted")] == 1
