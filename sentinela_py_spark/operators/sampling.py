@@ -180,7 +180,11 @@ def dsir_log_weights(
     explode). Weights are exactly equal whenever the bucketing is
     collision-free and agree statistically under collisions (both
     test-pinned); the bench's `dsir_fast` arm prices the hash swap."""
-    from sentinela_py_spark.functions.text_stats import tokens, word_shingles
+    from sentinela_py_spark.functions.text_stats import (
+        add1_logp,
+        tokens,
+        word_shingles,
+    )
 
     if gram_hash not in ("md5", "xxhash64"):
         raise ValueError(f"gram_hash must be md5|xxhash64, got {gram_hash!r}")
@@ -199,11 +203,14 @@ def dsir_log_weights(
         F.count("*").alias("nq"), F.sum("is_t").alias("nt")
     )
     tot = raw.agg(F.sum("nq").alias("tq"), F.sum("nt").alias("tt"))
+    # importance log-ratio: a difference of two add-1-smoothed bag
+    # likelihoods — the SAME smoothing kernel as the quality LMs (r13,
+    # one definition: functions.text_stats.add1_logp)
     lr = raw.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
-            F.log((F.col("nt") + 1).cast("double") / (F.col("tt") + buckets))
-            - F.log((F.col("nq") + 1).cast("double") / (F.col("tq") + buckets)),
+            add1_logp(F.col("nt"), F.col("tt"), buckets)
+            - add1_logp(F.col("nq"), F.col("tq"), buckets),
             6,
         ).alias("lr"),
     )

@@ -17,6 +17,11 @@ stage_idx, stage, n_docs) row from the identical predicates.
 
 The fixture tree exercises every reader path on purpose:
 - two epochs (hex1 split) → partition discovery + the epoch join;
+- `image/` holds rows ONLY for epoch 0 (r13) → epoch 0 exercises the
+  ARMED image stage (arrived = image accepted + rejected, image_dedup
+  = survivors) while epoch 1 exercises the PER-EPOCH arming fallback
+  (image_dedup = the decontam-door count — the path a stream that
+  gained the image screen mid-life takes for its older epochs);
 - `fuzzy/flagged` holds rows ONLY for epoch 0 → epoch 1 takes the
   left-join coalesce-to-zero path while the store exists;
 - `quality/` is ABSENT entirely → the unarmed-screen fallback
@@ -38,6 +43,9 @@ from sentinela_py_spark.tables import load_table
 # md5 hex-digit predicates, identical on both engines (md5 of the
 # stringified doc_id is lowercase hex in Spark and DuckDB):
 #   hex1 < '8'            → epoch 0, else epoch 1          (~50/50)
+#   epoch 0 and hex6 < '2' → rejected by the image screen (epoch 0 only
+#                            — epoch 1 exercises the per-epoch arming
+#                            fallback, r13)
 #   hex2 < '3'            → flagged by the exact decontam screen (~3/16)
 #   epoch 0 and hex3 < '2' → quarantined by the fuzzy screen (epoch 0
 #                            only — epoch 1 exercises coalesce-to-zero)
@@ -46,8 +54,13 @@ from sentinela_py_spark.tables import load_table
 _H = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
 
 # Per-epoch store-membership predicates (SQL text — the Spark builder
-# applies the same conditions through F.substring/F.md5).
-_P_DEC = f"{_H.format(i=2)} >= '3'"
+# applies the same conditions through F.substring/F.md5). The image
+# screen runs FIRST (LAION order), so every text-chain predicate is
+# rooted on its survivors.
+_P_IMGREJ = f"(epoch = 0 AND {_H.format(i=6)} < '2')"
+_P_IMG = f"NOT {_P_IMGREJ}"
+_P_DEC = f"{_P_IMG} AND {_H.format(i=2)} >= '3'"
+_P_FLA = f"{_P_IMG} AND {_H.format(i=2)} < '3'"
 _P_FZ = f"{_P_DEC} AND epoch = 0 AND {_H.format(i=3)} < '2'"
 _P_GATED = f"{_P_DEC} AND NOT (epoch = 0 AND {_H.format(i=3)} < '2')"
 _P_MH = f"{_P_GATED} AND {_H.format(i=4)} >= '4'"
@@ -88,16 +101,22 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
             hx(3).alias("h3"),
             hx(4).alias("h4"),
             hx(5).alias("h5"),
+            hx(6).alias("h6"),
         )
         .localCheckpoint(eager=True)
     )
-    dec = base.filter(F.col("h2") >= "3")
-    fla = base.filter(F.col("h2") < "3")
+    imgrej = base.filter((F.col("epoch") == 0) & (F.col("h6") < "2"))
+    img = base.filter(~((F.col("epoch") == 0) & (F.col("h6") < "2")))
+    dec = img.filter(F.col("h2") >= "3")
+    fla = img.filter(F.col("h2") < "3")
     fz = dec.filter((F.col("epoch") == 0) & (F.col("h3") < "2"))
     gated = dec.filter(~((F.col("epoch") == 0) & (F.col("h3") < "2")))
     mh = gated.filter(F.col("h4") >= "4")
     acc = mh.filter(F.col("h5") >= "2")
     stores = {
+        # epoch 1: zero image rows → the per-epoch arming fallback (r13)
+        os.path.join("image", "accepted"): img.filter(F.col("epoch") == 0),
+        os.path.join("image", "rejected"): imgrej,
         os.path.join("decontam", "accepted"): dec,
         os.path.join("decontam", "flagged"): fla,
         os.path.join("fuzzy", "flagged"): fz,  # epoch 1: zero rows → no partition
@@ -114,8 +133,16 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+# 'arrived'/'image_dedup' mirror the reader's PER-EPOCH arming test
+# (r13): an epoch with image rows reports the image door, an epoch
+# without falls back to the decontam door — monotone either way.
 _STAGE_CASE = """CASE s.stage
-             WHEN 'arrived' THEN n_dec + n_fla
+             WHEN 'arrived' THEN
+               CASE WHEN n_img + n_imgrej > 0 THEN n_img + n_imgrej
+                    ELSE n_dec + n_fla END
+             WHEN 'image_dedup' THEN
+               CASE WHEN n_img + n_imgrej > 0 THEN n_img
+                    ELSE n_dec + n_fla END
              WHEN 'decontaminated' THEN n_dec
              WHEN 'fuzzy_gated' THEN n_dec - n_fz
              WHEN 'quality_gated' THEN n_dec - n_fz
@@ -133,8 +160,10 @@ _STAGE_CASE = """CASE s.stage
     ),
     c AS (
       SELECT epoch,
+             COUNT(*) FILTER (WHERE {_P_IMG} AND epoch = 0) AS n_img,
+             COUNT(*) FILTER (WHERE {_P_IMGREJ}) AS n_imgrej,
              COUNT(*) FILTER (WHERE {_P_DEC}) AS n_dec,
-             COUNT(*) FILTER (WHERE NOT ({_P_DEC})) AS n_fla,
+             COUNT(*) FILTER (WHERE {_P_FLA}) AS n_fla,
              COUNT(*) FILTER (WHERE {_P_FZ}) AS n_fz,
              COUNT(*) FILTER (WHERE {_P_MH}) AS n_mh,
              COUNT(*) FILTER (WHERE {_P_ACC}) AS n_acc
@@ -143,8 +172,9 @@ _STAGE_CASE = """CASE s.stage
     SELECT c.epoch, CAST(s.i AS BIGINT) AS stage_idx, s.stage,
            CAST({_STAGE_CASE} AS BIGINT) AS n_docs
     FROM c CROSS JOIN (VALUES
-      (0, 'arrived'), (1, 'decontaminated'), (2, 'fuzzy_gated'),
-      (3, 'quality_gated'), (4, 'text_dedup'), (5, 'accepted')
+      (0, 'arrived'), (1, 'image_dedup'), (2, 'decontaminated'),
+      (3, 'fuzzy_gated'), (4, 'quality_gated'), (5, 'text_dedup'),
+      (6, 'accepted')
     ) AS s(i, stage)
     ORDER BY c.epoch, stage_idx
     """,
@@ -152,7 +182,9 @@ _STAGE_CASE = """CASE s.stage
         "streaming T6+ observability: the per-epoch ingest-funnel datacard's "
         "reader algebra (streaming/pipeline.ingest_funnel) driver-checked — "
         "hive epoch partition discovery, all-epochs left join + coalesce-zero, "
-        "absent-store fallback, subtractive stage algebra (r11, r10 verdict #5)"
+        "absent-store fallback, subtractive stage algebra (r11, r10 verdict #5); "
+        "r13: + the image_dedup stage with its per-epoch arming test (epoch 0 "
+        "armed, epoch 1 the mid-life-gain fallback)"
     ),
     tags=("streaming", "funnel", "observability"),
 )

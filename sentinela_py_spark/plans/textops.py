@@ -22,6 +22,7 @@ from sentinela_py_spark.functions.hist import (
 )
 from sentinela_py_spark.functions.text_stats import (
     LANG_STOPWORDS,
+    add1_logp,
     avg_token_len,
     doc_fingerprint,
     quality_score,
@@ -1663,7 +1664,7 @@ def _half_up_micro(x: float) -> int:
     return int(Decimal(x * 1000000).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def qr_frozen_model(d: DataFrame) -> dict:
+def qr_frozen_model(d: DataFrame, model_dir: str | None = None) -> dict:
     """Offline quality-model training for INGEST-TIME scoring — the
     FAISS-codebook semantics applied to the quality filter: train once
     on a reference corpus, FREEZE, score every future micro-batch
@@ -1685,10 +1686,20 @@ def qr_frozen_model(d: DataFrame) -> dict:
     Plus the WORD-bigram LM twin (r12 — the `_qr_wordlm` signal under
     the same frozen contract), which is vocabulary-sized and therefore
     NEVER collected: ``wlogp_df`` (bigram, wlogp) and ``wctx_df`` (ctx,
-    ctx_cnt) stay DataFrame artifacts, eagerly checkpointed so every
-    micro-batch scores against one materialization (a deployment writes
-    them as a parquet model table and restarts the stream to rotate,
-    the codebook contract); ``wv`` is the O(1) vocabulary-size scalar."""
+    ctx_cnt) stay DataFrame artifacts; ``wv`` is the O(1)
+    vocabulary-size scalar.
+
+    Durability contract (r13, r12 ADVICE): pass ``model_dir`` to
+    persist the word artifacts as parquet model tables under it —
+    the returned ``wlogp_df``/``wctx_df`` then READ BACK from disk, so
+    the dict is self-contained across executor decommission AND session
+    restarts, matching the collected char parts. Without ``model_dir``
+    they are eager localCheckpoints: one materialization serves every
+    micro-batch of THIS session, but the blocks die with the session
+    (or an executor) — an in-session convenience, not a deployment
+    artifact. A deployment always passes ``model_dir`` and rotates
+    models by retraining into a new dir and restarting the stream (the
+    codebook contract)."""
     from sentinela_py_spark.functions.linear_model import svm_weights
 
     w = svm_weights(_qr_trainable(d).coalesce(4), _QR_FEATS)
@@ -1726,19 +1737,24 @@ def qr_frozen_model(d: DataFrame) -> dict:
         wm.join(wctx_df, "ctx")
         .select(
             "bigram",
-            F.round(
-                F.log(
-                    (F.col("cnt") + 1).cast("double")
-                    / (F.col("ctx_cnt") + F.lit(wv)).cast("double")
-                )
-                * 1000000,
-                0,
-            )
+            F.round(add1_logp(F.col("cnt"), F.col("ctx_cnt"), F.lit(wv)) * 1000000, 0)
             .cast("long")
             .alias("wlogp_micro"),
         )
         .localCheckpoint(eager=True)
     )
+    if model_dir is not None:
+        # durable word artifacts (r13): parquet model tables, read back
+        # so the returned frames survive session restarts
+        import os as _os
+
+        spark = d.sparkSession
+        wlogp_path = _os.path.join(model_dir, "wlogp")
+        wctx_path = _os.path.join(model_dir, "wctx")
+        wlogp_df.write.mode("overwrite").parquet(wlogp_path)
+        wctx_df.write.mode("overwrite").parquet(wctx_path)
+        wlogp_df = spark.read.parquet(wlogp_path)
+        wctx_df = spark.read.parquet(wctx_path)
     return {
         "weights": w,
         "clogp": clogp,
@@ -1770,7 +1786,7 @@ def qr_score_frozen(
     clogp_df = spark.createDataFrame(model["clogp"], "cb string, logp double")
     cctx_df = spark.createDataFrame(model["cctx"], "ctx string, ctx_cnt long")
     cbg = d.select("doc_id", F.explode(_char_bigrams(F.col("text"))).alias("cb"))
-    unseen_known_ctx = F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + v)), 6)
+    unseen_known_ctx = F.round(add1_logp(F.lit(0), F.col("ctx_cnt"), v), 6)
     unseen_unknown_ctx = F.lit(_half_up6(math.log(1.0 / v)))
     scored_cb = (
         cbg.join(F.broadcast(clogp_df), "cb", "left")
@@ -1812,7 +1828,7 @@ def qr_score_frozen(
         wv = int(model["wv"])
         bg = bg0.withColumn("ctx", F.substring_index("bigram", " ", 1))
         unseen_known_ctx = (
-            F.round(F.log(F.lit(1.0) / (F.col("ctx_cnt") + wv)) * 1000000, 0)
+            F.round(add1_logp(F.lit(0), F.col("ctx_cnt"), wv) * 1000000, 0)
         ).cast("long")
         unseen_unknown_ctx = F.lit(_half_up_micro(math.log(1.0 / wv))).cast("long")
         wl = (
@@ -2061,14 +2077,7 @@ def _qr_wordlm(d: DataFrame, bg: DataFrame | None = None) -> DataFrame:
         .crossJoin(F.broadcast(wv))
         .select(
             "bigram",
-            F.round(
-                F.log(
-                    (F.col("cnt") + 1).cast("double")
-                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
-                )
-                * 1000000,
-                0,
-            )
+            F.round(add1_logp(F.col("cnt"), F.col("ctx_cnt"), F.col("v")) * 1000000, 0)
             .cast("long")
             .alias("wlogp_micro"),
         )
@@ -2119,11 +2128,7 @@ def _qr_charlm(d: DataFrame) -> DataFrame:
         .select(
             "cb",
             F.round(
-                F.log(
-                    (F.col("cnt") + 1).cast("double")
-                    / (F.col("ctx_cnt") + F.col("v")).cast("double")
-                ),
-                6,
+                add1_logp(F.col("cnt"), F.col("ctx_cnt"), F.col("v")), 6
             ).alias("logp"),
         )
     )

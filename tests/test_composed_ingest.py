@@ -953,3 +953,25 @@ class TestComposedMultimodalIngest:
         # whichever epoch carries them, 3 at decontam, 11 at minhash
         assert acc == {1, 4, 12}
         assert imgrej == {2, 10}
+
+
+def test_frozen_model_word_artifacts_persist_to_model_dir(spark, tmp_path):
+    """r13 (r12 ADVICE): with ``model_dir``, qr_frozen_model's word-LM
+    artifacts are parquet model tables read back from disk — the
+    returned dict is self-contained across session restarts, matching
+    the collected char parts — and scoring under the durable artifacts
+    is bit-identical to the in-session localCheckpoint variant."""
+    from sentinela_py_spark.plans.textops import qr_frozen_model, qr_score_frozen
+
+    ref = _ref_corpus(spark)
+    mdir = str(tmp_path / "model")
+    durable = qr_frozen_model(ref, model_dir=mdir)
+    ephemeral = qr_frozen_model(ref)
+    # the artifacts are on disk and the returned frames read from there
+    assert os.path.exists(os.path.join(mdir, "wlogp"))
+    assert os.path.exists(os.path.join(mdir, "wctx"))
+    assert "wlogp" in durable["wlogp_df"].inputFiles()[0]
+    batch = _df(spark, _q_rows())
+    a = sorted(tuple(r) for r in qr_score_frozen(batch, durable).collect())
+    b = sorted(tuple(r) for r in qr_score_frozen(batch, ephemeral).collect())
+    assert a == b
