@@ -847,3 +847,55 @@ def audio_fingerprint(wavs: DataFrame) -> DataFrame:
     return ensure_min_partitions(wavs.select("doc_id", "payload")).mapInPandas(
         compute, AFP_SCHEMA
     )
+
+
+# Paired-row (image, caption) ingest corpus (r13, r12 verdict #2/#7):
+# the LAION-lake fixture for the COMPOSED multimodal ingest query —
+# documents_to_dedup_images' family scheme plus a REPOST family that
+# only the TEXT chain can catch: a different image (pixel plane built
+# from the reversed text) under the SAME caption, planted on every
+# 16th-plus-three doc. Brightness/noise twins carry their base doc's
+# caption too (they are "the same page, re-encoded"), so the LAION
+# ordering is observable end-to-end: perceptual twins die at the image
+# screen BEFORE their captions reach the text screens; reposts sail
+# through the image screen and die as caption duplicates.
+REPOST_ID_OFFSET = 3_000_000_000
+
+
+def documents_to_paired_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload, caption): one valid binary-PPM plus its caption
+    per long-enough document, with the three planted families above.
+    Same JVM-side build (translate/reverse/rpad/format_string) and the
+    same empty-text gate as `documents_to_dedup_images`."""
+    documents = documents.filter(F.length("text") > 0)
+
+    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
+        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+        header = F.format_string("P6\n%d %d\n255\n", w, h)
+        pixels = F.expr(
+            f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
+        )
+        return d.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+            F.col("text").alias("caption"),
+        )
+
+    base = documents.withColumn("__t", F.col("text"))
+    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
+        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    )
+    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
+        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
+    )
+    repost = documents.filter(F.col("doc_id") % 16 == 3).withColumn(
+        "__t", F.reverse(F.col("text"))
+    )
+    return (
+        build(base)
+        .unionByName(build(bright, BRIGHT_ID_OFFSET))
+        .unionByName(build(noise, NOISE_ID_OFFSET))
+        .unionByName(build(repost, REPOST_ID_OFFSET))
+    )

@@ -56,7 +56,12 @@ from sentinela_py_spark.tables import load_table
 _H60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % {p})".format(x="{x}", p=MINHASH_PRIME)
 _H32_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
-_SHINGLES_SQL = """
+def _shingles_sql(source: str = "documents") -> str:
+    """DuckDB distinct word-3-shingle relation over ``source(doc_id,
+    text)`` — parameterized (r13) so the composed multimodal ingest
+    oracle can shingle a CTE of image-survivor captions; the default
+    keeps every existing oracle byte-identical."""
+    return f"""
     SELECT DISTINCT doc_id, shingle
     FROM (
       SELECT doc_id,
@@ -65,24 +70,35 @@ _SHINGLES_SQL = """
                i -> concat_ws(' ', string_split(text,' ')[i],
                                    string_split(text,' ')[i+1],
                                    string_split(text,' ')[i+2]))) AS shingle
-      FROM documents
+      FROM {source}
     )
 """
 
 
-def _minhash_sig_sql() -> str:
-    """DuckDB SQL computing the per-doc MinHash signature m0..m{N-1}."""
+_SHINGLES_SQL = _shingles_sql()
+
+
+def _minhash_sig_select(shingles: str = "shingles") -> str:
+    """The signature aggregate (no leading WITH — embeddable in a
+    caller's CTE list) over a shingle relation."""
     h = _H60_SQL.format(x="shingle")
     mins = ",\n             ".join(
         f"MIN(({h} * {a} + {b}) % {MINHASH_PRIME}) AS m{k}"
         for k, (a, b) in ((k, _hash_coeffs(k)) for k in range(N_HASHES))
     )
     return f"""
-    WITH shingles AS ({_SHINGLES_SQL})
     SELECT doc_id,
              {mins}
-    FROM shingles
+    FROM {shingles}
     GROUP BY doc_id
+    """
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB SQL computing the per-doc MinHash signature m0..m{N-1}."""
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    {_minhash_sig_select()}
     """
 
 
@@ -97,12 +113,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d).orderBy("doc_id")
 
 
-def _band_sql() -> str:
+def _band_sql(sigs: str = "sigs") -> str:
     """DuckDB band-signature relation: (doc_id, band, sig)."""
     bands = []
     for band in range(N_BANDS):
         cols = ", ".join(f"m{band * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))
-        bands.append(f"SELECT doc_id, {band} AS band, concat_ws('-', {cols}) AS sig FROM sigs")
+        bands.append(f"SELECT doc_id, {band} AS band, concat_ws('-', {cols}) AS sig FROM {sigs}")
     return " UNION ALL ".join(bands)
 
 

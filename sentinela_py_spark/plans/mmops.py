@@ -17,6 +17,8 @@ keyframe-sampling slicer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -713,3 +715,345 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hamming",
         (F.col("a_data_md5") == F.col("b_data_md5")).alias("exact_dup"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal ingest, driver-checked (r13, r12 verdict #2/#7 —
+# the registry's last banked slot, the same promotion q_ingest_funnel
+# got in r11): ONE paired-row (image, caption) batch through the REAL
+# `streaming.pipeline.composed_ingest_batch` with the image screen at
+# the head (LAION order), its per-doc routing verdicts value-checked by
+# a DuckDB oracle that replays BOTH working screens' full algebra —
+# decode → dHash → banding → cap → Hamming pairs → connected components
+# → survivor election (image), then exact-caption collapse → MinHash
+# signatures → band pairs → components → survivor election (text) over
+# exactly the image survivors.
+# ---------------------------------------------------------------------------
+
+_MM_STATE: dict[tuple[str, str], str] = {}
+
+
+def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Run the composed paired-row batch ONCE per session × sf_dir into
+    a temp state root and return it (the `_funnel_state_dir` memo
+    pattern; cleaned with the other temp stores). The decontamination
+    and embedding screens RUN but are deliberately disarmed — an empty
+    eval Bloom filter flags nothing and threshold=2.0 exceeds any cosine
+    — because their algebra already has its own oracle-checked queries
+    (q_decontamination, q_embedding_neardup); rows here carry DISTINCT
+    per-doc vectors so the embedding screen's exact-copy collapse stays
+    out of the verdict too. What this query value-checks is the part no
+    registered query covered: the LAION-ORDER ROUTING — which screen
+    takes each row when the real screens are chained."""
+    import hashlib
+    import tempfile
+
+    from sentinela_py_spark.functions.bloom import bloom_build
+    from sentinela_py_spark.operators.multimodal import documents_to_paired_rows
+    from sentinela_py_spark.plans import simops
+    from sentinela_py_spark.streaming.pipeline import composed_ingest_batch
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MM_STATE:
+        return _MM_STATE[key]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sentinela-mmingest-{key[0]}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    batch = documents_to_paired_rows(load_table(spark, sf_dir, "documents")).withColumn(
+        "embedding", F.array(F.lit(1.0), F.col("doc_id").cast("double"))
+    )
+    empty_grams = spark.createDataFrame([], "key string")
+    bloom_row = bloom_build(empty_grams).localCheckpoint(eager=True)
+    composed_ingest_batch(
+        batch,
+        bloom_row,
+        0,
+        root,
+        id_col="doc_id",
+        text_col="caption",
+        vec_col="embedding",
+        threshold=2.0,
+        image_payload_col="payload",
+    )
+    simops.register_temp_store(root)
+    _MM_STATE[key] = root
+    return root
+
+
+def _dhash_sql_parts() -> tuple[list[str], str]:
+    """(gray column defs, signed-64-bit dHash sum) — the decode-
+    equivalent grid/hash SQL shared by q_image_neardup and the composed
+    ingest oracle (one generator, so the two replay one definition)."""
+    gray_cols = []
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS):
+            off = f"((({y} * h) // {DHASH_ROWS}) * w + (({x} * w) // {DHASH_COLS})) * 3"
+            g = " + ".join(f"ascii(pix[{off} + {i}])" for i in (1, 2, 3))
+            gray_cols.append(f"{g} AS g_{y}_{x}")
+    bit_terms = []
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
+            pos = y * 8 + x
+            val = -(1 << 63) if pos == 63 else 1 << pos
+            bit_terms.append(
+                f"(CASE WHEN g_{y}_{x} < g_{y}_{x + 1} "
+                f"THEN CAST({val} AS BIGINT) ELSE 0 END)"
+            )
+    return gray_cols, " + ".join(bit_terms)
+
+
+def _mm_ingest_sql() -> str:
+    """DuckDB replay of the COMPOSED paired-row ingest routing:
+
+    image screen — payload build for all four families (base /
+    brightness twin / noise twin / repost) → gray grid → 64-bit dHash →
+    exact-pixel collapse (min doc_id per pixel md5) → 4×16-bit banding
+    over representatives → doc_id-ordered cap → Hamming ≤ 3 pairs →
+    min-label connected components (recursive CTE) → min-id survivor →
+    rejects (members ≠ survivor; exact copies follow their rep's
+    verdict);
+
+    text screen over the image SURVIVORS' captions — exact-caption
+    collapse (min doc_id per md5(caption)) → MinHash signatures → band
+    pairs → components → min-id survivor → rejects (the repost family's
+    fate: same caption, different image);
+
+    decontam/embedding are disarmed by construction (empty filter /
+    unreachable threshold) and replay as pass-through. Emits (stage,
+    doc_id, matched_doc): 'image_dedup' and 'caption_dedup' rejects with
+    their matched survivor, then 'accepted'."""
+    from sentinela_py_spark.operators.multimodal import REPOST_ID_OFFSET
+    from sentinela_py_spark.plans.dedupops import (
+        _band_sql,
+        _minhash_sig_select,
+        _shingles_sql,
+    )
+
+    cs = _CHARSET.replace("'", "''")
+    cs1 = _CHARSET_PLUS1.replace("'", "''")
+    w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+    h_sql = f"(bid % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN})"
+    gray_cols, bits = _dhash_sql_parts()
+    band_list = ",".join(str(i) for i in range(DHASH_BANDS))
+    bmask = (1 << DHASH_BAND_BITS) - 1
+    nl = ",\n             "
+    return f"""
+    WITH RECURSIVE imgsrc AS (
+      -- shift casts BIGINT up front: DuckDB types a set-op column from
+      -- the FIRST branch, and the repost offset (3e9) overflows INT32
+      SELECT doc_id AS bid, text AS t, text AS cap, CAST(0 AS BIGINT) AS shift
+      FROM documents
+      WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id, translate(text, '{cs}', '{cs1}'), text, {BRIGHT_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 0 AND length(text) > 0
+      UNION ALL
+      SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), text, {NOISE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 1 AND length(text) > 0
+      UNION ALL
+      SELECT doc_id, reverse(text), text, {REPOST_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 3 AND length(text) > 0
+    ),
+    imgs AS (
+      SELECT bid + shift AS doc_id,
+             CAST({w_sql} AS INT) AS w,
+             CAST({h_sql} AS INT) AS h,
+             rpad(t, CAST({w_sql} * {h_sql} * 3 AS INT), t) AS pix,
+             cap
+      FROM imgsrc
+    ),
+    grays AS (
+      SELECT doc_id, pix, cap,
+             {nl.join(gray_cols)}
+      FROM imgs
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS dhash, md5(pix) AS pmd5, cap
+      FROM grays
+    ),
+    irep AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY pmd5) AS rep FROM sh
+    ),
+    ireps AS MATERIALIZED (
+      SELECT s.doc_id, s.dhash FROM sh s
+      JOIN irep r ON s.doc_id = r.doc_id AND r.doc_id = r.rep
+    ),
+    ibands AS (
+      SELECT doc_id, dhash, band,
+             (dhash >> (band * {DHASH_BAND_BITS})) & {bmask} AS bsig
+      FROM ireps CROSS JOIN (SELECT UNNEST([{band_list}]) AS band)
+    ),
+    icapped AS (
+      SELECT doc_id, dhash, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM ibands
+      ) WHERE rn <= {IMG_NEARDUP_BUCKET_CAP}
+    ),
+    ipairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM icapped a JOIN icapped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_NEARDUP_MAX_HAMMING}
+    ),
+    iedges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM ipairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM ipairs
+    ),
+    ireach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM ireps
+      UNION
+      SELECT e.src, r.label FROM ireach r JOIN iedges e ON e.dst = r.doc_id
+    ),
+    ilabels AS (
+      SELECT doc_id, MIN(label) AS grp FROM ireach GROUP BY doc_id
+    ),
+    isurv AS (
+      SELECT grp, MIN(doc_id) AS surv FROM ilabels GROUP BY grp
+    ),
+    irej_rep AS (
+      SELECT l.doc_id, s.surv AS matched
+      FROM ilabels l JOIN isurv s USING (grp)
+      WHERE l.doc_id != s.surv
+    ),
+    irej_copy AS (
+      SELECT r.doc_id, COALESCE(rr.matched, r.rep) AS matched
+      FROM irep r LEFT JOIN irej_rep rr ON rr.doc_id = r.rep
+      WHERE r.doc_id != r.rep
+    ),
+    img_rej AS (
+      SELECT doc_id, matched FROM irej_rep
+      UNION ALL
+      SELECT doc_id, matched FROM irej_copy
+    ),
+    img_acc AS MATERIALIZED (
+      SELECT s.doc_id, s.cap FROM sh s
+      LEFT JOIN img_rej j ON j.doc_id = s.doc_id
+      WHERE j.doc_id IS NULL
+    ),
+    trep AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(cap)) AS rep
+      FROM img_acc
+    ),
+    treps AS MATERIALIZED (
+      SELECT a.doc_id, a.cap AS text FROM img_acc a
+      JOIN trep t ON a.doc_id = t.doc_id AND t.doc_id = t.rep
+    ),
+    shingles AS ({_shingles_sql("treps")}),
+    msigs AS ({_minhash_sig_select("shingles")}),
+    mbands AS ({_band_sql("msigs")}),
+    mpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mbands a JOIN mbands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    medges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM mpairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM mpairs
+    ),
+    mreach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM treps
+      UNION
+      SELECT e.src, r.label FROM mreach r JOIN medges e ON e.dst = r.doc_id
+    ),
+    mlabels AS (
+      SELECT doc_id, MIN(label) AS grp FROM mreach GROUP BY doc_id
+    ),
+    msurv AS (
+      SELECT grp, MIN(doc_id) AS surv FROM mlabels GROUP BY grp
+    ),
+    mrej_rep AS (
+      SELECT l.doc_id, s.surv AS matched
+      FROM mlabels l JOIN msurv s USING (grp)
+      WHERE l.doc_id != s.surv
+    ),
+    mrej_copy AS (
+      SELECT t.doc_id, COALESCE(rr.matched, t.rep) AS matched
+      FROM trep t LEFT JOIN mrej_rep rr ON rr.doc_id = t.rep
+      WHERE t.doc_id != t.rep
+    ),
+    mh_rej AS (
+      SELECT doc_id, matched FROM mrej_rep
+      UNION ALL
+      SELECT doc_id, matched FROM mrej_copy
+    ),
+    acc AS (
+      SELECT a.doc_id FROM img_acc a
+      LEFT JOIN mh_rej j ON j.doc_id = a.doc_id
+      WHERE j.doc_id IS NULL
+    )
+    SELECT 'image_dedup' AS stage, doc_id, matched AS matched_doc FROM img_rej
+    UNION ALL
+    SELECT 'caption_dedup' AS stage, doc_id, matched AS matched_doc FROM mh_rej
+    UNION ALL
+    SELECT 'accepted' AS stage, doc_id, CAST(NULL AS BIGINT) AS matched_doc FROM acc
+    ORDER BY stage, doc_id
+    """
+
+
+@register(
+    "q_multimodal_ingest",
+    oracle=_mm_ingest_sql(),
+    survey_ref=(
+        "composed multimodal ingest, driver-checked (r13, r12 verdict #2/#7 — "
+        "the last banked registry slot, promoted like q_ingest_funnel in r11): "
+        "one paired (image, caption) batch through the REAL "
+        "streaming.pipeline.composed_ingest_batch with the image screen at the "
+        "head (LAION order); the oracle replays the full routing algebra — "
+        "dHash/band/cap/Hamming/components/survivor for images, then exact-"
+        "caption collapse + MinHash band components for the survivors' "
+        "captions — so 'which screen takes each row' is value-hash-checked "
+        "end-to-end; decontam/embedding run disarmed (own oracles elsewhere)"
+    ),
+    tags=("multimodal", "streaming", "dedup", "pandas-udf"),
+)
+def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc routing of the composed LAION-order ingest: (stage,
+    doc_id, matched_doc), one row per input row of the paired corpus —
+    'image_dedup' rejects (brightness twins at Hamming 0, noise twins
+    within the threshold, pixel-exact copies via their representative),
+    'caption_dedup' rejects (the REPOST family: a different image under
+    the same caption — exactly what only the text chain can catch, and
+    only AFTER the image screen let the row through), and 'accepted'.
+
+    This runs the real composed foreachBatch body once per session into
+    a temp state root and reads the screens' own verdict stores — so
+    the driver check covers the CHAIN as deployed (election hand-off,
+    store hygiene, stage order), not a reimplementation of it. The
+    pytest suites keep covering replay/parity; the two disarmed screens
+    (decontam, embedding) keep their own registered oracles.
+
+    Scale shape (100 TB): identical to the component queries — the
+    image stage is one Arrow decode pass + the banded self-join at the
+    plan_hamming_config geometry; the caption stage collapses exact
+    copies BEFORE banding (skew-proof at any copy count) and bands only
+    representatives; both caps are doc_id-ordered and oracle-replayed,
+    and neither binds on this corpus (test-pinned)."""
+    state = _mm_ingest_state_dir(spark, sf_dir)
+    img = (
+        spark.read.parquet(os.path.join(state, "image", "rejected"))
+        .select(
+            F.lit("image_dedup").alias("stage"),
+            "doc_id",
+            F.col("matched_doc").cast("long").alias("matched_doc"),
+        )
+    )
+    mh = (
+        spark.read.parquet(os.path.join(state, "minhash", "rejected"))
+        .select(
+            F.lit("caption_dedup").alias("stage"),
+            "doc_id",
+            F.col("matched_doc").cast("long").alias("matched_doc"),
+        )
+    )
+    acc = (
+        spark.read.parquet(os.path.join(state, "accepted"))
+        .select(
+            F.lit("accepted").alias("stage"),
+            "doc_id",
+            F.lit(None).cast("long").alias("matched_doc"),
+        )
+    )
+    return img.unionByName(mh).unionByName(acc).orderBy("stage", "doc_id")

@@ -1,0 +1,160 @@
+"""The driver-checked composed multimodal ingest (r13, r12 verdict
+#2/#7 — registry slot 50): q_multimodal_ingest routes one paired
+(image, caption) batch through the REAL composed_ingest_batch with the
+image screen at the head. Pins the LAION-order routing per planted
+family — brightness twins die at the IMAGE screen (their clean captions
+never reach the text chain), reposts (different image, same caption)
+sail through the image screen and die at the CAPTION screen pointing at
+their base doc — plus the cap-never-binds precondition both replayed
+caps rest on. Cross-engine value equality is tests/test_oracle_parity's
+job; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.operators.multimodal import (
+    BRIGHT_ID_OFFSET,
+    NOISE_ID_OFFSET,
+    REPOST_ID_OFFSET,
+    documents_to_paired_rows,
+)
+from sentinela_py_spark.plans import QUERIES
+from sentinela_py_spark.plans.registry import _ensure_loaded
+
+_ensure_loaded()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def routing(spark):
+    rows = QUERIES["q_multimodal_ingest"].spark(spark, SF).collect()
+    return {r["doc_id"]: (r["stage"], r["matched_doc"]) for r in rows}
+
+
+def _family(routing, lo, hi):
+    return {d: v for d, v in routing.items() if lo <= d < hi}
+
+
+def test_every_row_routed_exactly_once(spark, routing):
+    n_paired = documents_to_paired_rows(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).count()
+    assert len(routing) == n_paired  # dict == rows → doc_ids unique
+
+
+def test_brightness_twins_die_at_the_image_screen(spark, routing):
+    bright = _family(routing, BRIGHT_ID_OFFSET, NOISE_ID_OFFSET)
+    n_eligible = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter((F.col("doc_id") % 16 == 0) & (F.length("text") > 0))
+        .count()
+    )
+    assert len(bright) == n_eligible
+    # every twin is evicted by the image screen — its (perfectly clean)
+    # caption never reached the text chain
+    assert all(stage == "image_dedup" for stage, _ in bright.values())
+    # the survivor-election contract is PER-SCREEN: an image reject's
+    # match is image-screen-accepted (it may still fall to a LATER
+    # screen — e.g. a base doc whose caption duplicates an earlier doc)
+    assert all(routing[m][0] != "image_dedup" for _, m in bright.values())
+    # and overwhelmingly the match IS the twin's own base doc
+    own_base = sum(
+        1 for d, (_, m) in bright.items() if m == d - BRIGHT_ID_OFFSET
+    )
+    assert own_base > 0.8 * len(bright)
+
+
+def test_reposts_pass_the_image_screen_and_die_as_caption_dups(routing):
+    reposts = _family(routing, REPOST_ID_OFFSET, REPOST_ID_OFFSET + 10**9)
+    assert reposts, "no repost rows in the corpus"
+    # the repost's IMAGE is genuinely different (reversed text pixels),
+    # so the image screen must let every one through; the text chain
+    # then catches the duplicated caption
+    assert all(stage == "caption_dedup" for stage, _ in reposts.values())
+    # the caption screen is the last armed verdict stage, so ITS
+    # survivor-election contract is global: every match is accepted
+    assert all(routing[m][0] == "accepted" for _, m in reposts.values())
+    # the match is the repost's own base doc — unless that base itself
+    # duplicated an earlier doc's caption, in which case the whole
+    # caption group collapsed onto the earlier survivor (still <= base)
+    assert all(m <= d - REPOST_ID_OFFSET for d, (_, m) in reposts.items())
+    own_base = sum(
+        1 for d, (_, m) in reposts.items() if m == d - REPOST_ID_OFFSET
+    )
+    assert own_base > 0.8 * len(reposts)
+
+
+def test_noise_twins_never_reach_the_caption_stage(routing):
+    noise = _family(routing, NOISE_ID_OFFSET, REPOST_ID_OFFSET)
+    assert noise
+    # a noise twin is either caught perceptually (image stage) or — if
+    # its Hamming distance exceeded the threshold — caught by its
+    # duplicated caption; on this corpus the image screen takes them all
+    # (hamming <= 2 measured), which is the LAION-order point: the
+    # cheaper earlier screen does the work
+    assert all(stage == "image_dedup" for stage, _ in noise.values())
+
+
+def test_base_docs_mostly_accepted(routing):
+    base = {d: v for d, v in routing.items() if d < BRIGHT_ID_OFFSET}
+    accepted = sum(1 for stage, _ in base.values() if stage == "accepted")
+    # base docs are distinct pages; only genuine text near-dups planted
+    # in the fixture corpus fall to the caption screen
+    assert accepted > 0.8 * len(base)
+
+
+def test_caps_never_bind_on_the_paired_corpus(spark):
+    """Both replayed caps (image 64, minhash DEFAULT) must not bind —
+    the precondition under which the oracle's uncapped/capped replay is
+    exact. Image bucket occupancy is checked at the deployment band
+    geometry; caption bands are checked against the minhash screen's
+    default cap (exact caption copies collapse BEFORE banding, exactly
+    as the screen does)."""
+    from sentinela_py_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_signatures,
+        signature_bands,
+    )
+    from sentinela_py_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        image_dhash,
+    )
+    from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE
+    from sentinela_py_spark.plans.mmops import IMG_NEARDUP_BUCKET_CAP
+
+    paired = documents_to_paired_rows(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).localCheckpoint(eager=True)
+    sigs = image_dhash(paired.select("doc_id", "payload")).filter(
+        F.col("dhash").isNotNull()
+    )
+    img_max = (
+        signature_bands(
+            sigs.select("doc_id", "dhash"), "dhash", DHASH_BANDS, DHASH_BAND_BITS
+        )
+        .groupBy("band", "bsig")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert img_max <= IMG_NEARDUP_BUCKET_CAP
+    reps = (
+        paired.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(F.md5("caption")))
+        )
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", F.col("caption").alias("text"))
+    )
+    mh_max = (
+        lsh_band_signatures(minhash_signatures(reps))
+        .groupBy("band", "sig")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert mh_max <= DEFAULT_MAX_BUCKET_SIZE
