@@ -736,19 +736,24 @@ _MM_STATE: dict[tuple[str, str], str] = {}
 def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
     """Run the composed paired-row batch ONCE per session × sf_dir into
     a temp state root and return it (the `_funnel_state_dir` memo
-    pattern; cleaned with the other temp stores). The decontamination
-    and embedding screens RUN but are deliberately disarmed — an empty
-    eval Bloom filter flags nothing and threshold=2.0 exceeds any cosine
-    — because their algebra already has its own oracle-checked queries
-    (q_decontamination, q_embedding_neardup); rows here carry DISTINCT
-    per-doc vectors so the embedding screen's exact-copy collapse stays
-    out of the verdict too. What this query value-checks is the part no
+    pattern; cleaned with the other temp stores). THREE screens are
+    armed: the image screen (head of the chain), the decontamination
+    screen against a REAL held-out split (every 16th-plus-five doc's
+    text is eval content — its own caption in the corpus is exactly the
+    verbatim leak the screen exists to catch), and the MinHash caption
+    screen. The embedding screen RUNS but is deliberately disarmed —
+    threshold=2.0 exceeds any cosine, and rows carry DISTINCT per-doc
+    vectors so its exact-copy collapse stays out of the verdict —
+    because its algebra has its own oracle-checked query
+    (q_embedding_neardup) and a cosine replay would re-derive what that
+    query already pins. What this query value-checks is the part no
     registered query covered: the LAION-ORDER ROUTING — which screen
     takes each row when the real screens are chained."""
     import hashlib
     import tempfile
 
     from sentinela_py_spark.functions.bloom import bloom_build
+    from sentinela_py_spark.functions.text_stats import word_shingles
     from sentinela_py_spark.operators.multimodal import documents_to_paired_rows
     from sentinela_py_spark.plans import simops
     from sentinela_py_spark.streaming.pipeline import composed_ingest_batch
@@ -760,11 +765,17 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"sentinela-mmingest-{key[0]}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
-    batch = documents_to_paired_rows(load_table(spark, sf_dir, "documents")).withColumn(
+    d = load_table(spark, sf_dir, "documents")
+    batch = documents_to_paired_rows(d).withColumn(
         "embedding", F.array(F.lit(1.0), F.col("doc_id").cast("double"))
     )
-    empty_grams = spark.createDataFrame([], "key string")
-    bloom_row = bloom_build(empty_grams).localCheckpoint(eager=True)
+    eval_grams = (
+        d.filter((F.col("doc_id") % 16 == 5) & (F.length("text") > 0))
+        .select(
+            F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("key")
+        )
+    )
+    bloom_row = bloom_build(eval_grams).localCheckpoint(eager=True)
     composed_ingest_batch(
         batch,
         bloom_row,
@@ -814,22 +825,32 @@ def _mm_ingest_sql() -> str:
     rejects (members ≠ survivor; exact copies follow their rep's
     verdict);
 
-    text screen over the image SURVIVORS' captions — exact-caption
+    decontamination over the image SURVIVORS' captions — the eval
+    split's (doc_id % 16 = 5) distinct word-5-grams build the m=2^16,
+    k=4 Bloom words (`_BLOOM_POS_SQL`, the q_decontamination template),
+    each caption's distinct grams probe all four positions, and any
+    fully-set gram flags the doc (min_hits = 1);
+
+    text screen over the DECONTAMINATED captions — exact-caption
     collapse (min doc_id per md5(caption)) → MinHash signatures → band
     pairs → components → min-id survivor → rejects (the repost family's
     fate: same caption, different image);
 
-    decontam/embedding are disarmed by construction (empty filter /
-    unreachable threshold) and replay as pass-through. Emits (stage,
-    doc_id, matched_doc): 'image_dedup' and 'caption_dedup' rejects with
-    their matched survivor, then 'accepted'."""
+    the embedding screen is disarmed by construction (unreachable
+    threshold) and replays as pass-through. Emits (stage, doc_id,
+    matched_doc): 'image_dedup' and 'caption_dedup' rejects with their
+    matched survivor, 'decontam' flags (no match concept — the filter
+    names no specific eval doc), then 'accepted'."""
     from sentinela_py_spark.operators.multimodal import REPOST_ID_OFFSET
     from sentinela_py_spark.plans.dedupops import (
         _band_sql,
         _minhash_sig_select,
         _shingles_sql,
     )
+    from sentinela_py_spark.plans.textops import _BLOOM_POS_SQL
 
+    _BLOOM_POS = _BLOOM_POS_SQL.format(i="i.i", g="e.gram")
+    _BLOOM_POS_T = _BLOOM_POS_SQL.format(i="i.i", g="g.gram")
     cs = _CHARSET.replace("'", "''")
     cs1 = _CHARSET_PLUS1.replace("'", "''")
     w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
@@ -932,12 +953,52 @@ def _mm_ingest_sql() -> str:
       LEFT JOIN img_rej j ON j.doc_id = s.doc_id
       WHERE j.doc_id IS NULL
     ),
+    eval_grams AS MATERIALIZED (
+      SELECT DISTINCT gram FROM (
+        SELECT UNNEST(list_transform(
+          generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+          i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS gram
+        FROM documents WHERE doc_id % 16 = 5 AND length(text) > 0
+      )
+    ),
+    bloom_words AS MATERIALIZED (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask FROM (
+        SELECT {_BLOOM_POS} AS pos
+        FROM eval_grams e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+      ) GROUP BY 1
+    ),
+    cap_grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, UNNEST(list_transform(
+          generate_series(1, greatest(len(string_split(cap, ' ')) - 4, 0)),
+          i -> array_to_string(list_slice(string_split(cap, ' '), i, i + 4), ' '))) AS gram
+        FROM img_acc
+      )
+    ),
+    dec_flag AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT p.doc_id, p.gram
+        FROM (
+          SELECT g.doc_id, g.gram, {_BLOOM_POS_T} AS pos
+          FROM cap_grams g CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+        ) p JOIN bloom_words b ON b.word = p.pos // 32
+        WHERE ((b.mask >> CAST(p.pos % 32 AS INT)) & 1) = 1
+        GROUP BY p.doc_id, p.gram
+        HAVING COUNT(*) = 4
+      ) GROUP BY doc_id
+    ),
+    dec_acc AS MATERIALIZED (
+      SELECT a.doc_id, a.cap FROM img_acc a
+      LEFT JOIN dec_flag f ON f.doc_id = a.doc_id
+      WHERE f.doc_id IS NULL
+    ),
     trep AS (
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(cap)) AS rep
-      FROM img_acc
+      FROM dec_acc
     ),
     treps AS MATERIALIZED (
-      SELECT a.doc_id, a.cap AS text FROM img_acc a
+      SELECT a.doc_id, a.cap AS text FROM dec_acc a
       JOIN trep t ON a.doc_id = t.doc_id AND t.doc_id = t.rep
     ),
     shingles AS ({_shingles_sql("treps")}),
@@ -980,11 +1041,14 @@ def _mm_ingest_sql() -> str:
       SELECT doc_id, matched FROM mrej_copy
     ),
     acc AS (
-      SELECT a.doc_id FROM img_acc a
+      SELECT a.doc_id FROM dec_acc a
       LEFT JOIN mh_rej j ON j.doc_id = a.doc_id
       WHERE j.doc_id IS NULL
     )
     SELECT 'image_dedup' AS stage, doc_id, matched AS matched_doc FROM img_rej
+    UNION ALL
+    SELECT 'decontam' AS stage, doc_id, CAST(NULL AS BIGINT) AS matched_doc
+    FROM dec_flag
     UNION ALL
     SELECT 'caption_dedup' AS stage, doc_id, matched AS matched_doc FROM mh_rej
     UNION ALL
@@ -1002,10 +1066,12 @@ def _mm_ingest_sql() -> str:
         "one paired (image, caption) batch through the REAL "
         "streaming.pipeline.composed_ingest_batch with the image screen at the "
         "head (LAION order); the oracle replays the full routing algebra — "
-        "dHash/band/cap/Hamming/components/survivor for images, then exact-"
-        "caption collapse + MinHash band components for the survivors' "
-        "captions — so 'which screen takes each row' is value-hash-checked "
-        "end-to-end; decontam/embedding run disarmed (own oracles elsewhere)"
+        "dHash/band/cap/Hamming/components/survivor for images, the m=2^16/k=4 "
+        "Bloom probe against a real eval split for the survivors' captions, "
+        "then exact-caption collapse + MinHash band components for the "
+        "decontaminated captions — so 'which screen takes each row' is "
+        "value-hash-checked end-to-end across THREE armed screens; the "
+        "embedding screen runs disarmed (own oracle at q_embedding_neardup)"
     ),
     tags=("multimodal", "streaming", "dedup", "pandas-udf"),
 )
@@ -1014,9 +1080,12 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, matched_doc), one row per input row of the paired corpus —
     'image_dedup' rejects (brightness twins at Hamming 0, noise twins
     within the threshold, pixel-exact copies via their representative),
-    'caption_dedup' rejects (the REPOST family: a different image under
-    the same caption — exactly what only the text chain can catch, and
-    only AFTER the image screen let the row through), and 'accepted'.
+    'decontam' flags (the eval-split captions: verbatim held-out
+    content that must never enter the corpus OR the downstream dedup
+    stores), 'caption_dedup' rejects (the REPOST family: a different
+    image under the same caption — exactly what only the text chain can
+    catch, and only AFTER the image screen let the row through), and
+    'accepted'.
 
     This runs the real composed foreachBatch body once per session into
     a temp state root and reads the screens' own verdict stores — so
@@ -1040,6 +1109,14 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_doc").cast("long").alias("matched_doc"),
         )
     )
+    dec = (
+        spark.read.parquet(os.path.join(state, "decontam", "flagged"))
+        .select(
+            F.lit("decontam").alias("stage"),
+            "doc_id",
+            F.lit(None).cast("long").alias("matched_doc"),
+        )
+    )
     mh = (
         spark.read.parquet(os.path.join(state, "minhash", "rejected"))
         .select(
@@ -1056,4 +1133,6 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("matched_doc"),
         )
     )
-    return img.unionByName(mh).unionByName(acc).orderBy("stage", "doc_id")
+    return (
+        img.unionByName(dec).unionByName(mh).unionByName(acc).orderBy("stage", "doc_id")
+    )
