@@ -555,21 +555,25 @@ def main() -> None:
     # of requiring a clean-box re-run.
     #
     # The floor is MEASURED IN-SESSION (r13, r12 watch item): the
-    # converged warmup probe (`calibration.first` — post-JIT, before the
-    # bench's own queries load the box) is this session's idle level, so
-    # small box drift tracks automatically. When it disagrees with the
-    # historical clean-window constant by >1.3× the session can't tell
-    # "box got slower" from "box is loaded RIGHT NOW at session start" —
-    # the harness then falls back to the historical constant and FLAGS
-    # it (`floor_source`), so normalized numbers never silently flatter
-    # a permanently slower box and never silently absorb startup load.
+    # minimum across the session's whole probe series — every probe is
+    # >= the true idle level, so the series minimum is the tightest
+    # demonstrated lower bound (and immune to the residual warmup the
+    # converged `first` can retain: measured run A, first 0.27 vs later
+    # probes 0.17-0.19 on a visibly clean box). Small box drift tracks
+    # automatically. When even the minimum disagrees with the historical
+    # clean-window constant by >1.3× the session can't tell "box got
+    # slower" from "box is loaded THE WHOLE SESSION" — the harness then
+    # falls back to the historical constant and FLAGS it
+    # (`floor_source`), so normalized numbers never silently flatter a
+    # permanently slower box and never silently absorb sustained load.
     # The gate is ASYMMETRIC: a measured floor BELOW historical is
     # trusted outright (a faster box or a smaller SF genuinely lowers
     # the probe's idle level — the historical constant is an sf0.1
     # number); only a measured floor >1.3× ABOVE historical is
     # ambiguous (slow box vs loaded start) and falls back flagged.
     HISTORICAL_FLOOR = 0.19  # r9–r11 clean-window idle level (BENCH_NOTES)
-    floor_measured = first
+    cal_series = [v for v in (first, *probes, calibration["last"]) if v]
+    floor_measured = min(cal_series) if cal_series else None
     if floor_measured and floor_measured <= HISTORICAL_FLOOR * 1.3:
         floor, floor_source = floor_measured, "in_session"
     else:
