@@ -497,38 +497,123 @@ def image_dedup_batch_against_corpus(
     ids_collapsed: bool = False,
 ) -> DataFrame:
     """One micro-batch of IMAGE near-dup rejection at ingest — the
-    streaming twin of `plans.mmops.q_image_neardup` (r12), with the
-    store/replay discipline of `dedup_batch_against_corpus`: a
-    LAION-style multimodal lake dedups arriving images against the
-    accepted corpus BY PERCEPTUAL HASH before any text screen runs.
+    streaming twin of `plans.mmops.q_image_neardup` (r12): a LAION-style
+    multimodal lake dedups arriving images against the accepted corpus
+    BY PERCEPTUAL HASH before any text screen runs. A thin binding of
+    `signature_dedup_batch_against_corpus` (r13 — the generic screen
+    shared with the audio twin) to the dHash signer: ONE Arrow
+    decode+dHash pass (`operators.multimodal.image_dhash`) yields a
+    64-bit signature + decoded-pixel md5 per image, and the generic
+    screen does the rest (exact-pixel collapse, 4×16-bit banded
+    within-batch components, cross-corpus probe, epoch-keyed state)."""
+    from sentinela_py_spark.operators.multimodal import image_dhash
 
-    1. ONE Arrow decode+dHash pass (`operators.multimodal.image_dhash`)
-       yields (dhash, pix_md5) per image; undecodable payloads pass
-       through untouched (a corrupt image is the quality screen's
-       problem, not the dedup screen's — rejecting on decode failure
-       would let a corrupted byte evade dedup AND drop good data);
-    2. EXACT copies collapse on pix_md5 (uniform key, skew-proof at any
-       copy count) and only representatives enter the band machinery;
+    def signer(frame: DataFrame) -> DataFrame:
+        return image_dhash(frame).select(
+            "doc_id",
+            F.col("dhash").alias("sig"),
+            F.col("pix_md5").alias("content_md5"),
+        )
+
+    return signature_dedup_batch_against_corpus(
+        batch,
+        epoch_id,
+        state_dir,
+        signer,
+        id_col=id_col,
+        payload_col=payload_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        ids_collapsed=ids_collapsed,
+    )
+
+
+def audio_dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+    ids_collapsed: bool = False,
+) -> DataFrame:
+    """One micro-batch of AUDIO near-dup rejection at ingest — the
+    streaming twin of `plans.mmops.q_audio_neardup` (r13): arriving
+    clips are fingerprinted (`operators.multimodal.audio_fingerprint` —
+    decode_wav → 64 gain-invariant frame-energy sign bits + decoded-
+    sample md5) and screened by the same generic signature machinery as
+    the image screen: a re-encoded or gain-shifted copy of an accepted
+    clip is rejected at ingest, byte-identical PCM collapses exactly at
+    any copy count, and the persistent store is one fixed-width row per
+    (band, bsig, sig)."""
+    from sentinela_py_spark.operators.multimodal import audio_fingerprint
+
+    def signer(frame: DataFrame) -> DataFrame:
+        return audio_fingerprint(frame).select(
+            "doc_id",
+            F.col("afp").alias("sig"),
+            F.col("data_md5").alias("content_md5"),
+        )
+
+    return signature_dedup_batch_against_corpus(
+        batch,
+        epoch_id,
+        state_dir,
+        signer,
+        id_col=id_col,
+        payload_col=payload_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        ids_collapsed=ids_collapsed,
+    )
+
+
+def signature_dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    signer,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+    ids_collapsed: bool = False,
+) -> DataFrame:
+    """The GENERIC perceptual-signature near-dup screen (r13 — one body
+    for the image and audio twins), with the store/replay discipline of
+    `dedup_batch_against_corpus`. ``signer`` maps a (doc_id, payload)
+    frame to (doc_id, sig: long, content_md5) — one Arrow pass, NULL
+    sig rows for undecodable payloads.
+
+    1. payloads the signer can't decode pass through untouched (a
+       corrupt container is the quality screen's problem, not the dedup
+       screen's — rejecting on decode failure would let a corrupted
+       byte evade dedup AND drop good data);
+    2. EXACT copies collapse on content_md5 (uniform key, skew-proof at
+       any copy count) and only representatives enter the band
+       machinery;
     3. WITHIN-batch: `hamming_band_pairs` over the representatives
-       (4×16-bit bands tiling the 64-bit dHash — the r13 deployment
+       (4×16-bit bands tiling the 64-bit signature — the deployment
        geometry from `plan_hamming_config`; Hamming ≤ ``max_hamming``
-       refine, doc_id-ordered
-       hot-bucket cap with the overflow audit landing at
-       ``overflow/epoch=N``) feeds `connected_components`; survivors
-       are re-elected AFTER the corpus verdicts exactly as the MinHash
-       screen does, so every reject's ``matched_doc`` is an accepted row;
+       refine, doc_id-ordered hot-bucket cap with the overflow audit
+       landing at ``overflow/epoch=N``) feeds `connected_components`;
+       survivors are re-elected AFTER the corpus verdicts exactly as
+       the MinHash screen does, so every reject's ``matched_doc`` is an
+       accepted row;
     4. CROSS-corpus: representative bands equi-join the persistent
        signature store on (band, bsig), then verify at TRUE Hamming ≤
        ``max_hamming``. The store is pre-aggregated to one row per
-       (band, bsig, dhash) with min(doc_id) — a template flood of
-       byte-identical or brightness-shifted copies collapses to ONE
-       stored row exactly (they share the dhash), the perceptual analog
-       of `cross_corpus_candidates`' skew-immune pre-aggregation;
-    5. survivors write (doc_id, band, bsig, dhash) to ``bands/epoch=N``
+       (band, bsig, sig) with min(doc_id) — a template flood of
+       byte-identical or perceptually-identical copies collapses to ONE
+       stored row exactly (they share the signature), the perceptual
+       analog of `cross_corpus_candidates`' skew-immune pre-aggregation;
+    5. survivors write (doc_id, band, bsig, sig) to ``bands/epoch=N``
        and their rows to ``accepted/epoch=N``; rejects land at
        ``rejected/epoch=N`` with matched_doc + reason. Epoch-keyed
-       overwrites + the store read excluding the live epoch give the
-       same bit-for-bit replay guarantee as every other screen."""
+       writes ride `streaming.stores.write_epoch_partition` and the
+       store read excludes the live epoch, so a checkpoint-replayed
+       batch reproduces its first attempt — across compactions too."""
     from sentinela_py_spark.operators.dedup import (
         connected_components,
         hamming_band_pairs,
@@ -537,7 +622,6 @@ def image_dedup_batch_against_corpus(
     from sentinela_py_spark.operators.multimodal import (
         DHASH_BAND_BITS,
         DHASH_BANDS,
-        image_dhash,
     )
 
     spark = batch.sparkSession
@@ -548,14 +632,14 @@ def image_dedup_batch_against_corpus(
         F.md5(F.col(payload_col)),
         ids_collapsed,
     )
-    sigs = image_dhash(
+    sigs = signer(
         b.select("doc_id", F.col(payload_col).alias("payload"))
     ).localCheckpoint(eager=True)
-    decodable = sigs.filter(F.col("dhash").isNotNull())
-    # 2. exact-copy collapse on the decoded-pixel md5
+    decodable = sigs.filter(F.col("sig").isNotNull())
+    # 2. exact-copy collapse on the decoded-content md5
     rep_of = (
-        decodable.select("doc_id", "pix_md5")
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("pix_md5")))
+        decodable.select("doc_id", "content_md5")
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("content_md5")))
         .select("doc_id", "rep")
         .localCheckpoint(eager=True)
     )
@@ -565,12 +649,12 @@ def image_dedup_batch_against_corpus(
         "left_semi",
     )
     rep_bands = signature_bands(
-        rep_sigs.select("doc_id", "dhash"), "dhash", DHASH_BANDS, DHASH_BAND_BITS
+        rep_sigs.select("doc_id", "sig"), "sig", DHASH_BANDS, DHASH_BAND_BITS
     ).localCheckpoint(eager=True)
     # 3. within-batch components over the Hamming-refined band pairs
     pairs, overflow = hamming_band_pairs(
-        rep_sigs.select("doc_id", "dhash"),
-        "dhash",
+        rep_sigs.select("doc_id", "sig"),
+        "sig",
         max_hamming=max_hamming,
         n_bands=DHASH_BANDS,
         band_bits=DHASH_BAND_BITS,
@@ -582,13 +666,13 @@ def image_dedup_batch_against_corpus(
     # 4. cross-corpus probe: band collision → true-Hamming verify
     store = _read_band_store(spark, bands_dir, epoch_id)
     if store is not None:
-        corpus_sigs = store.groupBy("band", "bsig", F.col("dhash").alias("c_dhash")).agg(
+        corpus_sigs = store.groupBy("band", "bsig", F.col("sig").alias("c_sig")).agg(
             F.min("doc_id").alias("corpus_doc")
         )
         vs_corpus = (
             rep_bands.join(corpus_sigs, ["band", "bsig"])
             .filter(
-                F.bit_count(F.col("dhash").bitwiseXOR(F.col("c_dhash")))
+                F.bit_count(F.col("sig").bitwiseXOR(F.col("c_sig")))
                 <= max_hamming
             )
             .groupBy("doc_id")
@@ -688,6 +772,49 @@ def run_incremental_image_dedup_stream(
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "imgdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_incremental_audio_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    schema=None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+):
+    """Streaming AUDIO near-dup rejection at ingest (r13): every
+    micro-batch of (id, binary RIFF/WAVE payload) rows is fingerprinted
+    and joined against the accumulated signature index of everything
+    already accepted — batch semantics, replay safety, and state layout
+    on `audio_dedup_batch_against_corpus` (the generic signature screen
+    under the audio signer). Parquet source, same rationale as the
+    image stream; state is O(corpus × 4 bands) of fixed-width rows —
+    a vanishing fraction of the samples it indexes."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        audio_dedup_batch_against_corpus(
+            batch,
+            epoch_id,
+            state_dir,
+            id_col,
+            payload_col,
+            max_hamming,
+            max_bucket_size,
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", 1).parquet(source_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "auddedup"))
         .trigger(availableNow=True)
         .start()
     )
