@@ -134,7 +134,11 @@ def compact_epoch_store(
     if not epochs:
         raise ValueError(f"not an epoch store (no epoch= dirs): {store_root}")
     live = [e for e in epochs if e != BASE_EPOCH]
-    keep = set(live[len(live) - keep_latest :]) if keep_latest > 0 else set()
+    # max(0, ...): keep_latest beyond the live count keeps everything —
+    # a negative slice start would silently WRAP and keep less
+    keep = (
+        set(live[max(0, len(live) - keep_latest) :]) if keep_latest > 0 else set()
+    )
     prior = store_compacted_through(store_root)
     fold = [e for e in live if e not in keep]
     if not fold and prior is not None:
@@ -184,8 +188,15 @@ def compact_ingest_state(
         if not epoch_dirs:
             continue
         dirs[:] = []  # a store is a leaf: never descend into epoch dirs
-        probe = os.path.join(root, epoch_dirs[0])
-        if any(c.startswith("cell_id=") for c in os.listdir(probe)):
+        # probe EVERY epoch dir for cell clustering, not just the first:
+        # an ANN tree whose first-listed epoch happens to be empty (a
+        # crashed write) must still be recognized and left to its own
+        # cell-preserving compactor
+        if any(
+            c.startswith("cell_id=")
+            for e in epoch_dirs
+            for c in os.listdir(os.path.join(root, e))
+        ):
             continue  # ANN tree — its own compactor owns it
         out[os.path.relpath(root, state_dir)] = compact_epoch_store(
             spark, root, keep_latest=keep_latest, target_files=target_files

@@ -250,3 +250,42 @@ def test_composed_stream_self_compacts_on_cadence(spark, tmp_path):
     }
     assert fn[(0, "arrived")] == 5 and fn[(1, "arrived")] == 4
     assert fn[(0, "accepted")] == 2 and fn[(1, "accepted")] == 1
+
+
+def test_keep_latest_beyond_live_count_keeps_everything(spark, tmp_path):
+    """keep_latest larger than the live-epoch count must keep every
+    epoch as-is (nothing to fold) — a negative slice start would
+    silently wrap and fold epochs the caller asked to keep."""
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_epoch_partition(df, store, 0)
+    write_epoch_partition(df, store, 1)
+    through = compact_epoch_store(spark, store, keep_latest=5)
+    assert through == -1  # nothing folded
+    assert store_compacted_through(store) == -1
+    live = sorted(
+        int(p.split("=", 1)[1])
+        for p in os.listdir(store)
+        if p.startswith("epoch=") and p != "epoch=-1"
+    )
+    assert live == [0, 1]
+    rows = read_epoch_store(spark, store).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in rows) == [(1, 0), (1, 1)]
+
+
+def test_tree_detection_survives_an_empty_first_epoch(spark, tmp_path):
+    """An ANN tree whose first-listed epoch dir is empty (a crashed
+    write) must still be recognized by its cell clustering and left to
+    its own compactor."""
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_epoch_partition(df, os.path.join(state, "bands"), 0)
+    tree = os.path.join(state, "index")
+    os.makedirs(os.path.join(tree, "epoch=0"))  # empty: crashed write
+    spark.createDataFrame([(1, 0)], "vec_id long, cell_id int").write.partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(tree, "epoch=1"))
+    folded = compact_ingest_state(spark, state, keep_latest=0)
+    assert set(folded) == {"bands"}
+    assert store_compacted_through(tree) is None
+    assert os.path.exists(os.path.join(tree, "epoch=1"))
