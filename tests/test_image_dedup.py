@@ -209,6 +209,20 @@ class TestPlanHammingConfig:
         assert s.expected_occupancy == pytest.approx(10**6 / 65536)
         assert s.expected_candidates == pytest.approx(4 * 10**6 * 10**6 / 65536)
 
+    def test_deployment_constants_are_the_planned_point(self):
+        # the 4×16 constants every consumer imports ARE the planner's
+        # operating point for the 64-bit hash at the Hamming-3 threshold
+        # — geometry can't silently drift from the computation again
+        from sentinela_py_spark.operators.dedup import plan_hamming_config
+        from sentinela_py_spark.operators.multimodal import (
+            DHASH_BAND_BITS,
+            DHASH_BANDS,
+        )
+        from sentinela_py_spark.plans.mmops import IMG_NEARDUP_MAX_HAMMING
+
+        s = plan_hamming_config(10**6, 64, max_hamming=IMG_NEARDUP_MAX_HAMMING)
+        assert (s.n_bands, s.band_bits) == (DHASH_BANDS, DHASH_BAND_BITS)
+
     def test_recall_fixes_the_band_count(self):
         from sentinela_py_spark.operators.dedup import plan_hamming_config
 
