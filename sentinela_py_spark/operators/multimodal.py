@@ -852,22 +852,30 @@ def audio_fingerprint(wavs: DataFrame) -> DataFrame:
 
 # Paired-row (image, caption) ingest corpus (r13, r12 verdict #2/#7):
 # the LAION-lake fixture for the COMPOSED multimodal ingest query —
-# documents_to_dedup_images' family scheme plus a REPOST family that
-# only the TEXT chain can catch: a different image (pixel plane built
-# from the reversed text) under the SAME caption, planted on every
-# 16th-plus-three doc. Brightness/noise twins carry their base doc's
-# caption too (they are "the same page, re-encoded"), so the LAION
-# ordering is observable end-to-end: perceptual twins die at the image
-# screen BEFORE their captions reach the text screens; reposts sail
-# through the image screen and die as caption duplicates.
+# documents_to_dedup_images' family scheme plus two families only the
+# TEXT/VECTOR chain can catch: a REPOST (a different image — pixel
+# plane built from the reversed text — under the SAME caption, every
+# 16th-plus-three doc) and an EMBDUP (a different image AND a different
+# caption — both vowel-translated — that shares its base doc's
+# EMBEDDING, every 16th-plus-seven doc: the mirror-site page whose
+# pixels and words were re-rendered but whose semantic vector is the
+# same). Brightness/noise twins carry their base doc's caption (they
+# are "the same page, re-encoded"), so the LAION ordering is observable
+# end-to-end: perceptual twins die at the image screen BEFORE their
+# captions reach the text screens; reposts sail through the image
+# screen and die as caption duplicates; embdups sail through image AND
+# text and die at the embedding screen.
 REPOST_ID_OFFSET = 3_000_000_000
+EMBDUP_ID_OFFSET = 4_000_000_000
 
 
 def documents_to_paired_rows(documents: DataFrame) -> DataFrame:
     """(doc_id, payload, caption): one valid binary-PPM plus its caption
-    per long-enough document, with the three planted families above.
-    Same JVM-side build (translate/reverse/rpad/format_string) and the
-    same empty-text gate as `documents_to_dedup_images`."""
+    per long-enough document, with the four planted families above
+    (embeddings attach in the plan layer — each row carries its BASE
+    doc's vector, which is what plants the embdup family's identical
+    array). Same JVM-side build (translate/reverse/rpad/format_string)
+    and the same empty-text gate as `documents_to_dedup_images`."""
     documents = documents.filter(F.length("text") > 0)
 
     def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
@@ -894,9 +902,16 @@ def documents_to_paired_rows(documents: DataFrame) -> DataFrame:
     repost = documents.filter(F.col("doc_id") % 16 == 3).withColumn(
         "__t", F.reverse(F.col("text"))
     )
+    translated = F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
+    embdup = (
+        documents.filter(F.col("doc_id") % 16 == 7)
+        .withColumn("__t", F.reverse(translated))
+        .withColumn("text", translated)
+    )
     return (
         build(base)
         .unionByName(build(bright, BRIGHT_ID_OFFSET))
         .unionByName(build(noise, NOISE_ID_OFFSET))
         .unionByName(build(repost, REPOST_ID_OFFSET))
+        .unionByName(build(embdup, EMBDUP_ID_OFFSET))
     )

@@ -736,19 +736,19 @@ _MM_STATE: dict[tuple[str, str], str] = {}
 def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
     """Run the composed paired-row batch ONCE per session × sf_dir into
     a temp state root and return it (the `_funnel_state_dir` memo
-    pattern; cleaned with the other temp stores). THREE screens are
+    pattern; cleaned with the other temp stores). ALL FOUR screens are
     armed: the image screen (head of the chain), the decontamination
     screen against a REAL held-out split (every 16th-plus-five doc's
     text is eval content — its own caption in the corpus is exactly the
-    verbatim leak the screen exists to catch), and the MinHash caption
-    screen. The embedding screen RUNS but is deliberately disarmed —
-    threshold=2.0 exceeds any cosine, and rows carry DISTINCT per-doc
-    vectors so its exact-copy collapse stays out of the verdict —
-    because its algebra has its own oracle-checked query
-    (q_embedding_neardup) and a cosine replay would re-derive what that
-    query already pins. What this query value-checks is the part no
-    registered query covered: the LAION-ORDER ROUTING — which screen
-    takes each row when the real screens are chained."""
+    verbatim leak the screen exists to catch), the MinHash caption
+    screen, and the EMBEDDING screen at the real NEARDUP_COS threshold
+    over each row's BASE document vector: the embdup family (new
+    pixels, new words, same semantic vector) flows through image AND
+    text and dies at the vector stage, and genuine base near-dup
+    vectors fall to the same within-batch election the streaming screen
+    runs. What this query value-checks is the part no registered query
+    covered: the LAION-ORDER ROUTING — which screen takes each row when
+    every real screen is chained."""
     import hashlib
     import tempfile
 
@@ -766,8 +766,19 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
         f"sentinela-mmingest-{key[0]}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     d = load_table(spark, sf_dir, "documents")
-    batch = documents_to_paired_rows(d).withColumn(
-        "embedding", F.array(F.lit(1.0), F.col("doc_id").cast("double"))
+    # every row carries its BASE doc's vector (doc_id mod 1e9 strips the
+    # family offsets) — which is exactly what plants the embdup family's
+    # identical array for the embedding screen's exact-copy collapse
+    batch = (
+        documents_to_paired_rows(d)
+        .withColumn("__base", F.col("doc_id") % 1_000_000_000)
+        .join(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("__base"), "embedding"
+            ),
+            "__base",
+        )
+        .drop("__base")
     )
     eval_grams = (
         d.filter((F.col("doc_id") % 16 == 5) & (F.length("text") > 0))
@@ -776,6 +787,8 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     bloom_row = bloom_build(eval_grams).localCheckpoint(eager=True)
+    from sentinela_py_spark.plans.simops import NEARDUP_COS
+
     composed_ingest_batch(
         batch,
         bloom_row,
@@ -784,7 +797,7 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
         id_col="doc_id",
         text_col="caption",
         vec_col="embedding",
-        threshold=2.0,
+        threshold=NEARDUP_COS,
         image_payload_col="payload",
     )
     simops.register_temp_store(root)
@@ -836,16 +849,30 @@ def _mm_ingest_sql() -> str:
     pairs → components → min-id survivor → rejects (the repost family's
     fate: same caption, different image);
 
-    the embedding screen is disarmed by construction (unreachable
-    threshold) and replays as pass-through. Emits (stage, doc_id,
-    matched_doc): 'image_dedup' and 'caption_dedup' rejects with their
-    matched survivor, 'decontam' flags (no match concept — the filter
-    names no specific eval doc), then 'accepted'."""
-    from sentinela_py_spark.operators.multimodal import REPOST_ID_OFFSET
+    embedding screen over the DOUBLY-SCREENED survivors' base-document
+    vectors — exact-copy collapse on the vector VALUE (the embdup
+    family's identical array), hyperplane-sign buckets + the multi-probe
+    Hamming ≤ 1 join (`_bucket_sql`/PROBE_XORS — q_embedding_neardup's
+    exact templates), rounded-cosine ≥ NEARDUP_COS verify, components,
+    min-id survivor. Emits (stage, doc_id, matched_doc): 'image_dedup',
+    'caption_dedup' and 'embedding_dedup' rejects with their matched
+    survivor, 'decontam' flags (no match concept — the filter names no
+    specific eval doc), then 'accepted'."""
+    from sentinela_py_spark.operators.multimodal import (
+        EMBDUP_ID_OFFSET,
+        REPOST_ID_OFFSET,
+    )
     from sentinela_py_spark.plans.dedupops import (
         _band_sql,
         _minhash_sig_select,
         _shingles_sql,
+    )
+    from sentinela_py_spark.plans.simops import (
+        NEARDUP_COS,
+        PROBE_XORS,
+        _bucket_sql,
+        _DOT_SQL,
+        _NORMSQ_SQL,
     )
     from sentinela_py_spark.plans.textops import _BLOOM_POS_SQL
 
@@ -860,21 +887,33 @@ def _mm_ingest_sql() -> str:
     bmask = (1 << DHASH_BAND_BITS) - 1
     nl = ",\n             "
     return f"""
-    WITH RECURSIVE imgsrc AS (
+    WITH RECURSIVE docs AS MATERIALIZED (
+      -- the paired corpus = docs the embeddings table covers (a paired
+      -- row IS (image, caption, vector) by definition — the Spark
+      -- fixture's inner embedding join is this same gate; at sf0.1 the
+      -- embeddings table covers a strict subset of documents)
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE length(d.text) > 0
+        AND EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+    ),
+    imgsrc AS (
       -- shift casts BIGINT up front: DuckDB types a set-op column from
       -- the FIRST branch, and the repost offset (3e9) overflows INT32
       SELECT doc_id AS bid, text AS t, text AS cap, CAST(0 AS BIGINT) AS shift
-      FROM documents
-      WHERE length(text) > 0
+      FROM docs
       UNION ALL
       SELECT doc_id, translate(text, '{cs}', '{cs1}'), text, {BRIGHT_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 0 AND length(text) > 0
+      FROM docs WHERE doc_id % 16 = 0
       UNION ALL
       SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), text, {NOISE_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 1 AND length(text) > 0
+      FROM docs WHERE doc_id % 16 = 1
       UNION ALL
       SELECT doc_id, reverse(text), text, {REPOST_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 3 AND length(text) > 0
+      FROM docs WHERE doc_id % 16 = 3
+      UNION ALL
+      SELECT doc_id, reverse(translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}')),
+             translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {EMBDUP_ID_OFFSET}
+      FROM docs WHERE doc_id % 16 = 7
     ),
     imgs AS (
       SELECT bid + shift AS doc_id,
@@ -1040,9 +1079,72 @@ def _mm_ingest_sql() -> str:
       UNION ALL
       SELECT doc_id, matched FROM mrej_copy
     ),
-    acc AS (
+    tacc AS MATERIALIZED (
       SELECT a.doc_id FROM dec_acc a
       LEFT JOIN mh_rej j ON j.doc_id = a.doc_id
+      WHERE j.doc_id IS NULL
+    ),
+    emb AS MATERIALIZED (
+      SELECT t.doc_id, e.embedding,
+             {_bucket_sql('e.embedding')} AS bucket,
+             SQRT({_NORMSQ_SQL.format(a='e.embedding')}) AS norm,
+             CAST(e.embedding AS VARCHAR) AS ekey
+      FROM tacc t JOIN embeddings e ON e.vec_id = t.doc_id % 1000000000
+    ),
+    erep AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ekey) AS rep FROM emb
+    ),
+    ereps AS MATERIALIZED (
+      SELECT m.doc_id, m.embedding, m.bucket, m.norm FROM emb m
+      JOIN erep r ON m.doc_id = r.doc_id AND r.doc_id = r.rep
+    ),
+    eprobed AS (
+      SELECT doc_id, embedding, norm, xor(bucket, probe_xor) AS probe
+      FROM ereps CROSS JOIN (
+        SELECT UNNEST([{", ".join(str(x) for x in PROBE_XORS)}]) AS probe_xor
+      )
+    ),
+    epairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ereps a JOIN eprobed b
+        ON a.bucket = b.probe AND a.doc_id < b.doc_id
+      WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / (a.norm * b.norm), 6) >= {NEARDUP_COS}
+    ),
+    eedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM epairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM epairs
+    ),
+    ereach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM ereps
+      UNION
+      SELECT e.src, r.label FROM ereach r JOIN eedges e ON e.dst = r.doc_id
+    ),
+    elabels AS (
+      SELECT doc_id, MIN(label) AS grp FROM ereach GROUP BY doc_id
+    ),
+    esurv AS (
+      SELECT grp, MIN(doc_id) AS surv FROM elabels GROUP BY grp
+    ),
+    erej_rep AS (
+      SELECT l.doc_id, s.surv AS matched
+      FROM elabels l JOIN esurv s USING (grp)
+      WHERE l.doc_id != s.surv
+    ),
+    erej_copy AS (
+      SELECT r.doc_id, COALESCE(rr.matched, r.rep) AS matched
+      FROM erep r LEFT JOIN erej_rep rr ON rr.doc_id = r.rep
+      WHERE r.doc_id != r.rep
+    ),
+    emb_rej AS (
+      SELECT doc_id, matched FROM erej_rep
+      UNION ALL
+      SELECT doc_id, matched FROM erej_copy
+    ),
+    acc AS (
+      SELECT t.doc_id FROM tacc t
+      LEFT JOIN emb_rej j ON j.doc_id = t.doc_id
       WHERE j.doc_id IS NULL
     )
     SELECT 'image_dedup' AS stage, doc_id, matched AS matched_doc FROM img_rej
@@ -1051,6 +1153,8 @@ def _mm_ingest_sql() -> str:
     FROM dec_flag
     UNION ALL
     SELECT 'caption_dedup' AS stage, doc_id, matched AS matched_doc FROM mh_rej
+    UNION ALL
+    SELECT 'embedding_dedup' AS stage, doc_id, matched AS matched_doc FROM emb_rej
     UNION ALL
     SELECT 'accepted' AS stage, doc_id, CAST(NULL AS BIGINT) AS matched_doc FROM acc
     ORDER BY stage, doc_id
@@ -1068,10 +1172,14 @@ def _mm_ingest_sql() -> str:
         "head (LAION order); the oracle replays the full routing algebra — "
         "dHash/band/cap/Hamming/components/survivor for images, the m=2^16/k=4 "
         "Bloom probe against a real eval split for the survivors' captions, "
-        "then exact-caption collapse + MinHash band components for the "
-        "decontaminated captions — so 'which screen takes each row' is "
-        "value-hash-checked end-to-end across THREE armed screens; the "
-        "embedding screen runs disarmed (own oracle at q_embedding_neardup)"
+        "exact-caption collapse + MinHash band components for the "
+        "decontaminated captions, then the embedding screen at NEARDUP_COS "
+        "(exact-vector collapse, hyperplane buckets + multi-probe join, "
+        "rounded-cosine verify, components, survivor) over the doubly-screened "
+        "survivors — 'which screen takes each row' is value-hash-checked "
+        "end-to-end across ALL FOUR armed screens (parity pinned at sf0.001/"
+        "0.01/0.1; the embdup family — new pixels, new words, same semantic "
+        "vector — dies exactly at the vector stage)"
     ),
     tags=("multimodal", "streaming", "dedup", "pandas-udf"),
 )
@@ -1084,8 +1192,11 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     content that must never enter the corpus OR the downstream dedup
     stores), 'caption_dedup' rejects (the REPOST family: a different
     image under the same caption — exactly what only the text chain can
-    catch, and only AFTER the image screen let the row through), and
-    'accepted'.
+    catch, and only AFTER the image screen let the row through),
+    'embedding_dedup' rejects (the EMBDUP family: new pixels AND new
+    words but the same semantic vector — the mirror-site re-render only
+    the vector stage can catch, plus the corpus's genuine vector
+    near-dups at NEARDUP_COS), and 'accepted'.
 
     This runs the real composed foreachBatch body once per session into
     a temp state root and reads the screens' own verdict stores — so
@@ -1125,6 +1236,14 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_doc").cast("long").alias("matched_doc"),
         )
     )
+    emb = (
+        spark.read.parquet(os.path.join(state, "embedding", "rejected"))
+        .select(
+            F.lit("embedding_dedup").alias("stage"),
+            "doc_id",
+            F.col("matched_vec").cast("long").alias("matched_doc"),
+        )
+    )
     acc = (
         spark.read.parquet(os.path.join(state, "accepted"))
         .select(
@@ -1134,5 +1253,9 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        img.unionByName(dec).unionByName(mh).unionByName(acc).orderBy("stage", "doc_id")
+        img.unionByName(dec)
+        .unionByName(mh)
+        .unionByName(emb)
+        .unionByName(acc)
+        .orderBy("stage", "doc_id")
     )
