@@ -384,7 +384,11 @@ class HammingSizing:
     band_bits: int
     n_buckets_per_band: int  # 2^band_bits — the band's key space
     expected_occupancy: float  # n_items / 2^band_bits, uniform-hash model
-    expected_candidates: float  # n_bands * n_items^2 / 2^band_bits pairs
+    # unordered candidate pairs: n_bands * C(n,2)/2^band_bits ≈
+    # n_bands * n^2 / (2 * 2^band_bits) — the a.doc_id < b.doc_id join
+    # emits each colliding pair once (r13 ADVICE: the ordered-pair count
+    # was 2x the docstring's claim)
+    expected_candidates: float
     occupancy_ok: bool  # expected_occupancy <= target_occupancy
     hash_bits_needed: int  # width at which the target WOULD hold
 
@@ -410,7 +414,7 @@ def plan_hamming_config(
       the minimum band count that guarantees the threshold.
     - **Occupancy** is then a CONSEQUENCE, not a choice: uniform-ish
       hashes give expected bucket size n/2^band_bits and candidate work
-      n_bands · n²/2^band_bits. When that exceeds ``target_occupancy``
+      n_bands · n²/(2·2^band_bits) unordered pairs. When that exceeds ``target_occupancy``
       the honest lever is a WIDER HASH, not more bands:
       ``hash_bits_needed = n_bands · ceil(log2(n / target))`` is
       reported so the caller sizes the signature (e.g. a 256-bit pHash)
@@ -444,7 +448,7 @@ def plan_hamming_config(
         band_bits=band_bits,
         n_buckets_per_band=1 << band_bits,
         expected_occupancy=occupancy,
-        expected_candidates=n_bands * n_items * occupancy,
+        expected_candidates=n_bands * n_items * occupancy / 2.0,
         occupancy_ok=occupancy <= target_occupancy,
         hash_bits_needed=n_bands * bits_per_band_needed,
     )

@@ -30,6 +30,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -715,6 +716,16 @@ def resample_audio(payload: bytes, factor: int) -> bytes:
 AFP_FRAMES = 65
 AFP_MIN_SAMPLES = 2 * AFP_FRAMES  # every frame carries >= 2 samples
 
+# int64-overflow ceiling (r13 ADVICE): the sign bits compare
+# energy·flen cross-products; energy ≤ 255·flen, so a product is
+# bounded by 255·flen² — numpy int64 would WRAP silently past 2^63
+# (while the DuckDB oracle's BIGINT multiply raises), so the engines
+# could diverge on clips with frames ≳1.9e8 samples. Cap the clip
+# length so flen ≤ isqrt(2^63/255) keeps every product in-range; a
+# longer clip raises (→ a NULL fingerprint row in the scan, the same
+# undecodable-payload path) instead of fingerprinting wrong.
+AFP_MAX_SAMPLES = AFP_FRAMES * (math.isqrt((1 << 63) // 255) - 1)
+
 # Planted variant families (deterministic, engine-replayable), the audio
 # mirror of the image corpus: every 16th doc gets a RE-ENCODED twin
 # (same samples at a different sample rate — container bytes differ,
@@ -806,6 +817,12 @@ def afp64_of(payload: bytes) -> tuple[int, str]:
     n = len(data)
     if n < AFP_MIN_SAMPLES:
         raise ValueError(f"clip too short for {AFP_FRAMES} frames: {n} samples")
+    if n > AFP_MAX_SAMPLES:
+        raise ValueError(
+            f"clip too long for exact int64 frame-energy products: {n} > "
+            f"{AFP_MAX_SAMPLES} samples (energy*flen would overflow — "
+            "r13 ADVICE: numpy wraps silently where BIGINT raises)"
+        )
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     # vectorized frame sums: bounds are strictly increasing (every frame
     # >= 2 samples past the gate), so reduceat segments are exact

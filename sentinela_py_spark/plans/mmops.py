@@ -295,7 +295,9 @@ def _image_neardup_sql() -> str:
     nl = ",\n             "
     return f"""
     WITH imgsrc AS (
-      SELECT doc_id AS bid, text AS t, 0 AS shift FROM documents
+      -- explicit BIGINT cast for documentation parity with the other
+      -- oracles (DuckDB widens set-op columns across all branches)
+      SELECT doc_id AS bid, text AS t, CAST(0 AS BIGINT) AS shift FROM documents
       WHERE length(text) > 0
       UNION ALL
       SELECT doc_id, translate(text, '{cs}', '{cs1}'), {BRIGHT_ID_OFFSET}
@@ -590,7 +592,12 @@ def _audio_neardup_sql() -> str:
     )
     return f"""
     WITH wavsrc AS (
-      SELECT doc_id AS bid, text AS t, 0 AS shift FROM documents WHERE {gate}
+      -- DuckDB widens set-op columns to the max type across branches,
+      -- so the BIGINT offsets below type `shift` regardless; the cast
+      -- states the intent where the column is introduced (r13 ADVICE:
+      -- keep both oracles on the same explicit-cast style)
+      SELECT doc_id AS bid, text AS t, CAST(0 AS BIGINT) AS shift
+      FROM documents WHERE {gate}
       UNION ALL
       SELECT doc_id, text, {AFP_RATE_ID_OFFSET}
       FROM documents WHERE doc_id % 16 = 0 AND {gate}
@@ -897,8 +904,12 @@ def _mm_ingest_sql() -> str:
         AND EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
     ),
     imgsrc AS (
-      -- shift casts BIGINT up front: DuckDB types a set-op column from
-      -- the FIRST branch, and the repost offset (3e9) overflows INT32
+      -- shift cast is documentation, not necessity: DuckDB widens a
+      -- set-op column to the max logical type across ALL branches
+      -- (r13 ADVICE — the old comment claimed first-branch typing),
+      -- so the 3e9 repost offset makes the column BIGINT either way;
+      -- the explicit cast just states the intended type where the
+      -- column is introduced (same style as _audio_neardup_sql)
       SELECT doc_id AS bid, text AS t, text AS cap, CAST(0 AS BIGINT) AS shift
       FROM docs
       UNION ALL

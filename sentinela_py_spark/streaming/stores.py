@@ -41,10 +41,63 @@ from pyspark.sql import functions as F
 
 BASE_EPOCH = -1
 
+# URI-scheme prefix (hdfs://, s3a://, file://, ...): the compaction
+# walk/swap below is os-level (os.walk/os.listdir/os.rename), which on a
+# remote filesystem yields NOTHING — compact_every would become a silent
+# no-op and small-files growth would resume with no error (r13 ADVICE).
+# The screen WRITES tolerate remote roots (Spark's own writers handle
+# them); only the local-fs maintenance pass refuses.
+import re as _re
+
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _require_local(path: str, what: str) -> None:
+    """Raise on scheme-prefixed (non-local-fs) paths — never no-op.
+
+    ``file://`` is rejected too: stripping it correctly needs URI
+    parsing (authority component), and a caller on the local fs can
+    simply pass the plain path."""
+    if _SCHEME_RE.match(path):
+        raise ValueError(
+            f"{what} uses os-level directory walks/renames and supports "
+            f"local-filesystem store roots only, got {path!r}; run the "
+            "maintenance pass on a local mirror or port the store IO to "
+            "the Hadoop FileSystem API before pointing it at remote storage"
+        )
+
 
 def _marker_path(store_root: str) -> str:
     # underscore prefix: parquet partition discovery skips the file
     return os.path.join(store_root, "_compaction.json")
+
+
+def _recover_interrupted_swap(store_root: str) -> None:
+    """Heal a store whose previous compaction crashed mid-swap (r13
+    ADVICE: the root swap is two non-atomic renames — a crash between
+    them leaves NO dir at ``store_root`` while the data sits whole in
+    ``store_root + '.old'``; a read would then see an empty store and a
+    screen would silently re-accept known duplicates).
+
+    Recovery is deterministic from which dirs exist:
+    - root missing + ``.old`` present  → the first rename landed but the
+      second didn't: the old root is complete and the ``.compact-tmp``
+      (if any) is an unpublished draft — restore ``.old`` and drop the
+      draft.
+    - root present + ``.old`` present  → the second rename landed but
+      the cleanup didn't: the new root is live — drop the leftover.
+    A leftover ``.compact-tmp`` beside a live root is always a draft
+    from a crash before the swap started — drop it."""
+    old, tmp = store_root + ".old", store_root + ".compact-tmp"
+    if os.path.exists(old):
+        if os.path.exists(store_root):
+            shutil.rmtree(old)
+        else:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.rename(old, store_root)
+    elif os.path.exists(tmp) and os.path.exists(store_root):
+        shutil.rmtree(tmp)
 
 
 def store_compacted_through(store_root: str) -> int | None:
@@ -83,9 +136,18 @@ def read_epoch_store(
     the store doesn't exist yet. ``mergeSchema`` tolerates stores whose
     pre-compaction files predate the ``src_epoch`` column; compaction
     keeps the file count O(1), which is what keeps the merged footer
-    read cheap."""
+    read cheap.
+
+    Local roots are healed first if a previous compaction crashed
+    mid-swap (`_recover_interrupted_swap`) — without this, a store whose
+    data sits whole in ``.old`` would read as None and the screen would
+    silently treat its corpus as empty (r13 ADVICE). Remote
+    (scheme-prefixed) roots skip the heal: compaction refuses them, so
+    an interrupted swap cannot exist there."""
     from pyspark.errors import AnalysisException
 
+    if not _SCHEME_RE.match(store_root):
+        _recover_interrupted_swap(store_root)
     try:
         df = spark.read.option("mergeSchema", "true").parquet(store_root)
     except AnalysisException:
@@ -129,7 +191,12 @@ def compact_epoch_store(
     marker and swaps the root; returns the ``through_epoch`` stamped.
     Searches/probes see identical rows before and after (test-pinned).
     Run on the maintenance cadence that keeps per-store file counts
-    flat, in a quiet window (the ANN tree's publish caveat applies)."""
+    flat, in a quiet window (the ANN tree's publish caveat applies).
+    Local-filesystem roots only (raises on hdfs://-style paths — the
+    walk and swap are os-level, r13 ADVICE); an interrupted previous
+    swap is healed before folding."""
+    _require_local(store_root, "compact_epoch_store")
+    _recover_interrupted_swap(store_root)
     epochs = _store_epochs(store_root)
     if not epochs:
         raise ValueError(f"not an epoch store (no epoch= dirs): {store_root}")
@@ -181,7 +248,11 @@ def compact_ingest_state(
     — they have their own cell-clustered compactor,
     `functions.vectors.compact_ann_index_tree`, which preserves the
     one-file-per-cell layout a probe depends on. Returns
-    {relative store path: through_epoch}."""
+    {relative store path: through_epoch}. Local-filesystem state roots
+    only — a scheme-prefixed (hdfs://, s3a://) root raises up front
+    instead of walking nothing and silently folding zero stores (r13
+    ADVICE)."""
+    _require_local(state_dir, "compact_ingest_state")
     out: dict[str, int] = {}
     for root, dirs, _files in os.walk(state_dir):
         epoch_dirs = [d for d in dirs if d.startswith("epoch=")]

@@ -81,6 +81,33 @@ class TestAfpProperties:
         h, _ = afp64_of(_wav(BODY))
         assert -(1 << 63) <= h < 1 << 63
 
+    def test_overflow_length_raises_instead_of_wrapping(self, monkeypatch):
+        """r13 ADVICE: energy*flen in numpy int64 wraps silently past
+        2^63 while the DuckDB oracle's BIGINT multiply raises — the
+        Spark side must raise at the same edge, never fingerprint
+        wrong. Pinned by shrinking the ceiling (a real 12-billion-sample
+        clip won't fit in a test) and checking both sides of it."""
+        import sentinela_py_spark.operators.multimodal as mm
+
+        monkeypatch.setattr(mm, "AFP_MAX_SAMPLES", len(BODY) - 1)
+        with pytest.raises(ValueError, match="too long"):
+            afp64_of(_wav(BODY))
+        monkeypatch.setattr(mm, "AFP_MAX_SAMPLES", len(BODY))
+        afp64_of(_wav(BODY))  # at the ceiling: exact, no raise
+
+    def test_real_overflow_ceiling_is_tight(self):
+        # the shipped ceiling keeps every cross-product strictly inside
+        # int64 (flen <= n//AFP_FRAMES + 1, energy <= 255*flen), and is
+        # not needlessly conservative: one more frame-length step breaks
+        from sentinela_py_spark.operators.multimodal import (
+            AFP_FRAMES,
+            AFP_MAX_SAMPLES,
+        )
+
+        flen_max = AFP_MAX_SAMPLES // AFP_FRAMES + 1
+        assert 255 * flen_max * flen_max < 1 << 63
+        assert 255 * (flen_max + 1) * (flen_max + 1) >= 1 << 63
+
     def test_too_short_and_non_mono8_raise(self):
         with pytest.raises(ValueError, match="too short"):
             afp64_of(_wav(BODY[: AFP_MIN_SAMPLES - 1]))

@@ -207,7 +207,8 @@ class TestPlanHammingConfig:
         s = plan_hamming_config(10**6, 64, max_hamming=3)
         assert s.occupancy_ok
         assert s.expected_occupancy == pytest.approx(10**6 / 65536)
-        assert s.expected_candidates == pytest.approx(4 * 10**6 * 10**6 / 65536)
+        # unordered pairs (r13 ADVICE): half the ordered-probe count
+        assert s.expected_candidates == pytest.approx(4 * 10**6 * 10**6 / 65536 / 2)
 
     def test_deployment_constants_are_the_planned_point(self):
         # the 4×16 constants every consumer imports ARE the planner's

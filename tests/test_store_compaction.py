@@ -289,3 +289,59 @@ def test_tree_detection_survives_an_empty_first_epoch(spark, tmp_path):
     assert set(folded) == {"bands"}
     assert store_compacted_through(tree) is None
     assert os.path.exists(os.path.join(tree, "epoch=1"))
+
+
+def test_remote_store_roots_raise_instead_of_noop(spark, tmp_path):
+    """r13 ADVICE: the compaction walk/swap is os-level, so a
+    scheme-prefixed (hdfs://, s3a://) root must raise up front — the
+    old behavior was a silent no-op that let small-files growth resume
+    with no error."""
+    for bad in ("hdfs://nn:8020/state", "s3a://bucket/state", "file:///x/state"):
+        with pytest.raises(ValueError, match="local-filesystem"):
+            compact_ingest_state(spark, bad)
+        with pytest.raises(ValueError, match="local-filesystem"):
+            compact_epoch_store(spark, bad + "/bands")
+    # a plain local path with no scheme still works end-to-end
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_epoch_partition(df, store, 0)
+    write_epoch_partition(df, store, 1)
+    assert compact_epoch_store(spark, store, keep_latest=1) == 0
+
+
+def test_interrupted_swap_recovers_on_read_and_on_recompaction(spark, tmp_path):
+    """r13 ADVICE: the root swap is two non-atomic renames. A crash
+    between them leaves the whole store at '<root>.old' and nothing at
+    '<root>' — a read must heal and see every row (not silently treat
+    the corpus as empty), and a re-run of compaction must heal then
+    fold normally."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_epoch_partition(df, store, 0)
+    write_epoch_partition(df, store, 1)
+    before = _store_rows(spark, store)
+
+    # crash between rename(root, old) and rename(tmp, root): root gone,
+    # data whole in .old, a complete draft in .compact-tmp
+    shutil.copytree(store, store + ".compact-tmp")
+    os.rename(store, store + ".old")
+    healed = read_epoch_store(spark, store)
+    assert healed is not None and sorted(tuple(r) for r in healed.collect()) == before
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compact-tmp")
+
+    # crash between rename(tmp, root) and rmtree(old): both dirs exist —
+    # the NEW root is live; the leftover .old must be dropped, not restored
+    os.makedirs(store + ".old")
+    through = compact_epoch_store(spark, store, keep_latest=1)
+    assert through == 0
+    assert not os.path.exists(store + ".old")
+    assert _store_rows(spark, store) == before
+
+    # leftover draft beside a live root (crash before the swap started)
+    os.makedirs(store + ".compact-tmp")
+    healed = read_epoch_store(spark, store)
+    assert sorted(tuple(r) for r in healed.collect()) == before
+    assert not os.path.exists(store + ".compact-tmp")
