@@ -115,6 +115,23 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #   q_image_neardup          geometry: 64-bit dHash, 4×16-bit bands
 #                               (r12 verdict #1 — same algebra, wider
 #                               keyspace; raw headline comparable)
+# Round-14 fold (SURVEY §8): q_image_neardup + q_audio_neardup →
+#   q_signature_neardup      method-tagged arms `image` (≙ old
+#                               all_pairs), `image_probe` (≙ old
+#                               corpus_probe), `audio` (≙ old
+#                               q_audio_neardup row), + NEW `image_wide`
+#                               (256-bit wide dHash at the aligned 4×64
+#                               plan_hamming_config geometry — the wide-
+#                               signature path, r13 verdict #1); the
+#                               headline row prices the whole union
+# Round-14 additions:
+#   q_clip_score             NEW registered query in the freed slot
+#                               (longtail-priced): cross-modal
+#                               consistency verdicts, map-only
+#   composed_ingest          += screens_audio arm (audio dedup in the
+#                               media head; delta vs `screens` prices
+#                               it) and screens_clip arm (the
+#                               CLIP-score stage; near-free map-only)
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -134,7 +151,7 @@ HEADLINE = [
     "q_decontamination",
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
-    "q_image_neardup",  # r12: perceptual-hash image dedup
+    "q_signature_neardup",  # r12-14: perceptual-hash image+audio dedup (folded)
     "q_text_profile",
     "q_pii_redaction",
     "q_embedding_neardup",
@@ -204,7 +221,12 @@ SUPERSET_ARMS = [
 
 
 def _composed_ingest_arm(
-    trim_quality: bool, fuzzy: bool = False, ann: bool = False, image: bool = False
+    trim_quality: bool,
+    fuzzy: bool = False,
+    ann: bool = False,
+    image: bool = False,
+    audio: bool = False,
+    clip: bool = False,
 ):
     """Bench arm for the streaming composed-ingest flagship, priced as
     ONE batch of the real (doc_id, text, embedding) corpus through
@@ -267,6 +289,27 @@ def _composed_ingest_arm(
                 )
                 .select("doc_id", "payload", "text", "embedding")
             )
+        if audio:
+            # paired (clip, caption, embedding) rows — the LAION-A /
+            # AudioSet lake shape (r14): the dedup-wav corpus (base +
+            # re-encode/gain/noise twins) carries its BASE doc's
+            # caption/embedding, so the audio screen prices eviction
+            # work on real twins exactly as the image arm does
+            from sentinela_py_spark.operators.multimodal import (
+                documents_to_dedup_wavs,
+            )
+
+            wavs = documents_to_dedup_wavs(d)
+            batch = (
+                wavs.withColumn("__base", F.col("doc_id") % 1_000_000_000)
+                .join(
+                    batch.select(
+                        F.col("doc_id").alias("__base"), "text", "embedding"
+                    ),
+                    "__base",
+                )
+                .select("doc_id", F.col("payload").alias("clip"), "text", "embedding")
+            )
         is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
         grams = (
             d.filter(is_eval)
@@ -316,8 +359,20 @@ def _composed_ingest_arm(
                     ),
                 )
             kw["centroids"], kw["books"] = _BOOKS[key]
+        if clip:
+            # paired-vector rows (r14): the registered fixture's planted
+            # mismatch/zero families ride the real corpus, so the arm
+            # prices the map-only cosine AND the eviction writes
+            from sentinela_py_spark.plans.mmops import documents_to_clip_pairs
+
+            batch = documents_to_clip_pairs(e).join(
+                d.select("doc_id", "text"), "doc_id"
+            )
+            kw["clip_vec_col"] = "image_embedding"
         if image:
             kw["image_payload_col"] = "payload"
+        if audio:
+            kw["audio_payload_col"] = "clip"
         state = tempfile.mkdtemp(prefix="bench-ingest-")
         try:
             if ann:
@@ -381,6 +436,14 @@ EXTRA_ARMS = {
         # image dedup ahead of the text screens; the delta vs `screens`
         # prices the image stage (decode+dHash, twin eviction, store)
         "screens_image": _composed_ingest_arm(trim_quality=False, image=True),
+        # r14 (r13 verdict #3): the audio twin — clip dedup in the media
+        # head of the chain; the delta vs `screens` prices the audio
+        # stage (decode+fingerprint, twin eviction, store)
+        "screens_audio": _composed_ingest_arm(trim_quality=False, audio=True),
+        # r14 (r13 verdict #5): the cross-modal consistency screen —
+        # map-only rounded cosine over paired vectors; the delta vs
+        # `screens` prices the (nearly-free) clip stage
+        "screens_clip": _composed_ingest_arm(trim_quality=False, clip=True),
     }
 }
 

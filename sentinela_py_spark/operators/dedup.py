@@ -241,6 +241,84 @@ def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def is_wide_signature(df: DataFrame, sig_col: str) -> bool:
+    """True when ``sig_col`` is an ``array<bigint>`` multi-word
+    signature (little-endian word order: word w carries bits
+    [64·w, 64·w+64), each word a signed two's-complement int64 exactly
+    like the single-word form). The banding/Hamming machinery below
+    dispatches on this, so one public API serves both widths."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    dt = df.schema[sig_col].dataType
+    return isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType)
+
+
+def _wide_band_slice_sql(sig_col: str, band_bits: int) -> str:
+    """SQL expression for band ``band``'s ``band_bits``-wide slice of an
+    ``array<bigint>`` signature (r14, r13 verdict #1 — the one remaining
+    named scale boundary: `shiftright` on a single int64 capped every
+    perceptual hash at 64 bits, where `plan_hamming_config` itself
+    reports 96+ bits needed at the 10⁹-image operating point).
+
+    Band b covers global bits [b·bb, (b+1)·bb). The slice may STRADDLE a
+    word boundary (e.g. the planner's 4×24 geometry on a 96-bit hash:
+    band 2 spans bits 48..72 across words 0 and 1):
+
+    - ``lo`` = the word holding the slice's first bit, logically
+      right-shifted by the in-word offset ``s`` (shiftrightunsigned —
+      zero fill, so a set bit 63 never sign-extends into the slice);
+    - ``hi`` = the next word's low ``k = max(s + bb − 64, 0)`` bits,
+      shifted up to positions [bb−k, bb). When the slice fits one word,
+      k = 0 and the hi term is identically zero — one branch-free
+      expression covers both cases.
+    - bb = 64 is the aligned special case (k would need a 64-bit mask):
+      the slice IS the word, signed value and all — both engines join on
+      the same stored bit pattern, exactly like the signed 64-bit
+      single-word signature.
+
+    ``element_at`` past the array end coalesces to 0, so a geometry
+    whose coverage (n_bands·bb) overruns the words simply reads zero
+    bits — the coverage VALIDATION, not the slicer, is what rejects
+    signatures wider than the banding (same contract as the
+    single-word form). All shift amounts stay in [0, 63] and every
+    intermediate fits int64, so the expression is exact under ANSI."""
+    bb = band_bits
+    if bb == 64:
+        return f"element_at({sig_col}, band + 1)"
+    mask = (1 << bb) - 1
+    # try_element_at: NULL (not an ANSI error) past the array end, so a
+    # top band whose hi word doesn't exist reads zero bits via coalesce
+    lo = (
+        f"coalesce(try_element_at({sig_col}, "
+        f"CAST((band * {bb}) DIV 64 + 1 AS INT)), CAST(0 AS BIGINT))"
+    )
+    hi = (
+        f"coalesce(try_element_at({sig_col}, "
+        f"CAST((band * {bb}) DIV 64 + 2 AS INT)), CAST(0 AS BIGINT))"
+    )
+    s = f"((band * {bb}) % 64)"
+    k = f"greatest({s} + {bb} - 64, 0)"
+    return (
+        f"(shiftrightunsigned({lo}, {s}) & {mask}) | "
+        f"shiftleft({hi} & (shiftleft(CAST(1 AS BIGINT), {k}) - 1), {bb} - {k})"
+    )
+
+
+def wide_hamming(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """Hamming distance between two ``array<bigint>`` signatures: sum of
+    per-word ``bit_count(xor)`` — the exact multi-word analog of the
+    single-word refine, computed with array higher-order functions (no
+    explode, no shuffle; rides whatever exchange the join already
+    paid)."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 def signature_bands(
     sigs: DataFrame,
     sig_col: str,
@@ -267,12 +345,26 @@ def signature_bands(
     signatures exactly, because the arithmetic shift + mask reads the
     stored bit pattern. `hamming_band_pairs(validate_coverage=True)`
     checks this on the data; `plan_hamming_config` computes the geometry
-    for a corpus instead of defaulting it."""
+    for a corpus instead of defaulting it.
+
+    WIDE SIGNATURES (r14, r13 verdict #1): when ``sig_col`` is an
+    ``array<bigint>`` (`is_wide_signature`), the slice is extracted by
+    `_wide_band_slice_sql` — word-indexed, straddle-capable — and the
+    coverage precondition generalizes to: every bit beyond
+    ``n_bands · band_bits`` must be zero in every word (checked by
+    `hamming_band_pairs(validate_coverage=True)`). For the aligned
+    bb = 64 geometry each band IS one signed word, so signed wrap
+    semantics carry over word-for-word from the single-word form."""
     band_ids = F.array(*[F.lit(i) for i in range(n_bands)])
-    mask = (1 << band_bits) - 1
-    return sigs.select(
+    exploded = sigs.select(
         id_col, sig_col, *carry_cols, F.explode(band_ids).alias("band")
-    ).withColumn(
+    )
+    if is_wide_signature(sigs, sig_col):
+        return exploded.withColumn(
+            "bsig", F.expr(_wide_band_slice_sql(sig_col, band_bits))
+        )
+    mask = (1 << band_bits) - 1
+    return exploded.withColumn(
         "bsig",
         F.expr(f"shiftright({sig_col}, band * {band_bits})").bitwiseAND(mask),
     )
@@ -294,6 +386,14 @@ def hamming_band_pairs(
     and the perceptual-hash image dedup (r12): explode ``n_bands``
     ``band_bits``-wide slices of the signature, equi-join on (band,
     slice), refine by true Hamming distance.
+
+    ``sig_col`` may be a single signed int64 OR an ``array<bigint>``
+    multi-word signature (r14, r13 verdict #1 — hashes wider than 64
+    bits: 256-bit dHash, 128-bit audio fingerprints; the planner's own
+    10⁹-image worked example needs 96+ bits). The wide form slices via
+    `_wide_band_slice_sql` (straddle-capable) and refines via
+    `wide_hamming` (per-word bit_count(xor) summed) — identical
+    semantics, caps, audits, and pigeonhole guarantee.
 
     Pigeonhole recall: any pair within Hamming ``n_bands − 1`` leaves at
     least one band untouched, so recall at ``max_hamming ≤ n_bands − 1``
@@ -321,7 +421,28 @@ def hamming_band_pairs(
     ``a_<c>``/``b_<c>`` for every ``carry_cols`` entry (carried through
     the join so callers don't re-join the signature frame)."""
     coverage = n_bands * band_bits
-    if validate_coverage and coverage < 64:
+    wide = is_wide_signature(sigs, sig_col)
+    if validate_coverage and wide:
+        # per-word generalization of the scalar range check: word i's
+        # covered bits are clamp(coverage − 64·i, 0, 64); any set bit
+        # above that (shiftright ≠ 0 catches both the positive-overflow
+        # and the sign-bit case, since arithmetic shift of a negative
+        # word is never 0) means a pair could differ only in unbanded
+        # bits and be silently lost
+        ok = F.expr(
+            f"forall(zip_with({sig_col}, sequence(0, size({sig_col}) - 1),"
+            f" (w, i) -> CASE WHEN {coverage} - 64 * i >= 64 THEN true"
+            f" WHEN {coverage} - 64 * i <= 0 THEN w = 0"
+            f" ELSE shiftright(w, {coverage} - 64 * i) = 0 END), x -> x)"
+        )
+        row = sigs.filter(F.size(sig_col) > 0).agg(F.min(ok)).first()
+        if row is not None and row[0] is False:
+            raise ValueError(
+                f"wide signature has set bits beyond the {n_bands}x"
+                f"{band_bits}-bit band coverage ({coverage} bits); "
+                "pairs differing in unbanded bits would be silently lost"
+            )
+    elif validate_coverage and coverage < 64:
         lo, hi = sigs.agg(F.min(sig_col), F.max(sig_col)).first()
         if lo is not None and (lo < 0 or hi >= (1 << coverage)):
             raise ValueError(
@@ -360,7 +481,11 @@ def hamming_band_pairs(
         *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry_cols],
         *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry_cols],
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = (
+        wide_hamming("sig_a", "sig_b")
+        if wide
+        else F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )
     pairs = (
         cand.select(
             "doc_a",

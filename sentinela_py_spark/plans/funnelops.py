@@ -20,8 +20,15 @@ The fixture tree exercises every reader path on purpose:
 - `image/` holds rows ONLY for epoch 0 (r13) → epoch 0 exercises the
   ARMED image stage (arrived = image accepted + rejected, image_dedup
   = survivors) while epoch 1 exercises the PER-EPOCH arming fallback
-  (image_dedup = the decontam-door count — the path a stream that
-  gained the image screen mid-life takes for its older epochs);
+  (image_dedup falls back to the NEXT armed door — the audio door,
+  r14 — the path a stream that gained the image screen mid-life takes
+  for its older epochs);
+- `audio/` (r14) holds rows for BOTH epochs → the audio_dedup stage is
+  armed everywhere, so epoch 1 pins the image→audio-door fallback and
+  epoch 0 pins the fully-armed image → audio → text chain;
+- `clipscore/rejected` (r14) holds rows for BOTH epochs → the
+  subtractive clip_gated stage and the audio→clip-door fallback are
+  both exercised (the clip screen stores rejections only, like fuzzy);
 - `fuzzy/flagged` holds rows ONLY for epoch 0 → epoch 1 takes the
   left-join coalesce-to-zero path while the store exists;
 - `quality/` is ABSENT entirely → the unarmed-screen fallback
@@ -59,8 +66,14 @@ _H = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
 # rooted on its survivors.
 _P_IMGREJ = f"(epoch = 0 AND {_H.format(i=6)} < '2')"
 _P_IMG = f"NOT {_P_IMGREJ}"
-_P_DEC = f"{_P_IMG} AND {_H.format(i=2)} >= '3'"
-_P_FLA = f"{_P_IMG} AND {_H.format(i=2)} < '3'"
+# the audio screen (r14) runs on the image survivors, BOTH epochs armed
+_P_AUDREJ = f"({_P_IMG} AND {_H.format(i=7)} < '2')"
+_P_AUD = f"{_P_IMG} AND {_H.format(i=7)} >= '2'"
+# the clip-score screen (r14) on the audio survivors, BOTH epochs
+_P_CLIPREJ = f"({_P_AUD} AND {_H.format(i=8)} < '1')"
+_P_CLIP = f"{_P_AUD} AND {_H.format(i=8)} >= '1'"
+_P_DEC = f"{_P_CLIP} AND {_H.format(i=2)} >= '3'"
+_P_FLA = f"{_P_CLIP} AND {_H.format(i=2)} < '3'"
 _P_FZ = f"{_P_DEC} AND epoch = 0 AND {_H.format(i=3)} < '2'"
 _P_GATED = f"{_P_DEC} AND NOT (epoch = 0 AND {_H.format(i=3)} < '2')"
 _P_MH = f"{_P_GATED} AND {_H.format(i=4)} >= '4'"
@@ -102,13 +115,19 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
             hx(4).alias("h4"),
             hx(5).alias("h5"),
             hx(6).alias("h6"),
+            hx(7).alias("h7"),
+            hx(8).alias("h8"),
         )
         .localCheckpoint(eager=True)
     )
     imgrej = base.filter((F.col("epoch") == 0) & (F.col("h6") < "2"))
     img = base.filter(~((F.col("epoch") == 0) & (F.col("h6") < "2")))
-    dec = img.filter(F.col("h2") >= "3")
-    fla = img.filter(F.col("h2") < "3")
+    audrej = img.filter(F.col("h7") < "2")
+    aud = img.filter(F.col("h7") >= "2")
+    cliprej = aud.filter(F.col("h8") < "1")
+    clip = aud.filter(F.col("h8") >= "1")
+    dec = clip.filter(F.col("h2") >= "3")
+    fla = clip.filter(F.col("h2") < "3")
     fz = dec.filter((F.col("epoch") == 0) & (F.col("h3") < "2"))
     gated = dec.filter(~((F.col("epoch") == 0) & (F.col("h3") < "2")))
     mh = gated.filter(F.col("h4") >= "4")
@@ -117,6 +136,11 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
         # epoch 1: zero image rows → the per-epoch arming fallback (r13)
         os.path.join("image", "accepted"): img.filter(F.col("epoch") == 0),
         os.path.join("image", "rejected"): imgrej,
+        # audio armed BOTH epochs (r14): epoch 1 pins image→audio-door
+        os.path.join("audio", "accepted"): aud,
+        os.path.join("audio", "rejected"): audrej,
+        # clip screen stores rejections only (subtractive, r14)
+        os.path.join("clipscore", "rejected"): cliprej,
         os.path.join("decontam", "accepted"): dec,
         os.path.join("decontam", "flagged"): fla,
         os.path.join("fuzzy", "flagged"): fz,  # epoch 1: zero rows → no partition
@@ -133,16 +157,27 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-# 'arrived'/'image_dedup' mirror the reader's PER-EPOCH arming test
-# (r13): an epoch with image rows reports the image door, an epoch
-# without falls back to the decontam door — monotone either way.
-_STAGE_CASE = """CASE s.stage
+# 'arrived'/'image_dedup'/'audio_dedup' mirror the reader's PER-EPOCH
+# arming tests (r13; audio r14): an epoch with rows in a media screen's
+# stores reports that screen's door/survivors; an unarmed epoch falls
+# back along the chain (image → audio door → decontam door) — monotone
+# either way.
+_CLIP_DOOR = "(n_dec + n_fla + n_clip)"
+_AUD_DOOR = (
+    "CASE WHEN n_aud + n_audrej > 0 THEN n_aud + n_audrej "
+    f"ELSE {_CLIP_DOOR} END"
+)
+_STAGE_CASE = f"""CASE s.stage
              WHEN 'arrived' THEN
                CASE WHEN n_img + n_imgrej > 0 THEN n_img + n_imgrej
-                    ELSE n_dec + n_fla END
+                    ELSE {_AUD_DOOR} END
              WHEN 'image_dedup' THEN
                CASE WHEN n_img + n_imgrej > 0 THEN n_img
-                    ELSE n_dec + n_fla END
+                    ELSE {_AUD_DOOR} END
+             WHEN 'audio_dedup' THEN
+               CASE WHEN n_aud + n_audrej > 0 THEN n_aud
+                    ELSE {_CLIP_DOOR} END
+             WHEN 'clip_gated' THEN n_dec + n_fla
              WHEN 'decontaminated' THEN n_dec
              WHEN 'fuzzy_gated' THEN n_dec - n_fz
              WHEN 'quality_gated' THEN n_dec - n_fz
@@ -162,6 +197,9 @@ _STAGE_CASE = """CASE s.stage
       SELECT epoch,
              COUNT(*) FILTER (WHERE {_P_IMG} AND epoch = 0) AS n_img,
              COUNT(*) FILTER (WHERE {_P_IMGREJ}) AS n_imgrej,
+             COUNT(*) FILTER (WHERE {_P_AUD}) AS n_aud,
+             COUNT(*) FILTER (WHERE {_P_AUDREJ}) AS n_audrej,
+             COUNT(*) FILTER (WHERE {_P_CLIPREJ}) AS n_clip,
              COUNT(*) FILTER (WHERE {_P_DEC}) AS n_dec,
              COUNT(*) FILTER (WHERE {_P_FLA}) AS n_fla,
              COUNT(*) FILTER (WHERE {_P_FZ}) AS n_fz,
@@ -172,9 +210,9 @@ _STAGE_CASE = """CASE s.stage
     SELECT c.epoch, CAST(s.i AS BIGINT) AS stage_idx, s.stage,
            CAST({_STAGE_CASE} AS BIGINT) AS n_docs
     FROM c CROSS JOIN (VALUES
-      (0, 'arrived'), (1, 'image_dedup'), (2, 'decontaminated'),
-      (3, 'fuzzy_gated'), (4, 'quality_gated'), (5, 'text_dedup'),
-      (6, 'accepted')
+      (0, 'arrived'), (1, 'image_dedup'), (2, 'audio_dedup'),
+      (3, 'clip_gated'), (4, 'decontaminated'), (5, 'fuzzy_gated'),
+      (6, 'quality_gated'), (7, 'text_dedup'), (8, 'accepted')
     ) AS s(i, stage)
     ORDER BY c.epoch, stage_idx
     """,
@@ -184,7 +222,10 @@ _STAGE_CASE = """CASE s.stage
         "hive epoch partition discovery, all-epochs left join + coalesce-zero, "
         "absent-store fallback, subtractive stage algebra (r11, r10 verdict #5); "
         "r13: + the image_dedup stage with its per-epoch arming test (epoch 0 "
-        "armed, epoch 1 the mid-life-gain fallback)"
+        "armed, epoch 1 the mid-life-gain fallback); r14: + the audio_dedup "
+        "stage (armed both epochs, so epoch 1 pins the image→audio-door "
+        "fallback of the full LAION-order chain) and the subtractive "
+        "clip_gated stage (cross-modal consistency rejections)"
     ),
     tags=("streaming", "funnel", "observability"),
 )

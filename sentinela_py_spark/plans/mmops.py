@@ -52,8 +52,13 @@ from sentinela_py_spark.operators.multimodal import (
     documents_to_media,
     documents_to_wavs,
     image_dhash,
+    image_dhash_wide,
     media_pixel_features,
     sample_frames,
+    WIDE_DHASH_BAND_BITS,
+    WIDE_DHASH_BANDS,
+    WIDE_DHASH_COLS,
+    WIDE_DHASH_ROWS,
 )
 from sentinela_py_spark.plans.registry import register, register_arms, sorted_arm
 from sentinela_py_spark.tables import load_table
@@ -245,30 +250,84 @@ register_arms(
 IMG_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
 IMG_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
 
+AUD_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
+AUD_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
 
-# Deterministic corpus/probe split for the corpus_probe arm (the same
+
+# Deterministic corpus/probe split for the image_probe arm (the same
 # md5 hex-digit device as q_minhash_pairs' split — engine-identical).
 _IMG_SPLIT_SQL = "substr(md5(CAST({d} AS VARCHAR)), 1, 1) < '8'"
 
 
-def _image_neardup_sql() -> str:
-    """DuckDB replay of the FULL image near-dup algebra: payload build
-    (incl. both planted variant families) → decode-equivalent gray grid
-    → 64-bit dHash → 4×16-bit banding → doc_id-ordered bucket cap →
-    band self-join → Hamming ≤ 3 refine (all_pairs arm), PLUS the
-    corpus_probe arm replaying the streaming screen's cross-corpus
-    probe: md5-split corpus half pre-aggregated to one row per (band,
-    bsig, dhash), probe half joined on the band slice and verified at
-    true Hamming, the match picked ATOMICALLY as the lexicographic-min
-    (hamming, corpus_doc) pair (r13 ADVICE — independent MIN aggregates
-    could report a doc_b that did not achieve the reported hamming).
-    The gray grid reads the pixel plane at the same nearest-neighbor
-    offsets the Python decoder samples, so the hash — and therefore
-    every pair — is value-checked end-to-end. Bit 63's term is the
-    two's-complement constant −2^63 (emitted LAST in the sum, so every
-    positive partial sum stays under 2^63), matching `dhash64_of`'s
-    signed wrap; band slicing masks after the arithmetic shift, which
-    reads the same bit pattern on both engines."""
+def _wide_gray_cols_sql() -> list[str]:
+    """Gray-grid column definitions for the 17×16 WIDE dHash grid —
+    same nearest-neighbor offset arithmetic as the 9×8 grid, denser
+    sampling (272 positions; the SQL is generated, the engines compare
+    value-for-value)."""
+    cols = []
+    for y in range(WIDE_DHASH_ROWS):
+        for x in range(WIDE_DHASH_COLS):
+            off = (
+                f"((({y} * h) // {WIDE_DHASH_ROWS}) * w + "
+                f"(({x} * w) // {WIDE_DHASH_COLS})) * 3"
+            )
+            g = " + ".join(f"ascii(pix[{off} + {i}])" for i in (1, 2, 3))
+            cols.append(f"{g} AS wg_{y}_{x}")
+    return cols
+
+
+def _wide_word_sql(word: int) -> str:
+    """One signed int64 word of the 256-bit wide dHash: 64 difference
+    bits at global positions [64·word, 64·word+64), bit 63's term the
+    two's-complement constant −2^63 emitted LAST (positive partials
+    stay under 2^63) — per-word identical to the 64-bit hash's wrap."""
+    terms = []
+    for j in range(64):
+        pos = word * 64 + j
+        y, x = divmod(pos, WIDE_DHASH_COLS - 1)
+        val = -(1 << 63) if j == 63 else 1 << j
+        terms.append(
+            f"(CASE WHEN wg_{y}_{x} < wg_{y}_{x + 1} "
+            f"THEN CAST({val} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _signature_neardup_sql() -> str:
+    """DuckDB replay of the FULL perceptual-signature near-dup family
+    (r14 §8 fold of q_image_neardup + q_audio_neardup, per the r13
+    verdict: both modalities already shared one screen body and one
+    band machinery — now they share one registry slot), four
+    method-tagged arms over one generated CTE chain:
+
+    ``image``: payload build (both planted variant families) →
+    decode-equivalent 9×8 gray grid → 64-bit dHash → 4×16-bit banding →
+    doc_id-ordered bucket cap → band self-join → Hamming ≤ 3 refine.
+    ``image_probe``: the streaming screen's cross-corpus probe as batch
+    algebra — md5-split corpus half pre-aggregated to one row per
+    (band, bsig, dhash), probe half joined on the band slice and
+    verified at true Hamming, the match picked ATOMICALLY as the
+    lexicographic-min (hamming, corpus_doc) pair (r13 ADVICE).
+    ``image_wide`` (r14, r13 verdict #1): the SAME images through the
+    256-bit wide dHash — 17×16 gray grid → FOUR signed int64 words →
+    the aligned 4×64 band geometry (each band IS one word; the
+    `plan_hamming_config` operating point for the 10⁹-image regime) →
+    cap → self-join → Hamming ≤ 3 refined as the SUM of per-word
+    bit_count(xor) — replaying `operators.dedup.wide_hamming` and the
+    wide `signature_bands` path end-to-end.
+    ``audio``: sample build (all three planted variant families + the
+    length gate) → 65 nearest-neighbor frame bounds → integer frame
+    energies → cross-multiplied mean-comparison sign bits → the same
+    4×16 banding/cap/self-join/refine.
+
+    The gray grids read the pixel plane at the same nearest-neighbor
+    offsets the Python decoders sample, so every hash — and therefore
+    every pair — is value-checked end-to-end. Bit 63 of every
+    signature word is the two's-complement constant −2^63 (emitted
+    LAST in the sum, so positive partial sums stay under 2^63),
+    matching the signers' signed wrap; band slicing masks after the
+    arithmetic shift, which reads the same bit pattern on both
+    engines."""
     cs = _CHARSET.replace("'", "''")
     cs1 = _CHARSET_PLUS1.replace("'", "''")
     w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
@@ -292,6 +351,20 @@ def _image_neardup_sql() -> str:
     band_list = ",".join(str(i) for i in range(DHASH_BANDS))
     bmask = (1 << DHASH_BAND_BITS) - 1
     probe_ham = "bit_count(xor(b.dhash, s.c_dhash))"
+    # audio arm parts (chromaprint-shaped frame-energy fingerprint)
+    nf = AFP_FRAMES
+    gate = f"length(text) >= {AFP_MIN_SAMPLES}"
+    a_bitval = (
+        "CASE WHEN a.f = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE (CAST(1 AS BIGINT) << a.f) END"
+    )
+    # wide arm parts (256-bit dHash, aligned 4×64 banding)
+    wgray_cols = _wide_gray_cols_sql()
+    wwords = [f"CAST({_wide_word_sql(i)} AS BIGINT) AS w{i}" for i in range(4)]
+    wband_case = (
+        "CASE band WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END"
+    )
+    wham = " + ".join(f"bit_count(xor(a{i}, b{i}))" for i in range(4))
     nl = ",\n             "
     return f"""
     WITH imgsrc AS (
@@ -356,89 +429,197 @@ def _image_neardup_sql() -> str:
         WHERE NOT ({_IMG_SPLIT_SQL.format(d='b.doc_id')})
           AND {probe_ham} <= {IMG_NEARDUP_MAX_HAMMING}
       ) WHERE rn = 1
+    ),
+    wgrays AS (
+      SELECT doc_id, pix,
+             {nl.join(wgray_cols)}
+      FROM imgs
+    ),
+    wsh AS (
+      SELECT doc_id,
+             {nl.join(wwords)},
+             md5(pix) AS pmd5
+      FROM wgrays
+    ),
+    wbands AS (
+      SELECT doc_id, w0, w1, w2, w3, pmd5, band,
+             {wband_case} AS bsig
+      FROM wsh CROSS JOIN (SELECT UNNEST([{band_list}]) AS band)
+    ),
+    wcapped AS (
+      SELECT doc_id, w0, w1, w2, w3, pmd5, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM wbands
+      ) WHERE rn <= {IMG_NEARDUP_BUCKET_CAP}
+    ),
+    wcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+             b.w0 AS b0, b.w1 AS b1, b.w2 AS b2, b.w3 AS b3,
+             a.pmd5 AS ma, b.pmd5 AS mb
+      FROM wcapped a JOIN wcapped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    awavsrc AS (
+      -- DuckDB widens set-op columns to the max type across branches;
+      -- the cast states the intent where the column is introduced
+      SELECT doc_id AS bid, text AS t, CAST(0 AS BIGINT) AS shift
+      FROM documents WHERE {gate}
+      UNION ALL
+      SELECT doc_id, text, {AFP_RATE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 0 AND {gate}
+      UNION ALL
+      SELECT doc_id, translate(text, '{cs}', '{cs1}'), {AFP_GAIN_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 1 AND {gate}
+      UNION ALL
+      SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {AFP_NOISE_ID_OFFSET}
+      FROM documents WHERE doc_id % 16 = 2 AND {gate}
+    ),
+    awavs AS (
+      SELECT bid + shift AS doc_id, t, length(t) AS n, md5(t) AS dmd5
+      FROM awavsrc
+    ),
+    aframes AS (
+      SELECT doc_id, f,
+             ((f + 1) * n) // {nf} - (f * n) // {nf} AS flen,
+             CAST(list_sum(list_transform(
+               string_split(substr(t, (f * n) // {nf} + 1,
+                                   ((f + 1) * n) // {nf} - (f * n) // {nf}), ''),
+               x -> ascii(x))) AS BIGINT) AS fe
+      FROM awavs CROSS JOIN (SELECT UNNEST(range({nf})) AS f)
+    ),
+    asigs AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.fe * b.flen < b.fe * a.flen
+                           THEN {a_bitval} ELSE 0 END) AS BIGINT) AS afp
+      FROM aframes a JOIN aframes b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      GROUP BY a.doc_id
+    ),
+    ash AS (
+      SELECT s.doc_id, s.afp, w.dmd5 FROM asigs s JOIN awavs w USING (doc_id)
+    ),
+    abands AS (
+      SELECT doc_id, afp, dmd5, band,
+             (afp >> (band * {DHASH_BAND_BITS})) & {bmask} AS bsig
+      FROM ash CROSS JOIN (SELECT UNNEST([{band_list}]) AS band)
+    ),
+    acapped AS (
+      SELECT doc_id, afp, dmd5, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM abands
+      ) WHERE rn <= {AUD_NEARDUP_BUCKET_CAP}
+    ),
+    acand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.afp AS sa, b.afp AS sb, a.dmd5 AS ma, b.dmd5 AS mb
+      FROM acapped a JOIN acapped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     )
-    SELECT 'all_pairs' AS method, doc_a, doc_b,
+    SELECT 'audio' AS method, doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+           (ma = mb) AS exact_dup
+    FROM acand
+    WHERE bit_count(xor(sa, sb)) <= {AUD_NEARDUP_MAX_HAMMING}
+    UNION ALL
+    SELECT 'image' AS method, doc_a, doc_b,
            CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
            (ma = mb) AS exact_dup
     FROM cand
     WHERE bit_count(xor(sa, sb)) <= {IMG_NEARDUP_MAX_HAMMING}
     UNION ALL
-    SELECT 'corpus_probe' AS method, doc_a, doc_b, hamming,
+    SELECT 'image_probe' AS method, doc_a, doc_b, hamming,
            CAST(NULL AS BOOLEAN) AS exact_dup
     FROM img_probe
+    UNION ALL
+    SELECT 'image_wide' AS method, doc_a, doc_b,
+           CAST({wham} AS BIGINT) AS hamming,
+           (ma = mb) AS exact_dup
+    FROM wcand
+    WHERE {wham} <= {IMG_NEARDUP_MAX_HAMMING}
     ORDER BY method, doc_a, doc_b
     """
 
 
 @register(
-    "q_image_neardup",
-    oracle=_image_neardup_sql(),
+    "q_signature_neardup",
+    oracle=_signature_neardup_sql(),
     survey_ref=(
-        "multimodal dedup (r12, r11 verdict #1; r13 geometry: standard 64-bit "
-        "dHash, 4×16-bit deployment bands per plan_hamming_config — the r12 "
-        "verdict's one weak component): perceptual-hash image near-dup "
-        "— decode_ppm → nearest-neighbor 9×8 gray downsample → 64-bit dHash "
-        "(Arrow mapInPandas) → the shared Hamming-band LSH self-join "
-        "(operators.dedup.hamming_band_pairs, the SimHash machinery) with the "
-        "doc_id-ordered hot-bucket cap ARMED and oracle-replayed; planted "
-        "brightness-shifted twins are caught at Hamming 0 with exact_dup=false "
-        "(the invariance exact hashing cannot buy); + corpus_probe arm — the "
-        "streaming image screen's cross-corpus probe algebra (signature store "
-        "pre-aggregated per (band, bsig, dhash), true-Hamming verify) as "
-        "oracle-checked batch algebra"
+        "multimodal dedup (r14 §8 fold of q_image_neardup [r12] + "
+        "q_audio_neardup [r13] — one perceptual-signature family, one slot): "
+        "FOUR method-tagged arms over the shared Hamming-band machinery "
+        "(operators.dedup.hamming_band_pairs). `image`: decode_ppm → 9×8 gray "
+        "grid → 64-bit dHash → 4×16-bit bands; `image_probe`: the streaming "
+        "screen's cross-corpus probe algebra (store pre-aggregated per (band, "
+        "bsig, sig), true-Hamming verify, atomic struct-min election); "
+        "`image_wide` (r14, r13 verdict #1): 17×16 grid → 256-bit dHash as "
+        "array<bigint> → the WIDE banding path at the aligned 4×64 geometry — "
+        "the plan_hamming_config operating point for 10⁹ images, closing the "
+        "64-bit signature ceiling; `audio`: decode_wav → 65 frame energies → "
+        "64 cross-multiplied sign bits (gain-invariant) → the same 4×16 "
+        "bands. All caps doc_id-ordered and oracle-replayed; planted "
+        "brightness/gain twins land at Hamming 0 with exact_dup=false, "
+        "re-encoded audio twins at Hamming 0 with exact_dup=true"
     ),
     tags=("multimodal", "dedup", "sketch", "pandas-udf"),
 )
-def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs by perceptual hash — the LAION-style
-    first dedup stage a multimodal lake runs before any text screen:
-    (method, doc_a, doc_b, hamming, exact_dup), two method-tagged arms.
+def q_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-signature near-duplicate pairs across modalities — the
+    LAION-style first dedup stage a multimodal lake runs before any text
+    screen: (method, doc_a, doc_b, hamming, exact_dup), four
+    method-tagged arms over ONE shared band machinery (r14 fold: image
+    and audio already shared `signature_dedup_batch_against_corpus` and
+    `hamming_band_pairs`; their registry slots fold with them).
 
-    ``all_pairs``: every image pair within Hamming ≤ 3 of each other's
+    ``image``: every image pair within Hamming ≤ 3 of each other's
     64-bit dHash that shares ≥ 1 of four 16-bit hash bands (r13
-    geometry, r12 verdict #1 — the earlier 32-bit/4×8 point banded into
-    a constant 1,024-key space; 4×16 gives 65,536 values per band and
-    `plan_hamming_config` computes the operating point instead of
-    defaulting it).
+    geometry — `plan_hamming_config` computes the operating point).
 
-    ``corpus_probe`` (r12): the dedup-at-ingest probe as batch algebra —
+    ``image_probe`` (r12): the dedup-at-ingest probe as batch algebra —
     the md5-split 'accepted' half acts as the persistent signature
     store, pre-aggregated to one row per (band, bsig, dhash) exactly as
     `streaming.pipeline.image_dedup_batch_against_corpus` builds it (a
     template flood collapses to ONE stored row); each probe image
-    reports its minimum matched corpus doc and minimum verified Hamming.
-    The streaming tests keep covering state/replay semantics; this arm
-    value-checks the probe JOIN ALGEBRA itself, the same division of
-    labor as q_minhash_pairs' corpus_probe arm.
+    reports its (hamming, corpus_doc)-min match, elected atomically.
 
-    The corpus is `documents_to_dedup_images`: one valid binary-PPM per
-    document plus two planted variant families — a brightness-shifted
-    twin per 16th doc (dHash-identical, md5-different: caught at
-    Hamming 0 with exact_dup = false) and a sparse noise twin per
-    16th-plus-one doc (few flipped difference bits: caught when its
-    Hamming stays ≤ 3). `exact_dup` compares decoded-pixel md5s carried
-    through the band join, so the result separates the three classes a
-    dedup operator must distinguish: byte-identical, perceptually
-    identical, perceptually near.
+    ``image_wide`` (r14, r13 verdict #1 — the wide-signature path): the
+    SAME images hashed at 17×16 → 256 bits carried as FOUR signed int64
+    words (`dhash256_of`), banded at the aligned 4×64 geometry through
+    `operators.dedup.signature_bands`' wide dispatch, refined by
+    `wide_hamming` (per-word bit_count(xor) summed). This is the
+    operating point `plan_hamming_config` names for the 10⁹-image
+    regime, where the 64-bit hash leaves ~15k rows per bucket and the
+    cap truncates recall — 2^64 keys per band keeps expected occupancy
+    ≪ 1 with full pigeonhole recall at Hamming ≤ 3.
+
+    ``audio`` (r13): every clip pair within Hamming ≤ 3 of each other's
+    64-bit frame-energy fingerprint — re-encoded twins (same PCM, new
+    sample rate) at Hamming 0 with exact_dup = true (the dup a file
+    byte-hash MISSES), gain twins at Hamming 0 with exact_dup = false
+    (the cross-multiplication invariance), noise twins while their
+    flipped sign bits stay ≤ 3.
+
+    The image corpus is `documents_to_dedup_images` (brightness +
+    noise twin families), the audio corpus `documents_to_dedup_wavs`
+    (re-encode + gain + noise families); `exact_dup` compares
+    decoded-CONTENT md5s carried through the band join, so the result
+    separates the three classes a dedup operator must distinguish:
+    byte-identical, perceptually identical, perceptually near.
 
     Scale shape (100 TB): decode + hash is ONE Arrow `mapInPandas` pass
-    (per-task memory bounded by the Arrow batch, exactly the
-    media_pixel_features contract — swap PIL for JPEG into `dhash64_of`
-    unchanged); candidate generation is the banded inverted-index
-    self-join — work scales with true hash collisions, never |images|²;
-    the (band, bsig) hot buckets are capped at 64 rows with the
-    truncation audit (degenerate corpora — monochrome images, repeated
-    templates — collapse onto few hashes, the LSH failure mode). The
-    cap keeps its lowest doc_ids, an oracle-replayable determinism the
-    xxhash64 sample in `cap_buckets` can't give a SQL twin; the Hamming
-    refine runs BEFORE the distinct shuffle. Pigeonhole: 4 bands give
-    FULL recall at Hamming ≤ 3 absent capping (any such pair leaves one
-    band untouched), and the cap never binds on the fixture corpus
-    (asserted in tests/test_image_dedup.py)."""
+    per modality (per-task memory bounded by the Arrow batch — swap a
+    real codec into the signer unchanged); candidate generation is the
+    banded inverted-index self-join — work scales with true hash
+    collisions, never |items|²; hot (band, bsig) buckets cap at 64 with
+    the truncation audit, doc_id-ordered so the SQL oracle replays the
+    cap exactly; the Hamming refine runs BEFORE the distinct shuffle.
+    Pigeonhole recall at Hamming ≤ 3 holds for all four arms (4 bands
+    tile each signature — including the wide one, word-aligned)."""
     sigs = _image_sigs(spark, sf_dir)
     return (
-        _image_all_pairs(sigs)
+        _audio_pairs(spark, sf_dir)
+        .unionByName(_image_all_pairs(sigs))
         .unionByName(_image_corpus_probe(sigs))
+        .unionByName(_image_wide_pairs(spark, sf_dir))
         .orderBy("method", "doc_a", "doc_b")
     )
 
@@ -469,11 +650,68 @@ def _image_all_pairs(sigs: DataFrame) -> DataFrame:
         carry_cols=("pix_md5",),
     )
     return pairs.select(
-        F.lit("all_pairs").alias("method"),
+        F.lit("image").alias("method"),
         "doc_a",
         "doc_b",
         "hamming",
         (F.col("a_pix_md5") == F.col("b_pix_md5")).alias("exact_dup"),
+    )
+
+
+def _image_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-bit wide-dHash arm (r14): same corpus, 17×16 grid, FOUR
+    signed int64 words through the wide `hamming_band_pairs` dispatch at
+    the aligned 4×64 `plan_hamming_config` geometry."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        image_dhash_wide(documents_to_dedup_images(d))
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs, _audit = hamming_band_pairs(
+        sigs,
+        "dhash",
+        max_hamming=IMG_NEARDUP_MAX_HAMMING,
+        n_bands=WIDE_DHASH_BANDS,
+        band_bits=WIDE_DHASH_BAND_BITS,
+        max_bucket_size=IMG_NEARDUP_BUCKET_CAP,
+        carry_cols=("pix_md5",),
+    )
+    return pairs.select(
+        F.lit("image_wide").alias("method"),
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("a_pix_md5") == F.col("b_pix_md5")).alias("exact_dup"),
+    )
+
+
+def _audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio fingerprint arm (r13; folded here r14): decode_wav →
+    65 integer frame energies → 64 gain-invariant sign bits → the same
+    shared band machinery at the 4×16 geometry."""
+    sigs = (
+        audio_fingerprint(
+            documents_to_dedup_wavs(load_table(spark, sf_dir, "documents"))
+        )
+        .filter(F.col("afp").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs, _audit = hamming_band_pairs(
+        sigs,
+        "afp",
+        max_hamming=AUD_NEARDUP_MAX_HAMMING,
+        n_bands=DHASH_BANDS,
+        band_bits=DHASH_BAND_BITS,
+        max_bucket_size=AUD_NEARDUP_BUCKET_CAP,
+        carry_cols=("data_md5",),
+    )
+    return pairs.select(
+        F.lit("audio").alias("method"),
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("a_data_md5") == F.col("b_data_md5")).alias("exact_dup"),
     )
 
 
@@ -506,7 +744,7 @@ def _image_corpus_probe(sigs: DataFrame) -> DataFrame:
             ).alias("best")
         )
         .select(
-            F.lit("corpus_probe").alias("method"),
+            F.lit("image_probe").alias("method"),
             F.col("doc_id").alias("doc_a"),
             F.col("best.doc_b").alias("doc_b"),
             F.col("best.hamming").alias("hamming"),
@@ -523,12 +761,17 @@ def _image_corpus_probe_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_corpus_probe(_image_sigs(spark, sf_dir))
 
 
-# Dedicated builders (the query carries a checkpoint — the r9
-# checkpoint-barrier rule: a method-filter arm could not prune past it).
+# Dedicated builders (the query carries checkpoints — the r9
+# checkpoint-barrier rule: a method-filter arm could not prune past
+# them). Arm names continue the pre-fold bench history: `image` ≙
+# q_image_neardup.all_pairs, `image_probe` ≙ .corpus_probe, `audio` ≙
+# q_audio_neardup's whole row; `image_wide` is new surface (r14).
 register_arms(
-    "q_image_neardup",
-    all_pairs=_image_all_pairs_arm,
-    corpus_probe=_image_corpus_probe_arm,
+    "q_signature_neardup",
+    image=_image_all_pairs_arm,
+    image_probe=_image_corpus_probe_arm,
+    image_wide=_image_wide_pairs,
+    audio=_audio_pairs,
 )
 
 
@@ -559,169 +802,6 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_to_media(d)).orderBy("doc_id", "frame_idx")
 
 
-# ---------------------------------------------------------------------------
-# Audio fingerprint near-dup (r13, r12 verdict #4): the audio member of
-# the dedup family — chromaprint-shaped frame-energy sign bits over
-# decode_wav + the shared Hamming-band LSH join at the 64-bit
-# deployment geometry (4×16 bands, plan_hamming_config's point).
-# ---------------------------------------------------------------------------
-
-AUD_NEARDUP_MAX_HAMMING = 3  # full pigeonhole recall with 4 bands
-AUD_NEARDUP_BUCKET_CAP = 64  # hot-band guard; never binds on fixtures
-
-
-def _audio_neardup_sql() -> str:
-    """DuckDB replay of the FULL audio near-dup algebra: sample build
-    (the text bytes ARE the PCM data — incl. all three planted variant
-    families and the length gate) → 65 nearest-neighbor frame bounds →
-    integer frame energies (char-split + ascii sum) → cross-multiplied
-    mean-comparison sign bits (bit 63 as the two's-complement constant,
-    matching `afp64_of`'s signed wrap) → 4×16-bit banding →
-    doc_id-ordered bucket cap → band self-join → Hamming ≤ 3 refine.
-    The Spark side genuinely parses the RIFF containers it built
-    (decode_wav chunk walk inside Arrow mapInPandas); the oracle goes
-    straight to the sample bytes — if the decoder mangled one byte, the
-    fingerprints (and this oracle) would diverge."""
-    cs = _CHARSET.replace("'", "''")
-    cs1 = _CHARSET_PLUS1.replace("'", "''")
-    nf = AFP_FRAMES
-    gate = f"length(text) >= {AFP_MIN_SAMPLES}"
-    bitval = (
-        "CASE WHEN a.f = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
-        "ELSE (CAST(1 AS BIGINT) << a.f) END"
-    )
-    return f"""
-    WITH wavsrc AS (
-      -- DuckDB widens set-op columns to the max type across branches,
-      -- so the BIGINT offsets below type `shift` regardless; the cast
-      -- states the intent where the column is introduced (r13 ADVICE:
-      -- keep both oracles on the same explicit-cast style)
-      SELECT doc_id AS bid, text AS t, CAST(0 AS BIGINT) AS shift
-      FROM documents WHERE {gate}
-      UNION ALL
-      SELECT doc_id, text, {AFP_RATE_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 0 AND {gate}
-      UNION ALL
-      SELECT doc_id, translate(text, '{cs}', '{cs1}'), {AFP_GAIN_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 1 AND {gate}
-      UNION ALL
-      SELECT doc_id, translate(text, '{_VOWELS}', '{_VOWELS_PLUS1}'), {AFP_NOISE_ID_OFFSET}
-      FROM documents WHERE doc_id % 16 = 2 AND {gate}
-    ),
-    wavs AS (
-      SELECT bid + shift AS doc_id, t, length(t) AS n, md5(t) AS dmd5
-      FROM wavsrc
-    ),
-    frames AS (
-      SELECT doc_id, f,
-             ((f + 1) * n) // {nf} - (f * n) // {nf} AS flen,
-             CAST(list_sum(list_transform(
-               string_split(substr(t, (f * n) // {nf} + 1,
-                                   ((f + 1) * n) // {nf} - (f * n) // {nf}), ''),
-               x -> ascii(x))) AS BIGINT) AS fe
-      FROM wavs CROSS JOIN (SELECT UNNEST(range({nf})) AS f)
-    ),
-    sigs AS (
-      SELECT a.doc_id,
-             CAST(SUM(CASE WHEN a.fe * b.flen < b.fe * a.flen
-                           THEN {bitval} ELSE 0 END) AS BIGINT) AS afp
-      FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-      GROUP BY a.doc_id
-    ),
-    sh AS (
-      SELECT s.doc_id, s.afp, w.dmd5 FROM sigs s JOIN wavs w USING (doc_id)
-    ),
-    bands AS (
-      SELECT doc_id, afp, dmd5, band,
-             (afp >> (band * {DHASH_BAND_BITS})) & {(1 << DHASH_BAND_BITS) - 1} AS bsig
-      FROM sh CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)
-    ),
-    capped AS (
-      SELECT doc_id, afp, dmd5, band, bsig FROM (
-        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
-        FROM bands
-      ) WHERE rn <= {AUD_NEARDUP_BUCKET_CAP}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.afp AS sa, b.afp AS sb, a.dmd5 AS ma, b.dmd5 AS mb
-      FROM capped a JOIN capped b
-        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
-           (ma = mb) AS exact_dup
-    FROM cand
-    WHERE bit_count(xor(sa, sb)) <= {AUD_NEARDUP_MAX_HAMMING}
-    ORDER BY doc_a, doc_b
-    """
-
-
-@register(
-    "q_audio_neardup",
-    oracle=_audio_neardup_sql(),
-    survey_ref=(
-        "multimodal dedup (r13, r12 verdict #4): audio fingerprint near-dup — "
-        "decode_wav chunk walk → 65 integer frame energies → 64 cross-"
-        "multiplied mean-comparison sign bits (chromaprint shape, gain-shift "
-        "invariant by construction, Arrow mapInPandas) → the shared "
-        "Hamming-band LSH self-join at the 4×16-bit deployment geometry with "
-        "the doc_id-ordered hot-bucket cap armed and oracle-replayed; planted "
-        "re-encoded twins (same PCM, new sample rate) land at Hamming 0 with "
-        "exact_dup=true, gain-shifted twins at Hamming 0 with exact_dup=false "
-        "— the container/sample/perceptual separation an audio dedup stage "
-        "must make"
-    ),
-    tags=("multimodal", "dedup", "sketch", "pandas-udf"),
-)
-def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-duplicate pairs by frame-energy fingerprint — the
-    audio member of the dedup family (text hash / MinHash / SimHash /
-    substring / semantic / embedding / image / now audio): (doc_a,
-    doc_b, hamming, exact_dup) for every clip pair within Hamming ≤ 3
-    of each other's 64-bit fingerprint sharing ≥ 1 of four 16-bit
-    bands.
-
-    The corpus is `documents_to_dedup_wavs`: one valid 8-bit mono
-    RIFF/WAVE per long-enough document plus three planted families —
-    a RE-ENCODED twin per 16th doc (same samples, different sample
-    rate: Hamming 0, exact_dup = true — the container-level dup a
-    byte hash of the file would MISS), a GAIN twin per 16th-plus-one
-    (every sample +1: fingerprint identical by the cross-multiplication
-    invariance, Hamming 0, exact_dup = false), and a sparse NOISE twin
-    per 16th-plus-two (caught while its flipped sign bits stay ≤ 3).
-    `exact_dup` compares decoded SAMPLE md5s carried through the band
-    join — container bytes never enter the verdict.
-
-    Scale shape (100 TB): decode + fingerprint is ONE Arrow
-    `mapInPandas` pass (per-task memory bounded by the Arrow batch —
-    swap a real codec into `afp64_of` unchanged); candidates come from
-    the banded inverted-index self-join at the `plan_hamming_config`
-    geometry (65,536 values per band — work scales with true
-    fingerprint collisions, never |clips|²); hot (band, bsig) buckets
-    cap at 64 with the truncation audit, doc_id-ordered so the SQL
-    oracle replays the cap exactly. Pigeonhole: 4 bands give FULL
-    recall at Hamming ≤ 3 absent capping."""
-    sigs = (
-        audio_fingerprint(documents_to_dedup_wavs(load_table(spark, sf_dir, "documents")))
-        .filter(F.col("afp").isNotNull())
-        .localCheckpoint(eager=False)
-    )
-    pairs, _audit = hamming_band_pairs(
-        sigs,
-        "afp",
-        max_hamming=AUD_NEARDUP_MAX_HAMMING,
-        n_bands=DHASH_BANDS,
-        band_bits=DHASH_BAND_BITS,
-        max_bucket_size=AUD_NEARDUP_BUCKET_CAP,
-        carry_cols=("data_md5",),
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "hamming",
-        (F.col("a_data_md5") == F.col("b_data_md5")).alias("exact_dup"),
-    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1270,3 +1350,139 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(acc)
         .orderBy("stage", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal consistency screen (CLIP-score shape; r14, r13 verdict
+# #5): the other load-bearing LAION screen beside image dedup — drop
+# paired rows whose image-side and caption-side vectors disagree.
+# ---------------------------------------------------------------------------
+
+# Planted pair families over the embeddings table (deterministic,
+# engine-replayable): every 8th-plus-3 vec pairs with its SUCCESSOR's
+# embedding (a mis-captioned pair — the alt-text describes some other
+# page), every 8th-plus-5 with a ZERO vector (the unattestable pair —
+# NaN cosine must land at the −2.0 guard, not rank as keepable), all
+# others with their own embedding (the attested pair, cosine exactly 1).
+CLIP_MISMATCH_MOD, CLIP_MISMATCH_RES = 8, 3
+CLIP_ZERO_RES = 5
+
+
+def _clip_score_sql() -> str:
+    """DuckDB replay of the clip-score verdict algebra: the SAME pair
+    build (successor left-join with self-fallback, zero-vector family),
+    the SAME left-to-right double cosine fold (`_DOT_SQL`), the SAME
+    6dp-round + NaN/NULL → −2.0 guard (`_guarded_cos_sql` — DuckDB's
+    0/0 is NULL where Spark's is NaN; both must land at −2.0), and the
+    SAME threshold — so `streaming.pipeline.clip_score_verdict`, the
+    exact function the composed ingest screen deploys, is value-checked
+    end-to-end."""
+    from sentinela_py_spark.plans.simops import (
+        _DOT_SQL,
+        _guarded_cos_sql,
+        _NORMSQ_SQL,
+    )
+    from sentinela_py_spark.streaming.pipeline import CLIP_SCORE_MIN
+
+    raw = (
+        f"{_DOT_SQL.format(a='iv', b='tv')} / "
+        f"(SQRT({_NORMSQ_SQL.format(a='iv')}) * SQRT({_NORMSQ_SQL.format(a='tv')}))"
+    )
+    cos = _guarded_cos_sql(raw)
+    return f"""
+    WITH pairs AS (
+      SELECT e.vec_id AS doc_id, e.embedding AS iv,
+             CASE
+               WHEN e.vec_id % {CLIP_MISMATCH_MOD} = {CLIP_MISMATCH_RES}
+                 THEN COALESCE(p.embedding, e.embedding)
+               WHEN e.vec_id % {CLIP_MISMATCH_MOD} = {CLIP_ZERO_RES}
+                 THEN list_transform(e.embedding, x -> CAST(0.0 AS DOUBLE))
+               ELSE e.embedding
+             END AS tv
+      FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id + 1
+    )
+    SELECT doc_id, {cos} AS clip_cos,
+           ({cos} >= {CLIP_SCORE_MIN}) AS keep
+    FROM pairs
+    ORDER BY doc_id
+    """
+
+
+def documents_to_clip_pairs(embeddings: DataFrame) -> DataFrame:
+    """(doc_id, image_embedding, embedding): the paired-vector fixture —
+    image-side vector is the row's own embedding; caption-side is the
+    planted family above (successor's vector / zero vector / own)."""
+    e = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("iv")
+    )
+    p = embeddings.select(
+        (F.col("vec_id") - 1).alias("doc_id"), F.col("embedding").alias("pv")
+    )
+    res = F.col("doc_id") % CLIP_MISMATCH_MOD
+    tv = (
+        F.when(res == CLIP_MISMATCH_RES, F.coalesce(F.col("pv"), F.col("iv")))
+        .when(
+            res == CLIP_ZERO_RES,
+            F.transform(F.col("iv"), lambda _: F.lit(0.0)),
+        )
+        .otherwise(F.col("iv"))
+    )
+    return e.join(p, "doc_id", "left").select(
+        "doc_id",
+        F.col("iv").alias("image_embedding"),
+        tv.alias("embedding"),
+    )
+
+
+@register(
+    "q_clip_score",
+    oracle=_clip_score_sql(),
+    survey_ref=(
+        "multimodal curation (r14, r13 verdict #5 — the slot freed by the "
+        "q_signature_neardup fold): cross-modal consistency screen, CLIP-score "
+        "shape — paired rows carrying an image-side and a caption-side vector "
+        "keep only when their 6dp-rounded cosine >= CLIP_SCORE_MIN, with the "
+        "NaN/NULL → −2.0 degenerate guard (an unattestable pair is not a "
+        "keepable pair); the REGISTERED query runs the literal "
+        "streaming.pipeline.clip_score_verdict the composed ingest screen "
+        "deploys (clip_score_screen_batch under clipscore/, the stateless "
+        "map-only stage between media dedup and the text chain), so the "
+        "oracle value-checks the deployed algebra"
+    ),
+    tags=("multimodal", "similarity", "curation", "streaming-twin"),
+)
+def q_clip_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency verdicts over the paired-vector corpus —
+    the batch twin of the composed pipeline's clip-score screen:
+    (doc_id, clip_cos, keep), one row per pair.
+
+    Perceptual dedup answers "have I seen this image"; THIS screen
+    answers "does this caption belong to this image" — the mis-captioned
+    pair (scraped alt-text describing the page, not the picture) is
+    invisible to every dedup screen because nothing is duplicated. The
+    LAION pipeline's published recipe is exactly these two screens back
+    to back: perceptual-hash dedup, then CLIP-score filtering.
+
+    The verdict function IS `streaming.pipeline.clip_score_verdict` —
+    the same column algebra `clip_score_screen_batch` runs inside
+    `composed_ingest_batch` (armed via ``clip_vec_col``) — applied to
+    the planted pair families: attested pairs score exactly 1.0 (keep),
+    mis-captioned pairs score whatever two unrelated embeddings score
+    (the threshold separates them), zero-vector pairs hit the NaN guard
+    at −2.0 (reject — unattestable). Engine-vs-oracle agreement on the
+    guard pins the ONE cross-engine hazard: Spark's 0/0 is NaN, DuckDB's
+    is NULL, and both must land at −2.0, not sort first.
+
+    Scale shape (100 TB): map-only — the cosine folds ride the scan
+    (zero shuffles, zero state; the fixture's successor join exists only
+    to PLANT mismatches and is absent in deployment, where the two
+    vectors arrive on the row). The screen composes after media dedup
+    so a mis-captioned pair's caption never enters the band store or
+    vector index."""
+    from sentinela_py_spark.streaming.pipeline import clip_score_verdict
+
+    pairs = documents_to_clip_pairs(load_table(spark, sf_dir, "embeddings"))
+    return clip_score_verdict(
+        pairs, id_col="doc_id", image_vec_col="image_embedding",
+        text_vec_col="embedding",
+    ).orderBy("doc_id")

@@ -1491,12 +1491,102 @@ def quality_screen_batch(
     )
 
 
+# Cross-modal consistency threshold (CLIP-score shape, r14 — r13
+# verdict #5): keep a paired row only when its two modality vectors
+# agree at rounded cosine >= this. LAION-style lakes run exactly this
+# screen (CLIP similarity >= 0.28 there) after image dedup; the value
+# here sits in the same band as NEARDUP_COS so the synthetic embedding
+# fixtures separate cleanly (matched pairs ~1.0, mismatched ~0).
+CLIP_SCORE_MIN = 0.4
+
+
+def clip_score_verdict(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    image_vec_col: str = "image_embedding",
+    text_vec_col: str = "embedding",
+    min_cos: float = CLIP_SCORE_MIN,
+) -> DataFrame:
+    """(id, clip_cos, keep) for paired rows carrying an image-side and a
+    text-side vector — the SINGLE cosine/verdict definition shared by
+    the streaming screen (`clip_score_screen_batch`) and the registered
+    oracle query (`plans.mmops.q_clip_score`), so the algebra the
+    DuckDB oracle replays is the algebra the deployed screen runs.
+
+    ``clip_cos`` is the 6dp-rounded cosine with the −2.0 degenerate
+    guard (the embedding screen's convention): a zero-norm vector's NaN
+    and a NULL/missing vector both land at −2.0 — below any real
+    threshold — because a pair whose consistency CANNOT be attested is
+    not a keepable pair (the LAION semantics: unverifiable pairs drop).
+    Pure map-only column algebra: no shuffle, no state, no UDF."""
+    cos_r = clip_cos_col(image_vec_col, text_vec_col)
+    return pairs.select(
+        id_col,
+        cos_r.alias("clip_cos"),
+        (cos_r >= min_cos).alias("keep"),
+    )
+
+
+def clip_cos_col(image_vec_col: str, text_vec_col: str):
+    """The guarded rounded-cosine COLUMN both clip-score surfaces build
+    on: 6dp round; a zero-norm vector (``try_divide`` → NULL under ANSI
+    — plain division would THROW, not produce the NaN the pre-ANSI
+    comment in `_guarded_cos_sql` describes) and a NULL/missing vector
+    both land at −2.0. ``nanvl`` stays as a belt-and-suspenders guard
+    for a non-ANSI session, where 0/0 IS NaN."""
+    from sentinela_py_spark.plans.simops import dot_product, l2_norm_sq
+
+    a, b = F.col(image_vec_col), F.col(text_vec_col)
+    raw = F.try_divide(
+        dot_product(a, b), F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))
+    )
+    return F.coalesce(F.nanvl(F.round(raw, 6), F.lit(-2.0)), F.lit(-2.0))
+
+
+def clip_score_screen_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    image_vec_col: str = "image_embedding",
+    text_vec_col: str = "embedding",
+    min_cos: float = CLIP_SCORE_MIN,
+) -> DataFrame:
+    """One micro-batch of the CROSS-MODAL CONSISTENCY screen (r14, r13
+    verdict #5 — the other load-bearing LAION screen beside image
+    dedup): drop paired rows whose image-side and caption-side vectors
+    disagree (rounded cosine < ``min_cos``). Perceptual dedup catches
+    "same image again"; THIS screen catches "wrong caption for this
+    image" — scraped alt-text that describes the page, not the picture
+    — which no dedup screen can see because nothing is duplicated.
+
+    STATELESS across batches, like the quality screen (the verdict is a
+    pure function of the row — no store to desynchronize, nothing for
+    replay to race): rejected rows land at ``rejected/epoch=N`` with
+    their ``clip_cos`` as reviewable evidence (epoch-keyed overwrite —
+    replay-safe); survivors return with every input column intact.
+    Map-only: the cosine rides the batch scan, zero shuffles and NO
+    re-join (the verdict is row-wise, unlike the quality screen's
+    exploded-gram scores) — at 100 TB this screen is free compared to
+    any dedup stage."""
+    scored = batch.withColumn(
+        "clip_cos", clip_cos_col(image_vec_col, text_vec_col)
+    ).localCheckpoint(eager=True)
+    rejected = scored.filter(F.col("clip_cos") < min_cos).select(id_col, "clip_cos")
+    write_epoch_partition(
+        rejected, os.path.join(state_dir, "rejected"), epoch_id
+    )
+    return scored.filter(F.col("clip_cos") >= min_cos).drop("clip_cos")
+
+
 # Stage names of the ingest funnel, in screen order (mirrors the batch
 # pipeline's FUNNEL_STAGES: same idea, per-EPOCH instead of per-stage
 # frames — the observability datacard a streaming lake publishes).
 INGEST_FUNNEL_STAGES = (
     "arrived",
     "image_dedup",
+    "audio_dedup",
+    "clip_gated",
     "decontaminated",
     "fuzzy_gated",
     "quality_gated",
@@ -1525,6 +1615,12 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
       post-trim batch);
     - ``image_dedup`` (r13): the image screen's survivors — the rows
       whose captions were allowed to enter the text chain at all;
+    - ``audio_dedup`` (r14): the audio screen's survivors — same
+      LAION-order position for clip-carrying rows (image first, audio
+      second, both ahead of every text screen);
+    - ``clip_gated`` (r14): minus the cross-modal consistency screen's
+      rejections (stateless — stores only its rejected rows, like the
+      fuzzy/quality screens);
     - ``decontaminated``: the Bloom screen's survivors;
     - ``fuzzy_gated``: minus the fuzzy eval-copy screen's quarantines
       (stateless — stores only its flagged rows);
@@ -1554,6 +1650,9 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
         raise ValueError(f"no composed-ingest state under {state_dir!r}")
     img = _counts(os.path.join("image", "accepted"))
     imgrej = _counts(os.path.join("image", "rejected"))
+    aud = _counts(os.path.join("audio", "accepted"))
+    audrej = _counts(os.path.join("audio", "rejected"))
+    cliprej = _counts(os.path.join("clipscore", "rejected"))
     fla = _counts(os.path.join("decontam", "flagged"))
     fzrej = _counts(os.path.join("fuzzy", "flagged"))
     qrej = _counts(os.path.join("quality", "rejected"))
@@ -1576,6 +1675,9 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
         .join(_n(fla, "n_fla"), "epoch")
         .join(_n(img, "n_img"), "epoch")
         .join(_n(imgrej, "n_imgrej"), "epoch")
+        .join(_n(aud, "n_aud"), "epoch")
+        .join(_n(audrej, "n_audrej"), "epoch")
+        .join(_n(cliprej, "n_clip"), "epoch")
         .join(_n(fzrej, "n_fz"), "epoch")
         .join(_n(qrej, "n_qrej"), "epoch")
         .join(_n(mh, "n_mh"), "epoch")
@@ -1590,25 +1692,45 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
     # invariant the alerting contract advertises.
     quality_gated = F.col("n_dec") - F.col("n_fz") - F.col("n_qrej")
     text_dedup = F.col("n_mh") if mh is not None else quality_gated
-    # image screen armed → 'arrived' is what reached ITS door and
-    # 'image_dedup' its survivors (= decontam's input); unarmed → both
-    # collapse to the decontam-door count, the previous-stage fallback
-    # that keeps the funnel monotone. The arming test is PER-EPOCH
-    # (n_img + n_imgrej > 0, never satisfied by the coalesced zeros of
-    # an epoch the screen didn't run), so a stream that gained the image
-    # screen mid-life reports every epoch monotonically (r13).
+    # media screens armed → 'arrived' is what reached the FIRST armed
+    # screen's door, 'image_dedup'/'audio_dedup' each screen's
+    # survivors; unarmed → each collapses to the NEXT screen's door
+    # (audio falls back to decontam's door, image to audio's), the
+    # previous-stage fallback chain that keeps the funnel monotone.
+    # The arming test is PER-EPOCH (accepted + rejected > 0, never
+    # satisfied by the coalesced zeros of an epoch the screen didn't
+    # run), so a stream that gained a media screen mid-life reports
+    # every epoch monotonically (r13; audio r14 — the LAION order is
+    # image → audio → text chain).
     dec_door = F.col("n_dec") + F.col("n_fla")
-    if img is not None:
-        epoch_armed = (F.col("n_img") + F.col("n_imgrej")) > 0
-        arrived = F.when(epoch_armed, F.col("n_img") + F.col("n_imgrej")).otherwise(
-            dec_door
+    # the clip screen (r14) sits between media dedup and decontam: its
+    # survivors ARE the decontam door, so clip_gated = dec_door and the
+    # clip DOOR (what reached it) = dec_door + its rejections — the
+    # subtractive-screen accounting fuzzy/quality use, with n_clip = 0
+    # (coalesced) when the screen never ran
+    clip_door = dec_door + F.col("n_clip")
+    clip_gated = dec_door
+    if aud is not None:
+        aud_armed = (F.col("n_aud") + F.col("n_audrej")) > 0
+        aud_door = F.when(aud_armed, F.col("n_aud") + F.col("n_audrej")).otherwise(
+            clip_door
         )
-        image_dedup = F.when(epoch_armed, F.col("n_img")).otherwise(dec_door)
+        audio_dedup = F.when(aud_armed, F.col("n_aud")).otherwise(clip_door)
     else:
-        arrived = image_dedup = dec_door
+        aud_door = audio_dedup = clip_door
+    if img is not None:
+        img_armed = (F.col("n_img") + F.col("n_imgrej")) > 0
+        arrived = F.when(img_armed, F.col("n_img") + F.col("n_imgrej")).otherwise(
+            aud_door
+        )
+        image_dedup = F.when(img_armed, F.col("n_img")).otherwise(aud_door)
+    else:
+        arrived = image_dedup = aud_door
     stage_exprs = {
         "arrived": arrived,
         "image_dedup": image_dedup,
+        "audio_dedup": audio_dedup,
+        "clip_gated": clip_gated,
         "decontaminated": F.col("n_dec"),
         "fuzzy_gated": F.col("n_dec") - F.col("n_fz"),
         "quality_gated": quality_gated,
@@ -1652,6 +1774,11 @@ def composed_ingest_batch(
     image_payload_col: str | None = None,
     image_max_hamming: int = 3,
     image_bucket_size: int | None = 64,
+    audio_payload_col: str | None = None,
+    audio_max_hamming: int = 3,
+    audio_bucket_size: int | None = 64,
+    clip_vec_col: str | None = None,
+    clip_min_cos: float | None = None,
 ) -> DataFrame:
     """One micro-batch of the COMPOSED ingest pipeline — the streaming
     twin of `plans.curation._curated_pool`'s batch composition: the three
@@ -1666,6 +1793,20 @@ def composed_ingest_batch(
         `image_dedup_batch_against_corpus` under ``image/``, and its
         duplicate-id election doubles as the pipeline's, so the text
         chain opens with plain barriers)
+      → [optional] audio near-dup screen (r14, r13 verdict #3 — the
+        same LAION-order position for clip-carrying rows: a gain-
+        shifted or re-encoded copy of an accepted clip dies HERE, its
+        caption never entering the band store or vector index; pass
+        ``audio_payload_col`` to arm it — the screen is
+        `audio_dedup_batch_against_corpus` under ``audio/``; when it is
+        the FIRST armed screen its election doubles as the pipeline's)
+      → [optional] cross-modal consistency screen (r14, r13 verdict #5
+        — the LAION CLIP-score position: AFTER media dedup, before any
+        text screen, so a mis-captioned pair's caption never enters the
+        band store or vector index; pass ``clip_vec_col`` naming the
+        row's IMAGE-side vector column to arm it — the caption-side
+        vector is ``vec_col``, the screen is `clip_score_screen_batch`
+        under ``clipscore/``, stateless and map-only)
       → [optional] repetition trim   (WITHIN-doc repeated-passage cut —
         a doc-local NORMALIZER, not a screen: pass ``trim_repeats``
         kwargs for `operators.dedup.remove_intra_doc_repeats`, e.g.
@@ -1736,6 +1877,36 @@ def composed_ingest_batch(
             max_bucket_size=image_bucket_size,
         )
         ids_elected = True
+    if audio_payload_col is not None:
+        # audio beside image (r14): the clip twin of the stage above —
+        # on rows that carry both modalities the image screen's
+        # election already made ids unique (ids_collapsed), so this
+        # screen opens with a plain barrier; standalone it elects.
+        batch = audio_dedup_batch_against_corpus(
+            batch,
+            epoch_id,
+            os.path.join(state_dir, "audio"),
+            id_col=id_col,
+            payload_col=audio_payload_col,
+            max_hamming=audio_max_hamming,
+            max_bucket_size=audio_bucket_size,
+            ids_collapsed=ids_elected,
+        )
+        ids_elected = True
+    if clip_vec_col is not None:
+        # cross-modal consistency (r14): stateless and map-only, so it
+        # neither needs nor performs an id election — it slots between
+        # media dedup and the text chain purely for store hygiene (a
+        # mis-captioned pair must never win a text-dedup election)
+        batch = clip_score_screen_batch(
+            batch,
+            epoch_id,
+            os.path.join(state_dir, "clipscore"),
+            id_col=id_col,
+            image_vec_col=clip_vec_col,
+            text_vec_col=vec_col,
+            min_cos=CLIP_SCORE_MIN if clip_min_cos is None else clip_min_cos,
+        )
     if trim_repeats is not None:
         from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
 
@@ -1830,14 +2001,17 @@ def run_composed_ingest_stream(
     trim_repeats: dict | None = None,
     fuzzy: bool = False,
     image_payload_col: str | None = None,
+    audio_payload_col: str | None = None,
+    clip_vec_col: str | None = None,
     source_format: str = "json",
     compact_every: int | None = None,
 ):
     """The composed streaming-ingest flagship: ONE stream of
-    (id, text, embedding) rows — or, with ``image_payload_col``, of
-    PAIRED (id, image payload, caption text, embedding) rows, the
-    LAION-lake shape — runs every armed screen per micro-batch
-    (`composed_ingest_batch`), image dedup first — the shape a
+    (id, text, embedding) rows — or, with ``image_payload_col`` /
+    ``audio_payload_col`` (r14), of PAIRED (id, media payload(s),
+    caption text, embedding) rows, the LAION / LAION-A lake shape —
+    runs every armed screen per micro-batch
+    (`composed_ingest_batch`), image then audio dedup first — the shape a
     training-data lake actually deploys (one firehose, every screen,
     one checkpoint) rather than parallel single-screen streams with
     divergent progress. The eval Bloom filter is built ONCE up front (eager
@@ -1917,6 +2091,7 @@ def run_composed_ingest_stream(
             index_dir=index_dir, centroids=centroids, books=books,
             quality_model=quality_model, trim_repeats=trim_repeats,
             fuzzy_eval=fz, image_payload_col=image_payload_col,
+            audio_payload_col=audio_payload_col, clip_vec_col=clip_vec_col,
         )
         # self-bounding screen-store maintenance (r13, r12 verdict #3):
         # fold every store's old epochs into its base on the cadence,

@@ -51,7 +51,8 @@ BODY = (b"the quick brown fox jumps over the lazy dog while spark shuffles " * 4
 
 @pytest.fixture(scope="module")
 def neardup_rows(spark):
-    return QUERIES["q_audio_neardup"].spark(spark, SF).collect()
+    rows = QUERIES["q_signature_neardup"].spark(spark, SF).collect()
+    return [r for r in rows if r["method"] == "audio"]
 
 
 class TestAfpProperties:

@@ -1,0 +1,169 @@
+"""Cross-modal consistency screen — CLIP-score shape (r14, r13 verdict
+#5): `streaming.pipeline.clip_score_verdict` / `clip_score_screen_batch`
+and their composition into `composed_ingest_batch`.
+
+Pins: planted mis-captioned pairs (caption vector from a different doc)
+are evicted at the clip stage with their captions never entering the
+text-chain stores; attested pairs (cos 1.0) pass; degenerate pairs
+(zero/missing vector → −2.0 guard) are rejected as unattestable, never
+kept, and never crash under ANSI (0/0 division); the funnel carries the
+subtractive clip_gated stage monotonically; epoch replay reproduces the
+first attempt (stateless screen + epoch-keyed rejected store).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinela_py_spark.streaming.pipeline import (
+    CLIP_SCORE_MIN,
+    clip_score_screen_batch,
+    clip_score_verdict,
+    composed_ingest_batch,
+)
+
+DIM = 8
+
+
+def _unit(i: int) -> list[float]:
+    # deterministic unit-ish vectors; i selects the dominant axis
+    v = [0.1] * DIM
+    v[i % DIM] = 1.0
+    return v
+
+
+def _orth(i: int) -> list[float]:
+    # near-orthogonal partner: dominant on a different axis, negated tail
+    v = [-0.1] * DIM
+    v[(i + DIM // 2) % DIM] = 1.0
+    return v
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+class TestClipVerdict:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, image_embedding array<double>, embedding array<double>"
+        )
+
+    def test_matched_mismatched_and_degenerate_verdicts(self, spark):
+        rows = [
+            (1, _unit(1), _unit(1)),            # attested: cos 1.0
+            (2, _unit(2), _orth(2)),            # mis-captioned
+            (3, _unit(3), [0.0] * DIM),         # zero caption vec: guard
+            (4, [0.0] * DIM, [0.0] * DIM),      # both zero: guard
+            (5, _unit(5), None),                # missing vec: guard
+        ]
+        got = {
+            r["doc_id"]: (r["clip_cos"], r["keep"])
+            for r in clip_score_verdict(self._pairs(spark, rows)).collect()
+        }
+        assert got[1] == (1.0, True)
+        assert got[2] == (round(_cos(_unit(2), _orth(2)), 6), False)
+        assert got[2][0] < CLIP_SCORE_MIN
+        # every degenerate pair lands at the -2.0 guard, never keepable
+        assert got[3] == (-2.0, False)
+        assert got[4] == (-2.0, False)
+        assert got[5] == (-2.0, False)
+
+    def test_screen_batch_rejects_with_evidence_and_is_replay_safe(
+        self, spark, tmp_path
+    ):
+        state = str(tmp_path / "clip")
+        rows = [(1, _unit(1), _unit(1)), (2, _unit(2), _orth(2))]
+        out = clip_score_screen_batch(self._pairs(spark, rows), 0, state)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+        # survivors keep every input column (screen contract)
+        assert set(out.columns) == {"doc_id", "image_embedding", "embedding"}
+        rej = spark.read.parquet(os.path.join(state, "rejected", "epoch=0"))
+        got = {r["doc_id"]: r["clip_cos"] for r in rej.collect()}
+        assert set(got) == {2} and got[2] < CLIP_SCORE_MIN
+        # replay: the epoch-keyed overwrite reproduces the first attempt
+        out2 = clip_score_screen_batch(self._pairs(spark, rows), 0, state)
+        assert [r["doc_id"] for r in out2.collect()] == [1]
+        assert spark.read.parquet(os.path.join(state, "rejected", "epoch=0")).count() == 1
+
+
+class TestClipInComposedIngest:
+    def _batch(self, spark, ids):
+        # captions all distinct + clean; only the clip screen can evict.
+        # doc 2 is the planted mis-captioned pair, doc 3 the degenerate.
+        texts = {
+            1: "spark shuffles partition data across the executor fleet",
+            2: "catalyst rewrites logical plans into physical operators",
+            3: "arrow batches stream pandas frames between jvm and python",
+            4: "broadcast joins ship the small side to every executor",
+        }
+        iv = {i: _unit(i) for i in ids}
+        tv = {1: _unit(1), 2: _orth(2), 3: [0.0] * DIM, 4: _unit(4)}
+        return spark.createDataFrame(
+            [(i, texts[i], iv[i], tv[i]) for i in ids],
+            "doc_id long, text string, image_embedding array<double>,"
+            " embedding array<double>",
+        )
+
+    def _bloom(self, spark):
+        from sentinela_py_spark.functions.bloom import bloom_build
+        from sentinela_py_spark.functions.text_stats import word_shingles
+
+        eval_docs = spark.createDataFrame(
+            [(100, "carbon capture requires novel sorbent materials at scale")],
+            "doc_id long, text string",
+        )
+        grams = eval_docs.select(
+            F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("key")
+        )
+        return bloom_build(grams).localCheckpoint(eager=True)
+
+    def test_clip_screen_composes_and_captions_stay_out_of_stores(
+        self, spark, tmp_path
+    ):
+        state = str(tmp_path / "state")
+        out = composed_ingest_batch(
+            self._batch(spark, [1, 2, 3, 4]), self._bloom(spark), 0, state,
+            threshold=0.9, clip_vec_col="image_embedding",
+        )
+        # 2 (mis-captioned) and 3 (unattestable) die at the clip stage
+        assert {r["doc_id"] for r in out.collect()} == {1, 4}
+        rej = spark.read.parquet(os.path.join(state, "clipscore", "rejected"))
+        assert {r["doc_id"] for r in rej.collect()} == {2, 3}
+        # store hygiene: their (clean, distinct) captions never entered
+        # the MinHash band store
+        bands = spark.read.parquet(os.path.join(state, "minhash", "bands"))
+        assert {r["doc_id"] for r in bands.collect()} & {2, 3} == set()
+
+    def test_funnel_reports_the_clip_stage(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+        state = str(tmp_path / "state")
+        composed_ingest_batch(
+            self._batch(spark, [1, 2, 3, 4]), self._bloom(spark), 0, state,
+            threshold=0.9, clip_vec_col="image_embedding",
+        )
+        rows = ingest_funnel(spark, state).collect()
+        got = {r["stage"]: r["n_docs"] for r in rows}
+        # media screens unarmed → fall back to the clip door (4); clip
+        # evicts 2 → clip_gated 2; nothing else rejects
+        assert got == {
+            "arrived": 4,
+            "image_dedup": 4,
+            "audio_dedup": 4,
+            "clip_gated": 2,
+            "decontaminated": 2,
+            "fuzzy_gated": 2,
+            "quality_gated": 2,
+            "text_dedup": 2,
+            "accepted": 2,
+        }
+        seq = [r["n_docs"] for r in sorted(rows, key=lambda r: r["stage_idx"])]
+        assert seq == sorted(seq, reverse=True)

@@ -471,6 +471,8 @@ def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
     assert got == {
         (0, "arrived"): 5,
         (0, "image_dedup"): 5,    # screen unarmed → previous stage's count
+        (0, "audio_dedup"): 5,    # screen unarmed → previous stage's count
+        (0, "clip_gated"): 5,     # screen unarmed → previous stage's count
         (0, "decontaminated"): 4,
         (0, "fuzzy_gated"): 4,    # screen unarmed → previous stage's count
         (0, "quality_gated"): 4,  # screen unarmed → previous stage's count
@@ -478,6 +480,8 @@ def test_ingest_funnel_reports_per_epoch_retention(spark, tmp_path):
         (0, "accepted"): 2,
         (1, "arrived"): 4,
         (1, "image_dedup"): 4,
+        (1, "audio_dedup"): 4,
+        (1, "clip_gated"): 4,
         (1, "decontaminated"): 3,
         (1, "fuzzy_gated"): 3,
         (1, "quality_gated"): 3,
@@ -700,6 +704,8 @@ def test_ingest_funnel_falls_back_when_survivor_stores_missing(spark, tmp_path):
     assert got == {
         "arrived": 5,
         "image_dedup": 5,  # image store absent -> previous stage
+        "audio_dedup": 5,  # audio store absent -> previous stage
+        "clip_gated": 5,   # clip store absent -> previous stage
         "decontaminated": 4,
         "fuzzy_gated": 4,
         "quality_gated": 4,
@@ -897,6 +903,8 @@ class TestComposedMultimodalIngest:
         assert got == {
             (0, "arrived"): 4,
             (0, "image_dedup"): 3,     # doc 2 evicted by the image screen
+            (0, "audio_dedup"): 3,     # screen unarmed → previous stage
+            (0, "clip_gated"): 3,      # screen unarmed → previous stage
             (0, "decontaminated"): 2,  # doc 3 flagged
             (0, "fuzzy_gated"): 2,
             (0, "quality_gated"): 2,
@@ -904,6 +912,8 @@ class TestComposedMultimodalIngest:
             (0, "accepted"): 2,
             (1, "arrived"): 3,
             (1, "image_dedup"): 2,     # doc 10 evicted vs corpus
+            (1, "audio_dedup"): 2,     # screen unarmed → previous stage
+            (1, "clip_gated"): 2,      # screen unarmed → previous stage
             (1, "decontaminated"): 2,
             (1, "fuzzy_gated"): 2,
             (1, "quality_gated"): 2,
@@ -975,3 +985,198 @@ def test_frozen_model_word_artifacts_persist_to_model_dir(spark, tmp_path):
     a = sorted(tuple(r) for r in qr_score_frozen(batch, durable).collect())
     b = sorted(tuple(r) for r in qr_score_frozen(batch, ephemeral).collect())
     assert a == b
+
+
+class TestComposedAudioIngest:
+    """r14 (r13 verdict #3): the AUDIO screen composed into the ingest
+    flagship, mirroring r13's image composition — a LAION-A-style lake
+    ingests PAIRED (clip, caption) rows, dedups clips in the media head
+    of the chain, and only survivors' captions reach the text screens.
+    Pins: the planted gain-twin (fingerprint-identical, distinct
+    caption) is evicted by the audio screen with its caption never
+    entering the band store; the re-encoded twin dies vs the corpus
+    across epochs; funnel attribution carries the audio_dedup stage
+    monotonically; epoch replay reproduces its first attempt; and with
+    BOTH media screens armed the LAION order holds (image evicts before
+    audio sees the row)."""
+
+    @staticmethod
+    def _wav(data: bytes, rate: int = 8000) -> bytes:
+        import struct
+
+        header = b"RIFF" + struct.pack("<I", len(data) + 36) + b"WAVEfmt "
+        header += struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        return header + b"data" + struct.pack("<I", len(data)) + data
+
+    @staticmethod
+    def _gain(wav: bytes) -> bytes:
+        data_at = wav.index(b"data") + 8
+        return wav[:data_at] + bytes((b + 1) & 0xFF for b in wav[data_at:])
+
+    def _clips(self):
+        # bodies >= AFP_MIN_SAMPLES (130) so every clip fingerprints
+        mk = lambda s: self._wav((s * 8)[:200])  # noqa: E731
+        a = mk(b"spark shuffles partition data tonight ")
+        c = mk(b"catalyst rewrites logical plans fast ")
+        return {
+            1: a,
+            2: self._gain(a),                 # gain twin of 1 (audio-only dup)
+            3: mk(b"a contaminated document's clip here "),
+            4: c,
+            10: self._wav(c[c.index(b"data") + 8 :], rate=16000),  # re-encode of 4
+            11: mk(b"a caption duplicate's unrelated clip "),
+            12: mk(b"a fresh clip for the last survivor  "),
+        }
+
+    # captions: 2's is DISTINCT (only the audio screen can evict it),
+    # 3 carries eval text, 11 duplicates 1's caption, rest unique
+    def _rows(self, ids):
+        clips = self._clips()
+        captions = {
+            1: UNIQ[0], 2: UNIQ[1], 3: EVAL_TEXT, 4: UNIQ[2],
+            10: UNIQ[3], 11: UNIQ[0], 12: UNIQ[4],
+        }
+        return [
+            (i, bytearray(clips[i]), captions[i], _e(i % DIM)) for i in ids
+        ]
+
+    def _df(self, spark, ids):
+        return spark.createDataFrame(
+            self._rows(ids),
+            "doc_id long, clip binary, text string, embedding array<double>",
+        )
+
+    def _run_epochs(self, spark, tmp_path):
+        state = str(tmp_path / "state")
+        bloom = _bloom_row(spark)
+        out0 = composed_ingest_batch(
+            self._df(spark, [1, 2, 3, 4]), bloom, 0, state,
+            threshold=THRESHOLD, audio_payload_col="clip",
+        )
+        out1 = composed_ingest_batch(
+            self._df(spark, [10, 11, 12]), bloom, 1, state,
+            threshold=THRESHOLD, audio_payload_col="clip",
+        )
+        return state, out0, out1
+
+    def test_audio_screen_evicts_twins_and_captions_stay_out_of_stores(
+        self, spark, tmp_path
+    ):
+        state, out0, out1 = self._run_epochs(spark, tmp_path)
+        assert {r["doc_id"] for r in out0.collect()} == {1, 4}  # 2→audio, 3→decontam
+        assert {r["doc_id"] for r in out1.collect()} == {12}    # 10→audio, 11→minhash
+        audrej = {
+            r["doc_id"]: (r["matched_doc"], r["reason"])
+            for r in spark.read.parquet(os.path.join(state, "audio", "rejected"))
+            .select("doc_id", "matched_doc", "reason").collect()
+        }
+        assert audrej == {2: (1, "within_batch"), 10: (4, "vs_corpus")}
+        # store hygiene, the LAION-order payoff: the evicted twins'
+        # captions (UNIQ[1]/UNIQ[3] — perfectly clean text) never
+        # entered the MinHash band store
+        band_ids = _read_ids(spark, os.path.join(state, "minhash", "bands"))
+        assert band_ids & {2, 10} == set()
+        assert _read_ids(spark, os.path.join(state, "decontam", "flagged")) == {3}
+        # the audio signature store holds only audio-survivors
+        assert _read_ids(spark, os.path.join(state, "audio", "bands")) == {1, 3, 4, 11, 12}
+
+    def test_funnel_reports_the_audio_stage(self, spark, tmp_path):
+        from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+        state, _o0, _o1 = self._run_epochs(spark, tmp_path)
+        rows = ingest_funnel(spark, state).collect()
+        got = {(r["epoch"], r["stage"]): r["n_docs"] for r in rows}
+        assert got == {
+            (0, "arrived"): 4,
+            (0, "image_dedup"): 4,     # screen unarmed → next armed door
+            (0, "audio_dedup"): 3,     # doc 2 evicted by the audio screen
+            (0, "clip_gated"): 3,      # screen unarmed → previous stage
+            (0, "decontaminated"): 2,  # doc 3 flagged
+            (0, "fuzzy_gated"): 2,
+            (0, "quality_gated"): 2,
+            (0, "text_dedup"): 2,
+            (0, "accepted"): 2,
+            (1, "arrived"): 3,
+            (1, "image_dedup"): 3,
+            (1, "audio_dedup"): 2,     # doc 10 evicted vs corpus
+            (1, "clip_gated"): 2,      # screen unarmed → previous stage
+            (1, "decontaminated"): 2,
+            (1, "fuzzy_gated"): 2,
+            (1, "quality_gated"): 2,
+            (1, "text_dedup"): 1,      # doc 11's caption dups corpus doc 1
+            (1, "accepted"): 1,
+        }
+        for ep in (0, 1):
+            seq = [r["n_docs"] for r in sorted(
+                (r for r in rows if r["epoch"] == ep), key=lambda r: r["stage_idx"]
+            )]
+            assert seq == sorted(seq, reverse=True)
+
+    def test_epoch_replay_reproduces_first_attempt(self, spark, tmp_path):
+        state, _o0, out1 = self._run_epochs(spark, tmp_path)
+        first = {r["doc_id"] for r in out1.collect()}
+        bloom = _bloom_row(spark)
+        again = composed_ingest_batch(
+            self._df(spark, [10, 11, 12]), bloom, 1, state,
+            threshold=THRESHOLD, audio_payload_col="clip",
+        )
+        assert {r["doc_id"] for r in again.collect()} == first
+        assert _read_ids(spark, os.path.join(state, "audio", "bands")) == {1, 3, 4, 11, 12}
+
+    def test_both_media_screens_compose_in_laion_order(self, spark, tmp_path):
+        """Rows carrying BOTH payloads: an image twin (distinct clip,
+        distinct caption) dies at the image screen BEFORE the audio
+        screen sees it — its clip never enters the audio band store —
+        and an audio twin (distinct image) dies at the audio screen."""
+        imgmk = TestComposedMultimodalIngest._ppm
+        img_a = imgmk(17, 19, b"spark shuffles partition data tonight ")
+        clip_a = self._wav((b"spark shuffles partition data tonight " * 8)[:200])
+        rows = [
+            # (id, image, clip, caption, emb)
+            (1, img_a, clip_a, UNIQ[0]),
+            # image twin of 1: same pixels +1, DISTINCT clip + caption
+            (2, TestComposedMultimodalIngest._bright(img_a),
+             self._wav((b"some wholly different audio content " * 8)[:200]), UNIQ[1]),
+            # audio twin of 1: gain-shifted clip, DISTINCT image + caption
+            (3, imgmk(16, 18, b"catalyst rewrites logical plans fast "),
+             self._gain(clip_a), UNIQ[2]),
+            (4, imgmk(18, 17, b"a fresh image for the last survivor  "),
+             self._wav((b"broadcast joins ship the small side " * 8)[:200]), UNIQ[4]),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(p), bytearray(c), t, _e(i)) for i, p, c, t in rows],
+            "doc_id long, payload binary, clip binary, text string, embedding array<double>",
+        )
+        state = str(tmp_path / "state")
+        out = composed_ingest_batch(
+            df, _bloom_row(spark), 0, state,
+            threshold=THRESHOLD,
+            image_payload_col="payload", audio_payload_col="clip",
+        )
+        # 2 dies at the image screen, 3 at the audio screen
+        assert {r["doc_id"] for r in out.collect()} == {1, 4}
+        imgrej = {
+            r["doc_id"]: r["matched_doc"]
+            for r in spark.read.parquet(
+                os.path.join(state, "image", "rejected")
+            ).collect()
+        }
+        audrej = {
+            r["doc_id"]: r["matched_doc"]
+            for r in spark.read.parquet(
+                os.path.join(state, "audio", "rejected")
+            ).collect()
+        }
+        assert imgrej == {2: 1} and audrej == {3: 1}
+        # LAION order: the image-evicted row's clip never entered the
+        # audio stores (band or rejected), and the audio store holds
+        # only rows that survived BOTH media screens
+        assert _read_ids(spark, os.path.join(state, "audio", "bands")) == {1, 4}
+        assert _read_ids(spark, os.path.join(state, "image", "bands")) == {1, 3, 4}
+        # funnel: arrived 4 → image 3 → audio 2, monotone
+        from sentinela_py_spark.streaming.pipeline import ingest_funnel
+
+        got = {
+            r["stage"]: r["n_docs"] for r in ingest_funnel(spark, state).collect()
+        }
+        assert (got["arrived"], got["image_dedup"], got["audio_dedup"]) == (4, 3, 2)

@@ -40,7 +40,7 @@ def _ppm(w: int, h: int, body: bytes) -> bytes:
 
 @pytest.fixture(scope="module")
 def neardup_rows(spark):
-    return QUERIES["q_image_neardup"].spark(spark, SF).collect()
+    return QUERIES["q_signature_neardup"].spark(spark, SF).collect()
 
 
 class TestDhashProperties:
@@ -242,7 +242,7 @@ class TestImageNeardupQuery:
             .filter(F.col("doc_id") % 16 == 0)
             .count()
         )
-        ap = [r for r in neardup_rows if r["method"] == "all_pairs"]
+        ap = [r for r in neardup_rows if r["method"] == "image"]
         bright = {
             (r["doc_a"], r["doc_b"]): r
             for r in ap
@@ -261,7 +261,7 @@ class TestImageNeardupQuery:
     def test_noise_twins_within_threshold_and_distinct_images_spared(
         self, neardup_rows
     ):
-        ap = [r for r in neardup_rows if r["method"] == "all_pairs"]
+        ap = [r for r in neardup_rows if r["method"] == "image"]
         noise = [r for r in ap if r["doc_b"] >= NOISE_ID_OFFSET]
         assert noise, "no noise twins caught at all"
         assert all(r["hamming"] <= 3 for r in noise)
@@ -278,7 +278,7 @@ class TestImageNeardupQuery:
         Hamming-0 match, and every reported match is a corpus-half doc
         at Hamming ≤ 3."""
         probe = {
-            r["doc_a"]: r for r in neardup_rows if r["method"] == "corpus_probe"
+            r["doc_a"]: r for r in neardup_rows if r["method"] == "image_probe"
         }
         assert probe, "corpus_probe arm returned no rows"
         split = lambda i: hashlib.md5(str(i).encode()).hexdigest()[0] < "8"  # noqa: E731
@@ -461,3 +461,73 @@ class TestImageDedupScreenAtIngest:
         # micro-batch split is the scheduler's choice; whichever epoch
         # carried doc 2, the corpus probe rejected it
         assert rej == {2} or (2 in rej)
+
+
+class TestWideDhash:
+    """256-bit wide dHash (r14, r13 verdict #1): the wide-signature
+    operating point — 17×16 grid → 4 signed int64 words → the aligned
+    4×64 band geometry through operators.dedup's wide dispatch."""
+
+    def test_wide_brightness_invariance_and_word_layout(self):
+        from sentinela_py_spark.operators.multimodal import (
+            WIDE_DHASH_WORDS,
+            dhash256_of,
+        )
+
+        base = _ppm(18, 17, b"the quick brown fox jumps over the lazy dog ")
+        hdr = base.index(b"255\n") + 4
+        shifted = base[:hdr] + bytes(b + 1 for b in base[hdr:])
+        w0, m0 = dhash256_of(base)
+        w1, m1 = dhash256_of(shifted)
+        assert w0 == w1 and m0 != m1
+        assert len(w0) == WIDE_DHASH_WORDS == 4
+        assert all(-(1 << 63) <= w < 1 << 63 for w in w0)
+        other, _ = dhash256_of(_ppm(18, 17, b"zebra yak xerus wombat vole "))
+        assert other != w0
+
+    def test_wide_planner_operating_point_holds_at_1e9(self):
+        # the r13 verdict's named boundary: at 10^9 images the planner
+        # reports 96+ bits needed; 256 bits at the aligned 4×64 geometry
+        # is comfortably inside target — and now carriable (array<bigint>)
+        from sentinela_py_spark.operators.dedup import plan_hamming_config
+        from sentinela_py_spark.operators.multimodal import (
+            WIDE_DHASH_BAND_BITS,
+            WIDE_DHASH_BANDS,
+        )
+
+        s = plan_hamming_config(10**9, 256, max_hamming=3)
+        assert (s.n_bands, s.band_bits) == (WIDE_DHASH_BANDS, WIDE_DHASH_BAND_BITS)
+        assert s.occupancy_ok and s.expected_occupancy < 1e-9
+
+    def test_wide_arm_catches_bright_twins_and_spares_distinct(
+        self, spark, neardup_rows
+    ):
+        n_planted = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter((F.col("doc_id") % 16 == 0) & (F.length("text") > 0))
+            .count()
+        )
+        wide = [r for r in neardup_rows if r["method"] == "image_wide"]
+        assert wide, "image_wide arm returned no rows"
+        bright = [
+            r for r in wide if BRIGHT_ID_OFFSET <= r["doc_b"] < NOISE_ID_OFFSET
+        ]
+        planted = {
+            r["doc_a"] for r in bright
+            if r["doc_b"] == r["doc_a"] + BRIGHT_ID_OFFSET
+        }
+        # brightness twins: 256-bit hash is STILL identical (gradient
+        # signs survive the uniform shift at any grid size)
+        assert len(planted) == n_planted == len(bright)
+        assert all(r["hamming"] == 0 and not r["exact_dup"] for r in bright)
+        # every emitted pair respects the refine threshold
+        assert all(r["hamming"] <= 3 for r in wide)
+        # distinct images: 4x the bits → the spurious base-base tail
+        # can only SHRINK vs the 64-bit arm
+        wide_base = [r for r in wide if r["doc_b"] < BRIGHT_ID_OFFSET]
+        narrow_base = [
+            r
+            for r in neardup_rows
+            if r["method"] == "image" and r["doc_b"] < BRIGHT_ID_OFFSET
+        ]
+        assert len(wide_base) <= len(narrow_base)
