@@ -704,6 +704,165 @@ def image_dhash_wide(images: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Video near-dup (r14): the third modality of the perceptual dedup
+# family. A "video" is a concatenated stream of binary-PPM frames (the
+# in-repo stand-in for a decoded frame sequence — swap a real demuxer
+# into `split_ppm_stream` unchanged); its signature is the per-frame
+# dHash of VID_SAMPLE_FRAMES nearest-neighbor-sampled frames packed as
+# one WIDE array<bigint> signature (word f = frame f's 64-bit dHash),
+# which drops straight into the r14 wide Hamming-band machinery at the
+# aligned 4×64 geometry: a band collision means "one sampled frame is
+# perceptually identical", the natural video analog of a shared hash
+# band, and pigeonhole gives full recall at total Hamming <= 3 across
+# the sampled frames.
+# ---------------------------------------------------------------------------
+
+VID_FRAMES = 4           # frames per corpus video (fixture)
+VID_SAMPLE_FRAMES = 4    # frames sampled into the signature
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PPM stream into per-frame payloads — the
+    demux step of the video signer (mirrors `decode_ppm`'s header walk
+    to learn each frame's byte length; raises on any malformed frame,
+    so a corrupt container yields a NULL signature row upstream, never
+    a wrong one)."""
+    frames: list[bytes] = []
+    off = 0
+    n = len(payload)
+    while off < n:
+        if payload[off : off + 2] != b"P6":
+            raise ValueError(f"frame {len(frames)}: not a binary PPM at offset {off}")
+        fields: list[bytes] = []
+        i = off + 2
+        while len(fields) < 3:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            if i == j:
+                raise ValueError(f"frame {len(frames)}: truncated PPM header")
+            fields.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = (int(f) for f in fields)
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            raise ValueError(f"frame {len(frames)}: invalid dimensions")
+        n_pix = w * h * 3 * (2 if maxval > 255 else 1)
+        end = i + n_pix
+        if end > n:
+            raise ValueError(f"frame {len(frames)}: pixel plane truncated")
+        frames.append(payload[off:end])
+        off = end
+    if not frames:
+        raise ValueError("empty video payload")
+    return frames
+
+
+def documents_to_dedup_videos(documents: DataFrame) -> DataFrame:
+    """The video-dedup corpus: one VID_FRAMES-frame concatenated-PPM
+    stream per document — frame f's pixel source is the doc's text
+    ROTATED by f characters (each frame genuinely different, all
+    deterministic), same per-doc dimensions as the image corpus — plus
+    the two planted families (BRIGHT: every frame's chars +1 → all four
+    frame dHashes identical, md5 different; NOISE: vowels shifted →
+    a few flipped bits spread across frames). All JVM-side."""
+    documents = documents.filter(F.length("text") > 0)
+
+    def rot(f: int) -> str:
+        # rotation by f chars; for len(text) <= f this degrades to the
+        # text itself (substr past the end is ''), same on both engines
+        return f"concat(substr(__t, {f + 1}), substr(__t, 1, {f}))"
+
+    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
+        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+        header = F.format_string("P6\n%d %d\n255\n", w, h)
+        plane = (
+            f"CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT)"
+        )
+        frames = [
+            F.concat(header, F.expr(f"rpad({rot(f)}, {plane}, {rot(f)})"))
+            for f in range(VID_FRAMES)
+        ]
+        return d.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.encode(F.concat(*frames), "UTF-8").alias("payload"),
+        )
+
+    base = documents.withColumn("__t", F.col("text"))
+    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
+        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    )
+    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
+        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
+    )
+    return (
+        build(base)
+        .unionByName(build(bright, BRIGHT_ID_OFFSET))
+        .unionByName(build(noise, NOISE_ID_OFFSET))
+    )
+
+
+VIDEO_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("vhash", ArrayType(LongType())),
+        StructField("pix_md5", StringType()),
+    ]
+)
+
+
+def video_dhash256_of(payload: bytes) -> tuple[list[int], str]:
+    """(per-frame dHash signature as VID_SAMPLE_FRAMES signed int64
+    words, md5 of the sampled frames' concatenated pixel planes) of one
+    concatenated-PPM video: demux → nearest-neighbor frame sample
+    (f·n_frames//k, the dHash grid arithmetic applied to TIME) → word f
+    = `dhash64_of`(sampled frame f). The brightness invariance is
+    inherited per frame; the signature layout is exactly what the wide
+    band machinery slices (word-aligned 4×64)."""
+    frames = split_ppm_stream(payload)
+    nf = len(frames)
+    md5 = hashlib.md5()
+    words: list[int] = []
+    for f in range(VID_SAMPLE_FRAMES):
+        bits, _pix_md5 = dhash64_of(frames[f * nf // VID_SAMPLE_FRAMES])
+        words.append(bits)
+        md5.update(decode_ppm(frames[f * nf // VID_SAMPLE_FRAMES])[3])
+    return words, md5.hexdigest()
+
+
+def video_dhash(videos: DataFrame) -> DataFrame:
+    """(doc_id, vhash: array<bigint>, pix_md5) via `video_dhash256_of`
+    inside Arrow `mapInPandas` — the video member of the signer family
+    (one demux+hash pass per payload; NULL rows for undecodable
+    payloads, as every signer)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "vhash": [], "pix_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    words, md5 = video_dhash256_of(bytes(payload))
+                except (ValueError, TypeError):
+                    out["vhash"].append(None)
+                    out["pix_md5"].append(None)
+                    continue
+                out["vhash"].append(words)
+                out["pix_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(videos.select("doc_id", "payload")).mapInPandas(
+        compute, VIDEO_DHASH_SCHEMA
+    )
+
+
 def image_dhash(images: DataFrame) -> DataFrame:
     """(doc_id, dhash, pix_md5) via `dhash64_of` inside Arrow
     `mapInPandas` — the decode+hash hot path, one pass per payload (the

@@ -293,6 +293,40 @@ def _wide_word_sql(word: int) -> str:
     return " + ".join(terms)
 
 
+def _video_gray_cols_sql() -> list[str]:
+    """Gray-grid columns for every sampled VIDEO frame: the 9×8 grid of
+    the 64-bit dHash applied to each of the VID_SAMPLE_FRAMES per-frame
+    pixel planes (``pix0``..``pix3``)."""
+    from sentinela_py_spark.operators.multimodal import VID_SAMPLE_FRAMES
+
+    cols = []
+    for f in range(VID_SAMPLE_FRAMES):
+        for y in range(DHASH_ROWS):
+            for x in range(DHASH_COLS):
+                off = (
+                    f"((({y} * h) // {DHASH_ROWS}) * w + "
+                    f"(({x} * w) // {DHASH_COLS})) * 3"
+                )
+                g = " + ".join(f"ascii(pix{f}[{off} + {i}])" for i in (1, 2, 3))
+                cols.append(f"{g} AS vg{f}_{y}_{x}")
+    return cols
+
+
+def _video_word_sql(f: int) -> str:
+    """Word ``f`` of the video signature = the 64-bit dHash of sampled
+    frame ``f`` (bit y·8+x, bit 63 as the −2^63 constant emitted last —
+    per-word identical to `dhash64_of`'s wrap)."""
+    terms = []
+    for j in range(64):
+        y, x = divmod(j, DHASH_COLS - 1)
+        val = -(1 << 63) if j == 63 else 1 << j
+        terms.append(
+            f"(CASE WHEN vg{f}_{y}_{x} < vg{f}_{y}_{x + 1} "
+            f"THEN CAST({val} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _signature_neardup_sql() -> str:
     """DuckDB replay of the FULL perceptual-signature near-dup family
     (r14 §8 fold of q_image_neardup + q_audio_neardup, per the r13
@@ -365,6 +399,23 @@ def _signature_neardup_sql() -> str:
         "CASE band WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END"
     )
     wham = " + ".join(f"bit_count(xor(a{i}, b{i}))" for i in range(4))
+    # video arm parts (per-frame dHash words over the SAME imgsrc
+    # families — frame f's pixel source is the text rotated by f chars)
+    from sentinela_py_spark.operators.multimodal import VID_SAMPLE_FRAMES
+
+    def _rot(f: int) -> str:
+        return f"(substr(t, {f + 1}) || substr(t, 1, {f}))" if f else "t"
+
+    vpix = [
+        f"rpad({_rot(f)}, CAST({w_sql} * {h_sql} * 3 AS INT), {_rot(f)}) AS pix{f}"
+        for f in range(VID_SAMPLE_FRAMES)
+    ]
+    vgray_cols = _video_gray_cols_sql()
+    vwords = [
+        f"CAST({_video_word_sql(f)} AS BIGINT) AS w{f}"
+        for f in range(VID_SAMPLE_FRAMES)
+    ]
+    vmd5 = "md5(" + " || ".join(f"pix{f}" for f in range(VID_SAMPLE_FRAMES)) + ")"
     nl = ",\n             "
     return f"""
     WITH imgsrc AS (
@@ -460,6 +511,46 @@ def _signature_neardup_sql() -> str:
       FROM wcapped a JOIN wcapped b
         ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     ),
+    vids AS (
+      -- video corpus (r14): SAME (bid, t, shift) families as imgsrc;
+      -- frame f's pixel plane cycles the f-rotated text
+      SELECT bid + shift AS doc_id,
+             CAST({w_sql} AS INT) AS w,
+             CAST({h_sql} AS INT) AS h,
+             {nl.join(vpix)}
+      FROM imgsrc
+    ),
+    vgrays AS (
+      SELECT doc_id,
+             {nl.join(vgray_cols)},
+             {vmd5} AS pmd5
+      FROM vids
+    ),
+    vsh AS (
+      SELECT doc_id,
+             {nl.join(vwords)},
+             pmd5
+      FROM vgrays
+    ),
+    vbands AS (
+      SELECT doc_id, w0, w1, w2, w3, pmd5, band,
+             {wband_case} AS bsig
+      FROM vsh CROSS JOIN (SELECT UNNEST([{band_list}]) AS band)
+    ),
+    vcapped AS (
+      SELECT doc_id, w0, w1, w2, w3, pmd5, band, bsig FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+        FROM vbands
+      ) WHERE rn <= {IMG_NEARDUP_BUCKET_CAP}
+    ),
+    vcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+             b.w0 AS b0, b.w1 AS b1, b.w2 AS b2, b.w3 AS b3,
+             a.pmd5 AS ma, b.pmd5 AS mb
+      FROM vcapped a JOIN vcapped b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
     awavsrc AS (
       -- DuckDB widens set-op columns to the max type across branches;
       -- the cast states the intent where the column is introduced
@@ -536,6 +627,12 @@ def _signature_neardup_sql() -> str:
            (ma = mb) AS exact_dup
     FROM wcand
     WHERE {wham} <= {IMG_NEARDUP_MAX_HAMMING}
+    UNION ALL
+    SELECT 'video' AS method, doc_a, doc_b,
+           CAST({wham} AS BIGINT) AS hamming,
+           (ma = mb) AS exact_dup
+    FROM vcand
+    WHERE {wham} <= {IMG_NEARDUP_MAX_HAMMING}
     ORDER BY method, doc_a, doc_b
     """
 
@@ -556,7 +653,11 @@ def _signature_neardup_sql() -> str:
         "the plan_hamming_config operating point for 10⁹ images, closing the "
         "64-bit signature ceiling; `audio`: decode_wav → 65 frame energies → "
         "64 cross-multiplied sign bits (gain-invariant) → the same 4×16 "
-        "bands. All caps doc_id-ordered and oracle-replayed; planted "
+        "bands; `video` (r14): concatenated-PPM frame streams demuxed, "
+        "4 nearest-neighbor-sampled frames dHashed into one array<bigint> "
+        "signature (word f = frame f's 64-bit dHash) through the SAME wide "
+        "4×64 banding — a band collision is one perceptually-identical "
+        "sampled frame. All caps doc_id-ordered and oracle-replayed; planted "
         "brightness/gain twins land at Hamming 0 with exact_dup=false, "
         "re-encoded audio twins at Hamming 0 with exact_dup=true"
     ),
@@ -598,6 +699,17 @@ def q_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cross-multiplication invariance), noise twins while their
     flipped sign bits stay ≤ 3.
 
+    ``video`` (r14): the third perceptual modality — concatenated-PPM
+    frame streams (`documents_to_dedup_videos`; frame f's pixel source
+    is the text rotated by f chars) demuxed by `split_ppm_stream`, 4
+    nearest-neighbor-sampled frames each 64-bit-dHashed into ONE
+    array<bigint> wide signature (`video_dhash256_of`: word f = frame
+    f's hash), banded at the SAME aligned 4×64 wide geometry — so a
+    band collision means "one sampled frame perceptually identical",
+    the natural video LSH key, and pigeonhole recall at total
+    Hamming ≤ 3 across frames carries over unchanged. Brightness twins
+    (every frame shifted) land at Hamming 0 / exact_dup = false.
+
     The image corpus is `documents_to_dedup_images` (brightness +
     noise twin families), the audio corpus `documents_to_dedup_wavs`
     (re-encode + gain + noise families); `exact_dup` compares
@@ -620,6 +732,7 @@ def q_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_image_all_pairs(sigs))
         .unionByName(_image_corpus_probe(sigs))
         .unionByName(_image_wide_pairs(spark, sf_dir))
+        .unionByName(_video_pairs(spark, sf_dir))
         .orderBy("method", "doc_a", "doc_b")
     )
 
@@ -679,6 +792,39 @@ def _image_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         F.lit("image_wide").alias("method"),
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("a_pix_md5") == F.col("b_pix_md5")).alias("exact_dup"),
+    )
+
+
+def _video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video arm (r14): demux → per-frame dHash words → the SAME
+    wide band machinery at the aligned 4×64 geometry — a band collision
+    is 'one sampled frame perceptually identical'."""
+    from sentinela_py_spark.operators.multimodal import (
+        documents_to_dedup_videos,
+        video_dhash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        video_dhash(documents_to_dedup_videos(d))
+        .filter(F.col("vhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs, _audit = hamming_band_pairs(
+        sigs,
+        "vhash",
+        max_hamming=IMG_NEARDUP_MAX_HAMMING,
+        n_bands=WIDE_DHASH_BANDS,
+        band_bits=WIDE_DHASH_BAND_BITS,
+        max_bucket_size=IMG_NEARDUP_BUCKET_CAP,
+        carry_cols=("pix_md5",),
+    )
+    return pairs.select(
+        F.lit("video").alias("method"),
         "doc_a",
         "doc_b",
         "hamming",
@@ -772,6 +918,7 @@ register_arms(
     image_probe=_image_corpus_probe_arm,
     image_wide=_image_wide_pairs,
     audio=_audio_pairs,
+    video=_video_pairs,
 )
 
 
@@ -856,16 +1003,38 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
     # every row carries its BASE doc's vector (doc_id mod 1e9 strips the
     # family offsets) — which is exactly what plants the embdup family's
     # identical array for the embedding screen's exact-copy collapse
+    emb_tbl = load_table(spark, sf_dir, "embeddings")
     batch = (
         documents_to_paired_rows(d)
         .withColumn("__base", F.col("doc_id") % 1_000_000_000)
         .join(
-            load_table(spark, sf_dir, "embeddings").select(
-                F.col("vec_id").alias("__base"), "embedding"
-            ),
+            emb_tbl.select(F.col("vec_id").alias("__base"), "embedding"),
             "__base",
         )
-        .drop("__base")
+        # image-side vector for the clip screen (r14): the row's own
+        # base vector — EXCEPT the planted MISCAPTION family (base ≡ 11
+        # mod 16; the family offsets are all multiples of 16, so the
+        # full doc_id carries the residue), which gets its SUCCESSOR
+        # base doc's vector: the alt-text-describes-another-page pair
+        # that only the cross-modal screen can catch (successor absent
+        # → own vector, cos 1, passes — deterministic on both engines)
+        .withColumn("__succ", F.col("__base") + 1)
+        .join(
+            emb_tbl.select(
+                F.col("vec_id").alias("__succ"),
+                F.col("embedding").alias("__succ_emb"),
+            ),
+            "__succ",
+            "left",
+        )
+        .withColumn(
+            "image_embedding",
+            F.when(
+                F.col("doc_id") % 16 == 11,
+                F.coalesce(F.col("__succ_emb"), F.col("embedding")),
+            ).otherwise(F.col("embedding")),
+        )
+        .drop("__base", "__succ", "__succ_emb")
     )
     eval_grams = (
         d.filter((F.col("doc_id") % 16 == 5) & (F.length("text") > 0))
@@ -886,6 +1055,7 @@ def _mm_ingest_state_dir(spark: SparkSession, sf_dir: str) -> str:
         vec_col="embedding",
         threshold=NEARDUP_COS,
         image_payload_col="payload",
+        clip_vec_col="image_embedding",
     )
     simops.register_temp_store(root)
     _MM_STATE[key] = root
@@ -959,12 +1129,19 @@ def _mm_ingest_sql() -> str:
         PROBE_XORS,
         _bucket_sql,
         _DOT_SQL,
+        _guarded_cos_sql,
         _NORMSQ_SQL,
     )
     from sentinela_py_spark.plans.textops import _BLOOM_POS_SQL
 
     _BLOOM_POS = _BLOOM_POS_SQL.format(i="i.i", g="e.gram")
     _BLOOM_POS_T = _BLOOM_POS_SQL.format(i="i.i", g="g.gram")
+    from sentinela_py_spark.streaming.pipeline import CLIP_SCORE_MIN as _MM_CLIP_MIN
+
+    _mm_clip_cos = _guarded_cos_sql(
+        f"{_DOT_SQL.format(a='iv', b='tv')} / "
+        f"(SQRT({_NORMSQ_SQL.format(a='iv')}) * SQRT({_NORMSQ_SQL.format(a='tv')}))"
+    )
     cs = _CHARSET.replace("'", "''")
     cs1 = _CHARSET_PLUS1.replace("'", "''")
     w_sql = f"(bid % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
@@ -1083,6 +1260,30 @@ def _mm_ingest_sql() -> str:
       LEFT JOIN img_rej j ON j.doc_id = s.doc_id
       WHERE j.doc_id IS NULL
     ),
+    clip_scored AS (
+      -- cross-modal consistency screen (r14) over the image SURVIVORS:
+      -- image-side vector = own base vector, except the MISCAPTION
+      -- family (doc_id % 16 = 11) which carries its successor's; the
+      -- cosine/round/guard algebra is q_clip_score's exact template
+      SELECT doc_id, {_mm_clip_cos} AS ccos FROM (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 16 = 11
+                    THEN COALESCE(es.embedding, eb.embedding)
+                    ELSE eb.embedding END AS iv,
+               eb.embedding AS tv
+        FROM img_acc a
+        JOIN embeddings eb ON eb.vec_id = a.doc_id % 1000000000
+        LEFT JOIN embeddings es ON es.vec_id = (a.doc_id % 1000000000) + 1
+      )
+    ),
+    clip_rej AS MATERIALIZED (
+      SELECT doc_id FROM clip_scored WHERE ccos < {_MM_CLIP_MIN}
+    ),
+    clip_acc AS MATERIALIZED (
+      SELECT a.doc_id, a.cap FROM img_acc a
+      LEFT JOIN clip_rej r ON r.doc_id = a.doc_id
+      WHERE r.doc_id IS NULL
+    ),
     eval_grams AS MATERIALIZED (
       SELECT DISTINCT gram FROM (
         SELECT UNNEST(list_transform(
@@ -1103,7 +1304,7 @@ def _mm_ingest_sql() -> str:
         SELECT doc_id, UNNEST(list_transform(
           generate_series(1, greatest(len(string_split(cap, ' ')) - 4, 0)),
           i -> array_to_string(list_slice(string_split(cap, ' '), i, i + 4), ' '))) AS gram
-        FROM img_acc
+        FROM clip_acc
       )
     ),
     dec_flag AS MATERIALIZED (
@@ -1119,7 +1320,7 @@ def _mm_ingest_sql() -> str:
       ) GROUP BY doc_id
     ),
     dec_acc AS MATERIALIZED (
-      SELECT a.doc_id, a.cap FROM img_acc a
+      SELECT a.doc_id, a.cap FROM clip_acc a
       LEFT JOIN dec_flag f ON f.doc_id = a.doc_id
       WHERE f.doc_id IS NULL
     ),
@@ -1240,6 +1441,9 @@ def _mm_ingest_sql() -> str:
     )
     SELECT 'image_dedup' AS stage, doc_id, matched AS matched_doc FROM img_rej
     UNION ALL
+    SELECT 'clip' AS stage, doc_id, CAST(NULL AS BIGINT) AS matched_doc
+    FROM clip_rej
+    UNION ALL
     SELECT 'decontam' AS stage, doc_id, CAST(NULL AS BIGINT) AS matched_doc
     FROM dec_flag
     UNION ALL
@@ -1268,9 +1472,12 @@ def _mm_ingest_sql() -> str:
         "(exact-vector collapse, hyperplane buckets + multi-probe join, "
         "rounded-cosine verify, components, survivor) over the doubly-screened "
         "survivors — 'which screen takes each row' is value-hash-checked "
-        "end-to-end across ALL FOUR armed screens (parity pinned at sf0.001/"
-        "0.01/0.1; the embdup family — new pixels, new words, same semantic "
-        "vector — dies exactly at the vector stage)"
+        "end-to-end across ALL FIVE armed screens (r14: + the cross-modal "
+        "clip-score screen between image dedup and decontam — the planted "
+        "MISCAPTION family, base ≡ 11 mod 16 carrying its successor's vector "
+        "image-side, dies exactly at the 'clip' stage; parity pinned at "
+        "sf0.001/0.01/0.1; the embdup family — new pixels, new words, same "
+        "semantic vector — dies exactly at the vector stage)"
     ),
     tags=("multimodal", "streaming", "dedup", "pandas-udf"),
 )
@@ -1279,6 +1486,11 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, matched_doc), one row per input row of the paired corpus —
     'image_dedup' rejects (brightness twins at Hamming 0, noise twins
     within the threshold, pixel-exact copies via their representative),
+    'clip' rejects (r14 — the MISCAPTION family: base docs ≡ 11 mod 16
+    carry their successor's vector image-side, the alt-text-describes-
+    another-page pair that passes every dedup screen because nothing is
+    duplicated; caught by the cross-modal cosine screen before its
+    caption touches any text-chain store),
     'decontam' flags (the eval-split captions: verbatim held-out
     content that must never enter the corpus OR the downstream dedup
     stores), 'caption_dedup' rejects (the REPOST family: a different
@@ -1309,6 +1521,14 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("image_dedup").alias("stage"),
             "doc_id",
             F.col("matched_doc").cast("long").alias("matched_doc"),
+        )
+    )
+    clip = (
+        spark.read.parquet(os.path.join(state, "clipscore", "rejected"))
+        .select(
+            F.lit("clip").alias("stage"),
+            "doc_id",
+            F.lit(None).cast("long").alias("matched_doc"),
         )
     )
     dec = (
@@ -1344,7 +1564,8 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        img.unionByName(dec)
+        img.unionByName(clip)
+        .unionByName(dec)
         .unionByName(mh)
         .unionByName(emb)
         .unionByName(acc)

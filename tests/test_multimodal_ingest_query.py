@@ -217,3 +217,50 @@ def test_caps_never_bind_on_the_paired_corpus(spark):
         .first()[0]
     )
     assert mh_max <= DEFAULT_MAX_BUCKET_SIZE
+
+
+def test_miscaption_family_dies_at_the_clip_screen(spark, routing):
+    """r14 (r13 verdict #5): base docs ≡ 11 (mod 16) carry their
+    SUCCESSOR base doc's vector as the image-side embedding — the
+    mis-captioned pair no dedup screen can see (nothing is duplicated).
+    Whenever the successor exists and the two vectors genuinely
+    disagree below CLIP_SCORE_MIN, the row must route to 'clip' (it
+    passed the image screen — its pixels are unique — and never reached
+    the text chain); a missing successor coalesces to the row's own
+    vector (cosine 1.0) and passes. No OTHER family may die at the clip
+    stage: every non-miscaption row's two vectors are identical."""
+    import math
+
+    from sentinela_py_spark.streaming.pipeline import CLIP_SCORE_MIN
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    fam = {
+        d: v for d, v in routing.items()
+        if d < BRIGHT_ID_OFFSET and d % 16 == 11
+    }
+    assert fam, "no miscaption-family rows in the corpus"
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        return dp / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    clip_dead = {d for d, (stage, _) in fam.items() if stage == "clip"}
+    expected = {
+        d for d in fam
+        if d + 1 in emb and round(cos(emb[d], emb[d + 1]), 6) < CLIP_SCORE_MIN
+    }
+    assert clip_dead == expected and expected, (
+        f"clip routing drifted: got {sorted(clip_dead)[:5]}..., "
+        f"want {sorted(expected)[:5]}..."
+    )
+    # the clip stage takes ONLY miscaption rows
+    others = {
+        d for d, (stage, _) in routing.items()
+        if stage == "clip" and not (d < BRIGHT_ID_OFFSET and d % 16 == 11)
+    }
+    assert others == set()
