@@ -1737,19 +1737,26 @@ def ingest_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
         "text_dedup": text_dedup,
         "accepted": F.col("n_acc") if acc is not None else text_dedup,
     }
-    frames = [
-        wide.select(
-            "epoch",
-            F.lit(i).cast("long").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            stage_exprs[name].cast("long").alias("n_docs"),
-        )
-        for i, name in enumerate(INGEST_FUNNEL_STAGES)
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("epoch", "stage_idx")
+    # unpivot via ONE array-explode instead of a per-stage union (r14):
+    # the union shape re-derived the whole store-join frame once per
+    # stage (9 stages × ~10 joins — census read 95 BroadcastHashJoins
+    # for a fixture reader); exploding a struct array computes `wide`
+    # once and emits the 9 stage rows per epoch in a single pass
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                stage_exprs[name].cast("long").alias("n_docs"),
+            )
+            for i, name in enumerate(INGEST_FUNNEL_STAGES)
+        ]
+    )
+    return (
+        wide.select("epoch", F.explode(stage_structs).alias("s"))
+        .select("epoch", "s.stage_idx", "s.stage", "s.n_docs")
+        .orderBy("epoch", "stage_idx")
+    )
 
 
 def composed_ingest_batch(
