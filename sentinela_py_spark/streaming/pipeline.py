@@ -569,6 +569,55 @@ def audio_dedup_batch_against_corpus(
     )
 
 
+def video_dedup_batch_against_corpus(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+    ids_collapsed: bool = False,
+) -> DataFrame:
+    """One micro-batch of VIDEO near-dup rejection at ingest — the
+    streaming twin of `plans.mmops.q_signature_neardup`'s video arm
+    (r14): arriving frame streams are demuxed and per-frame dHashed
+    into one WIDE array<bigint> signature
+    (`operators.multimodal.video_dhash` — word f = sampled frame f's
+    64-bit hash, plus the sampled-planes md5), and the generic screen
+    runs at the aligned 4×64 WIDE geometry: exact-content collapse,
+    wide-banded within-batch components (a band collision = one
+    perceptually identical sampled frame), cross-corpus probe with the
+    wide Hamming verify, epoch-keyed state — the same store/replay
+    discipline as the image and audio screens, through the same body."""
+    from sentinela_py_spark.operators.multimodal import (
+        video_dhash,
+        WIDE_DHASH_BAND_BITS,
+        WIDE_DHASH_BANDS,
+    )
+
+    def signer(frame: DataFrame) -> DataFrame:
+        return video_dhash(frame).select(
+            "doc_id",
+            F.col("vhash").alias("sig"),
+            F.col("pix_md5").alias("content_md5"),
+        )
+
+    return signature_dedup_batch_against_corpus(
+        batch,
+        epoch_id,
+        state_dir,
+        signer,
+        id_col=id_col,
+        payload_col=payload_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        ids_collapsed=ids_collapsed,
+        n_bands=WIDE_DHASH_BANDS,
+        band_bits=WIDE_DHASH_BAND_BITS,
+    )
+
+
 def signature_dedup_batch_against_corpus(
     batch: DataFrame,
     epoch_id: int,
@@ -579,6 +628,8 @@ def signature_dedup_batch_against_corpus(
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
     ids_collapsed: bool = False,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """The GENERIC perceptual-signature near-dup screen (r13 — one body
     for the image and audio twins), with the store/replay discipline of
@@ -613,7 +664,17 @@ def signature_dedup_batch_against_corpus(
        ``rejected/epoch=N`` with matched_doc + reason. Epoch-keyed
        writes ride `streaming.stores.write_epoch_partition` and the
        store read excludes the live epoch, so a checkpoint-replayed
-       batch reproduces its first attempt — across compactions too."""
+       batch reproduces its first attempt — across compactions too.
+
+    ``n_bands``/``band_bits`` (r14) default to the 64-bit deployment
+    geometry (4×16); a WIDE signer (array<bigint> ``sig`` — e.g. a
+    256-bit dHash or per-frame video signature) must pass its own
+    geometry (e.g. 4×64), which the shared `signature_bands` wide
+    dispatch then slices — the 4×16 default on a wide signature would
+    band only the low word and silently lose cross-word recall, so the
+    geometry is validated against the signature type up front."""
+    from pyspark.sql.types import ArrayType
+
     from sentinela_py_spark.operators.dedup import (
         connected_components,
         hamming_band_pairs,
@@ -623,6 +684,9 @@ def signature_dedup_batch_against_corpus(
         DHASH_BAND_BITS,
         DHASH_BANDS,
     )
+
+    n_bands = DHASH_BANDS if n_bands is None else n_bands
+    band_bits = DHASH_BAND_BITS if band_bits is None else band_bits
 
     spark = batch.sparkSession
     bands_dir = os.path.join(state_dir, "bands")
@@ -648,17 +712,24 @@ def signature_dedup_batch_against_corpus(
         "doc_id",
         "left_semi",
     )
+    from sentinela_py_spark.operators.dedup import is_wide_signature, wide_hamming
+
+    wide = is_wide_signature(sigs, "sig")
     rep_bands = signature_bands(
-        rep_sigs.select("doc_id", "sig"), "sig", DHASH_BANDS, DHASH_BAND_BITS
+        rep_sigs.select("doc_id", "sig"), "sig", n_bands, band_bits
     ).localCheckpoint(eager=True)
     # 3. within-batch components over the Hamming-refined band pairs
+    # (wide signatures validate band coverage on the data — one
+    # O(1)-row aggregate per batch; the never-silent guard against a
+    # wide signer banded at a narrow geometry, r14)
     pairs, overflow = hamming_band_pairs(
         rep_sigs.select("doc_id", "sig"),
         "sig",
         max_hamming=max_hamming,
-        n_bands=DHASH_BANDS,
-        band_bits=DHASH_BAND_BITS,
+        n_bands=n_bands,
+        band_bits=band_bits,
         max_bucket_size=max_bucket_size,
+        validate_coverage=wide,
     )
     members = connected_components(
         rep_sigs.select("doc_id"), pairs.select("doc_a", "doc_b")
@@ -669,12 +740,14 @@ def signature_dedup_batch_against_corpus(
         corpus_sigs = store.groupBy("band", "bsig", F.col("sig").alias("c_sig")).agg(
             F.min("doc_id").alias("corpus_doc")
         )
+        probe_ham = (
+            wide_hamming("sig", "c_sig")
+            if wide
+            else F.bit_count(F.col("sig").bitwiseXOR(F.col("c_sig")))
+        )
         vs_corpus = (
             rep_bands.join(corpus_sigs, ["band", "bsig"])
-            .filter(
-                F.bit_count(F.col("sig").bitwiseXOR(F.col("c_sig")))
-                <= max_hamming
-            )
+            .filter(probe_ham <= max_hamming)
             .groupBy("doc_id")
             .agg(F.min("corpus_doc").alias("matched_doc"))
             .withColumn("reason", F.lit("vs_corpus"))
