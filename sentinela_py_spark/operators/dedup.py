@@ -638,10 +638,17 @@ def connected_components(
     cap = int(raw_cap) if raw_cap.isdigit() else max(1, sym.rdd.getNumPartitions())
     p = max(1, min(cap, n_edges // 100_000 + 1))
     sym = sym.coalesce(p)
+    # SEED = the result of sweep 1 from identity labels, computed with ONE
+    # aggregation (r14 optimization): with label(v) = v, the first sweep's
+    # propagation join `labels ⋈ sym on src` is just `sym` renamed, so
+    # min(v, min over incoming src) — i.e. min(least(src, dst)) grouped by
+    # dst (sym is symmetric, so every edge-touching vertex appears as dst)
+    # — IS the sweep-1 label set. This removes one distinct pass and one
+    # full join sweep per invocation while converging to the identical
+    # min-label fixpoint.
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("group_id"))
+        sym.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min(F.least("src", "dst")).alias("group_id"))
         .coalesce(p)
         .persist()
     )
@@ -650,7 +657,7 @@ def connected_components(
     # the materialization action for the persisted sweep and the
     # convergence test (no compare-join needed).
     prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
-    for _ in range(max_iterations):
+    for _ in range(max_iterations - 1):
         prop = (
             labels.join(sym, labels.doc_id == sym.src)
             .select(F.col("dst").alias("doc_id"), F.col("group_id"))
