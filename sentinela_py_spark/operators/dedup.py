@@ -207,9 +207,14 @@ def minhash_candidate_pairs(
     with real collisions, never |docs|² — and every bucket is bounded to
     ``max_bucket_size`` rows first (see ``band_candidate_pairs`` /
     ``cap_buckets`` for the audit-visible overflow path)."""
+    # lazy checkpoint before the self-join (r14 optimization, guide §2.4):
+    # both sides of `band_candidate_pairs`' join consume this frame, and
+    # Catalyst plans the md5-heavy signature aggregation per side (no
+    # ReusedExchange fires across the alias boundary) — the barrier
+    # materializes it once, exactly as q_minhash_pairs already does.
     bands = lsh_band_signatures(
         minhash_signatures(documents, id_col, text_col, n_hashes), n_hashes, n_bands
-    )
+    ).localCheckpoint(eager=False)
     pairs, _ = band_candidate_pairs(bands, max_bucket_size)
     return pairs
 
@@ -621,7 +626,9 @@ def connected_components(
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        # lazy: the count() below is the materializing action (r14 — an
+        # eager checkpoint here was a separate job per invocation)
+        .localCheckpoint(eager=False)
     )
     # Size the sweeps to the SUBGRAPH, not the session: the near-dup edge
     # set is usually tiny relative to spark.sql.shuffle.partitions, and at
@@ -762,6 +769,11 @@ def shared_span_pairs(
             (F.col("pos0") + 1).alias("pos"),
             F.xxhash64("gram").alias("gram"),
         )
+        # lazy checkpoint (r14 optimization, guide §2.4): this frame has
+        # up to FOUR consumers (df aggregation, anti-join left side, both
+        # self-join sides) and Catalyst plans the posexplode per consumer
+        # — the barrier materializes the gram table once.
+        .localCheckpoint(eager=False)
     )
     audit = None
     if max_gram_df is not None:
@@ -866,6 +878,10 @@ def intra_doc_repeat_spans(
             (F.col("pos0") + 1).alias("pos"),
             F.xxhash64("gram").alias("gram"),
         )
+        # lazy checkpoint (r14 optimization, guide §2.4): the occurrence
+        # window and both self-join sides consume this frame — the
+        # barrier materializes the positioned gram explode once.
+        .localCheckpoint(eager=False)
     )
     audit = None
     if max_gram_occurrences is not None:

@@ -186,7 +186,12 @@ def decode_media(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]
 def _le_bin(col, n_bytes: int):
     """Little-endian binary encoding of an integer column, built from
     byte-wise hex + unhex — stays inside whole-stage codegen, so WAV
-    synthesis needs no UDF (headers carry LE u16/u32 fields)."""
+    synthesis needs no UDF (headers carry LE u16/u32 fields). A plain
+    Python int constant-folds to a literal bytes column (r14: the
+    hex/unhex tree for a constant is pure expression-tree weight — the
+    analyzer re-walks it on every schema resolution)."""
+    if isinstance(col, int):
+        return F.lit(col.to_bytes(n_bytes, "little"))
     parts = [
         F.format_string("%02x", (F.shiftright(col.cast("long"), 8 * i) % 256).cast("int"))
         for i in range(n_bytes)
@@ -209,13 +214,13 @@ def documents_to_wavs(documents: DataFrame) -> DataFrame:
         F.lit(b"RIFF"),
         _le_bin(data_len + 36, 4),
         F.lit(b"WAVEfmt "),
-        _le_bin(F.lit(16), 4),      # fmt chunk size
-        _le_bin(F.lit(1), 2),       # audio format: PCM
-        _le_bin(F.lit(1), 2),       # channels: mono
+        _le_bin(16, 4),             # fmt chunk size
+        _le_bin(1, 2),              # audio format: PCM
+        _le_bin(1, 2),              # channels: mono
         _le_bin(rate, 4),           # sample rate
         _le_bin(rate, 4),           # byte rate = rate * channels * bits/8
-        _le_bin(F.lit(1), 2),       # block align
-        _le_bin(F.lit(8), 2),       # bits per sample
+        _le_bin(1, 2),              # block align
+        _le_bin(8, 2),              # bits per sample
         F.lit(b"data"),
         _le_bin(data_len, 4),
     )
@@ -554,31 +559,53 @@ def documents_to_dedup_images(documents: DataFrame) -> DataFrame:
     DuckDB's rpad('', n, '') ERRORS outright, so the guard is mirrored
     in the oracle's imgsrc CTE."""
 
-    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
-        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
-        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
-        header = F.format_string("P6\n%d %d\n255\n", w, h)
-        pixels = F.expr(
-            f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
-            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
-        )
+    # UNION-FIRST (r14 optimization, guide §7.3): branches carry only
+    # (doc_id, __t, __shift); the header/pixel expression tree is built
+    # ONCE above the union instead of once per family — the values are
+    # identical (dims/pixels read the UNSHIFTED doc_id, the shift applies
+    # in the same final select), the analyzer walks a third of the tree.
+    documents = documents.filter(F.length("text") > 0)
+    u = _img_family_union(documents)
+    w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+    h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    pixels = F.expr(
+        f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+        f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
+    )
+    return u.select(
+        (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+        F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+    )
+
+
+def _img_family_union(documents: DataFrame) -> DataFrame:
+    """(doc_id, __t, __shift) for the image/video family scheme: base
+    rows, brightness twins (every 16th doc, charset +1), noise twins
+    (every 16th-plus-one doc, vowels +1) — the shared branch set of
+    `documents_to_dedup_images` and `documents_to_dedup_videos`."""
+
+    def branch(d: DataFrame, __t, id_shift: int) -> DataFrame:
         return d.select(
-            (F.col("doc_id") + id_shift).alias("doc_id"),
-            F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+            "doc_id", __t.alias("__t"), F.lit(id_shift).cast("long").alias("__shift")
         )
 
-    documents = documents.filter(F.length("text") > 0)
-    base = documents.withColumn("__t", F.col("text"))
-    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
-        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
-    )
-    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
-        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
-    )
     return (
-        build(base)
-        .unionByName(build(bright, BRIGHT_ID_OFFSET))
-        .unionByName(build(noise, NOISE_ID_OFFSET))
+        branch(documents, F.col("text"), 0)
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 0),
+                F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1),
+                BRIGHT_ID_OFFSET,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 1),
+                F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1),
+                NOISE_ID_OFFSET,
+            )
+        )
     )
 
 
@@ -589,6 +616,31 @@ DHASH_SCHEMA = StructType(
         StructField("pix_md5", StringType()),
     ]
 )
+
+
+def _dhash_words(arr, w: int, h: int, rows: int, cols: int) -> list[int]:
+    """Difference-hash words of one decoded pixel array on a rows × cols
+    grid — the SHARED sampling+packing core of `dhash64_of` /
+    `dhash256_of` / `dhash_both_of` (one arithmetic definition, so the
+    narrow, wide, and fused signers cannot drift): vectorized
+    nearest-neighbor grid sample (gray = integer channel sum — no
+    division, exact on any engine), bit pos = y·(cols−1)+x set iff
+    gray[y][x] < gray[y][x+1], packed little-endian into
+    rows·(cols−1)/64 signed two's-complement int64 words (bit 63 of each
+    word wraps, so values round-trip Spark LongType / DuckDB BIGINT
+    bit-for-bit)."""
+    import numpy as np
+
+    ys = np.arange(rows) * h // rows
+    xs = np.arange(cols) * w // cols
+    off = (ys[:, None] * w + xs[None, :]) * 3
+    grays = arr[off] + arr[off + 1] + arr[off + 2]
+    cmp = grays[:, :-1] < grays[:, 1:]  # (rows, cols-1)
+    words = [0] * ((rows * (cols - 1)) >> 6)
+    for y, x in zip(*np.nonzero(cmp)):
+        pos = int(y) * (cols - 1) + int(x)
+        words[pos >> 6] |= 1 << (pos & 63)
+    return [wd - (1 << 64) if wd >= 1 << 63 else wd for wd in words]
 
 
 def dhash64_of(payload: bytes) -> tuple[int, str]:
@@ -608,21 +660,10 @@ def dhash64_of(payload: bytes) -> tuple[int, str]:
 
     w, h, _maxval, pix = decode_ppm(payload)
     arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int32)
-    # vectorized grid sample (r13 — the 9×8 grid doubled the sampled
-    # positions, so the per-pixel Python loop became the UDF hot spot):
-    # same nearest-neighbor offsets, same integer comparisons, bit-
-    # identical to the loop it replaces (pinned by unchanged oracles)
-    ys = np.arange(DHASH_ROWS) * h // DHASH_ROWS
-    xs = np.arange(DHASH_COLS) * w // DHASH_COLS
-    off = (ys[:, None] * w + xs[None, :]) * 3
-    grays = arr[off] + arr[off + 1] + arr[off + 2]
-    cmp = grays[:, :-1] < grays[:, 1:]  # (DHASH_ROWS, DHASH_COLS-1)
-    bits = 0
-    for y, x in zip(*np.nonzero(cmp)):
-        bits |= 1 << (int(y) * 8 + int(x))
-    if bits >= 1 << 63:
-        bits -= 1 << 64
-    return bits, hashlib.md5(pix).hexdigest()
+    return (
+        _dhash_words(arr, w, h, DHASH_ROWS, DHASH_COLS)[0],
+        hashlib.md5(pix).hexdigest(),
+    )
 
 
 WIDE_DHASH_COLS, WIDE_DHASH_ROWS = 17, 16  # 16 diffs × 16 rows = 256 bits
@@ -664,17 +705,78 @@ def dhash256_of(payload: bytes) -> tuple[list[int], str]:
 
     w, h, _maxval, pix = decode_ppm(payload)
     arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int32)
-    ys = np.arange(WIDE_DHASH_ROWS) * h // WIDE_DHASH_ROWS
-    xs = np.arange(WIDE_DHASH_COLS) * w // WIDE_DHASH_COLS
-    off = (ys[:, None] * w + xs[None, :]) * 3
-    grays = arr[off] + arr[off + 1] + arr[off + 2]
-    cmp = grays[:, :-1] < grays[:, 1:]  # (16, 16)
-    words = [0] * WIDE_DHASH_WORDS
-    for y, x in zip(*np.nonzero(cmp)):
-        pos = int(y) * (WIDE_DHASH_COLS - 1) + int(x)
-        words[pos >> 6] |= 1 << (pos & 63)
-    words = [wd - (1 << 64) if wd >= 1 << 63 else wd for wd in words]
-    return words, hashlib.md5(pix).hexdigest()
+    return (
+        _dhash_words(arr, w, h, WIDE_DHASH_ROWS, WIDE_DHASH_COLS),
+        hashlib.md5(pix).hexdigest(),
+    )
+
+
+def dhash_both_of(payload: bytes) -> tuple[int, list[int], str]:
+    """(64-bit dHash, 256-bit wide dHash words, md5 of the pixel plane)
+    of one binary-PPM payload in ONE decode (r14 optimization): the
+    narrow and wide image arms consume the SAME corpus, so decoding and
+    md5-ing every payload twice — once per signer — was pure duplicate
+    work. Both grids sample the one decoded array through
+    `_dhash_words`, so each hash is bit-identical to its standalone
+    signer's."""
+    import numpy as np
+
+    w, h, _maxval, pix = decode_ppm(payload)
+    arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int32)
+    return (
+        _dhash_words(arr, w, h, DHASH_ROWS, DHASH_COLS)[0],
+        _dhash_words(arr, w, h, WIDE_DHASH_ROWS, WIDE_DHASH_COLS),
+        hashlib.md5(pix).hexdigest(),
+    )
+
+
+BOTH_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("dhash_wide", ArrayType(LongType())),
+        StructField("pix_md5", StringType()),
+    ]
+)
+
+
+def image_dhash_both(images: DataFrame) -> DataFrame:
+    """(doc_id, dhash, dhash_wide, pix_md5) via `dhash_both_of` inside
+    Arrow `mapInPandas` — ONE decode+hash pass serving both the 64-bit
+    and the 256-bit image arms (r14: `q_signature_neardup` previously
+    ran `image_dhash` and `image_dhash_wide` as two full passes over
+    the same generated corpus — two corpus builds, two Arrow boundary
+    crossings, two decodes, two pixel-plane md5s). NULL rows for
+    undecodable payloads, nulling both hashes (one decode, one failure
+    mode — exactly the rows each standalone signer nulls)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "dhash": [],
+                "dhash_wide": [],
+                "pix_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    bits, words, md5 = dhash_both_of(bytes(payload))
+                except (ValueError, TypeError):
+                    out["dhash"].append(None)
+                    out["dhash_wide"].append(None)
+                    out["pix_md5"].append(None)
+                    continue
+                out["dhash"].append(bits)
+                out["dhash_wide"].append(words)
+                out["pix_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    from sentinela_py_spark.tables import ensure_min_partitions
+
+    return ensure_min_partitions(images.select("doc_id", "payload")).mapInPandas(
+        compute, BOTH_DHASH_SCHEMA
+    )
 
 
 def image_dhash_wide(images: DataFrame) -> DataFrame:
@@ -776,34 +878,26 @@ def documents_to_dedup_videos(documents: DataFrame) -> DataFrame:
         # text itself (substr past the end is ''), same on both engines
         return f"concat(substr(__t, {f + 1}), substr(__t, 1, {f}))"
 
-    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
-        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
-        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
-        header = F.format_string("P6\n%d %d\n255\n", w, h)
-        plane = (
-            f"CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
-            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT)"
-        )
-        frames = [
-            F.concat(header, F.expr(f"rpad({rot(f)}, {plane}, {rot(f)})"))
-            for f in range(VID_FRAMES)
-        ]
-        return d.select(
-            (F.col("doc_id") + id_shift).alias("doc_id"),
-            F.encode(F.concat(*frames), "UTF-8").alias("payload"),
-        )
-
-    base = documents.withColumn("__t", F.col("text"))
-    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
-        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    # UNION-FIRST (r14 optimization, guide §7.3): same restructure as
+    # `documents_to_dedup_images` — the VID_FRAMES-frame concat tree (4
+    # rpad/rot expressions + headers) is the biggest corpus-builder
+    # expression in the engine, and it now appears ONCE above the shared
+    # family union instead of once per family.
+    u = _img_family_union(documents)
+    w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+    h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    plane = (
+        f"CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+        f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT)"
     )
-    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
-        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
-    )
-    return (
-        build(base)
-        .unionByName(build(bright, BRIGHT_ID_OFFSET))
-        .unionByName(build(noise, NOISE_ID_OFFSET))
+    frames = [
+        F.concat(header, F.expr(f"rpad({rot(f)}, {plane}, {rot(f)})"))
+        for f in range(VID_FRAMES)
+    ]
+    return u.select(
+        (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+        F.encode(F.concat(*frames), "UTF-8").alias("payload"),
     )
 
 
@@ -1006,44 +1100,71 @@ def documents_to_dedup_wavs(documents: DataFrame) -> DataFrame:
     below the fingerprint's resolution has no stable signature."""
     documents = documents.filter(F.length("text") >= AFP_MIN_SAMPLES)
 
-    def build(d: DataFrame, id_shift: int = 0, rate_shift: int = 0) -> DataFrame:
-        data = F.encode(F.col("__t"), "UTF-8")
-        data_len = F.octet_length(data).cast("long")
-        rate = ((F.col("doc_id") + rate_shift) % 3 + 1).cast("long") * 8000
-        header = F.concat(
-            F.lit(b"RIFF"),
-            _le_bin(data_len + 36, 4),
-            F.lit(b"WAVEfmt "),
-            _le_bin(F.lit(16), 4),
-            _le_bin(F.lit(1), 2),
-            _le_bin(F.lit(1), 2),
-            _le_bin(rate, 4),
-            _le_bin(rate, 4),
-            _le_bin(F.lit(1), 2),
-            _le_bin(F.lit(8), 2),
-            F.lit(b"data"),
-            _le_bin(data_len, 4),
-        )
+    # UNION-FIRST (r14 optimization, guide §7.3 "very large plans"): the
+    # per-family branches carry only (doc_id, __t, __shift, __rs) and the
+    # header/payload expression tree is built ONCE above the union —
+    # previously each of the four families instantiated its own copy of
+    # the `_le_bin` header algebra, quadrupling the tree the analyzer
+    # walks on every schema resolution (measured: ~2 s of pure plan
+    # construction per audio-arm build at sf0.1). Values are identical:
+    # the header reads the UNSHIFTED doc_id (twins keep base rates except
+    # the re-encode family's __rs=1), and the id shift applies in the
+    # same final select.
+    def branch(d: DataFrame, __t, id_shift: int, rate_shift: int) -> DataFrame:
         return d.select(
-            (F.col("doc_id") + id_shift).alias("doc_id"),
-            F.concat(header, data).alias("payload"),
+            "doc_id",
+            __t.alias("__t"),
+            F.lit(id_shift).cast("long").alias("__shift"),
+            F.lit(rate_shift).alias("__rs"),
         )
 
-    base = documents.withColumn("__t", F.col("text"))
-    rate = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
-        "__t", F.col("text")
+    u = (
+        branch(documents, F.col("text"), 0, 0)
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 0),
+                F.col("text"),
+                AFP_RATE_ID_OFFSET,
+                1,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 1),
+                F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1),
+                AFP_GAIN_ID_OFFSET,
+                0,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 2),
+                F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1),
+                AFP_NOISE_ID_OFFSET,
+                0,
+            )
+        )
     )
-    gain = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
-        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
+    data = F.encode(F.col("__t"), "UTF-8")
+    data_len = F.octet_length(data).cast("long")
+    rate = ((F.col("doc_id") + F.col("__rs")) % 3 + 1).cast("long") * 8000
+    header = F.concat(
+        F.lit(b"RIFF"),
+        _le_bin(data_len + 36, 4),
+        F.lit(b"WAVEfmt "),
+        _le_bin(16, 4),
+        _le_bin(1, 2),
+        _le_bin(1, 2),
+        _le_bin(rate, 4),
+        _le_bin(rate, 4),
+        _le_bin(1, 2),
+        _le_bin(8, 2),
+        F.lit(b"data"),
+        _le_bin(data_len, 4),
     )
-    noise = documents.filter(F.col("doc_id") % 16 == 2).withColumn(
-        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
-    )
-    return (
-        build(base)
-        .unionByName(build(rate, AFP_RATE_ID_OFFSET, rate_shift=1))
-        .unionByName(build(gain, AFP_GAIN_ID_OFFSET))
-        .unionByName(build(noise, AFP_NOISE_ID_OFFSET))
+    return u.select(
+        (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+        F.concat(header, data).alias("payload"),
     )
 
 
@@ -1150,40 +1271,62 @@ def documents_to_paired_rows(documents: DataFrame) -> DataFrame:
     and the same empty-text gate as `documents_to_dedup_images`."""
     documents = documents.filter(F.length("text") > 0)
 
-    def build(d: DataFrame, id_shift: int = 0) -> DataFrame:
-        w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
-        h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
-        header = F.format_string("P6\n%d %d\n255\n", w, h)
-        pixels = F.expr(
-            f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
-            f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
-        )
+    # UNION-FIRST (r14 optimization, guide §7.3): branches carry
+    # (doc_id, __t, text, __shift); the header/pixel tree appears ONCE
+    # above the five-family union instead of five times (same values —
+    # dims/pixels read the unshifted doc_id; the embdup family's caption
+    # override rides the branch's `text` column exactly as before).
+    def branch(d: DataFrame, __t, id_shift: int) -> DataFrame:
         return d.select(
-            (F.col("doc_id") + id_shift).alias("doc_id"),
-            F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
-            F.col("text").alias("caption"),
+            "doc_id",
+            __t.alias("__t"),
+            "text",
+            F.lit(id_shift).cast("long").alias("__shift"),
         )
 
-    base = documents.withColumn("__t", F.col("text"))
-    bright = documents.filter(F.col("doc_id") % 16 == 0).withColumn(
-        "__t", F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1)
-    )
-    noise = documents.filter(F.col("doc_id") % 16 == 1).withColumn(
-        "__t", F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
-    )
-    repost = documents.filter(F.col("doc_id") % 16 == 3).withColumn(
-        "__t", F.reverse(F.col("text"))
-    )
     translated = F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1)
-    embdup = (
-        documents.filter(F.col("doc_id") % 16 == 7)
-        .withColumn("__t", F.reverse(translated))
-        .withColumn("text", translated)
+    u = (
+        branch(documents, F.col("text"), 0)
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 0),
+                F.translate(F.col("text"), _CHARSET, _CHARSET_PLUS1),
+                BRIGHT_ID_OFFSET,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 1),
+                F.translate(F.col("text"), _VOWELS, _VOWELS_PLUS1),
+                NOISE_ID_OFFSET,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 3),
+                F.reverse(F.col("text")),
+                REPOST_ID_OFFSET,
+            )
+        )
+        .unionByName(
+            branch(
+                documents.filter(F.col("doc_id") % 16 == 7).withColumn(
+                    "__e", F.reverse(translated)
+                ).withColumn("text", translated),
+                F.col("__e"),
+                EMBDUP_ID_OFFSET,
+            )
+        )
     )
-    return (
-        build(base)
-        .unionByName(build(bright, BRIGHT_ID_OFFSET))
-        .unionByName(build(noise, NOISE_ID_OFFSET))
-        .unionByName(build(repost, REPOST_ID_OFFSET))
-        .unionByName(build(embdup, EMBDUP_ID_OFFSET))
+    w = (F.col("doc_id") % IMG_DEDUP_W_MOD + IMG_DEDUP_MIN).cast("int")
+    h = (F.col("doc_id") % IMG_DEDUP_H_MOD + IMG_DEDUP_MIN).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    pixels = F.expr(
+        f"rpad(__t, CAST((doc_id % {IMG_DEDUP_W_MOD} + {IMG_DEDUP_MIN})"
+        f" * (doc_id % {IMG_DEDUP_H_MOD} + {IMG_DEDUP_MIN}) * 3 AS INT), __t)"
+    )
+    return u.select(
+        (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+        F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+        F.col("text").alias("caption"),
     )

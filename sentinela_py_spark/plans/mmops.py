@@ -52,6 +52,7 @@ from sentinela_py_spark.operators.multimodal import (
     documents_to_media,
     documents_to_wavs,
     image_dhash,
+    image_dhash_both,
     image_dhash_wide,
     media_pixel_features,
     sample_frames,
@@ -726,12 +727,12 @@ def q_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap exactly; the Hamming refine runs BEFORE the distinct shuffle.
     Pigeonhole recall at Hamming ≤ 3 holds for all four arms (4 bands
     tile each signature — including the wide one, word-aligned)."""
-    sigs = _image_sigs(spark, sf_dir)
+    sigs = _image_sigs_both(spark, sf_dir)
     return (
         _audio_pairs(spark, sf_dir)
         .unionByName(_image_all_pairs(sigs))
         .unionByName(_image_corpus_probe(sigs))
-        .unionByName(_image_wide_pairs(spark, sf_dir))
+        .unionByName(_image_wide_pairs_from(sigs))
         .unionByName(_video_pairs(spark, sf_dir))
         .orderBy("method", "doc_a", "doc_b")
     )
@@ -747,6 +748,23 @@ def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         image_dhash(documents_to_dedup_images(d))
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+
+
+def _image_sigs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE fused decode+hash pass serving the narrow (`image`,
+    `image_probe`) AND wide (`image_wide`) arms (r14 optimization, guide
+    §4.1/§2.3: the wide arm previously re-generated and re-decoded the
+    same corpus in a second Arrow pass — two corpus builds, two decodes,
+    two pixel md5s per image). Same checkpoint-barrier rationale as
+    `_image_sigs`; both hashes are computed by the shared `_dhash_words`
+    core, so every arm's values are bit-identical to the standalone
+    signers' (oracle-pinned)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        image_dhash_both(documents_to_dedup_images(d))
         .filter(F.col("dhash").isNotNull())
         .localCheckpoint(eager=False)
     )
@@ -771,16 +789,32 @@ def _image_all_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _image_wide_pairs_from(sigs: DataFrame) -> DataFrame:
+    """The wide arm over the FUSED signature frame (r14 optimization):
+    `dhash_wide` re-aliased to `dhash` is the exact output of
+    `image_dhash_wide`, so the band machinery below sees the identical
+    relation without the second decode pass."""
+    return _wide_pairs_over(
+        sigs.select("doc_id", F.col("dhash_wide").alias("dhash"), "pix_md5")
+    )
+
+
 def _image_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 256-bit wide-dHash arm (r14): same corpus, 17×16 grid, FOUR
     signed int64 words through the wide `hamming_band_pairs` dispatch at
-    the aligned 4×64 `plan_hamming_config` geometry."""
+    the aligned 4×64 `plan_hamming_config` geometry. (Standalone
+    builder — prices the arm including its own decode; the composed
+    query rides `_image_wide_pairs_from`'s fused pass instead.)"""
     d = load_table(spark, sf_dir, "documents")
     sigs = (
         image_dhash_wide(documents_to_dedup_images(d))
         .filter(F.col("dhash").isNotNull())
         .localCheckpoint(eager=False)
     )
+    return _wide_pairs_over(sigs)
+
+
+def _wide_pairs_over(sigs: DataFrame) -> DataFrame:
     pairs, _audit = hamming_band_pairs(
         sigs,
         "dhash",

@@ -450,6 +450,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.transform(shingle_list, lambda s: F.xxhash64(s))).alias("shingle"))
         .distinct()
         .withColumn("n_shingles", F.count("*").over(sizes_w))
+        # lazy checkpoint (r14 optimization, guide §2.4): both self-join
+        # sides consume this frame and Catalyst plans the explode +
+        # distinct + size window per side — the barrier materializes the
+        # sized shingle table once (the `_fuzzy_decon_arm` treatment).
+        .localCheckpoint(eager=False)
     )
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -1549,6 +1554,13 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bigrams and carries a NULL score into the 'tail' bucket, the
         # same NULL discipline as the <2-char char-LM docs
         .join(_qr_wordlm(d, bg=bg), "doc_id", "left")
+        # r14 optimization (guide §5: cache what is consumed twice): the
+        # cutoff branch below materializes this frame once for `slim`,
+        # and the final select consumes it AGAIN — without a barrier the
+        # whole feature pipeline (char-LM explode included, measured
+        # ~2.5 s of the row) re-runs in the final plan. One row per doc,
+        # so the checkpoint is tiny.
+        .localCheckpoint(eager=False)
     )
     # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS broadcast
     # back, bucket assigned MAP-SIDE by comparison. This is CCNet's

@@ -531,3 +531,49 @@ class TestWideDhash:
             if r["method"] == "image" and r["doc_b"] < BRIGHT_ID_OFFSET
         ]
         assert len(wide_base) <= len(narrow_base)
+
+
+class TestFusedSigner:
+    """r14 optimization: `dhash_both_of` / `image_dhash_both` serve the
+    narrow and wide image arms from ONE decode — pinned bit-identical to
+    the standalone signers they replace in the composed query."""
+
+    def test_dhash_both_matches_standalone_signers(self):
+        from sentinela_py_spark.operators.multimodal import (
+            dhash256_of,
+            dhash_both_of,
+        )
+
+        for body in (
+            b"the quick brown fox jumps over the lazy dog ",
+            b"zebra yak xerus wombat vole urchin tapir seal ",
+            b"\x00\xff" * 40,
+        ):
+            p = _ppm(19, 18, body)
+            n64, m64 = dhash64_of(p)
+            w256, mw = dhash256_of(p)
+            b64, b256, mb = dhash_both_of(p)
+            assert (b64, b256) == (n64, w256)
+            assert mb == m64 == mw
+
+    def test_image_dhash_both_frame_matches_standalone_frames(self, spark):
+        from sentinela_py_spark.operators.multimodal import (
+            image_dhash_both,
+            image_dhash_wide,
+        )
+        from sentinela_py_spark.tables import load_table
+
+        imgs = documents_to_dedup_images(
+            load_table(spark, SF, "documents")
+        ).localCheckpoint()
+        fused = {
+            r["doc_id"]: r
+            for r in image_dhash_both(imgs).collect()
+        }
+        narrow = {r["doc_id"]: r for r in image_dhash(imgs).collect()}
+        wide = {r["doc_id"]: r for r in image_dhash_wide(imgs).collect()}
+        assert set(fused) == set(narrow) == set(wide)
+        for doc_id, f in fused.items():
+            assert f["dhash"] == narrow[doc_id]["dhash"]
+            assert f["dhash_wide"] == wide[doc_id]["dhash"]
+            assert f["pix_md5"] == narrow[doc_id]["pix_md5"] == wide[doc_id]["pix_md5"]
