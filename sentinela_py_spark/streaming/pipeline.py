@@ -1252,12 +1252,20 @@ def decontamination_screen_batch(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
     )
+    # eager checkpoint BEFORE the writes + left_anti reuse (r14, the
+    # sibling screens' pattern — this was the ONE screen missing it):
+    # `hits` has three consumers (flagged write, accepted write, the
+    # returned frame the next screen checkpoints), and without the
+    # barrier the gram explode + Bloom probe — the screen's whole cost —
+    # re-executes per consumer (measured ~3× per epoch at sf0.1). The
+    # frame itself is tiny: (doc_id, n_hits) for flagged docs only.
     hits = (
         grams.crossJoin(F.broadcast(bloom_row))
         .filter(bloom_contains(F.col("g"), F.col("bloom"), n_hashes, m_bits))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
+        .localCheckpoint(eager=True)
     )
     flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
     accepted = b.join(hits, "doc_id", "left_anti")
