@@ -626,25 +626,11 @@ def connected_components(
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        # lazy: the count() below is the materializing action (r14 — an
-        # eager checkpoint here was a separate job per invocation)
+        # lazy: the seed aggregate below is the materializing action
+        # (r14 — an eager checkpoint here was a separate job per
+        # invocation)
         .localCheckpoint(eager=False)
     )
-    # Size the sweeps to the SUBGRAPH, not the session: the near-dup edge
-    # set is usually tiny relative to spark.sql.shuffle.partitions, and at
-    # that size each sweep's cost is pure task-scheduling overhead (32
-    # reducers for a few hundred rows, times O(diameter) sweeps — measured
-    # 0.7s/sweep vs 0.25s/sweep at p=1 on a 329-edge graph). The count is
-    # one O(1) job over the already-materialized checkpoint; coalesce is
-    # narrow (no extra shuffle), and p grows back to the session value as
-    # the subgraph does, so corpus-scale runs keep full parallelism.
-    n_edges = sym.count()
-    # shuffle.partitions may be non-numeric on AQE-managed platforms
-    # (e.g. "auto"); fall back to the checkpoint's own partitioning.
-    raw_cap = str(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cap = int(raw_cap) if raw_cap.isdigit() else max(1, sym.rdd.getNumPartitions())
-    p = max(1, min(cap, n_edges // 100_000 + 1))
-    sym = sym.coalesce(p)
     # SEED = the result of sweep 1 from identity labels, computed with ONE
     # aggregation (r14 optimization): with label(v) = v, the first sweep's
     # propagation join `labels ⋈ sym on src` is just `sym` renamed, so
@@ -653,17 +639,41 @@ def connected_components(
     # — IS the sweep-1 label set. This removes one distinct pass and one
     # full join sweep per invocation while converging to the identical
     # min-label fixpoint.
-    labels = (
+    # `cached` tracks the frame persist() was CALLED on — unpersist only
+    # releases the cache entry when invoked on that exact plan, not on a
+    # coalesced view of it.
+    cached = (
         sym.groupBy(F.col("dst").alias("doc_id"))
         .agg(F.min(F.least("src", "dst")).alias("group_id"))
-        .coalesce(p)
         .persist()
     )
+    # ONE action does three jobs' work (r14 — the subgraph sizing used to
+    # be a separate count() job): it materializes the sym checkpoint and
+    # the persisted seed, returns the convergence baseline, and returns
+    # the subgraph size for the sweep-partitioning choice below.
     # Min-propagation only ever lowers labels, so Σ(group_id) is strictly
-    # decreasing until the fixpoint — an O(1)-row reduction doubles as both
-    # the materialization action for the persisted sweep and the
-    # convergence test (no compare-join needed).
-    prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
+    # decreasing until the fixpoint — an O(1)-row reduction doubles as
+    # the convergence test (no compare-join needed).
+    prev_sum, n_vertices = cached.agg(
+        F.sum("group_id"), F.count(F.lit(1))
+    ).collect()[0]
+    # Size the sweeps to the SUBGRAPH, not the session: the near-dup edge
+    # set is usually tiny relative to spark.sql.shuffle.partitions, and at
+    # that size each sweep's cost is pure task-scheduling overhead (32
+    # reducers for a few hundred rows, times O(diameter) sweeps — measured
+    # 0.7s/sweep vs 0.25s/sweep at p=1 on a 329-edge graph). Sized on the
+    # edge-touching VERTEX count (known from the seed aggregate without a
+    # separate count job; within 2× of the edge count on dedup graphs,
+    # whose clusters are shallow and pair-dense); coalesce is narrow (no
+    # extra shuffle), and p grows back to the session value as the
+    # subgraph does, so corpus-scale runs keep full parallelism.
+    # shuffle.partitions may be non-numeric on AQE-managed platforms
+    # (e.g. "auto"); fall back to the checkpoint's own partitioning.
+    raw_cap = str(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cap = int(raw_cap) if raw_cap.isdigit() else max(1, sym.rdd.getNumPartitions())
+    p = max(1, min(cap, n_vertices // 50_000 + 1))
+    sym = sym.coalesce(p)
+    labels = cached.coalesce(p)
     for _ in range(max_iterations - 1):
         prop = (
             labels.join(sym, labels.doc_id == sym.src)
@@ -677,7 +687,8 @@ def connected_components(
             .persist()
         )
         new_sum = new_labels.agg(F.sum("group_id")).collect()[0][0]
-        labels.unpersist()
+        cached.unpersist()
+        cached = new_labels
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -689,7 +700,7 @@ def connected_components(
     # returned frame's GC; the cache entry would linger in the store UI
     # and executor memory accounting until then.
     final_labels = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    cached.unpersist()
     # Singletons (no incident edge) label themselves — one map-side
     # projection + left join against the (small) converged label set.
     return vertices.select(F.col(id_col).alias("doc_id")).join(

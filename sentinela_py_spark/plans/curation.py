@@ -54,6 +54,22 @@ from sentinela_py_spark.plans.registry import (
 from sentinela_py_spark.tables import ensure_min_partitions, load_table
 
 
+def _concurrent(*thunks):
+    """Build independent query branches in parallel driver threads (guide
+    §2.6 — overlap independent jobs): connected-components sweeps and
+    eager checkpoints BLOCK plan construction on driver-sequential
+    collect jobs, so two branches that each run such loops serialize for
+    no reason when built one after the other. Spark's scheduler runs
+    concurrent jobs FIFO and back-fills idle executors; results are
+    DataFrames, so output values are unchanged. Returns the thunk
+    results in order; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 _QUALITY_SQL = """
     CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END)
     + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
@@ -170,12 +186,18 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     text arms), hash-checked against the oracle's replayed counts."""
     # ONE members frame feeds both the labels and survivor branches —
     # connected components is the iterative/expensive piece and must not
-    # run twice in the headline (lazy checkpoint: two consumers).
-    members = _dg_members(spark, sf_dir).localCheckpoint(eager=False)
+    # run twice in the headline (lazy checkpoint: two consumers). The
+    # text branch and the semantic branch are independent and each runs
+    # driver-blocking CC sweeps during construction — build them in
+    # parallel threads (r14 optimization, guide §2.6).
+    members, sem = _concurrent(
+        lambda: _dg_members(spark, sf_dir).localCheckpoint(eager=False),
+        lambda: _semantic_arms(spark, sf_dir),
+    )
     return (
         _dg_labels_from(members)
         .unionByName(_dg_survivor_from(members))
-        .unionByName(_semantic_arms(spark, sf_dir))
+        .unionByName(sem)
         .orderBy("method", "doc_id")
     )
 
@@ -291,17 +313,32 @@ def _semantic_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents, _books = _trained_codebooks(e, sf_dir)
-    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
+    # EAGER checkpoints here (the arm builders use lazy ones): the two ε
+    # closures below are built in parallel threads, and both trigger
+    # actions over these shared frames — materializing them once up
+    # front keeps the concurrent first actions from computing the
+    # assignment/pair join twice before the cache fills.
+    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=True)
     pairs = semantic_neardup_pairs(
         e, cents, threshold=min(NEARDUP_COS, SEMDEDUP_EPS_HI), assigned=assigned
-    ).localCheckpoint(eager=False)
-    return _semantic_eps_arm(
-        spark, sf_dir, "semantic", NEARDUP_COS, pairs=pairs, assigned=assigned
-    ).unionByName(
-        _semantic_eps_arm(
-            spark, sf_dir, "semantic_hi", SEMDEDUP_EPS_HI, pairs=pairs, assigned=assigned
-        )
+    ).localCheckpoint(eager=True)
+    # Each ε arm runs its own CC closure (driver-blocking sweep jobs) —
+    # overlap them (r14 optimization, guide §2.6); the shared inputs are
+    # already materialized so the threads contend on nothing.
+    lo, hi = _concurrent(
+        lambda: _semantic_eps_arm(
+            spark, sf_dir, "semantic", NEARDUP_COS, pairs=pairs, assigned=assigned
+        ),
+        lambda: _semantic_eps_arm(
+            spark,
+            sf_dir,
+            "semantic_hi",
+            SEMDEDUP_EPS_HI,
+            pairs=pairs,
+            assigned=assigned,
+        ),
     )
+    return lo.unionByName(hi)
 
 
 def _semantic_retention_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
