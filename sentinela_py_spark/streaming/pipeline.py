@@ -225,6 +225,25 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     )
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run a screen's end-of-batch store writes concurrently (r14
+    optimization, guide §2.6 — overlap independent jobs): the epoch
+    writes target DISJOINT store roots and read only frames the screen
+    has already eagerly checkpointed, so they share no state and their
+    relative order never mattered (each is an idempotent epoch-keyed
+    overwrite; a crash between writes leaves the same
+    partially-written-epoch state sequential writes could, and replay
+    overwrites it either way). Running them from a small driver pool
+    lets one write's task tail back-fill with the next write's tasks
+    instead of serializing ~3 driver-blocked jobs per screen.
+    Exceptions propagate (first one wins, after all writes settle)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
     """The accumulated band index, MINUS the current epoch's partition.
 
@@ -461,27 +480,36 @@ def dedup_batch_against_corpus(
             F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
         )
     )
-    rejects = rep_rejects.unionByName(copy_rejects)
+    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
+    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # the overflow audit writes FIRST, sequentially: its lineage is not
+    # checkpointed, so it must not run concurrently with the band-store
+    # overwrite below (on a replayed epoch the overwrite deletes the
+    # first attempt's files while a concurrent un-checkpointed scan
+    # could still be listing them)
     if overflow is not None:
         write_epoch_partition(
             overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
-    rejects = rejects.localCheckpoint(eager=True)
-    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
     # 4. idempotent epoch-keyed writes (replay overwrites — or no-ops
     # against the compaction marker for an already-folded epoch — never
-    # dupes; see streaming.stores)
+    # dupes; see streaming.stores), run concurrently: disjoint stores,
+    # all inputs checkpointed above (_parallel_writes).
     accepted_out = accepted.withColumnRenamed("doc_id", id_col)
-    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
-    write_epoch_partition(
-        b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
-        os.path.join(state_dir, "rejected"),
-        epoch_id,
-    )
-    write_epoch_partition(
-        bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
-        bands_dir,
-        epoch_id,
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            accepted_out, os.path.join(state_dir, "accepted"), epoch_id
+        ),
+        lambda: write_epoch_partition(
+            b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
+            os.path.join(state_dir, "rejected"),
+            epoch_id,
+        ),
+        lambda: write_epoch_partition(
+            bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+            bands_dir,
+            epoch_id,
+        ),
     )
     return accepted_out
 
@@ -787,22 +815,30 @@ def signature_dedup_batch_against_corpus(
         )
     )
     rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
+    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # overflow first, sequentially (un-checkpointed lineage must not
+    # race the band-store overwrite on a replayed epoch), then the
+    # checkpoint-backed writes concurrently: disjoint stores
+    # (_parallel_writes)
     if overflow is not None:
         write_epoch_partition(
             overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
-    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
     accepted_out = accepted.withColumnRenamed("doc_id", id_col)
-    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
-    write_epoch_partition(
-        b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
-        os.path.join(state_dir, "rejected"),
-        epoch_id,
-    )
-    write_epoch_partition(
-        rep_bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
-        bands_dir,
-        epoch_id,
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            accepted_out, os.path.join(state_dir, "accepted"), epoch_id
+        ),
+        lambda: write_epoch_partition(
+            b.join(rejects, "doc_id").withColumnRenamed("doc_id", id_col),
+            os.path.join(state_dir, "rejected"),
+            epoch_id,
+        ),
+        lambda: write_epoch_partition(
+            rep_bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+            bands_dir,
+            epoch_id,
+        ),
     )
     return accepted_out
 
@@ -1125,7 +1161,13 @@ def embedding_dedup_batch_against_corpus(
             F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
         )
     )
-    rejects = rep_rejects.unionByName(copy_rejects)
+    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
+    accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
+
+    # the overflow audit writes FIRST, sequentially: its store-side arm
+    # scans the live index (un-checkpointed lineage), so on a replayed
+    # epoch it must not run concurrently with the index overwrite below
+    # (which deletes the first attempt's epoch files mid-scan)
     if overflow_parts:
         overflow = overflow_parts[0]
         for part in overflow_parts[1:]:
@@ -1133,21 +1175,23 @@ def embedding_dedup_batch_against_corpus(
         write_epoch_partition(
             overflow, os.path.join(state_dir, "overflow"), epoch_id
         )
-    rejects = rejects.localCheckpoint(eager=True)
-    accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
-
-    # 4. idempotent epoch-keyed writes
+    # 4. idempotent epoch-keyed writes, run concurrently: disjoint
+    # stores, checkpointed inputs (_parallel_writes)
     accepted_out = accepted.withColumnRenamed("vec_id", id_col)
-    write_epoch_partition(accepted_out, os.path.join(state_dir, "accepted"), epoch_id)
-    write_epoch_partition(
-        b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col),
-        os.path.join(state_dir, "rejected"),
-        epoch_id,
-    )
-    write_epoch_partition(
-        bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi"),
-        index_dir,
-        epoch_id,
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            accepted_out, os.path.join(state_dir, "accepted"), epoch_id
+        ),
+        lambda: write_epoch_partition(
+            b.join(rejects, "vec_id").withColumnRenamed("vec_id", id_col),
+            os.path.join(state_dir, "rejected"),
+            epoch_id,
+        ),
+        lambda: write_epoch_partition(
+            bucketed.join(accepted.select("vec_id"), "vec_id", "left_semi"),
+            index_dir,
+            epoch_id,
+        ),
     )
     return accepted_out
 
@@ -1269,8 +1313,14 @@ def decontamination_screen_batch(
     )
     flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
     accepted = b.join(hits, "doc_id", "left_anti")
-    write_epoch_partition(flagged, os.path.join(state_dir, "flagged"), epoch_id)
-    write_epoch_partition(accepted, os.path.join(state_dir, "accepted"), epoch_id)
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            flagged, os.path.join(state_dir, "flagged"), epoch_id
+        ),
+        lambda: write_epoch_partition(
+            accepted, os.path.join(state_dir, "accepted"), epoch_id
+        ),
+    )
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed("text", text_col)
 
 
