@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier_eager
+
 __all__ = ["bpe_train", "apply_merge", "bpe_encode"]
 
 
@@ -86,7 +88,7 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .select("word", "n", F.split("word", "").alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -114,7 +116,7 @@ def bpe_train(
         merges.append((rank, a, b, cnt))
         vocab = vocab.select(
             "word", "n", apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(barrier_eager)
     return merges, vocab
 
 

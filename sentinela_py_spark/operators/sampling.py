@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier
+
 __all__ = [
     "md5_uniform",
     "md5_uniform_sql",
@@ -198,7 +200,7 @@ def dsir_log_weights(
     )
     bc = grams.select(
         id_col, bucket_of(F.col("gram"), buckets).alias("bucket"), "is_t"
-    ).localCheckpoint(eager=False)  # scanned twice: corpus counts + per-doc counts
+    ).transform(barrier)  # scanned twice: corpus counts + per-doc counts
     raw = bc.groupBy("bucket").agg(
         F.count("*").alias("nq"), F.sum("is_t").alias("nt")
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier, barrier_eager
+
 from sentinela_py_spark.functions.text_stats import (
     LANG_STOPWORDS,
     quality_score,
@@ -191,7 +193,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-blocking CC sweeps during construction — build them in
     # parallel threads (r14 optimization, guide §2.6).
     members, sem = _concurrent(
-        lambda: _dg_members(spark, sf_dir).localCheckpoint(eager=False),
+        lambda: _dg_members(spark, sf_dir).transform(barrier),
         lambda: _semantic_arms(spark, sf_dir),
     )
     return (
@@ -318,10 +320,10 @@ def _semantic_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actions over these shared frames — materializing them once up
     # front keeps the concurrent first actions from computing the
     # assignment/pair join twice before the cache fills.
-    assigned = assign_cells_literal(e, cents).localCheckpoint(eager=True)
+    assigned = assign_cells_literal(e, cents).transform(barrier_eager)
     pairs = semantic_neardup_pairs(
         e, cents, threshold=min(NEARDUP_COS, SEMDEDUP_EPS_HI), assigned=assigned
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     # Each ε arm runs its own CC closure (driver-blocking sweep jobs) —
     # overlap them (r14 optimization, guide §2.6); the shared inputs are
     # already materialized so the threads contend on nothing.
@@ -886,7 +888,7 @@ def _curated_build(d: DataFrame, sf_dir: str) -> tuple[DataFrame, dict]:
     key = (d.sparkSession.sparkContext.applicationId, sf_dir)
     if key not in _CURATED_POOL:
         stages: dict[str, DataFrame] = {}
-        pool = _curated_pool(d, stages=stages).localCheckpoint(eager=False)
+        pool = _curated_pool(d, stages=stages).transform(barrier)
         _CURATED_POOL[key] = (pool, stages)
     return _CURATED_POOL[key]
 
@@ -976,7 +978,7 @@ def _curated_pool(
     # executes every stage exactly once, just materialized progressively.
     # Gated on `checkpoint` so the census's full-graph pin stays intact.
     def _stage(f: DataFrame) -> DataFrame:
-        return f.localCheckpoint(eager=True) if checkpoint and stages is not None else f
+        return f.transform(barrier_eager) if checkpoint and stages is not None else f
 
     # 1. dedup groups → quality-aware survivor (q_dedup_groups algebra;
     # the election judges RAW text — the retention policy compares the
@@ -1040,7 +1042,7 @@ def _curated_pool(
     # each replay the dedup + span-cut lineage.
     screened = cut.join(flagged, "doc_id", "left_anti")
     if checkpoint:
-        screened = screened.localCheckpoint(eager=True)
+        screened = screened.transform(barrier_eager)
     model_keep = (
         qr_model_scores(screened).filter(F.col("svm_score") > 0).select("doc_id")
     )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier
+
 from sentinela_py_spark.operators.dedup import (
     MINHASH_PRIME,
     N_BANDS,
@@ -263,7 +265,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       (filter commutes with distinct; near-dups are a tiny fraction of
       band collisions, so the distinct exchanges survivors only)."""
     d = load_table(spark, sf_dir, "documents")
-    bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+    bands = lsh_band_signatures(minhash_signatures(d)).transform(barrier)
     pairs, _ = band_candidate_pairs(bands)
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     probe_hits = cross_corpus_candidates(
@@ -297,7 +299,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two MinHash arms re-pay the signature scan, per the arm contract.
 def _minhash_bands_for_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+    return lsh_band_signatures(minhash_signatures(d)).transform(barrier)
 
 
 def _all_pairs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:

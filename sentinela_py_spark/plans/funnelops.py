@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier_eager
+
 from sentinela_py_spark.plans.registry import register
 from sentinela_py_spark.tables import load_table
 
@@ -118,7 +120,7 @@ def _funnel_state_dir(spark: SparkSession, sf_dir: str) -> str:
             hx(7).alias("h7"),
             hx(8).alias("h8"),
         )
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     imgrej = base.filter((F.col("epoch") == 0) & (F.col("h6") < "2"))
     img = base.filter(~((F.col("epoch") == 0) & (F.col("h6") < "2")))

@@ -454,7 +454,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides consume this frame and Catalyst plans the explode +
         # distinct + size window per side — the barrier materializes the
         # sized shingle table once (the `_fuzzy_decon_arm` treatment).
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -669,7 +669,7 @@ def _decon_streams(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             is_eval.alias("is_eval"),
             F.explode(F.array_distinct(word_shingles(F.col("text"), k=5))).alias("g"),
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     return grams_s.filter(~F.col("is_eval")), grams_s.filter(F.col("is_eval"))
 
@@ -741,7 +741,7 @@ def _fuzzy_decon_arm(d: DataFrame) -> DataFrame:
     # once (the q_minhash_pairs treatment) or the md5-heavy build runs
     # twice; likewise the windowed shingle frame below feeds both join
     # sides of the verify
-    bands = lsh_band_signatures(minhash_signatures(d)).localCheckpoint(eager=False)
+    bands = lsh_band_signatures(minhash_signatures(d)).transform(barrier)
     cand = (
         bands.filter(~is_eval)
         .alias("t")
@@ -760,7 +760,7 @@ def _fuzzy_decon_arm(d: DataFrame) -> DataFrame:
         )
         .distinct()
         .withColumn("n_sh", F.count("*").over(sizes_w))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     st = shingles.select(F.col("doc_id").alias("t_doc"), "sh", F.col("n_sh").alias("n_t"))
     se = shingles.select(F.col("doc_id").alias("e_doc"), "sh", F.col("n_sh").alias("n_e"))
@@ -805,6 +805,8 @@ CMS_W = 256
 
 
 import math  # noqa: E402
+
+from sentinela_py_spark.barrier import barrier, barrier_eager
 from dataclasses import dataclass  # noqa: E402
 
 
@@ -1016,7 +1018,7 @@ def q_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "text")
         .groupBy("lang")
         .applyInPandas(top_token, "lang string, top_token string, n long")
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
 
     toks = ensure_min_partitions(d).select(
@@ -1545,7 +1547,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE bigram explode+shuffle serves the Gopher repetition aggregate
     # AND the word-LM chain (r12 — the oracle's single qr_bg CTE,
     # mirrored; the checkpoint is the multi-consumer barrier)
-    bg = _qr_bigram_counts(d).localCheckpoint(eager=False)
+    bg = _qr_bigram_counts(d).transform(barrier)
     x = _qr_model_cols(_qr_features(d, bg=bg))
     scored = (
         x.withColumn("svm_score", F.round(linear_score(_QR_FEATS, w), 6))
@@ -1560,7 +1562,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whole feature pipeline (char-LM explode included, measured
         # ~2.5 s of the row) re-runs in the final plan. One row per doc,
         # so the checkpoint is tiny.
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     # CCNet perplexity buckets (r10): per-lang tertile CUTOFFS broadcast
     # back, bucket assigned MAP-SIDE by comparison. This is CCNet's
@@ -1587,7 +1589,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   error, and the paired bucket columns are the accuracy audit.
     slim = scored.select(
         "lang", "char_lm_logprob", "word_lm_logprob"
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     cuts = slim.groupBy("lang").agg(
         F.round(F.percentile("char_lm_logprob", F.lit(1.0 / 3)), 4).alias("c33"),
         F.round(F.percentile("char_lm_logprob", F.lit(2.0 / 3)), 4).alias("c67"),
@@ -1742,7 +1744,7 @@ def qr_frozen_model(d: DataFrame, model_dir: str | None = None) -> dict:
     wctx_df = (
         wm.groupBy("ctx")
         .agg(F.sum("cnt").alias("ctx_cnt"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     wv = wm.count()
     wlogp_df = (
@@ -1753,7 +1755,7 @@ def qr_frozen_model(d: DataFrame, model_dir: str | None = None) -> dict:
             .cast("long")
             .alias("wlogp_micro"),
         )
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     if model_dir is not None:
         # durable word artifacts (r13): parquet model tables, read back
@@ -1822,7 +1824,7 @@ def qr_score_frozen(
     # one bigram explode serves the repetition feature and (when the
     # model carries word artifacts) the word-LM scoring join — the same
     # fold the registered query runs (r12)
-    bg0 = _qr_bigram_counts(d).localCheckpoint(eager=False)
+    bg0 = _qr_bigram_counts(d).transform(barrier)
     x = _qr_model_cols(_qr_features(d, lm=lm, bg=bg0))
     svm = F.round(linear_score(_QR_FEATS, [float(w) for w in model["weights"]]), 6)
     scored = x.join(d, "doc_id").select(
@@ -1939,7 +1941,7 @@ def _qr_trainable(d: DataFrame, labels: DataFrame | None = None) -> DataFrame:
     score is a literal projection over the full feature frame). Default
     ``None`` keeps the self-contained weak labels mirroring
     `_QR_LABEL_SQL`."""
-    feats = _qr_model_cols(_qr_features(d).localCheckpoint(eager=True))
+    feats = _qr_model_cols(_qr_features(d).transform(barrier_eager))
     if labels is not None:
         return feats.join(labels.select("doc_id", "y"), "doc_id")
     return feats.withColumn(
@@ -2076,7 +2078,7 @@ def _qr_wordlm(d: DataFrame, bg: DataFrame | None = None) -> DataFrame:
     # sf0.1 reads equal-to-better checkpointed (2.5 s → 1.5-2.5 s) while
     # folding the explode+shuffle work a 100 TB corpus would re-pay
     if bg is None:
-        bg = _qr_bigram_counts(d).localCheckpoint(eager=False)
+        bg = _qr_bigram_counts(d).transform(barrier)
     wmodel = (
         bg.groupBy("bigram")
         .agg(F.sum("n_b").alias("cnt"))
