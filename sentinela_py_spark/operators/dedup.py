@@ -33,6 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier
+
 from sentinela_py_spark.functions.text_stats import word_shingles
 from sentinela_py_spark.operators.scale import DEFAULT_MAX_BUCKET_SIZE, cap_buckets
 from sentinela_py_spark.tables import ensure_min_partitions
@@ -214,7 +216,7 @@ def minhash_candidate_pairs(
     # materializes it once, exactly as q_minhash_pairs already does.
     bands = lsh_band_signatures(
         minhash_signatures(documents, id_col, text_col, n_hashes), n_hashes, n_bands
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     pairs, _ = band_candidate_pairs(bands, max_bucket_size)
     return pairs
 
@@ -629,7 +631,7 @@ def connected_components(
         # lazy: the seed aggregate below is the materializing action
         # (r14 — an eager checkpoint here was a separate job per
         # invocation)
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     # SEED = the result of sweep 1 from identity labels, computed with ONE
     # aggregation (r14 optimization): with label(v) = v, the first sweep's
@@ -639,41 +641,54 @@ def connected_components(
     # — IS the sweep-1 label set. This removes one distinct pass and one
     # full join sweep per invocation while converging to the identical
     # min-label fixpoint.
-    # `cached` tracks the frame persist() was CALLED on — unpersist only
-    # releases the cache entry when invoked on that exact plan, not on a
-    # coalesced view of it.
-    cached = (
+    # Every label frame is a LAZY barrier, not a persist() (r15, r14
+    # verdict #6 — fewer driver-blocked jobs): the convergence aggregate
+    # that follows each frame is its materializing action, so ONE job per
+    # sweep does sweep + store + convergence sum, the converged frame is
+    # already lineage-truncated for the caller (no separate eager
+    # checkpoint job at the end — r14 paid one per invocation), and the
+    # persist/unpersist bookkeeping disappears (checkpoint blocks free
+    # with the frame's GC). ``deg`` (incident sym rows per vertex) rides
+    # the same aggregate so the sweep sizing below can clamp on the EDGE
+    # count too (r14 ADVICE: pair-dense capped buckets reach ~30× edges
+    # per vertex, so a vertex-only bound could under-partition the sweep
+    # joins on dense corpora).
+    seed = (
         sym.groupBy(F.col("dst").alias("doc_id"))
-        .agg(F.min(F.least("src", "dst")).alias("group_id"))
-        .persist()
+        .agg(
+            F.min(F.least("src", "dst")).alias("group_id"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+        .transform(barrier)
     )
     # ONE action does three jobs' work (r14 — the subgraph sizing used to
     # be a separate count() job): it materializes the sym checkpoint and
-    # the persisted seed, returns the convergence baseline, and returns
-    # the subgraph size for the sweep-partitioning choice below.
+    # the seed's own checkpoint, returns the convergence baseline, and
+    # returns the subgraph sizes for the sweep-partitioning choice below.
     # Min-propagation only ever lowers labels, so Σ(group_id) is strictly
     # decreasing until the fixpoint — an O(1)-row reduction doubles as
     # the convergence test (no compare-join needed).
-    prev_sum, n_vertices = cached.agg(
-        F.sum("group_id"), F.count(F.lit(1))
+    prev_sum, n_vertices, n_sym = seed.agg(
+        F.sum("group_id"), F.count(F.lit(1)), F.sum("deg")
     ).collect()[0]
     # Size the sweeps to the SUBGRAPH, not the session: the near-dup edge
     # set is usually tiny relative to spark.sql.shuffle.partitions, and at
     # that size each sweep's cost is pure task-scheduling overhead (32
     # reducers for a few hundred rows, times O(diameter) sweeps — measured
     # 0.7s/sweep vs 0.25s/sweep at p=1 on a 329-edge graph). Sized on the
-    # edge-touching VERTEX count (known from the seed aggregate without a
-    # separate count job; within 2× of the edge count on dedup graphs,
-    # whose clusters are shallow and pair-dense); coalesce is narrow (no
-    # extra shuffle), and p grows back to the session value as the
-    # subgraph does, so corpus-scale runs keep full parallelism.
+    # max of the vertex bound and the sym-row bound (n_sym = 2× the pair
+    # count — both known from the seed aggregate without a separate count
+    # job), so pair-dense subgraphs keep enough sweep partitions;
+    # coalesce is narrow (no extra shuffle), and p grows back to the
+    # session value as the subgraph does, so corpus-scale runs keep full
+    # parallelism.
     # shuffle.partitions may be non-numeric on AQE-managed platforms
     # (e.g. "auto"); fall back to the checkpoint's own partitioning.
     raw_cap = str(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cap = int(raw_cap) if raw_cap.isdigit() else max(1, sym.rdd.getNumPartitions())
-    p = max(1, min(cap, n_vertices // 50_000 + 1))
+    p = max(1, min(cap, max(n_vertices // 50_000, (n_sym or 0) // 100_000) + 1))
     sym = sym.coalesce(p)
-    labels = cached.coalesce(p)
+    labels = seed.select("doc_id", "group_id").coalesce(p)
     for _ in range(max_iterations - 1):
         prop = (
             labels.join(sym, labels.doc_id == sym.src)
@@ -684,27 +699,28 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("group_id").alias("group_id"))
             .coalesce(p)
-            .persist()
+            .transform(barrier)
         )
+        # the materializing action of the sweep's lazy barrier: one job
+        # computes the sweep, stores its blocks, and reduces the sum
         new_sum = new_labels.agg(F.sum("group_id")).collect()[0][0]
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    # Hand the converged labels to the caller as a lineage-truncated
-    # checkpoint and RELEASE the loop's cache entry — otherwise every
-    # invocation (bench reps, arms) leaves one persisted label set behind
-    # for the rest of the session. The checkpoint blocks free with the
-    # returned frame's GC; the cache entry would linger in the store UI
-    # and executor memory accounting until then.
-    final_labels = labels.localCheckpoint(eager=True)
-    cached.unpersist()
+    # `labels` is already materialized and lineage-truncated by its own
+    # convergence action — hand it straight to the caller.
     # Singletons (no incident edge) label themselves — one map-side
     # projection + left join against the (small) converged label set.
+    # The label side broadcasts EXPLICITLY when the seed job proved the
+    # subgraph small (checkpoint stats default to "huge", which would
+    # plan this join sort-merge — the r14 persist() carried real cache
+    # stats and got the broadcast for free): |labels| ≤ n_vertices, and
+    # 4M (doc_id, group_id) rows ≈ the session's 64 MB broadcast
+    # threshold. Bigger subgraphs fall back to the planner's choice.
+    label_side = F.broadcast(labels) if n_vertices <= 4_000_000 else labels
     return vertices.select(F.col(id_col).alias("doc_id")).join(
-        final_labels, "doc_id", "left"
+        label_side, "doc_id", "left"
     ).select(
         "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
     )
@@ -784,7 +800,7 @@ def shared_span_pairs(
         # up to FOUR consumers (df aggregation, anti-join left side, both
         # self-join sides) and Catalyst plans the posexplode per consumer
         # — the barrier materializes the gram table once.
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     audit = None
     if max_gram_df is not None:
@@ -892,7 +908,7 @@ def intra_doc_repeat_spans(
         # lazy checkpoint (r14 optimization, guide §2.4): the occurrence
         # window and both self-join sides consume this frame — the
         # barrier materializes the positioned gram explode once.
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     audit = None
     if max_gram_occurrences is not None:
