@@ -603,7 +603,13 @@ def ivf_pq_adc_topk(
     cent_mode: str = "auto",
     exclude_cos_at_or_above: float | None = None,
 ) -> DataFrame:
-    """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION — the coarse pass
+    """IVF-PQ search by ASYMMETRIC DISTANCE COMPUTATION —
+    ``ivf_pq_adc_refined`` (coarse scan + exact-cosine refine) composed
+    with ``ivf_pq_adc_rank`` (optional mining filter + top-k cut). The
+    split exists so ONE refined candidate stream can be ranked under
+    several (k, exclude) settings without re-running the coarse pass
+    (r15: q_ann_ivf_topk's adc and hardneg arms share it); this wrapper
+    keeps the original single-call surface. The coarse pass
     never rebuilds a float vector and never reads one:
 
     1. each query computes, MAP-SIDE on the tiny query frame, its
@@ -674,6 +680,73 @@ def ivf_pq_adc_topk(
     scans only the M-byte codes column — instead of an exact O(n²) scored
     scan. Recall vs the exact mining is bounded by coarse_k/nprobe
     exactly like the search's own recall (measured in TestAdcSearch)."""
+    refined = ivf_pq_adc_refined(
+        index_codes,
+        index_vecs,
+        queries,
+        centroids,
+        books,
+        coarse_k,
+        m=m,
+        dim=dim,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        t2_mode=t2_mode,
+        cent_mode=cent_mode,
+    )
+    return ivf_pq_adc_rank(
+        refined, k, id_col=id_col, exclude_cos_at_or_above=exclude_cos_at_or_above
+    )
+
+
+def ivf_pq_adc_rank(
+    refined: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    exclude_cos_at_or_above: float | None = None,
+) -> DataFrame:
+    """The final cut of the ADC search over a `ivf_pq_adc_refined`
+    stream: the optional hard-negative false-positive guard
+    (filter-then-rank, the order the exact-scan hard_neg arm applies),
+    then the per-query top-``k`` window. Split from the fused search so
+    several (k, exclude) cuts can share ONE refined stream (r15 —
+    q_ann_ivf_topk's adc + hardneg arms); expression-identical to the
+    tail of the original fused `ivf_pq_adc_topk`."""
+    from pyspark.sql import Window as W
+
+    exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    if exclude_cos_at_or_above is not None:
+        refined = refined.filter(F.col("cosine") < exclude_cos_at_or_above)
+    return (
+        refined.withColumn("rnk", F.row_number().over(exact_w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cell_id", "cosine", "rnk")
+    )
+
+
+def ivf_pq_adc_refined(
+    index_codes: DataFrame,
+    index_vecs: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    coarse_k: int,
+    m: int = PQ_M,
+    dim: int = 64,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    t2_mode: str = "auto",
+    cent_mode: str = "auto",
+) -> DataFrame:
+    """The rank-free front of `ivf_pq_adc_topk`: the codes-only ADC
+    coarse pass, then the exact-cosine refine join for the ``coarse_k``
+    survivors — everything INDEPENDENT of the final
+    (k, exclude_cos_at_or_above) cut. Output: one (query_id, ``id_col``,
+    cell_id, cosine) row per refine candidate, expression-identical to
+    the pre-rank stream inside the original fused search, so any
+    `ivf_pq_adc_rank` cut over it is bit-identical to the fused call."""
     from pyspark.sql import Window as W
 
     from sentinela_py_spark.functions.litutil import fast_lit
@@ -822,21 +895,11 @@ def ivf_pq_adc_topk(
         .filter(F.col("crnk") <= coarse_k)
         .select("query_id", id_col, "cell_id", "qvec")
     )
-    exact_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    refined = (
+    return (
         index_vecs.select(id_col, "cell_id", vec_col)
         .join(F.broadcast(survivors), [id_col, "cell_id"])
         .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("qvec")), 6))
-    )
-    if exclude_cos_at_or_above is not None:
-        # hard-negative mining: the false-negative guard filters the
-        # refine stream BEFORE the rank window (filter-then-rank, the
-        # same order the exact-scan hard_neg arm applies)
-        refined = refined.filter(F.col("cosine") < exclude_cos_at_or_above)
-    return (
-        refined.withColumn("rnk", F.row_number().over(exact_w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", id_col, "cell_id", "cosine", "rnk")
+        .select("query_id", id_col, "cell_id", "cosine")
     )
 
 

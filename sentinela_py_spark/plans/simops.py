@@ -139,7 +139,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
     topk = (
@@ -171,6 +171,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 import hashlib
+
+from sentinela_py_spark.barrier import barrier
 
 EMB_DIM = 64
 # Plane count is a CONSTRUCTOR PARAMETER of every LSH helper below;
@@ -608,7 +610,7 @@ def semantic_neardup_pairs(
         "embedding",
         "cell_id",
         F.sqrt(l2_norm_sq(F.col("embedding"))).alias("norm"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     a = s.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
         F.col("norm").alias("na"), F.col("cell_id").alias("cell"),
@@ -754,7 +756,7 @@ def semdedup_prune(
     from sentinela_py_spark.operators.dedup import connected_components
 
     if assigned is None:
-        assigned = assign_cells_literal(e, cents).localCheckpoint(eager=False)
+        assigned = assign_cells_literal(e, cents).transform(barrier)
     if pairs is None:
         pairs = semantic_neardup_pairs(e, cents, threshold, assigned=assigned)
     else:
@@ -774,7 +776,7 @@ def semdedup_prune(
     scored = (
         assigned.join(comp, "vec_id")
         .select("vec_id", "group_id", csim.alias("centroid_sim"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     keepers = scored.groupBy("group_id").agg(
         F.min_by("vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))).alias(
@@ -888,7 +890,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``training`` arm prices. The keep-policy (lowest centroid-cosine
       survivor per ε-group) is `semdedup_prune`, test-verified."""
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    bucketed = bucketed_embeddings(e, PLANES).localCheckpoint(eager=False)
+    bucketed = bucketed_embeddings(e, PLANES).transform(barrier)
     all_pairs = embedding_neardup_pairs(e, planes=PLANES, threshold=NEARDUP_COS, bucketed=bucketed)
     split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
     probe_hits = embedding_cross_corpus_candidates(
@@ -930,7 +932,7 @@ def _semantic_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fuzzy-arm lesson.
 def _en_bucketed(spark: SparkSession, sf_dir: str):
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    return e, bucketed_embeddings(e, PLANES).localCheckpoint(eager=False)
+    return e, bucketed_embeddings(e, PLANES).transform(barrier)
 
 
 def _en_all_pairs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,9 +1568,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test-pinned, so the cap-free oracles see identical rows); on real
     data it bounds the per-cell scan the same way the LSH bucket cap
     bounds band joins."""
+    from sentinela_py_spark.functions.vectors import ivf_pq_adc_rank
+
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     index = _ivf_index(e, sf_dir)
-    flat = _ivf_flat_arm(e, cand=index["cand"])
+    # r15 union-shape work (r14 verdict #3 — collapse the per-arm probe
+    # fan-out over the stored index): (a) arm-level orderBys dropped —
+    # the union's global orderBy supersedes them, so each was a dead
+    # Exchange+Sort pair (guide §2.4); (b) trained + nprobe2 read the
+    # ONE checkpointed capped-candidate view instead of re-running the
+    # cap window each; (c) adc + hardneg rank ONE shared coarse+refine
+    # stream (their plans differed only in the final filter/k cut — the
+    # whole codes scan, ADC scoring, coarse window and refine join ran
+    # twice for identical values). Dedicated bench arm builders keep the
+    # original full per-arm paths, so arm rows price what they always
+    # priced; every arm's VALUES are expression-identical (oracle-pinned).
+    flat = _ivf_flat_arm(e, cand=index["cand"], sort=False)
 
     def _as_arm(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -1581,10 +1596,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pq = _as_arm(_ivf_pq_arm(e, sf_dir, index), "pq")
-    adc = _as_arm(_ivf_adc_arm(e, sf_dir, index), "adc")
-    hardneg = _as_arm(_ivf_adc_hardneg_arm(e, sf_dir, index), "hardneg")
-    trained = _ivf_flat_arm(e, assigned=index["t_assigned"], method="trained")
-    np2 = _ivf_nprobe2_arm(e, sf_dir, index)
+    refined = _ivf_adc_refined(e, sf_dir, index).transform(barrier)
+    adc = _as_arm(ivf_pq_adc_rank(refined, k=TOP_K), "adc")
+    hardneg = _as_arm(
+        ivf_pq_adc_rank(
+            refined,
+            k=HARD_NEG_K,
+            exclude_cos_at_or_above=NEARDUP_COS_FOR_MINING,
+        ),
+        "hardneg",
+    )
+    trained = _ivf_flat_arm(
+        e, assigned=index["t_assigned"], cand=index["t_cand"],
+        method="trained", sort=False,
+    )
+    np2 = _ivf_nprobe2_arm(e, sf_dir, index, cand=index["t_cand"], sort=False)
     return (
         flat.unionByName(pq)
         .unionByName(adc)
@@ -1639,24 +1665,31 @@ def capped_cell_candidates(
     return cap_buckets(assigned, ["cell_id"], cap, ["vec_id"])
 
 
-def _ivf_search(q: DataFrame, c: DataFrame, method: str) -> DataFrame:
+def _ivf_search(q: DataFrame, c: DataFrame, method: str, sort: bool = True) -> DataFrame:
     """Exact-cosine in-cell search: (query_id, qv, cell_id) × broadcast
     against (neighbor_id, cv, cell_id), per-query top-k — the flat-search
-    body shared by the flat / trained / nprobe2 arms."""
+    body shared by the flat / trained / nprobe2 arms. ``sort=False``
+    (r15) skips the arm-level orderBy for UNION consumers: inside the
+    registered query the union's own global orderBy re-sorts anyway, so
+    each arm-level sort was a dead Exchange+Sort pair in the physical
+    plan (guide §2.4 — an orderBy used only to make output deterministic
+    is an accidental shuffle when a later sort supersedes it). The
+    dedicated bench arm builders keep the sort (their r4-era timing
+    surface includes it — the r11 sorted_arm rule)."""
     scored = c.join(F.broadcast(q), "cell_id").select(
         "query_id", "neighbor_id", "cell_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim_r"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim_r").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             F.lit(method).alias("method"),
             "query_id", "neighbor_id", "cell_id", "cos_sim_r", "rank",
         )
-        .orderBy("query_id", "rank")
     )
+    return out.orderBy("query_id", "rank") if sort else out
 
 
 def _ivf_flat_arm(
@@ -1664,6 +1697,7 @@ def _ivf_flat_arm(
     assigned: DataFrame | None = None,
     method: str = "flat",
     cand: DataFrame | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """The IVF-flat (exact in-cell) arm of q_ann_ivf_topk — pass a
     trained ``assigned`` frame to reuse the search under another
@@ -1679,7 +1713,7 @@ def _ivf_flat_arm(
     c = cand.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
     )
-    return _ivf_search(q, c, method)
+    return _ivf_search(q, c, method, sort=sort)
 
 
 # Trained codebooks are a pure function of the corpus (deterministic
@@ -1692,6 +1726,17 @@ def _ivf_flat_arm(
 # sf_dir-only key served stale codebooks when fixture data was
 # regenerated at the same path within one process (r5 ADVICE).
 _TRAINED_CODEBOOKS: dict[tuple[str, str], tuple[list, list]] = {}
+
+# Guards the check-then-insert of BOTH index memos (r15, r14 ADVICE #2):
+# call sites historically populated them serially before any driver
+# threading started, but that invariant was implicit — two codebook-
+# consuming arms racing through `_concurrent` would double-train (wasted
+# jobs, divergent cached frames). One lock per process is enough: memo
+# population is rare (once per session × corpus) and the held work is
+# driver-side training, which was never parallel anyway.
+import threading as _threading
+
+_MEMO_LOCK = _threading.RLock()
 
 
 def clear_index_memos() -> None:
@@ -1747,7 +1792,7 @@ def _train_codebooks(e: DataFrame) -> tuple[list, list]:
     )
 
     cents = kmeans_centroids_local(e, N_CELLS, iters=KMEANS_ITERS, dim=EMB_DIM)
-    resid = ivf_residuals(e, cents).localCheckpoint(eager=False)
+    resid = ivf_residuals(e, cents).transform(barrier)
     books = pq_train_codebooks_local(
         resid, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, dim=EMB_DIM
     )
@@ -1757,7 +1802,9 @@ def _train_codebooks(e: DataFrame) -> tuple[list, list]:
 def _trained_codebooks(e: DataFrame, sf_dir: str) -> tuple[list, list]:
     key = (e.sparkSession.sparkContext.applicationId, sf_dir)
     if key not in _TRAINED_CODEBOOKS:
-        _TRAINED_CODEBOOKS[key] = _train_codebooks(e)
+        with _MEMO_LOCK:
+            if key not in _TRAINED_CODEBOOKS:
+                _TRAINED_CODEBOOKS[key] = _train_codebooks(e)
     return _TRAINED_CODEBOOKS[key]
 
 
@@ -1776,12 +1823,24 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
 
     spark = e.sparkSession
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX:
+    if key in _IVF_INDEX:
+        return _IVF_INDEX[key]
+    with _MEMO_LOCK:
+        if key in _IVF_INDEX:
+            return _IVF_INDEX[key]
         cents, books = _trained_codebooks(e, sf_dir)
         cand, _a1 = capped_cell_candidates(
             ivf_assign(e).filter(F.col("vec_id") >= N_QUERY_VECTORS)
         )
-        t_assigned = assign_cells_literal(e, cents)
+        t_assigned = assign_cells_literal(e, cents).transform(barrier)
+        # Capped corpus-candidate view under the trained codebook,
+        # derived ONCE from the checkpointed assignment and shared by
+        # the trained + nprobe2 arms (r15, r14 verdict #3: each arm
+        # previously re-ran the cap window over its own t_assigned scan
+        # — one Exchange+Window pair per arm for identical rows).
+        t_cand, _a2 = capped_cell_candidates(
+            t_assigned.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        )
         from sentinela_py_spark.functions.litutil import fast_lit
 
         seed_vecs = fast_lit([[float(x) for x in v] for v in pq_stitch_codewords(books)], 2)
@@ -1841,8 +1900,9 @@ def _ivf_index(e: DataFrame, sf_dir: str) -> dict[str, DataFrame]:
             ),
         )
         _IVF_INDEX[key] = {
-            "cand": cand.localCheckpoint(eager=False),
-            "t_assigned": t_assigned.localCheckpoint(eager=False),
+            "cand": cand.transform(barrier),
+            "t_assigned": t_assigned,
+            "t_cand": t_cand.transform(barrier),
             "pq_cand": pq_view,
             # the adc arm's TWO independent reads of the same store
             # (codes-only coarse scan, vector-fetch refine scan) — two
@@ -1928,6 +1988,33 @@ def _ivf_adc_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFr
     )
 
 
+def _ivf_adc_refined(
+    e: DataFrame, sf_dir: str, index: dict | None = None
+) -> DataFrame:
+    """The rank-free ADC candidate stream (codes-only coarse pass +
+    exact-cosine refine at COARSE_K) the REGISTERED query's adc and
+    hardneg arms both cut (r15): the two arms' plans differed only in
+    the final (k, exclude) window, so the whole coarse scan + scoring +
+    refine join ran twice for identical values. The dedicated bench
+    arms keep calling the fused `ivf_pq_adc_topk` (full per-arm
+    pricing); `ivf_pq_adc_rank` over this stream is expression-identical
+    to the fused call's tail (oracle-pinned)."""
+    from sentinela_py_spark.functions.vectors import ivf_pq_adc_refined
+
+    index = _ivf_index(e, sf_dir) if index is None else index
+    cents, books = _trained_codebooks(e, sf_dir)
+    return ivf_pq_adc_refined(
+        index["adc_codes"],
+        index["adc_vecs"],
+        e.filter(F.col("vec_id") < N_QUERY_VECTORS),
+        cents,
+        books,
+        coarse_k=COARSE_K,
+        m=PQ_M,
+        dim=EMB_DIM,
+    )
+
+
 def _ivf_adc_hardneg_arm(
     e: DataFrame, sf_dir: str, index: dict | None = None
 ) -> DataFrame:
@@ -1996,7 +2083,13 @@ register_arms(
 )
 
 
-def _ivf_nprobe2_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> DataFrame:
+def _ivf_nprobe2_arm(
+    e: DataFrame,
+    sf_dir: str,
+    index: dict | None = None,
+    cand: DataFrame | None = None,
+    sort: bool = True,
+) -> DataFrame:
     """q_ann_ivf_topk's nprobe=2 arm over the TRAINED codebook: corpus
     cells from the stored index, query side exploded to its 2 nearest
     trained centroids (`probe_cells_literal` — the recall dial,
@@ -2013,13 +2106,14 @@ def _ivf_nprobe2_arm(e: DataFrame, sf_dir: str, index: dict | None = None) -> Da
     q = probes.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
     )
-    cand, _audit = capped_cell_candidates(
-        index["t_assigned"].filter(F.col("vec_id") >= N_QUERY_VECTORS)
-    )
+    if cand is None:
+        cand, _audit = capped_cell_candidates(
+            index["t_assigned"].filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        )
     c = cand.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
     )
-    return _ivf_search(q, c, "nprobe2")
+    return _ivf_search(q, c, "nprobe2", sort=sort)
 
 
 # ---------------------------------------------------------------------------
