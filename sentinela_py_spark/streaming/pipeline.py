@@ -24,6 +24,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sentinela_py_spark.barrier import barrier_eager
+
 from sentinela_py_spark.schemas import NEWS_DOCUMENT
 from sentinela_py_spark.streaming.stores import (
     read_epoch_store,
@@ -225,7 +227,7 @@ def stateful_url_dedup(stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     )
 
 
-def _parallel_writes(*thunks) -> None:
+def _parallel_writes(*thunks, sink: "_DeferredWrites | None" = None) -> None:
     """Run a screen's end-of-batch store writes concurrently (r14
     optimization, guide §2.6 — overlap independent jobs): the epoch
     writes target DISJOINT store roots and read only frames the screen
@@ -236,12 +238,62 @@ def _parallel_writes(*thunks) -> None:
     overwrites it either way). Running them from a small driver pool
     lets one write's task tail back-fill with the next write's tasks
     instead of serializing ~3 driver-blocked jobs per screen.
-    Exceptions propagate (first one wins, after all writes settle)."""
+    Exceptions propagate (first one wins, after all writes settle).
+
+    ``sink`` (r15, r14 verdict #4 — cross-SCREEN overlap): when the
+    caller is a screen running inside `composed_ingest_batch`, the
+    writes are handed to the batch's ONE shared bounded pool and the
+    screen returns immediately — screen N's store writes then execute
+    while screen N+1's compute blocks the driver thread, and the batch
+    drains every future before it returns (so "batch returned" still
+    means "all state written", and a write failure still fails the
+    batch before its offsets commit)."""
+    if sink is not None:
+        sink.submit(*thunks)
+        return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         for f in [pool.submit(t) for t in thunks]:
             f.result()
+
+
+class _DeferredWrites:
+    """The shared bounded write pool of ONE composed-ingest batch (r15,
+    r14 verdict #4 / "what's wrong" #4 — one bounded pool instead of a
+    nest of per-call-site pools): screens submit their checkpoint-backed
+    epoch writes here instead of blocking on them, so a screen's write
+    tail overlaps the NEXT screen's compute (guide §2.6 — concurrent
+    jobs back-fill the executors the current job's stragglers free; job
+    descriptions are thread-local so the UI stays labeled per write).
+
+    Replay/crash semantics are unchanged from the r14 per-screen pools:
+    every deferred write is an idempotent epoch-keyed overwrite over an
+    eagerly-checkpointed frame (or a map-cheap join of checkpointed
+    frames) targeting a store root no other write or read of the SAME
+    batch touches; the un-checkpointed overflow audits stay inline and
+    sequential inside their screens, BEFORE the screen's writes are
+    enqueued, exactly as before. ``drain()`` re-raises the first write
+    failure after all futures settle — `composed_ingest_batch` drains in
+    a ``finally`` before returning, so foreachBatch never commits
+    offsets over a missing write."""
+
+    def __init__(self, max_workers: int = 3):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._futures: list = []
+
+    def submit(self, *thunks) -> None:
+        self._futures.extend(self._pool.submit(t) for t in thunks)
+
+    def drain(self) -> None:
+        try:
+            for f in self._futures:
+                f.result()
+        finally:
+            self._futures.clear()
+            self._pool.shutdown(wait=True)
 
 
 def _read_band_store(spark: SparkSession, bands_dir: str, exclude_epoch: int):
@@ -289,7 +341,7 @@ def _screen_input(
     countDistinct pass over the already-checkpointed batch and raises on
     the first duplicate id (r11 ADVICE)."""
     if ids_collapsed:
-        out = renamed.localCheckpoint(eager=True)
+        out = renamed.transform(barrier_eager)
         if os.environ.get("SENTINELA_CHECK_INVARIANTS"):
             # count(lit(1)) not count(id): both count(id) and
             # countDistinct skip NULLs, so NULL-id duplicates would slip
@@ -305,8 +357,8 @@ def _screen_input(
                     "— the caller must run the duplicate-id election first"
                 )
         return out
-    return _collapse_duplicate_ids(renamed, id_field, content_key).localCheckpoint(
-        eager=True
+    return _collapse_duplicate_ids(renamed, id_field, content_key).transform(
+        barrier_eager
     )
 
 
@@ -341,6 +393,7 @@ def dedup_batch_against_corpus(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of near-dup rejection at ingest (the foreachBatch
     body of `run_incremental_dedup_stream`, exposed for direct testing).
@@ -412,14 +465,14 @@ def dedup_batch_against_corpus(
         b.select("doc_id", F.md5(F.col(text_col)).alias("__th"))
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("__th")))
         .select("doc_id", "rep")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     rep_docs = b.join(
         rep_of.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id", "left_semi"
     )
     bands = lsh_band_signatures(
         minhash_signatures(rep_docs, "doc_id", text_col)
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     # 2. within-batch (representatives only): min-label components of the
     # band-collision graph (hot-bucket-capped self-join; truncations land
     # in overflow/epoch=N)
@@ -480,8 +533,8 @@ def dedup_batch_against_corpus(
             F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
         )
     )
-    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
-    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    rejects = rep_rejects.unionByName(copy_rejects).transform(barrier_eager)
+    accepted = b.join(rejects, "doc_id", "left_anti").transform(barrier_eager)
     # the overflow audit writes FIRST, sequentially: its lineage is not
     # checkpointed, so it must not run concurrently with the band-store
     # overwrite below (on a replayed epoch the overwrite deletes the
@@ -510,6 +563,7 @@ def dedup_batch_against_corpus(
             bands_dir,
             epoch_id,
         ),
+        sink=write_sink,
     )
     return accepted_out
 
@@ -523,6 +577,7 @@ def image_dedup_batch_against_corpus(
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of IMAGE near-dup rejection at ingest — the
     streaming twin of `plans.mmops.q_image_neardup` (r12): a LAION-style
@@ -553,6 +608,7 @@ def image_dedup_batch_against_corpus(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
         ids_collapsed=ids_collapsed,
+        write_sink=write_sink,
     )
 
 
@@ -565,6 +621,7 @@ def audio_dedup_batch_against_corpus(
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of AUDIO near-dup rejection at ingest — the
     streaming twin of `plans.mmops.q_audio_neardup` (r13): arriving
@@ -594,6 +651,7 @@ def audio_dedup_batch_against_corpus(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
         ids_collapsed=ids_collapsed,
+        write_sink=write_sink,
     )
 
 
@@ -606,6 +664,7 @@ def video_dedup_batch_against_corpus(
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of VIDEO near-dup rejection at ingest — the
     streaming twin of `plans.mmops.q_signature_neardup`'s video arm
@@ -643,6 +702,7 @@ def video_dedup_batch_against_corpus(
         ids_collapsed=ids_collapsed,
         n_bands=WIDE_DHASH_BANDS,
         band_bits=WIDE_DHASH_BAND_BITS,
+        write_sink=write_sink,
     )
 
 
@@ -658,6 +718,7 @@ def signature_dedup_batch_against_corpus(
     ids_collapsed: bool = False,
     n_bands: int | None = None,
     band_bits: int | None = None,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """The GENERIC perceptual-signature near-dup screen (r13 — one body
     for the image and audio twins), with the store/replay discipline of
@@ -726,14 +787,14 @@ def signature_dedup_batch_against_corpus(
     )
     sigs = signer(
         b.select("doc_id", F.col(payload_col).alias("payload"))
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     decodable = sigs.filter(F.col("sig").isNotNull())
     # 2. exact-copy collapse on the decoded-content md5
     rep_of = (
         decodable.select("doc_id", "content_md5")
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("content_md5")))
         .select("doc_id", "rep")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     rep_sigs = decodable.join(
         rep_of.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
@@ -745,7 +806,7 @@ def signature_dedup_batch_against_corpus(
     wide = is_wide_signature(sigs, "sig")
     rep_bands = signature_bands(
         rep_sigs.select("doc_id", "sig"), "sig", n_bands, band_bits
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     # 3. within-batch components over the Hamming-refined band pairs
     # (wide signatures validate band coverage on the data — one
     # O(1)-row aggregate per batch; the never-silent guard against a
@@ -814,8 +875,8 @@ def signature_dedup_batch_against_corpus(
             F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
         )
     )
-    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
-    accepted = b.join(rejects, "doc_id", "left_anti").localCheckpoint(eager=True)
+    rejects = rep_rejects.unionByName(copy_rejects).transform(barrier_eager)
+    accepted = b.join(rejects, "doc_id", "left_anti").transform(barrier_eager)
     # overflow first, sequentially (un-checkpointed lineage must not
     # race the band-store overwrite on a replayed epoch), then the
     # checkpoint-backed writes concurrently: disjoint stores
@@ -839,6 +900,7 @@ def signature_dedup_batch_against_corpus(
             bands_dir,
             epoch_id,
         ),
+        sink=write_sink,
     )
     return accepted_out
 
@@ -979,6 +1041,7 @@ def embedding_dedup_batch_against_corpus(
     threshold: float | None = None,
     max_bucket_size: int | None = None,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of embedding near-dup rejection at ingest — the
     SemDeDup-at-ingest shape: LSH buckets generate candidates, TRUE COSINE
@@ -1051,12 +1114,12 @@ def embedding_dedup_batch_against_corpus(
     rep_of = (
         b.withColumn("rep", F.min("vec_id").over(Window.partitionBy("embedding")))
         .select("vec_id", "rep")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     rep_vecs = b.join(
         rep_of.filter(F.col("vec_id") == F.col("rep")).select("vec_id"), "vec_id", "left_semi"
     )
-    bucketed = bucketed_embeddings(rep_vecs).localCheckpoint(eager=True)
+    bucketed = bucketed_embeddings(rep_vecs).transform(barrier_eager)
 
     # 2. within-batch (representatives only): cosine-confirmed LSH pairs →
     # min-label components. Representative election is DEFERRED until the
@@ -1161,8 +1224,8 @@ def embedding_dedup_batch_against_corpus(
             F.coalesce("rep_reason", F.lit("within_batch")).alias("reason"),
         )
     )
-    rejects = rep_rejects.unionByName(copy_rejects).localCheckpoint(eager=True)
-    accepted = b.join(rejects, "vec_id", "left_anti").localCheckpoint(eager=True)
+    rejects = rep_rejects.unionByName(copy_rejects).transform(barrier_eager)
+    accepted = b.join(rejects, "vec_id", "left_anti").transform(barrier_eager)
 
     # the overflow audit writes FIRST, sequentially: its store-side arm
     # scans the live index (un-checkpointed lineage), so on a replayed
@@ -1192,6 +1255,7 @@ def embedding_dedup_batch_against_corpus(
             index_dir,
             epoch_id,
         ),
+        sink=write_sink,
     )
     return accepted_out
 
@@ -1249,6 +1313,7 @@ def decontamination_screen_batch(
     m_bits: int | None = None,
     n_hashes: int | None = None,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of train/eval decontamination AT INGEST — the
     deployment shape `plans.textops.q_decontamination` documents (the
@@ -1309,7 +1374,7 @@ def decontamination_screen_batch(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     flagged = b.join(hits, "doc_id").select("doc_id", "n_hits")
     accepted = b.join(hits, "doc_id", "left_anti")
@@ -1320,6 +1385,7 @@ def decontamination_screen_batch(
         lambda: write_epoch_partition(
             accepted, os.path.join(state_dir, "accepted"), epoch_id
         ),
+        sink=write_sink,
     )
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed("text", text_col)
 
@@ -1350,7 +1416,7 @@ def fuzzy_eval_artifacts(
     bands = (
         lsh_band_signatures(minhash_signatures(d))
         .select(F.col("doc_id").alias("e_doc"), "band", "sig")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     w = W.partitionBy("doc_id")
     shingles = (
@@ -1363,7 +1429,7 @@ def fuzzy_eval_artifacts(
         .distinct()
         .withColumn("n_e", F.count("*").over(w))
         .select(F.col("doc_id").alias("e_doc"), "sh", "n_e")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     return {"bands": bands, "shingles": shingles}
 
@@ -1422,6 +1488,7 @@ def fuzzy_decon_screen_batch(
     text_col: str = "text",
     jaccard: float | None = None,
     ids_collapsed: bool = False,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of FUZZY train/eval decontamination at ingest —
     the streaming twin of `q_decontamination`'s fuzzy arm (r10):
@@ -1467,7 +1534,7 @@ def fuzzy_decon_screen_batch(
         bands.join(F.broadcast(artifacts["bands"]), ["band", "sig"])
         .select("doc_id", "e_doc")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     verified = _fuzzy_verified(b, cand, artifacts, jaccard)
     # eager checkpoint BEFORE the write + left_anti reuse — without it
@@ -1476,8 +1543,13 @@ def fuzzy_decon_screen_batch(
     flagged = verified.groupBy("doc_id").agg(
         F.count_distinct("e_doc").alias("n_eval_docs"),
         F.round(F.max("jac"), 6).alias("max_jaccard"),
-    ).localCheckpoint(eager=True)
-    write_epoch_partition(flagged, os.path.join(state_dir, "flagged"), epoch_id)
+    ).transform(barrier_eager)
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            flagged, os.path.join(state_dir, "flagged"), epoch_id
+        ),
+        sink=write_sink,
+    )
     accepted = b.join(flagged, "doc_id", "left_anti")
     return accepted.withColumnRenamed("doc_id", id_col).withColumnRenamed(
         "text", text_col
@@ -1521,7 +1593,7 @@ def run_decontamination_stream(
     )
     bloom_row = bloom_build(
         eval_grams, n_hashes=n_hashes, m_bits=m_bits
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         decontamination_screen_batch(
@@ -1582,6 +1654,7 @@ def quality_screen_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     rule_min: float = 0.5,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of the QUALITY screen at ingest — the streaming
     twin of the curated pipeline's stage-5 gate, under FROZEN artifacts
@@ -1612,11 +1685,16 @@ def quality_screen_batch(
         "word_lm_logprob",
         ((F.col("quality") >= rule_min) & (F.col("svm_score") > 0)).alias("keep"),
     )
-    joined = batch.join(verdict, id_col).localCheckpoint(eager=True)
+    joined = batch.join(verdict, id_col).transform(barrier_eager)
     rejected = joined.filter(~F.col("keep")).select(
         id_col, "quality", "svm_score", "word_lm_logprob"
     )
-    write_epoch_partition(rejected, os.path.join(state_dir, "rejected"), epoch_id)
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            rejected, os.path.join(state_dir, "rejected"), epoch_id
+        ),
+        sink=write_sink,
+    )
     return joined.filter(F.col("keep")).drop(
         "quality", "svm_score", "word_lm_logprob", "keep"
     )
@@ -1682,6 +1760,7 @@ def clip_score_screen_batch(
     image_vec_col: str = "image_embedding",
     text_vec_col: str = "embedding",
     min_cos: float = CLIP_SCORE_MIN,
+    write_sink: _DeferredWrites | None = None,
 ) -> DataFrame:
     """One micro-batch of the CROSS-MODAL CONSISTENCY screen (r14, r13
     verdict #5 — the other load-bearing LAION screen beside image
@@ -1702,10 +1781,13 @@ def clip_score_screen_batch(
     any dedup stage."""
     scored = batch.withColumn(
         "clip_cos", clip_cos_col(image_vec_col, text_vec_col)
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     rejected = scored.filter(F.col("clip_cos") < min_cos).select(id_col, "clip_cos")
-    write_epoch_partition(
-        rejected, os.path.join(state_dir, "rejected"), epoch_id
+    _parallel_writes(
+        lambda: write_epoch_partition(
+            rejected, os.path.join(state_dir, "rejected"), epoch_id
+        ),
+        sink=write_sink,
     )
     return scored.filter(F.col("clip_cos") >= min_cos).drop("clip_cos")
 
@@ -1998,6 +2080,79 @@ def composed_ingest_batch(
     (test-pinned). The trim stage preserves all of this: it is a pure
     per-document function of the batch row (no store, no epoch state),
     so a replayed batch trims identically."""
+    # r15 (r14 verdict #4): ONE bounded write pool per batch — each
+    # screen defers its checkpoint-backed epoch writes here, so screen
+    # N's write tail overlaps screen N+1's compute; the finally-drain
+    # below guarantees every write landed (or raised) before this batch
+    # returns, keeping the foreachBatch offset-commit contract and the
+    # replay tests' "batch returned => state complete" reading intact.
+    sink = _DeferredWrites()
+    try:
+        return _composed_ingest_screens(
+            batch,
+            bloom_row,
+            epoch_id,
+            state_dir,
+            id_col,
+            text_col,
+            vec_col,
+            threshold,
+            min_hits,
+            max_bucket_size,
+            m_bits,
+            n_hashes,
+            index_dir,
+            centroids,
+            books,
+            quality_model,
+            trim_repeats,
+            fuzzy_eval,
+            image_payload_col,
+            image_max_hamming,
+            image_bucket_size,
+            audio_payload_col,
+            audio_max_hamming,
+            audio_bucket_size,
+            clip_vec_col,
+            clip_min_cos,
+            sink,
+        )
+    finally:
+        sink.drain()
+
+
+def _composed_ingest_screens(
+    batch,
+    bloom_row,
+    epoch_id,
+    state_dir,
+    id_col,
+    text_col,
+    vec_col,
+    threshold,
+    min_hits,
+    max_bucket_size,
+    m_bits,
+    n_hashes,
+    index_dir,
+    centroids,
+    books,
+    quality_model,
+    trim_repeats,
+    fuzzy_eval,
+    image_payload_col,
+    image_max_hamming,
+    image_bucket_size,
+    audio_payload_col,
+    audio_max_hamming,
+    audio_bucket_size,
+    clip_vec_col,
+    clip_min_cos,
+    sink,
+) -> DataFrame:
+    """The screen chain body of `composed_ingest_batch` (split out so the
+    caller's finally-drain wraps the WHOLE chain including the final
+    accepted write and index append)."""
     ids_elected = False
     if image_payload_col is not None:
         # LAION order (r13): image dedup FIRST — a perceptual duplicate
@@ -2013,6 +2168,7 @@ def composed_ingest_batch(
             payload_col=image_payload_col,
             max_hamming=image_max_hamming,
             max_bucket_size=image_bucket_size,
+            write_sink=sink,
         )
         ids_elected = True
     if audio_payload_col is not None:
@@ -2029,6 +2185,7 @@ def composed_ingest_batch(
             max_hamming=audio_max_hamming,
             max_bucket_size=audio_bucket_size,
             ids_collapsed=ids_elected,
+            write_sink=sink,
         )
         ids_elected = True
     if clip_vec_col is not None:
@@ -2044,6 +2201,7 @@ def composed_ingest_batch(
             image_vec_col=clip_vec_col,
             text_vec_col=vec_col,
             min_cos=CLIP_SCORE_MIN if clip_min_cos is None else clip_min_cos,
+            write_sink=sink,
         )
     if trim_repeats is not None:
         from sentinela_py_spark.operators.dedup import remove_intra_doc_repeats
@@ -2062,6 +2220,7 @@ def composed_ingest_batch(
         m_bits=m_bits,
         n_hashes=n_hashes,
         ids_collapsed=ids_elected,
+        write_sink=sink,
     )
     if fuzzy_eval is not None:
         # fuzzy eval-copy screen (r10): same hygiene slot as the exact
@@ -2077,6 +2236,7 @@ def composed_ingest_batch(
             id_col=id_col,
             text_col=text_col,
             ids_collapsed=True,
+            write_sink=sink,
         )
     if quality_model is not None:
         a1 = quality_screen_batch(
@@ -2086,6 +2246,7 @@ def composed_ingest_batch(
             os.path.join(state_dir, "quality"),
             id_col=id_col,
             text_col=text_col,
+            write_sink=sink,
         )
     a2 = dedup_batch_against_corpus(
         a1,
@@ -2095,6 +2256,7 @@ def composed_ingest_batch(
         text_col=text_col,
         max_bucket_size=max_bucket_size,
         ids_collapsed=True,
+        write_sink=sink,
     )
     final = embedding_dedup_batch_against_corpus(
         a2,
@@ -2105,6 +2267,7 @@ def composed_ingest_batch(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         ids_collapsed=True,
+        write_sink=sink,
     )  # backed by the screen's own eager checkpoint
     write_epoch_partition(final, os.path.join(state_dir, "accepted"), epoch_id)
     if index_dir is not None:
@@ -2211,7 +2374,7 @@ def run_composed_ingest_stream(
     )
     bloom_row = bloom_build(
         eval_grams, n_hashes=n_hashes, m_bits=m_bits
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
     # fuzzy screen (r10): eval-side band index + shingle frame built
     # ONCE from the same eval split, frozen for the stream's lifetime
     fz = (
