@@ -132,6 +132,12 @@ from sentinela_py_spark.session import build_session  # noqa: E402
 #                               media head; delta vs `screens` prices
 #                               it) and screens_clip arm (the
 #                               CLIP-score stage; near-free map-only)
+# Round-15 restoration (r14 verdict #1): q_image_neardup and
+#   q_audio_neardup re-registered under their ORIGINAL names/oracles as
+#   thin views over the fused q_signature_neardup arm builders — the
+#   r14 fold had removed two declared names from the checked surface.
+#   Both are ADDED headline rows; q_signature_neardup's row and arms
+#   are unchanged, so the r14-comparable surface is intact.
 HEADLINE = [
     # relational core
     "q_pricing_summary",
@@ -152,6 +158,12 @@ HEADLINE = [
     "q_ngram_jaccard_pairs",
     "q_minhash_pairs",
     "q_signature_neardup",  # r12-14: perceptual-hash image+audio dedup (folded)
+    # r15 roster restoration (r14 verdict #1): the two pre-fold names,
+    # re-registered as thin oracle-checked views over the fused family's
+    # arm builders — ADDED rows (the bench contract allows additions;
+    # q_signature_neardup keeps pricing the whole union unchanged).
+    "q_image_neardup",
+    "q_audio_neardup",
     "q_text_profile",
     "q_pii_redaction",
     "q_embedding_neardup",
@@ -448,13 +460,26 @@ EXTRA_ARMS = {
 }
 
 
-def _time_df(make_df, reps: int = N_REPS) -> tuple[float | None, str | None]:
+def _time_df(
+    make_df, reps: int = N_REPS, adaptive_third: tuple[float, float] | None = None
+) -> tuple[float | None, str | None]:
     """min-of-``reps`` wall time of building + fully materializing the
     frame. A rep that throws after an earlier rep succeeded keeps the
-    finite best (a real measurement) and reports the error beside it."""
+    finite best (a real measurement) and reports the error beside it.
+
+    ``adaptive_third=(low, high)`` (r15, r14 verdict #8 — loaded-window
+    robustness): after the scheduled reps, rows whose best lands in
+    [low, high) get ONE extra rep, so the arm rows heavy enough for a
+    single loaded window to poison (>2 s) but not so heavy that a third
+    rep dominates the bench's own wall-clock (<30 s) are min-of-3 like
+    the headline rows. Pure addition — sub-``low`` rows keep exactly the
+    historical rep count and methodology."""
     best = float("inf")
     err = None
-    for _rep in range(reps):
+    reps_left = reps
+    extra_granted = False
+    while reps_left > 0:
+        reps_left -= 1
         try:
             t0 = time.perf_counter()
             df = make_df()
@@ -463,6 +488,14 @@ def _time_df(make_df, reps: int = N_REPS) -> tuple[float | None, str | None]:
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             err = f"{type(exc).__name__}: {exc}"[:500]
             break
+        if (
+            reps_left == 0
+            and not extra_granted
+            and adaptive_third is not None
+            and adaptive_third[0] <= best < adaptive_third[1]
+        ):
+            extra_granted = True
+            reps_left = 1
     return (round(best, 3) if best < float("inf") else None), err
 
 
@@ -524,17 +557,39 @@ def main() -> None:
     # verdict: the single mid-run probe under-detected a sustained
     # ~1.2-1.3x background load that inflated a whole round's artifact —
     # probes[] makes session-long ambient drift visible per window).
+    # r15 (r14 verdict #8): every probe is also TIMESTAMPED into
+    # probe_log, the probe cadence continues through the arm and
+    # longtail phases (arm_probes — the r14 run's ambient spike landed
+    # mid-arms where no probe could see it), and each timed row records
+    # its own completion timestamp (row_at) so BENCH_FULL can carry a
+    # per-WINDOW normalized twin (normalized_windowed: each comparable
+    # row ÷ the ambient level of its NEAREST probe, not the run median).
+    # The legacy probes[]/middle/post_warmup_drift numbers keep their
+    # exact historical definitions (headline-phase probes only).
     CAL_EVERY = 8
     probes: list[float | None] = []
+    arm_probes: list[float | None] = []
+    probe_log: list[tuple[float, float]] = []
+    row_at: dict[str, float] = {}
+
+    def _probe(into: list) -> None:
+        v = _calibrate(spark, sf_dir)
+        into.append(v)
+        if v is not None:
+            probe_log.append((time.perf_counter(), v))
+
+    if first is not None:
+        probe_log.append((time.perf_counter(), first))
     timings: dict[str, float | None] = {}
     arm_timings: dict[str, dict[str, float | None]] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
         if i and i % CAL_EVERY == 0:
-            probes.append(_calibrate(spark, sf_dir))
+            _probe(probes)
         q = QUERIES[name]
         t, err = _time_df(lambda: q.spark(spark, sf_dir))
         timings[name] = t
+        row_at[name] = time.perf_counter()
         if err:
             errors[name] = err
             print(f"{name} failed: {err}", file=sys.stderr)
@@ -542,20 +597,34 @@ def main() -> None:
         # r1-comparable arms, which gate the judge's 2x bar and get
         # headline-grade min-of-3 damping; r14, r13 verdict #2: the
         # revenue arm's min-of-2 left a loaded window looking like a
-        # regression).
+        # regression). r15: a min-of-2 arm whose best lands in [2, 30) s
+        # earns one adaptive extra rep (verdict #8 — heavy rows were the
+        # ones a single loaded window poisoned at min-of-2).
         for arm, fn in ARMS.get(name, {}).items():
             arm_reps = 3 if COMPARABLE_ARM.get(name) == arm else 2
-            at, aerr = _time_df(lambda: fn(spark, sf_dir), reps=arm_reps)
+            at, aerr = _time_df(
+                lambda: fn(spark, sf_dir),
+                reps=arm_reps,
+                adaptive_third=(2.0, 30.0) if arm_reps == 2 else None,
+            )
             arm_timings.setdefault(name, {})[arm] = at
+            row_at[f"{name}.{arm}"] = time.perf_counter()
             if aerr:
                 errors[f"{name}.{arm}"] = aerr
                 print(f"{name}.{arm} failed: {aerr}", file=sys.stderr)
 
     # Non-registry arm groups (streaming composed-ingest pricing, r10).
+    arm_rows = 0
     for group, arms in EXTRA_ARMS.items():
         for arm, fn in arms.items():
-            at, aerr = _time_df(lambda: fn(spark, sf_dir), reps=2)
+            if arm_rows and arm_rows % (CAL_EVERY // 2) == 0:
+                _probe(arm_probes)
+            arm_rows += 1
+            at, aerr = _time_df(
+                lambda: fn(spark, sf_dir), reps=2, adaptive_third=(2.0, 30.0)
+            )
             arm_timings.setdefault(group, {})[arm] = at
+            row_at[f"{group}.{arm}"] = time.perf_counter()
             if aerr:
                 errors[f"{group}.{arm}"] = aerr
                 print(f"{group}.{arm} failed: {aerr}", file=sys.stderr)
@@ -566,9 +635,12 @@ def main() -> None:
     # stable shapes whose history doesn't need min-of-3 precision.
     from sentinela_py_spark.plans import QUERIES as _ALLQ
 
-    for name in sorted(set(_ALLQ) - set(HEADLINE)):
+    for j, name in enumerate(sorted(set(_ALLQ) - set(HEADLINE))):
+        if j and j % CAL_EVERY == 0:
+            _probe(arm_probes)
         t, err = _time_df(lambda: _ALLQ[name].spark(spark, sf_dir), reps=1)
         arm_timings.setdefault("longtail", {})[name] = t
+        row_at[f"longtail.{name}"] = time.perf_counter()
         if err:
             errors[f"longtail.{name}"] = err
             print(f"longtail.{name} failed: {err}", file=sys.stderr)
@@ -592,6 +664,15 @@ def main() -> None:
     post = [v for v in (*probes, calibration["last"]) if v]
     if len(post) >= 2 and min(post) > 0:
         calibration["post_warmup_drift"] = round(max(post) / min(post), 3)
+    # r15 additions: the arm/longtail-phase probe series and the
+    # whole-session drift over EVERY post-warmup probe — the legacy
+    # post_warmup_drift keeps its headline-phase-only definition.
+    calibration["probes_arms"] = arm_probes
+    post_all = [v for v in (*probes, *arm_probes, calibration["last"]) if v]
+    if len(post_all) >= 2 and min(post_all) > 0:
+        calibration["post_warmup_drift_all"] = round(
+            max(post_all) / min(post_all), 3
+        )
 
     timed = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(timed.values()), 2)
@@ -660,6 +741,26 @@ def main() -> None:
         if ambient_factor
         else {}
     )
+    # Per-WINDOW normalized twin (r15, r14 verdict #8 — ADDITION; the
+    # run-median `normalized` above keeps its exact r12 definition): each
+    # comparable row ÷ the ambient level of the probe NEAREST to it in
+    # time. A load burst confined to one window then inflates only the
+    # rows inside that window instead of diluting into (or hiding from)
+    # the run median — the r14 artifact's failure mode, where a 3×-loaded
+    # 32-core run read as a 33-query regression.
+    def _window_ambient(ts: float) -> float | None:
+        if not probe_log or not floor:
+            return None
+        near = min(probe_log, key=lambda pv: abs(pv[0] - ts))[1]
+        return max(1.0, near / floor)
+
+    normalized_windowed = {}
+    for q, arm in COMPARABLE_ARM.items():
+        raw = arm_timings.get(q, {}).get(arm)
+        ts = row_at.get(f"{q}.{arm}")
+        wa = _window_ambient(ts) if ts is not None else None
+        if raw is not None and wa:
+            normalized_windowed[q] = _r2(raw / wa)
     # Floor-ADJUSTED twin (r14, r13 verdict #6 / "what's wrong" #2): the
     # ambient_factor DIVIDES a global ratio out, but the session floor
     # is ADDITIVE per row — a 0.3-0.7 s row's normalized ratio swings
@@ -690,6 +791,7 @@ def main() -> None:
         "comparable": comparable,
         "normalized": normalized,
         "comparable_floor_adjusted": comparable_floor_adjusted,
+        "normalized_windowed": normalized_windowed,
         "arms": {
             q: {a: _r2(v) for a, v in arms.items()}
             for q, arms in arm_timings.items()
