@@ -150,7 +150,21 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # The applyInPandasWithState stream lingers after draining instead of
+    # self-terminating under availableNow (the old bare awaitTermination
+    # sat out its FULL 180 s bound every run — measured, r15 suite-time
+    # work). Poll until both batches' rows have arrived and no data is
+    # pending, then stop explicitly; the timeout stays as the failure
+    # bound.
+    import time as _time
+
+    deadline = _time.monotonic() + 180
+    while q.isActive and _time.monotonic() < deadline:
+        if len({u for u, _ in seen}) >= 3 and not q.status["isDataAvailable"]:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
 
     urls = sorted(u for u, _ in seen)
     assert urls == ["https://n/1", "https://n/2", "https://n/3"]

@@ -361,11 +361,16 @@ class TestStoredIndex:
 
 
 class TestAdcSearch:
-    @pytest.fixture()
-    def trained_store(self, spark, tmp_path):
+    @pytest.fixture(scope="class")
+    def trained_store(self, spark, tmp_path_factory):
         """A residual-PQ index written through the lake layout: trained
         centroids + residual codewords, deq AND codes columns — the
-        store both search styles (reconstruct-coarse, ADC) read."""
+        store both search styles (reconstruct-coarse, ADC) read.
+
+        Class-scoped (r15, r14 verdict #2 — suite wall-time): the store
+        is read-only for every test in the class, and the per-test
+        rebuild (k-means + residual-PQ training + encode + parquet
+        write) was ~9 × ~35 s of the suite's budget."""
         from sentinela_py_spark.functions.kmeans import (
             ivf_residuals,
             kmeans_centroids_local,
@@ -397,7 +402,7 @@ class TestAdcSearch:
                 "codes"
             ),
         )
-        path = str(tmp_path / "adc_index")
+        path = str(tmp_path_factory.mktemp("adc") / "adc_index")
         write_ann_index(encoded, path)
         return e, cents, books, path
 
