@@ -595,6 +595,9 @@ class TestFuzzyScreenAtIngest:
         assert fn[(0, "fuzzy_gated")] == 2      # edited copy
         assert fn[(0, "accepted")] == 2
 
+    # slow (66 s): fuzzy-screen replay e2e; the composed replay test
+    # (default) covers the replay contract per epoch store.
+    @pytest.mark.slow
     def test_replay_reproduces_first_attempt(self, spark, tmp_path):
         state, out = self._run(spark, tmp_path)
         first = sorted(r["doc_id"] for r in out.select("doc_id").collect())
@@ -612,6 +615,9 @@ class TestFuzzyScreenAtIngest:
         )
         assert fl1 == fl2
 
+    # slow (48 s): real-stream wiring for the fuzzy screen; the batch
+    # fuzzy tests keep default coverage.
+    @pytest.mark.slow
     def test_stream_wiring_arms_the_screen(self, spark, tmp_path):
         from sentinela_py_spark.streaming.pipeline import run_composed_ingest_stream
 
@@ -738,6 +744,9 @@ def test_ids_collapsed_guard_catches_duplicate_ids(spark, monkeypatch):
     assert _screen_input(dup, "doc_id", F.col("text"), ids_collapsed=True).count() == 3
 
 
+# slow (36 s): the fold-vs-unfolded cross-check rebuilds the chain
+# twice; the invariant guard test keeps default coverage.
+@pytest.mark.slow
 def test_ids_collapsed_fold_is_outcome_identical(spark, tmp_path):
     """r11 barrier fold: with unique ids, each downstream screen run in
     composed mode (``ids_collapsed=True`` — plain barrier, no collapse
@@ -871,6 +880,9 @@ class TestComposedMultimodalIngest:
         )
         return state, out0, out1
 
+    # slow (67 s): the paired-row eviction e2e; funnel/replay tests in
+    # this class keep default image-screen coverage.
+    @pytest.mark.slow
     def test_image_screen_evicts_twins_and_captions_stay_out_of_stores(
         self, spark, tmp_path
     ):
@@ -1112,6 +1124,9 @@ class TestComposedAudioIngest:
             )]
             assert seq == sorted(seq, reverse=True)
 
+    # slow (36 s): audio-screen replay e2e; the composed replay test
+    # (default) covers the replay contract.
+    @pytest.mark.slow
     def test_epoch_replay_reproduces_first_attempt(self, spark, tmp_path):
         state, _o0, out1 = self._run_epochs(spark, tmp_path)
         first = {r["doc_id"] for r in out1.collect()}

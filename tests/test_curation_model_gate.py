@@ -151,6 +151,9 @@ class TestModelGateInCuratedPool:
 
 
 class TestInjectableLabelsTransfer:
+    # slow (35 s): trains on gold labels end-to-end; the frozen-model
+    # gate tests keep default coverage.
+    @pytest.mark.slow
     def test_gold_label_training_transfers_to_held_out_docs(self, spark, planted_dir):
         """De-circularized validation: gold labels come from the
         corpus GENERATOR (which construction produced each doc), not

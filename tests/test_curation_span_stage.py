@@ -128,6 +128,9 @@ def planted_dir(tmp_path_factory):
     return str(d)
 
 
+# slow (69 s): full curated-pool e2e over the span stage; the
+# stage-level span tests keep default coverage.
+@pytest.mark.slow
 def test_planted_passage_cut_from_pool_not_from_first_copy(spark, planted_dir):
     """The curated pool keeps the passage's FIRST occurrence only; both
     docs' unique content survives; the doc whose quality depended on the

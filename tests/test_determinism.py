@@ -23,11 +23,13 @@ _ensure_loaded()
 SENSITIVE = [
     "q_pricing_summary",
     "q_conditional_agg",
-    "q_quality_rules",
+    pytest.param("q_quality_rules", marks=pytest.mark.slow),
     "q_tfidf_top_terms",
     "q_trailing_7d_spend",
     "q_revenue_per_nation",  # carries the folded haversine (distance arm, r11)
-    "q_embedding_neardup",
+    # slow tier (85 s / 34 s): the two heaviest layout-invariance runs —
+    # the rest of the class keeps default coverage of the same property
+    pytest.param("q_embedding_neardup", marks=pytest.mark.slow),
     "q_cosine_topk",
     "q_dedup_groups",
     "q_curated_corpus",

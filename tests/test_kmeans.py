@@ -118,6 +118,9 @@ def test_kmeans_iters_saturate_by_the_module_constant(spark):
     assert (e8 - e12) < 0.05 * (e2 - e8)
 
 
+# slow (97 s): re-trains under several partition layouts; the
+# bit-for-bit-vs-DuckDB and balance tests keep default coverage.
+@pytest.mark.slow
 def test_kmeans_deterministic_across_partitionings(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     a = kmeans_centroids(e, N_CELLS, dim=64).collect()

@@ -72,6 +72,9 @@ def _store_rows(spark, store):
     return sorted(tuple(r) for r in df.collect())
 
 
+# slow (30 s): whole-store fold e2e; the cadence/replay compaction
+# tests keep default coverage.
+@pytest.mark.slow
 def test_fold_flattens_files_preserves_rows_and_verdicts(spark, tmp_path):
     state = str(tmp_path / "s")
     twin = str(tmp_path / "twin")

@@ -20,6 +20,11 @@ SF = "/root/testdata/sf0.01"  # 500 docs × 10 reps = 5k docs in CI time
 REPS = 10
 
 
+# The whole module is stress/scale pricing — heavyweight by design
+# (r15 suite-time split): corpus-scale streams and recall sweeps. The
+# functional contracts these stress live in the default-tier suites.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def skewed_corpus(spark):
     d = load_table(spark, SF, "documents")

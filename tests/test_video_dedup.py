@@ -135,6 +135,9 @@ class TestVideoScreenAtIngest:
             [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
         )
 
+    # slow (52 s): multi-epoch video screen e2e; the within-batch and
+    # unit demux/hash tests keep default coverage.
+    @pytest.mark.slow
     def test_routing_probe_and_replay(self, spark, tmp_path):
         from sentinela_py_spark.streaming.pipeline import (
             video_dedup_batch_against_corpus,
