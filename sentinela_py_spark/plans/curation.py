@@ -64,7 +64,17 @@ def _concurrent(*thunks):
     no reason when built one after the other. Spark's scheduler runs
     concurrent jobs FIFO and back-fills idle executors; results are
     DataFrames, so output values are unchanged. Returns the thunk
-    results in order; exceptions propagate."""
+    results in order; exceptions propagate.
+
+    Concurrency budget (r15, r14 "what's wrong" #4): call sites nest at
+    most once (q_dedup_groups: 2 outer branches × 2 inner ε-closures =
+    ≤ 4 driver threads, each blocking on Spark collects) — keep it that
+    way. New call sites should size to the independent-branch count,
+    never to data; with more than ~3 concurrent jobs per pool consider
+    `spark.scheduler.mode=FAIR` so one branch's long stage cannot
+    starve the others (FIFO back-fill is the behavior we want at ≤ 3).
+    The streaming screens' store writes use their own bounded pool
+    (`streaming.pipeline._DeferredWrites`), not this helper."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
